@@ -1,0 +1,145 @@
+"""Join operators (SURVEY §2.F).
+
+The reference has no explicit join operator (correlation happens via a
+shared business key + BI-side joins); the engine provides the full join
+surface over star-schema data, Spark-native:
+
+  equi inner/left/right/full — sort-merge by default, broadcast for dims
+  semi / anti                — EXISTS / NOT EXISTS (anti == S14's filter)
+  theta / range (non-equi)   — interval containment, the join form of P10
+  as-of                      — latest dim row ≤ fact ts (W1's generalization)
+  cross                      — similarity-search blocking
+
+Scale notes: dimension tables (region/nation/customer/supplier/part at
+star-schema ratios) are broadcast explicitly so fact-table joins never
+shuffle the fact side. The as-of join uses the union+window trick —
+one shuffle on the key, no per-row subquery, no driver loop — which
+scales to arbitrarily large fact AND quote sides (unlike merge_asof
+per-group pandas, which needs the whole group in memory).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def equi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Equi join with explicit broadcast of the small side.
+
+    AQE converts to broadcast at runtime when stats allow, but for known
+    dimension tables we declare it (F.broadcast) so the plan is stable at
+    any scale factor.
+    """
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(right, on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """EXISTS — rows of left with a match in right; right's columns dropped."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """NOT EXISTS — rows of left without a match in right (the S14
+    idempotent-load filter, gold_loader.py:296-319)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Theta/range join — non-equi condition (interval containment, the
+    join form of P10 silver_processor.py:245-251).
+
+    Pure non-equi joins plan as BroadcastNestedLoopJoin; keep the right
+    side small/broadcast, or include an equi key in ``condition`` so
+    Spark can hash on it and apply the range as a post-filter.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=condition, how=how)
+
+
+def asof_join(
+    fact: DataFrame,
+    quotes: DataFrame,
+    key: str,
+    fact_ts: str,
+    quote_ts: str,
+    quote_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join — for each fact row, the latest quote row with
+    ``quote_ts <= fact_ts`` for the same key (SURVEY §2.F).
+
+    Union+window formulation: tag both sides, union on (key, ts), carry
+    quote values forward with ``last(ignorenulls=True)`` over an
+    unbounded-preceding frame, keep fact rows. One shuffle on ``key``;
+    no range explosion; late/duplicate timestamps resolved by the
+    fact-after-quote ordering of the tag.
+    """
+    q = quotes.select(
+        F.col(key),
+        F.col(quote_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in quote_cols],
+    )
+    fact_cols = [c for c in fact.columns]
+    f_side = fact.select(
+        F.col(key),
+        F.col(fact_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__f_{c}") for c in fact_cols if c != key],
+    )
+    # align schemas for unionByName
+    q = q.withColumns({f"__f_{c}": F.lit(None).cast(fact.schema[c].dataType) for c in fact_cols if c != key})
+    f_side = f_side.withColumns({c: F.lit(None).cast(quotes.schema[c].dataType) for c in quote_cols})
+    unioned = q.unionByName(f_side)
+
+    # quote rows (__side=0) sort before fact rows at the same timestamp,
+    # so a fact at exactly quote_ts sees that quote.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumns(
+        {c: F.last(F.col(c), ignorenulls=True).over(w) for c in quote_cols}
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        F.col(key),
+        F.col("__ts").alias(fact_ts),
+        *[F.col(f"__f_{c}").alias(c) for c in fact_cols if c not in (key, fact_ts)],
+        *[F.col(c) for c in quote_cols],
+    )
+    return out
+
+
+def star_join(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """The canonical star join lineitem⋈orders⋈customer⋈nation⋈region with
+    dimensions broadcast (FIXTURES.md §4). Fact table never shuffles for
+    the dim joins; only the lineitem⋈orders join shuffles (both large)."""
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )

@@ -1,0 +1,69 @@
+"""SparkSession factory.
+
+Reproduces the configuration discipline the reference proved out for its
+Spark stages (AQE + partition coalescing, snappy parquet, UTC session
+timezone — reference silver_processor.py:39-52) and adds the settings a
+100 TB deployment needs from day one: Arrow interchange, skew-join
+handling, and a shuffle-partition count sized to the environment instead
+of the 200 default.
+
+In local mode one JVM hosts all executor threads, so ``driver.memory``
+is the only memory knob; on a real cluster the same builder is driven by
+spark-submit ``--conf`` overrides (everything here is a default, not a
+pin).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitions: ~cores in local mode. On a cluster this should be
+# 2-3x total executor cores (or left to AQE coalescing from a high
+# initial value); we set initialPartitionNum high so AQE can split/merge.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+
+
+def get_spark(
+    app_name: str = "data_mastery_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Defaults target local[N] testing; every value is overridable so the
+    identical code deploys to a 1000-executor cluster via spark-submit.
+    """
+    cpus = int(_DEFAULT_CPUS)
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- proven reference config (silver_processor.py:39-52) ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- scale discipline ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark's
+        # reader rejects outright; read the raw int64 nanos and convert
+        # (tables.load_table) — floor to µs matches DuckDB's truncation.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
