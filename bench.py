@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver runs this per-round and records BENCH_r{N}.json.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collect bottleneck). Session build time is excluded from
+per-query numbers but reported separately; `value` is the sum of query
+wall times (lower is better).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: one per operator family (agg, star join, window,
+# as-of, dedup, top-k, json, extension ops as they land).
+HEADLINE = [
+    "pricing_summary",
+    "star_revenue",
+    "hourly_agg",
+    "weekly_rollup",
+    "running_total",
+    "dedup_latest",
+    "asof_join_purchases",
+    "range_join_late_ships",
+    "top10_orders",
+    "json_props",
+    "minhash_near_dup",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    from data_mastery_pipeline_spark.queries import QUERIES
+    from data_mastery_pipeline_spark.session import get_spark
+
+    t0 = time.time()
+    spark = get_spark(app_name="bench")
+    session_sec = time.time() - t0
+
+    # warm the JVM/IO path once so per-query numbers measure the plans,
+    # not first-touch class loading
+    QUERIES["pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        df = QUERIES[name](spark, SF_DIR)
+        t = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "session_startup_sec": round(session_sec, 3),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
