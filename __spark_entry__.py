@@ -15,7 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_mastery_pipeline_spark.queries import ORACLE, QUERIES
+import data_mastery_pipeline_spark.queries  # noqa: F401  (registers core queries)
+import data_mastery_pipeline_spark.queries_ext  # noqa: F401  (registers extension queries)
+from data_mastery_pipeline_spark.registry import ORACLE, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:

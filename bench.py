@@ -42,7 +42,9 @@ HEADLINE = [
 
 
 def main() -> None:
-    from data_mastery_pipeline_spark.queries import QUERIES
+    import data_mastery_pipeline_spark.queries  # noqa: F401
+    import data_mastery_pipeline_spark.queries_ext  # noqa: F401
+    from data_mastery_pipeline_spark.registry import QUERIES
     from data_mastery_pipeline_spark.session import get_spark
 
     t0 = time.time()

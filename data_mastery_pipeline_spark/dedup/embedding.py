@@ -1,0 +1,58 @@
+"""Embedding-cosine near-duplicate detection over array<float> columns.
+
+Blocked exact variant (oracle-checkable): all pairs within a blocking
+key (here the dataset's cluster label; in production an LSH bucket from
+similarity.lsh) scored with exact cosine. The cosine is a fold over
+zip_with — stays JVM-side, no Python.
+
+Scale: never all-pairs globally. Pair count is sum over blocks of n_b²;
+the block key is the lever (LSH buckets at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns (left-to-right fold —
+    same evaluation order as DuckDB's list functions, so results are
+    bit-identical for oracle comparison)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Pairs within a block with cosine ≥ threshold.
+
+    Embeddings are cast to double before scoring so Spark and any oracle
+    compute in the same precision.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("blk"), F.col("v").alias("v_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("blk").alias("blk_b"), F.col("v").alias("v_b"))
+    pairs = a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+    return (
+        pairs.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,41 @@
+"""Exact deduplication — hash-groupBy on a content fingerprint.
+
+Scale: one shuffle on the fingerprint (a uniform 128-bit key — no skew),
+min() as the deterministic keep-policy. At 100 TB the fingerprint
+aggregate is the cheapest possible dedup: map-side partial min per
+fingerprint, tiny final shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import content_fingerprint
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Add the canonical content fingerprint (md5 of sorted distinct
+    tokens — collides for reshuffled/duplicated-word copies)."""
+    return df.withColumn(out_col, content_fingerprint(text_col))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per fingerprint (deterministic)."""
+    fp = with_fingerprint(df, text_col)
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fingerprint")
+    )
+
+
+def dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dedup summary per fingerprint-duplicate group: group size and the
+    kept (min) id. Groups of size 1 are unique documents."""
+    fp = with_fingerprint(df, text_col)
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )

@@ -1,0 +1,116 @@
+"""SimHash near-duplicate detection, DataFrame-native.
+
+64-bit SimHash: each token votes ±1 on each bit of its xxhash64; the
+fingerprint's bit i is 1 iff the summed vote is positive. Near-dups are
+pairs within a Hamming-distance radius, found by the standard
+pigeonhole blocking: split the 64 bits into (radius+1) bands — two
+fingerprints within ``radius`` must agree exactly on ≥1 band.
+
+Scale shape: explode(tokens) → hash once per token → ONE vectorized
+groupBy(doc) aggregate computing all 64 bit-counts (map-side partial
+aggregation; one shuffle on doc_id). Band blocking is a second groupBy
+on 16-bit keys. No all-pairs product, no per-document folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from ..functions.text import tokens
+
+BITS = 64
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, fp) with fp = 64-bit SimHash of the token stream (duplicate
+    tokens vote once per occurrence, standard weighting)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # one aggregate: n_tokens + per-bit set-count (all map-side combinable)
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+        for i in range(BITS)
+    ]
+    counts = tok.groupBy(id_col).agg(*aggs)
+    fp: Column = F.lit(0).cast("bigint")
+    for i in range(BITS):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"c{i}") * 2 > F.col("n"),
+                F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return counts.select(F.col(id_col), fp.alias("fp"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints: popcount(a^b)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    radius: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Pairs with Hamming distance ≤ radius, via pigeonhole band blocking
+    ((radius+1) bands of 64/(radius+1) bits → exact recall: a pair within
+    ``radius`` differs in ≤ radius bands, so ≥1 band matches exactly)."""
+    n_bands = radius + 1
+    width = BITS // n_bands
+    fp = simhash_fingerprints(df, text_col, id_col)
+
+    band = lambda b: F.shiftrightunsigned(F.col("fp"), b * width).bitwiseAND(  # noqa: E731
+        F.lit((1 << width) - 1)
+    )
+    banded = fp.select(
+        id_col,
+        "fp",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band(b).alias("key")) for b in range(n_bands)])
+        ).alias("bb"),
+    ).select(id_col, "fp", "bb.band", "bb.key")
+
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("fp"))).alias("docs"),
+            F.count("*").alias("n"),
+        )
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("docs"),
+                            lambda a: F.transform(
+                                F.col("docs"),
+                                lambda b: F.struct(
+                                    a["id"].alias("id_a"), b["id"].alias("id_b"),
+                                    a["fp"].alias("fp_a"), b["fp"].alias("fp_b"),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.fp_a", "p.fp_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+    )

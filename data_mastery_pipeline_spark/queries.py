@@ -20,49 +20,15 @@ rather than ad-hoc code, so the oracle checks the *library*.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import aggregates as agg_ops
 from .operators import cleaning, derive, joins, setops, windows
+from .registry import ORACLE, QUERIES, quantize, query
 from .tables import load_table
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLE: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    """Register a (spark_fn, oracle_sql) pair."""
-
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE[name] = oracle
-        return fn
-
-    return deco
-
-
-def _r2(col, alias: str):
-    """Quantize a double to 2 decimals, engine-agnostically.
-
-    ``round(x, 2)`` diverges between engines on decimal-boundary values
-    (Spark rounds the full binary expansion via BigDecimal, DuckDB the
-    shortest decimal repr: round(avg=5.315) → 5.31 vs 5.32). The
-    ``floor(x*100 + 0.5)/100`` form is pure double arithmetic — identical
-    bit-for-bit in any IEEE-754 engine — so Spark and the DuckDB oracle
-    (:func:`_sql_r2` twin) always agree.
-    """
-    return (F.floor(col * 100 + F.lit(0.5)) / 100.0).alias(alias)
-
-
-def _sql_r2(expr: str, alias: str) -> str:
-    """The oracle-side twin of :func:`_r2`."""
-    return f"floor(({expr}) * 100 + 0.5) / 100.0 AS {alias}"
+_r2 = quantize  # 2-decimal engine-agnostic quantizer (see registry)
 
 
 # ---------------------------------------------------------------------------

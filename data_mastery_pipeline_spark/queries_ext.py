@@ -1,0 +1,395 @@
+"""Extension queries — LLM-data-pipeline operators (BASELINE.json scope):
+dedup (exact/MinHash/SimHash/n-gram/embedding), similarity search, text
+analysis, multimodal columns. Same oracle conventions as queries.py;
+operators whose hash family isn't SQL-expressible (xxhash64-based MinHash
+and SimHash) are registered without an oracle → driver records the
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import exact as dedup_exact
+from .dedup import embedding as dedup_emb
+from .dedup import minhash as dedup_minhash
+from .dedup import ngram as dedup_ngram
+from .dedup import simhash as dedup_simhash
+from .functions import text as textfn
+from .multimodal import binarycol
+from .registry import quantize, query
+from .similarity import brute as sim_brute
+from .similarity import lsh as sim_lsh
+from .tables import load_table
+
+# SQL fragment: whitespace tokens of trimmed text (DuckDB side).
+_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    f"""
+    SELECT lang,
+           floor((avg(len({_SQL_TOKS}))) * 100 + 0.5) / 100.0 AS avg_tokens,
+           floor((avg(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))) * 100 + 0.5) / 100.0 AS avg_bpe_tokens,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) per language —
+    the text-analysis operator set over `documents`."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        quantize(F.avg(textfn.token_count("text")), "avg_tokens"),
+        quantize(F.avg(textfn.bpe_ish_token_count("text")), "avg_bpe_tokens"),
+        F.max("n_chars").alias("max_chars"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH scored AS (
+        SELECT source,
+               (CASE WHEN len({_SQL_TOKS}) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN len(list_filter({_SQL_TOKS},
+                        x -> list_contains(['the','a','of','and','to'], x)))
+                       >= 0.01 * greatest(len({_SQL_TOKS}), 1) THEN 1.0 ELSE 0.0 END
+                + CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       <= 0.3 * greatest(length(text), 1) THEN 1.0 ELSE 0.0 END) / 3.0
+               AS q
+        FROM documents
+    )
+    SELECT source,
+           floor((q) * 100 + 0.5) / 100.0 AS quality,
+           count(*) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length band / stopword presence /
+    punctuation ratio — C4/Gopher-style cheap filters), histogrammed
+    per source."""
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "source", textfn.quality_score("text").alias("q")
+    )
+    return scored.groupBy("source", quantize(F.col("q"), "quality")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@query(
+    "lang_id",
+    """
+    WITH votes AS (
+        SELECT lang,
+               len(list_filter(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                   x -> list_contains(['the','a','of','and','to'], x))) AS v_en,
+               len(list_filter(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                   x -> list_contains(['der','die','das','und','ist'], x))) AS v_de,
+               len(list_filter(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                   x -> list_contains(['le','la','les','et','est'], x))) AS v_fr,
+               len(list_filter(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                   x -> list_contains(['el','la','los','y','es'], x))) AS v_es,
+               len(list_filter(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+                   x -> list_contains(['的','是','在','了','和'], x))) AS v_zh
+        FROM documents
+    ),
+    guessed AS (
+        SELECT lang,
+               CASE WHEN greatest(v_en, v_de, v_es, v_fr, v_zh) = 0 THEN 'und'
+                    WHEN v_de = greatest(v_en, v_de, v_es, v_fr, v_zh) THEN 'de'
+                    WHEN v_en = greatest(v_en, v_de, v_es, v_fr, v_zh) THEN 'en'
+                    WHEN v_es = greatest(v_en, v_de, v_es, v_fr, v_zh) THEN 'es'
+                    WHEN v_fr = greatest(v_en, v_de, v_es, v_fr, v_zh) THEN 'fr'
+                    ELSE 'zh' END AS lang_guess
+        FROM votes
+    )
+    SELECT lang, lang_guess, count(*) AS n_docs FROM guessed GROUP BY 1, 2
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword votes, deterministic tie-break by
+    language code) — confusion counts vs the labeled lang column."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("lang", textfn.lang_guess("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "doc_fingerprints",
+    f"""
+    SELECT source,
+           count(DISTINCT md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')))
+               AS n_fingerprints,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 of the sorted distinct token set —
+    duplicate-content collision counting per source."""
+    docs = dedup_exact.with_fingerprint(load_table(spark, "documents", sf_dir))
+    return docs.groupBy("source").agg(
+        F.count_distinct("fingerprint").alias("n_fingerprints"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query("rolling_fingerprints")
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling fingerprint (xxhash64 fold over tokens) —
+    engine-native hash family, rows-only check."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", textfn.rolling_fingerprint("text").alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup",
+    f"""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' '))
+    """,
+)
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup — hash-groupBy on the content fingerprint, keep the
+    min doc_id (deterministic). Returns kept ids + copy counts."""
+    docs = dedup_exact.with_fingerprint(load_table(spark, "documents", sf_dir))
+    return docs.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    ).drop("fingerprint")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang, list_distinct({_SQL_TOKS}) AS toks,
+               len(list_distinct({_SQL_TOKS})) AS n_toks
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor((len(list_intersect(a.toks, b.toks))::DOUBLE
+                  / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE) * 10000 + 0.5) / 10000.0
+               AS jaccard
+    FROM base a JOIN base b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND b.n_toks BETWEEN a.n_toks * 0.8 AND a.n_toks * 1.2
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= 0.35
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/token-set Jaccard near-dup pairs with deterministic
+    (lang, length) blocking — the exact, oracle-checkable twin of the
+    MinHash path."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup_ngram.jaccard_pairs_blocked(
+        docs, block_cols=("lang",), length_tolerance=0.2, threshold=0.35
+    )
+    return pairs.select("id_a", "id_b", quantize(F.col("jaccard"), "jaccard", 4))
+
+
+@query("minhash_near_dup")
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs verified by exact Jaccard ≥ 0.35.
+    xxhash64 hash family isn't SQL-portable → rows-only check; the
+    exact-blocked twin (ngram_jaccard_pairs) is the oracle-checked
+    correctness anchor."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = dedup_minhash.verified_near_dups(
+        docs, k=3, num_hashes=64, bands=16, jaccard_threshold=0.35
+    )
+    return out.select("id_a", "id_b", quantize(F.col("jaccard"), "jaccard", 4))
+
+
+@query("simhash_near_dup")
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit, Hamming ≤ 12 via pigeonhole band
+    blocking). Rows-only check (xxhash64 family)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup_simhash.simhash_near_dups(docs, radius=12)
+
+
+@query(
+    "embedding_near_dup",
+    """
+    WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((list_cosine_similarity(a.v, b.v)) * 10000 + 0.5) / 10000.0 AS cos
+    FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (cos ≥ 0.3 —
+    testdata embeddings are near-orthogonal random vectors, so the
+    threshold is set where pairs exist)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = dedup_emb.cosine_near_dups(emb, threshold=0.3)
+    return pairs.select("id_a", "id_b", quantize(F.col("cos"), "cos", 4))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Fetch the query vector (single-row driver lookup — the one
+    permissible collect: k·dim floats, not data)."""
+    row = (
+        load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id,
+               floor((list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q))) * 10000 + 0.5) / 10000.0 AS cos
+        FROM embeddings
+    )
+    SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0 — the exact ANN
+    baseline (one scan + TakeOrderedAndProject; ordering on the
+    quantized score so both engines break ties identically)."""
+    qv = _query_vec(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    scored = emb.select(
+        "vec_id",
+        quantize(
+            dedup_emb.cosine(F.col("embedding").cast("array<double>"),
+                             F.array(*[F.lit(x) for x in qv])),
+            "cos", 4,
+        ),
+    )
+    return scored.orderBy(F.desc("cos"), F.col("vec_id")).limit(10)
+
+
+@query(
+    "ann_lsh_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    bucketed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+              + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+              + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS bucket
+        FROM embeddings
+    ),
+    qb AS (SELECT bucket AS qbucket FROM bucketed WHERE vec_id = 0)
+    SELECT vec_id,
+           floor((list_cosine_similarity(v, (SELECT qv FROM q))) * 10000 + 0.5) / 10000.0 AS cos
+    FROM bucketed WHERE bucket = (SELECT qbucket FROM qb)
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (6 sign bits, single-probe): exact cosine
+    within the query's bucket only — the scale path (bucket predicate
+    prunes ~1/64 of a bucket-partitioned table)."""
+    qv = _query_vec(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = sim_lsh.lsh_cosine_topk(emb, qv, k=10, n_bits=6, n_probes=1)
+    return out.select("vec_id", quantize(F.col("cos"), "cos", 4)).orderBy(
+        F.desc("cos"), F.col("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT source,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           count(DISTINCT sha256(text)) AS n_distinct_payloads,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload columns with typed metadata (media_type/n_bytes/
+    sha256): per-source byte totals + distinct-payload counts. The
+    payload here is UTF-8 text bytes; the plumbing is byte-identical for
+    image/audio payloads."""
+    docs = binarycol.attach_binary_payload(load_table(spark, "documents", sf_dir))
+    return docs.groupBy("source").agg(
+        F.sum(F.col("media_meta.n_bytes")).alias("total_bytes"),
+        F.count_distinct(F.col("media_meta.sha256")).alias("n_distinct_payloads"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "image_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER) AS height,
+           3 AS n_channels
+    FROM documents
+    """,
+)
+def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed decode/feature-extract over binary payloads via
+    Arrow-batched mapInPandas (deterministic fake decoder — real codecs
+    absent; see multimodal.binarycol). The oracle reproduces the fake's
+    arithmetic, validating the mapInPandas plumbing end-to-end."""
+    docs = binarycol.attach_binary_payload(load_table(spark, "documents", sf_dir))
+    out = binarycol.extract_image_features(docs, fake_decoder=True)
+    return out.select(
+        "doc_id", "width", "height", F.col("n_channels").cast("int").alias("n_channels")
+    )
+
+
+@query(
+    "frame_sample",
+    """
+    SELECT doc_id, CAST(unnest(range(0, octet_length(encode(text)) % 300 + 1, 10)) AS INTEGER) AS frame_idx
+    FROM documents
+    """,
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out shape (1 row in → N frame rows out)
+    over the binary payload; frame count faked from payload size."""
+    docs = binarycol.attach_binary_payload(load_table(spark, "documents", sf_dir))
+    out = binarycol.frame_sample_plan(docs, every_nth=10)
+    return out.select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))

@@ -16,6 +16,8 @@ pin).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -66,4 +68,39 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to Python workers (``addPyFile`` — the
+    programmatic twin of ``spark-submit --py-files``).
+
+    Python UDFs (mapInPandas/pandas_udf) are pickled by reference to
+    module functions, so every worker must be able to import the package
+    regardless of the driver process's cwd/sys.path. On a real cluster
+    this is mandatory; in local mode it also protects against drivers
+    launched outside the repo directory.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                arc = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, arc)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(key)

@@ -11,7 +11,9 @@ import math
 
 import pytest
 
-from data_mastery_pipeline_spark.queries import ORACLE, QUERIES
+import data_mastery_pipeline_spark.queries  # noqa: F401
+import data_mastery_pipeline_spark.queries_ext  # noqa: F401
+from data_mastery_pipeline_spark.registry import ORACLE, QUERIES
 
 from conftest import SF_ORACLE
 
