@@ -44,6 +44,7 @@ HEADLINE = [
 def main() -> None:
     import data_mastery_pipeline_spark.queries  # noqa: F401
     import data_mastery_pipeline_spark.queries_ext  # noqa: F401
+    import data_mastery_pipeline_spark.queries_stream  # noqa: F401
     from data_mastery_pipeline_spark.registry import QUERIES
     from data_mastery_pipeline_spark.session import get_spark
 

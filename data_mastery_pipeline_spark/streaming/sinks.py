@@ -1,0 +1,70 @@
+"""Streaming sinks: effectively-once delivery via checkpoint + idempotent
+writes (SURVEY S8/S14).
+
+The reference's contract — commit Kafka offsets only AFTER the S3 write
+succeeds, absorb replays downstream with dedup + a UNIQUE index
+(kafka_consumer_s3.py:238-240, silver_processor.py:191, schema.sql:86) —
+maps to: checkpoint WAL for replay, and a ``foreachBatch`` writer that
+anti-joins each micro-batch against the target's keys before appending,
+so replayed batches are no-ops (the Spark twin of "duplicate key value"
+errors downgraded to warnings, gold_loader.py:313-319).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def idempotent_append_batch(
+    batch_df: DataFrame, target_path: str, keys: Sequence[str]
+) -> None:
+    """Append only key-unseen rows of one micro-batch to a parquet target.
+
+    At 100 TB the anti-join should be bounded: partition the target by an
+    event-time bucket and read only partitions overlapping the batch's
+    key range — here the target is small and read whole. The batch side
+    of the anti-join is broadcast-sized by the trigger's back-pressure
+    knob, so the probe never shuffles the target.
+    """
+    spark = batch_df.sparkSession
+    if any(f.path for f in _parquet_files(target_path)):
+        existing = spark.read.parquet(target_path).select(*keys)
+        fresh = batch_df.join(existing, on=list(keys), how="left_anti")
+    else:
+        fresh = batch_df
+    fresh.write.mode("append").parquet(target_path)
+
+
+def _parquet_files(path: str):
+    class _F:
+        def __init__(self, p):
+            self.path = p
+
+    if not os.path.isdir(path):
+        return []
+    return [_F(p) for p in os.listdir(path) if p.endswith(".parquet")]
+
+
+def write_stream_idempotent(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    available_now: bool = True,
+):
+    """``foreachBatch`` + checkpoint = the full S8 protocol: the WAL
+    replays unacknowledged batches after failure; the idempotent batch
+    writer makes the replay harmless."""
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda bdf, _epoch: idempotent_append_batch(bdf, target_path, keys)
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer

@@ -1,0 +1,82 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The capability SURVEY §2.J marks ∅ in the reference: arbitrary per-key
+state across micro-batches. Example operator: per-user sessionization —
+counts 30-minute-gap sessions, carrying (last_ts, session_count,
+event_count) as state between batches so a session spanning two
+micro-batches is counted once.
+
+Scale notes: state lives in the state store, partitioned by key — the
+shuffle is on user_id, so one hot user is one hot partition (same skew
+calculus as any keyed agg). The timeout (ProcessingTimeTimeout) is what
+evicts idle keys; without it state grows monotonically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
+
+
+def _sessionize(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's events for one user into the running state and
+    emit the updated (n_sessions, n_events) row."""
+    last_ts, n_sessions, n_events = (
+        state.get if state.exists else (None, 0, 0)
+    )
+    ts_all = []
+    for pdf in pdfs:
+        # ns→µs ints: avoids float rounding for comparisons below.
+        ts_all.append(pdf["ts"].astype("int64") // 1000)
+    ts = pd.concat(ts_all).sort_values() if ts_all else pd.Series([], dtype="int64")
+    for t in ts:
+        t = int(t)
+        if last_ts is None or t - last_ts > GAP_US:
+            n_sessions += 1
+        last_ts = t
+        n_events += 1
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+    )
+
+
+def sessionize_users(df: DataFrame) -> DataFrame:
+    """Per-user session/event counters with cross-batch state.
+
+    Update-mode semantics: one row per (user, micro-batch) carrying the
+    state as of that batch; the final batch's row per user is the total.
+    """
+    return df.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,202 @@
+"""Multi-batch Structured Streaming semantics.
+
+The oracle-parity suite checks streaming output against DuckDB with the
+whole input in one micro-batch; these tests split input across many
+micro-batches to exercise what single-batch runs can't: cross-batch
+state, watermark advance, late-data drop, and replay-idempotent sinks.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from data_mastery_pipeline_spark import schemas
+from data_mastery_pipeline_spark.streaming import core, sinks
+from data_mastery_pipeline_spark.streaming import windows as swin
+from data_mastery_pipeline_spark.streaming.dedup import dedup_within_watermark
+from data_mastery_pipeline_spark.streaming.stateful import sessionize_users
+from data_mastery_pipeline_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, tmp_path_factory):
+    """Events split into 4 time-quartile files, written in time order so
+    maxFilesPerTrigger=1 replays them as an in-order stream."""
+    base = tmp_path_factory.mktemp("events_stream")
+    ev = load_table(spark, "events", SF_SMOKE).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i in range(4):
+        part = ev.filter(
+            (F.col("event_id") > bounds[i]) & (F.col("event_id") <= bounds[i + 1])
+        )
+        # one file per quartile; ordered names keep source order stable
+        part.coalesce(1).write.parquet(str(base / f"batch_{i}"))
+    return str(base), ev
+
+
+def _stream_staged(spark, path: str):
+    # ts here is already TimestampType (written by Spark above), unlike
+    # the TIMESTAMP(NANOS) testdata files.
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{path}/batch_*")
+    )
+
+
+def test_multibatch_tumbling_equals_batch(spark, staged_events):
+    path, ev = staged_events
+    stream = _stream_staged(spark, path)
+    got = core.run_available_now(
+        swin.tumbling_value_stats(stream, window="1 hour", watermark="1 hour"),
+        output_mode="complete",
+    )
+    want = swin.tumbling_value_stats(ev, window="1 hour")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_multibatch_stateful_sessions_equal_batch_islands(spark, staged_events):
+    """applyInPandasWithState across 4 micro-batches: final per-user
+    counters equal the batch gaps-and-islands computation."""
+    path, ev = staged_events
+    stream = _stream_staged(spark, path).select("ts", "user_id")
+    out = core.run_available_now(sessionize_users(stream), output_mode="update")
+    # update-mode memory sink appends one row per (user, batch); the final
+    # state row per user is the one with the largest n_events.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+
+    lag_w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(lag_w)
+    want = (
+        ev.withColumn("new_s", (gap.isNull() | (gap > 1800)).cast("long"))
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_multibatch_dedup_within_watermark(spark, staged_events):
+    path, _ev = staged_events
+    stream = _stream_staged(spark, path).select("ts", "user_id", "event_type")
+    out = core.run_available_now(
+        dedup_within_watermark(stream, ["user_id", "event_type"], delay="30 days"),
+        output_mode="append",
+    )
+    # events span << 30 days: watermark never evicts state, so the result
+    # is exactly one row per distinct key even across batches.
+    n_keys = (
+        load_table(spark, "events", SF_SMOKE)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_keys
+    assert out.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event older than the advanced watermark is dropped from the
+    aggregation — the semantics the reference lacks (SURVEY §2.J: late
+    rows silently land in a later batch run)."""
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def mk(path, rows):
+        spark.createDataFrame(
+            [(ts, uid) for ts, uid in rows], "ts timestamp, user_id long"
+        ).coalesce(1).write.parquet(path)
+
+    import time
+
+    # batch 0: events at 00:00 and 03:00 → watermark advances to 02:00
+    mk(str(tmp_path / "batch_0"), [(t0, 1), (t0 + dt.timedelta(hours=3), 1)])
+    time.sleep(1.2)  # file source orders batches by mtime
+    # batch 1: on-time event (also gives the watermark a batch to apply —
+    # Spark activates a new watermark one batch after computing it)
+    mk(str(tmp_path / "batch_1"), [(t0 + dt.timedelta(hours=3, minutes=10), 1)])
+    time.sleep(1.2)
+    # batch 2: a 2.5h-late event (00:30 < watermark) → must be dropped
+    mk(str(tmp_path / "batch_2"), [(t0 + dt.timedelta(minutes=30), 1)])
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/batch_*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    # Append mode: a window emits (and its state evicts) once the
+    # watermark passes its end; later rows for it are dropped. Complete
+    # mode would keep all state and absorb the late row — the eviction is
+    # exactly what makes 100 TB/day streams feasible.
+    got = {
+        (r["w"]["start"], r["n"]) for r in core.run_available_now(agg, "append").collect()
+    }
+    # The hour-00 window emits with ONLY its on-time event — the 00:30
+    # row arriving in batch 2 is behind the 02:00 watermark and dropped
+    # (numRowsDroppedByWatermark=1 in the progress log). The hour-03
+    # window's end (04:00) never falls behind the watermark → never
+    # emits in append mode.
+    assert got == {(t0, 1)}
+
+
+def test_idempotent_sink_absorbs_replay(spark, staged_events, tmp_path):
+    """S8/S14: re-delivering the same micro-batch appends nothing."""
+    path, ev = staged_events
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = _stream_staged(spark, path)
+    q = sinks.write_stream_idempotent(
+        stream, target, ckpt, keys=["event_id"]
+    ).start()
+    q.awaitTermination()
+    n1 = spark.read.parquet(target).count()
+    assert n1 == ev.count()
+
+    # replay: same data pushed again through the batch writer directly
+    sinks.idempotent_append_batch(ev, target, keys=["event_id"])
+    assert spark.read.parquet(target).count() == n1
+
+
+def test_kafka_shaped_parse_handles_malformed(spark):
+    """PERMISSIVE parse: malformed payloads yield null fields, messages
+    are never dropped (the reference logs-and-skips, losing the row)."""
+    from data_mastery_pipeline_spark.streaming.kafka import parse_json_records
+
+    rows = [
+        (b"k1", b'{"event_id": 1, "user_id": 7}', "t", 0, 0, dt.datetime(2026, 1, 1)),
+        (b"k2", b"not json at all", "t", 0, 1, dt.datetime(2026, 1, 1)),
+    ]
+    kdf = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, offset long, timestamp timestamp",
+    )
+    out = parse_json_records(
+        kdf, schema_of_events()
+    ).select("event_id", "user_id", "_kafka_offset").collect()
+    by_offset = {r["_kafka_offset"]: r for r in out}
+    assert by_offset[0]["event_id"] == 1 and by_offset[0]["user_id"] == 7
+    assert by_offset[1]["event_id"] is None  # malformed → nulls, row kept
+
+
+def schema_of_events():
+    from pyspark.sql import types as T
+
+    return T.StructType([f for f in schemas.EVENTS.fields if f.name != "props"])
