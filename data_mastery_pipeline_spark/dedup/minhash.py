@@ -1,22 +1,29 @@
 """MinHash + LSH near-duplicate detection, DataFrame-native.
 
 Pipeline (all Catalyst expressions — no UDFs, no Spark-ML dependency):
-  shingle:   text → distinct word k-shingles (array column)
-  hash once: explode shingles → h = xxhash64(shingle) & 0x7FFFFFFF
+  shingle:   text → tokens → k-token shingles hashed DIRECTLY to int64
+             (xxhash64 over an arrays_zip struct of k shifted slices —
+             no per-shingle string concatenation ever materializes)
   family:    g_i(h) = (a_i*h + b_i) mod p  (universal hashing — cheap
              multiply-add per function instead of 64 string re-hashes;
              a_i,b_i from a fixed-seed PRNG, so fully deterministic)
-  minhash:   ONE vectorized groupBy(doc).agg(min(g_0)…min(g_63))
-             (map-side partial min, one shuffle on doc id)
+  minhash:   explode shingle hashes → ONE vectorized
+             groupBy(doc).agg(min(g_0)…min(g_63), collect_set(h))
+             (map-side partial aggregation; signatures AND the exact
+             shingle-hash set come out of the same single shuffle)
   banding:   signature split into b bands of r rows; band hash = xxhash64
   candidate: explode bands → groupBy (band_idx, band_hash) → pairs
-  verify:    exact Jaccard on the shingle sets of candidate pairs
+  verify:    exact Jaccard on the int shingle-hash sets of candidate
+             pairs (array_intersect on int64 — 31-bit collisions shift
+             Jaccard by < 1e-3, far under any useful threshold)
 
-Scale: shuffles are (a) the signature groupBy on doc id, (b) the
-band-bucket groupBy (uniform 64-bit keys), (c) the candidate-pair join
-back to shingle sets. No all-pairs product ever materializes; bucket
-skew is bounded by ``max_bucket`` (degenerate buckets — e.g. thousands
-of empty docs — belong to exact dedup, not LSH).
+Scale: shuffles are (a) the signature/set groupBy on doc id (map-side
+combine reduces each partition to one row per doc), (b) the band-bucket
+groupBy (uniform 64-bit keys), (c) the candidate-pair join back to the
+shingle sets (pair side is small → AQE broadcasts it). No all-pairs
+product ever materializes; bucket skew is bounded by ``max_bucket``
+(degenerate buckets — e.g. thousands of empty docs — belong to exact
+dedup, not LSH).
 
 31-bit masking keeps every product under 2^62: safe under ANSI-mode
 bigint arithmetic (no overflow), while 2M+ distinct shingle hashes keep
@@ -41,9 +48,29 @@ _MASK31 = 0x7FFFFFFF
 _P = (1 << 31) - 1  # Mersenne prime 2^31-1
 
 
+def shingle_hashes(text: str | Column, k: int = 3) -> Column:
+    """Distinct 31-bit hashes of the k-token shingles of ``text``
+    (array<bigint>), computed without building shingle strings:
+    zip the token array with its k-1 shifted copies and xxhash64 each
+    struct row. Documents shorter than k tokens hash their full token
+    struct (one shingle), so no document silently drops out.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    win = n - (k - 1)  # number of length-k windows
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, win) for i in range(k)])
+    full = F.slice(toks, 1, k)  # short-doc fallback: all (< k) tokens
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(zipped, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK31))),
+        ).otherwise(F.array(F.xxhash64(full).bitwiseAND(F.lit(_MASK31))))
+    )
+
+
 def word_shingles(text: str | Column, k: int = 3) -> Column:
-    """Distinct k-word shingles as an array of strings; documents shorter
-    than k words yield their single full-text shingle."""
+    """Distinct k-word shingles as an array of STRINGS (debug/inspection
+    surface; the pipeline itself stays on int hashes throughout)."""
     toks = tokens(text)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -57,6 +84,32 @@ def _hash_family(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
 
 
+def signatures_and_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, minhash[num_hashes], sh_set) in ONE aggregation: explode the
+    per-row shingle hashes, then a single vectorized groupBy computing
+    all 64 mins plus the exact shingle-hash set for later verification.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, k)).alias("h")
+    )
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_hash_family(num_hashes))
+    ]
+    agg = exploded.groupBy(id_col).agg(*mins, F.collect_set("h").alias("sh_set"))
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("minhash"),
+        "sh_set",
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -64,19 +117,9 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """(id, minhash[num_hashes]) via explode + one vectorized min-agg."""
-    exploded = (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("sh"))
-        .withColumn("h", F.xxhash64("sh").bitwiseAND(F.lit(_MASK31)))
-    )
-    mins = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
-        for i, (a, b) in enumerate(_hash_family(num_hashes))
-    ]
-    sig = exploded.groupBy(id_col).agg(*mins)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("minhash"),
+    """(id, minhash[num_hashes]) — signature-only surface."""
+    return signatures_and_sets(df, text_col, id_col, k, num_hashes).select(
+        id_col, "minhash"
     )
 
 
@@ -134,14 +177,26 @@ def verified_near_dups(
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: candidates from LSH
-    banding, verified with exact Jaccard over shingle sets. Returns
-    (id_a, id_b, jaccard) for pairs ≥ threshold."""
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
+    banding, verified with exact Jaccard over int shingle-hash sets.
+    Returns (id_a, id_b, jaccard) for pairs ≥ threshold.
+
+    The signatures+sets frame fans out three ways (banding + two
+    verification joins); recomputing it is a narrow map over the scan
+    and measures cheaper than persisting the collect_set arrays (cache
+    materialization cost > recompute). At 100 TB the same trade holds —
+    but if the input scan itself is expensive (e.g. remote object
+    store), `.persist(StorageLevel.DISK_ONLY)` on this frame is the
+    knob: 64 ints + one hash per distinct shingle per doc, orders of
+    magnitude smaller than the raw text.
+    """
+    ss = signatures_and_sets(df, text_col, id_col, k, num_hashes)
+    pairs = lsh_candidate_pairs(
+        ss.select(id_col, "minhash"), id_col, num_hashes, bands
+    )
+    sets = ss.select(F.col(id_col), "sh_set")
     joined = (
-        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+        pairs.join(sets.withColumnsRenamed({id_col: "id_a", "sh_set": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({id_col: "id_b", "sh_set": "sh_b"}), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
