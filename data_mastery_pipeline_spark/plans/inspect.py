@@ -1,0 +1,78 @@
+"""Physical-plan introspection — the engine's scale-discipline gauge.
+
+The 100 TB contract is a property of the PLAN, not the result: a query
+that returns the right rows but scans every column, shuffles when it
+needn't, or falls back to a cartesian product is wrong at scale even
+when it is right at sf0.01. These helpers parse `explain("formatted")`
+output into checkable facts so tests can pin the plan shape the same
+way the oracle pins the values (SURVEY §4).
+
+Parsing the explain text (rather than walking the JVM plan tree over
+py4j) keeps this pure-Python and version-tolerant; the strings matched
+("PushedFilters", "BroadcastHashJoin", "Exchange", "CartesianProduct")
+are stable public Spark UI vocabulary.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """`explain("formatted")` output as a string (executed plan after
+    Catalyst, before AQE runtime re-optimization)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filter predicates pushed into the parquet scans (one string per
+    scan; empty string means a scan with nothing pushed)."""
+    plan = formatted_plan(df)
+    return [m.group(1).strip() for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan)]
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column names each parquet scan actually reads (ReadSchema) — the
+    column-pruning gauge: a 2-column projection must not read 16."""
+    plan = formatted_plan(df)
+    out: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<(.*?)>", plan):
+        body = m.group(1)
+        out.append([f.split(":")[0].strip() for f in body.split(",") if f.strip()])
+    return out
+
+
+def _node_count(df: DataFrame, op_pattern: str) -> int:
+    """Count physical operators by their detail header ``(N) <Op>`` —
+    each node appears once there; the tree rendering above would
+    double-count."""
+    return len(re.findall(rf"\(\d+\) (?:{op_pattern})\b", formatted_plan(df)))
+
+
+def scan_count(df: DataFrame) -> int:
+    """Number of file scans in the plan (re-reads of the same table count
+    separately — a gauge for accidental plan duplication)."""
+    return _node_count(df, "Scan parquet")
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges. Every one is a full network
+    re-partition of its input at 100 TB — the fewer, the better."""
+    return _node_count(df, "Exchange")
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    """Number of broadcast joins (hash or nested-loop). Star-schema dim
+    joins must land here, not in sort-merge."""
+    return _node_count(df, "BroadcastHashJoin|BroadcastNestedLoopJoin")
+
+
+def cartesian_product_count(df: DataFrame) -> int:
+    """Number of cartesian products — with no join keys AND no broadcast
+    this is the O(n*m) disaster switch; anything nonzero should be a
+    deliberate, size-bounded choice."""
+    return _node_count(df, "CartesianProduct")

@@ -1,0 +1,98 @@
+"""Scale-discipline tests — pin PLAN properties, not just results.
+
+The oracle (test_oracle_parity) proves the values; these tests prove the
+plan would survive 100 TB: filters reach the parquet scan, projections
+prune columns, dimension joins broadcast instead of shuffling the fact
+side, top-k never global-sorts, and nothing falls back to a cartesian
+product. A regression here is invisible at sf0.01 and fatal at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import data_mastery_pipeline_spark.queries  # noqa: F401
+import data_mastery_pipeline_spark.queries_ext  # noqa: F401
+from data_mastery_pipeline_spark import plans
+from data_mastery_pipeline_spark.registry import QUERIES
+
+from conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    return {name: fn(spark, SF_ORACLE) for name, fn in QUERIES.items()}
+
+
+def test_clean_filter_pushes_predicates_to_scan(q):
+    pushed = plans.pushed_filters(q["clean_filter"])
+    joined = " ".join(pushed)
+    assert "IsNotNull" in joined
+    assert "GreaterThanOrEqual(l_quantity" in joined
+    assert "LessThanOrEqual(l_quantity" in joined
+
+
+def test_clean_filter_prunes_columns(q):
+    # 16-column lineitem, 4-column query → the scan must read only 4.
+    (cols,) = plans.read_schema_columns(q["clean_filter"])
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"}
+
+
+def test_pricing_summary_scan_is_pruned_and_filtered(q):
+    df = q["pricing_summary"]
+    (cols,) = plans.read_schema_columns(df)
+    assert len(cols) <= 7, cols  # 16-col table, Q1 needs 7
+    assert any("l_shipdate" in p for p in plans.pushed_filters(df))
+
+
+def test_star_revenue_broadcasts_dims_no_cartesian(q):
+    df = q["star_revenue"]
+    assert plans.broadcast_join_count(df) >= 3  # customer, nation, region
+    assert plans.cartesian_product_count(df) == 0
+
+
+def test_star_revenue_fact_side_never_shuffles_for_joins(q):
+    # Broadcast dims mean the only exchanges are for the final aggregate
+    # (partial → final) — not one per join.
+    assert plans.exchange_count(q["star_revenue"]) <= 2
+
+
+def test_top10_orders_uses_topk_not_global_sort(q):
+    plan = plans.formatted_plan(q["top10_orders"])
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_shuffle_no_cartesian(q):
+    df = q["asof_join_purchases"]
+    assert plans.cartesian_product_count(df) == 0
+    # union + window → one shuffle on user_id (+1 if AQE inserts a
+    # coalesce); must NOT degrade into a per-row range join.
+    assert plans.exchange_count(df) <= 2
+
+
+def test_semi_anti_joins_no_cartesian(q):
+    for name in ("semi_join_customers", "anti_join_customers", "idempotent_append"):
+        assert plans.cartesian_product_count(q[name]) == 0, name
+
+
+def test_minhash_no_cartesian(q):
+    assert plans.cartesian_product_count(q["minhash_near_dup"]) == 0
+
+
+def test_range_join_is_bounded_broadcast(q):
+    # Non-equi join: acceptable only as a broadcast nested-loop with the
+    # SMALL side broadcast — never a cartesian of two large inputs.
+    df = q["range_join_late_ships"]
+    assert plans.cartesian_product_count(df) == 0
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_dedup_latest_single_shuffle(q):
+    # row_number() over (partitionBy keys) — exactly one hash exchange.
+    assert plans.exchange_count(q["dedup_latest"]) == 1
+
+
+def test_events_scans_prune_to_used_columns(q):
+    for name in ("hourly_agg", "running_total"):
+        for cols in plans.read_schema_columns(q[name]):
+            assert len(cols) <= 6, (name, cols)
