@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 import data_mastery_pipeline_spark.queries  # noqa: F401  (registers core queries)
 import data_mastery_pipeline_spark.queries_ext  # noqa: F401  (registers extension queries)
+import data_mastery_pipeline_spark.queries_src  # noqa: F401  (registers source/sink queries)
 import data_mastery_pipeline_spark.queries_stream  # noqa: F401  (registers streaming queries)
 from data_mastery_pipeline_spark.registry import ORACLE, QUERIES
 

@@ -38,12 +38,14 @@ HEADLINE = [
     "minhash_near_dup",
     "ann_cosine_topk",
     "text_quality",
+    "partitioned_roundtrip",
 ]
 
 
 def main() -> None:
     import data_mastery_pipeline_spark.queries  # noqa: F401
     import data_mastery_pipeline_spark.queries_ext  # noqa: F401
+    import data_mastery_pipeline_spark.queries_src  # noqa: F401
     import data_mastery_pipeline_spark.queries_stream  # noqa: F401
     from data_mastery_pipeline_spark.registry import QUERIES
     from data_mastery_pipeline_spark.session import get_spark

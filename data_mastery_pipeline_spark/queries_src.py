@@ -1,0 +1,127 @@
+"""Source/sink lifecycle queries — the write path, REST ingestion, and
+retention, registered in the driver contract (SURVEY §2.A, §2.L Q7).
+
+These exercise REAL I/O: `partitioned_roundtrip` physically writes a
+hive-partitioned copy of `events` and reads one day back through
+partition pruning; `rest_ingest` runs the executor-side Python Data
+Source; `runlog_demo` executes a stage under run-logging. Oracles cover
+everything deterministic (the REST oracle is a golden VALUES table —
+the synthetic fetcher is pure, so its expected output is enumerable).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, sql_quantize
+from .sources import rest, runlog, writers
+from .tables import load_table
+
+
+def _golden_weather_values() -> str:
+    """DuckDB VALUES literal for the synthetic REST fetch of the default
+    cities — enumerable because the fetcher is a pure function."""
+    rows = []
+    for city in rest.DEFAULT_CITIES:
+        r = rest.parse_weather(rest.synthetic_fetch(city))
+        assert r is not None
+        rows.append(
+            f"('{r[0]}', {r[2]}, {r[7]}, TIMESTAMP '{r[14].isoformat(sep=' ')}')"
+        )
+    return ",\n           ".join(rows)
+
+
+@query(
+    "rest_ingest",
+    f"""
+    SELECT city, temperature::DOUBLE AS temperature, humidity, ts FROM (
+        VALUES {_golden_weather_values()}
+    ) AS t(city, temperature, humidity, ts)
+    """,
+)
+def rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2 — executor-parallel REST ingest via the Python Data Source
+    API (one partition per city), flattened to typed rows; checked
+    against the golden expected table."""
+    wx = rest.read_weather(spark)
+    return wx.select(
+        "city", "temperature", "humidity", F.col("timestamp").alias("ts")
+    )
+
+
+@query(
+    "partitioned_roundtrip",
+    """
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    WHERE date_trunc('day', ts) = (SELECT max(date_trunc('day', ts)) FROM events)
+    GROUP BY event_type
+    """,
+)
+def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+S7+S10+S11 — the write path, for real: events → hive
+    `year=/month=/day=` parquet layout (snappy), then a partition-PRUNED
+    read of the latest day (filter on partition columns; Catalyst lists
+    only that directory) aggregated per event type.
+
+    The one driver-side collect fetches a single scalar (the target
+    day) to parameterize partition pruning — the static twin of dynamic
+    partition pruning, not a data collect."""
+    ev = load_table(spark, "events", sf_dir)
+    target = ev.agg(F.max(F.to_date("ts")).alias("d")).collect()[0]["d"]
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"dmps_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    writers.write_partitioned(
+        writers.with_date_partitions(ev), out_dir, mode="overwrite"
+    )
+    back = writers.read_day(spark, out_dir, target.year, target.month, target.day)
+    return back.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "retention_30d",
+    f"""
+    SELECT count(*) AS retained,
+           {sql_quantize("sum(value)", "sum_value")}
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 30 DAY
+    """,
+)
+def retention_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 — retention horizon as a filter rewrite (cleanup_old_data
+    analog, schema.sql:259-286), anchored at the dataset's max event
+    time so the check is deterministic."""
+    ev = load_table(spark, "events", sf_dir)
+    anchor = ev.agg(F.max("ts")).collect()[0][0]
+    kept = runlog.retention_filter(ev, "ts", 30, now=anchor)
+    from .registry import quantize
+
+    return kept.agg(
+        F.count("*").alias("retained"), quantize(F.sum("value"), "sum_value")
+    )
+
+
+@query(
+    "runlog_demo",
+    """
+    SELECT 'events_count' AS stage, 'success' AS status,
+           count(*) AS rows_processed
+    FROM events
+    """,
+)
+def runlog_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-log lifecycle (gold_loader.py:77-167 analog): execute a stage
+    under audit and expose its deterministic columns (stage/status/rows);
+    execution_id/timestamps/duration are checked for presence by schema
+    in tests/test_sources.py."""
+    ev = load_table(spark, "events", sf_dir)
+    _, audit = runlog.run_stage(
+        spark, "demo_pipeline", "events_count", lambda: (ev, ev.count())
+    )
+    return audit.select("stage", "status", "rows_processed")

@@ -1,0 +1,201 @@
+"""REST ingestion as a Spark Python Data Source (SURVEY §2.A S1/S2).
+
+The reference fetches weather per city on the DRIVER (requests loop,
+weather_producer.py:66-91) and ships records through Kafka. Spark 4's
+Python Data Source API moves the fetch onto EXECUTORS — one input
+partition per city, so a 10,000-city deployment fans out across the
+cluster instead of serializing through one process, and the result is a
+plain DataFrame feeding the same downstream operators.
+
+The HTTP call itself is pluggable: `fetch_fn(city)` → raw nested dict
+shaped like the OpenWeather payload (weather_producer.py:43-59 test
+fixture shape). The default is a DETERMINISTIC synthetic fetcher (this
+container has no network); a real deployment passes a `requests`-backed
+fetcher with timeout/retry (the reference's 10 s timeout + None-on-error
+policy, weather_producer.py:83-91). Parsing/flattening (S2,
+weather_producer.py:93-129) happens executor-side per record: nested
+dict → 18-field flat row, epoch → timestamp.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator, Sequence
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+try:  # Spark >= 4.0
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    HAVE_DATASOURCE_API = True
+except ImportError:  # pragma: no cover — older Spark: driver-side fallback only
+    HAVE_DATASOURCE_API = False
+
+DEFAULT_CITIES = ("Paris", "London", "New York", "Tokyo", "Sydney")
+
+# Flat observation schema — the 18-field record of the reference's
+# WeatherData dataclass (weather_producer.py:24-48).
+WEATHER_SCHEMA = T.StructType(
+    [
+        T.StructField("city", T.StringType(), False),
+        T.StructField("country", T.StringType(), True),
+        T.StructField("temperature", T.DoubleType(), True),
+        T.StructField("feels_like", T.DoubleType(), True),
+        T.StructField("temp_min", T.DoubleType(), True),
+        T.StructField("temp_max", T.DoubleType(), True),
+        T.StructField("pressure", T.IntegerType(), True),
+        T.StructField("humidity", T.IntegerType(), True),
+        T.StructField("visibility", T.IntegerType(), True),
+        T.StructField("wind_speed", T.DoubleType(), True),
+        T.StructField("wind_deg", T.IntegerType(), True),
+        T.StructField("clouds", T.IntegerType(), True),
+        T.StructField("weather_main", T.StringType(), True),
+        T.StructField("weather_description", T.StringType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("sunrise", T.TimestampType(), True),
+        T.StructField("sunset", T.TimestampType(), True),
+        T.StructField("ingestion_timestamp", T.TimestampType(), True),
+    ]
+)
+
+_CONDITIONS = ("Clear", "Clouds", "Rain", "Snow", "Mist")
+
+
+def synthetic_fetch(city: str, epoch: int = 1_700_000_000) -> dict:
+    """Deterministic stand-in for the OpenWeather GET: same nested payload
+    shape, values derived from a stable hash of (city, epoch) so every
+    run and every engine agrees. Network-free by design."""
+    h = int.from_bytes(hashlib.sha256(f"{city}|{epoch}".encode()).digest()[:8], "big")
+    cond = _CONDITIONS[h % len(_CONDITIONS)]
+    return {
+        "name": city,
+        "sys": {
+            "country": "XX",
+            "sunrise": epoch - (h % 20_000),
+            "sunset": epoch + 20_000 + (h % 20_000),
+        },
+        "main": {
+            "temp": round(-10 + (h % 4000) / 100.0, 2),
+            "feels_like": round(-12 + (h % 4200) / 100.0, 2),
+            "temp_min": round(-15 + (h % 3800) / 100.0, 2),
+            "temp_max": round(-5 + (h % 4400) / 100.0, 2),
+            "pressure": 980 + (h % 60),
+            "humidity": h % 101,
+        },
+        "visibility": 1000 + (h % 9001),
+        "wind": {"speed": round((h % 300) / 10.0, 1), "deg": h % 360},
+        "clouds": {"all": h % 101},
+        "weather": [{"main": cond, "description": f"{cond.lower()} sky"}],
+        "dt": epoch,
+    }
+
+
+def parse_weather(raw: dict, ingestion_ts: datetime | None = None) -> tuple | None:
+    """S2 — nested payload → flat 18-tuple matching WEATHER_SCHEMA; None
+    on malformed input (the reference's None-on-error contract,
+    weather_producer.py:93-129)."""
+    try:
+        utc = timezone.utc
+        ts = lambda e: datetime.fromtimestamp(e, tz=utc).replace(tzinfo=None)  # noqa: E731
+        main, wx = raw["main"], raw["weather"][0]
+        return (
+            raw["name"],
+            raw.get("sys", {}).get("country"),
+            float(main["temp"]),
+            float(main["feels_like"]),
+            float(main["temp_min"]),
+            float(main["temp_max"]),
+            int(main["pressure"]),
+            int(main["humidity"]),
+            int(raw.get("visibility", 0)),  # .get default (producer :113)
+            float(raw["wind"]["speed"]),
+            int(raw["wind"]["deg"]),
+            int(raw["clouds"]["all"]),
+            wx["main"],
+            wx["description"],
+            ts(raw["dt"]),
+            ts(raw["sys"]["sunrise"]),
+            ts(raw["sys"]["sunset"]),
+            (ingestion_ts or ts(raw["dt"])),
+        )
+    except (KeyError, IndexError, TypeError, ValueError):
+        return None
+
+
+if HAVE_DATASOURCE_API:
+
+    class _CityPartition(InputPartition):
+        def __init__(self, city: str, epoch: int) -> None:
+            self.city = city
+            self.epoch = epoch
+
+    class WeatherRestReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            cities = options.get("cities", ",".join(DEFAULT_CITIES))
+            self.cities = [c.strip() for c in cities.split(",") if c.strip()]
+            self.epoch = int(options.get("epoch", 1_700_000_000))
+
+        def partitions(self) -> Sequence[InputPartition]:
+            # One partition per city → executor-parallel fetch.
+            return [_CityPartition(c, self.epoch) for c in self.cities]
+
+        def read(self, partition: _CityPartition) -> Iterator[tuple]:
+            row = parse_weather(synthetic_fetch(partition.city, partition.epoch))
+            if row is not None:
+                yield row
+
+    class WeatherRestDataSource(DataSource):
+        """`spark.read.format("weather_rest").option("cities", ...)`."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "weather_rest"
+
+        def schema(self) -> T.StructType:
+            return WEATHER_SCHEMA
+
+        def reader(self, schema: T.StructType) -> DataSourceReader:
+            return WeatherRestReader(self.options)
+
+
+_REGISTERED: set[int] = set()
+
+
+def register(spark: SparkSession) -> None:
+    """Register the weather_rest format on this session (idempotent)."""
+    if not HAVE_DATASOURCE_API:
+        raise RuntimeError("Python Data Source API requires Spark >= 4.0")
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(WeatherRestDataSource)
+        _REGISTERED.add(key)
+
+
+def read_weather(
+    spark: SparkSession,
+    cities: Sequence[str] = DEFAULT_CITIES,
+    epoch: int = 1_700_000_000,
+) -> DataFrame:
+    """Executor-parallel REST ingest → flat typed DataFrame."""
+    register(spark)
+    return (
+        spark.read.format("weather_rest")
+        .option("cities", ",".join(cities))
+        .option("epoch", str(epoch))
+        .load()
+    )
+
+
+def read_weather_driver_side(
+    spark: SparkSession,
+    cities: Sequence[str] = DEFAULT_CITIES,
+    epoch: int = 1_700_000_000,
+    fetch_fn: Callable[[str, int], dict] = synthetic_fetch,
+) -> DataFrame:
+    """Driver-side fallback (the reference's own loop shape): fetch all
+    cities in-process, then parallelize. Fine for 5 cities; the data
+    source above is the scale path."""
+    rows = [r for c in cities if (r := parse_weather(fetch_fn(c, epoch))) is not None]
+    return spark.createDataFrame(rows, WEATHER_SCHEMA)

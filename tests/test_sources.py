@@ -1,0 +1,125 @@
+"""Sources/sinks unit tests: REST data source plumbing, JSON parse
+contract, partitioned write → pruned read, JDBC option building, run-log
+lifecycle, retention semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_mastery_pipeline_spark import plans
+from data_mastery_pipeline_spark.sources import jdbc, rest, runlog, writers
+from data_mastery_pipeline_spark.tables import load_table
+
+from conftest import SF_ORACLE
+
+
+# --- REST source (S1/S2) ---------------------------------------------------
+
+
+def test_rest_source_one_partition_per_city(spark):
+    df = rest.read_weather(spark, cities=("Paris", "London", "Tokyo"))
+    assert df.rdd.getNumPartitions() == 3
+    rows = {r["city"] for r in df.collect()}
+    assert rows == {"Paris", "London", "Tokyo"}
+
+
+def test_rest_source_schema_is_typed(spark):
+    df = rest.read_weather(spark)
+    assert df.schema == rest.WEATHER_SCHEMA
+    r = df.filter(F.col("city") == "Paris").collect()[0]
+    assert isinstance(r["temperature"], float)
+    assert isinstance(r["timestamp"], dt.datetime)
+    assert r["sunrise"] < r["sunset"]
+
+
+def test_rest_fetch_is_deterministic():
+    assert rest.synthetic_fetch("Paris") == rest.synthetic_fetch("Paris")
+    assert rest.synthetic_fetch("Paris") != rest.synthetic_fetch("London")
+
+
+def test_parse_weather_malformed_returns_none():
+    assert rest.parse_weather({}) is None
+    assert rest.parse_weather({"name": "X", "main": {}, "weather": []}) is None
+    bad = rest.synthetic_fetch("Paris")
+    del bad["wind"]
+    assert rest.parse_weather(bad) is None
+
+
+def test_driver_side_fallback_matches_datasource(spark):
+    a = rest.read_weather(spark).orderBy("city").collect()
+    b = rest.read_weather_driver_side(spark).orderBy("city").collect()
+    assert a == b
+
+
+# --- Partitioned writer (S6/S7/S10/S11) ------------------------------------
+
+
+def test_partitioned_write_layout_and_pruned_read(spark):
+    ev = load_table(spark, "events", SF_ORACLE).limit(5000)
+    out = os.path.join(tempfile.mkdtemp(), "events_part")
+    writers.write_partitioned(writers.with_date_partitions(ev), out, mode="overwrite")
+
+    # hive-style directory layout exists
+    years = [d for d in os.listdir(out) if d.startswith("year=")]
+    assert years, os.listdir(out)
+
+    target = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    day = writers.read_day(spark, out, target.year, target.month, target.day)
+    plan = plans.formatted_plan(day)
+    # pruning must happen at partition level, not as a data filter
+    assert "PartitionFilters: [" in plan
+    assert f"year#" in plan.split("PartitionFilters", 1)[1][:200]
+    expected = ev.filter(F.to_date("ts") == F.lit(target)).count()
+    assert day.count() == expected
+
+
+# --- JDBC wrappers (S12/S13) -----------------------------------------------
+
+
+def test_jdbc_url_and_properties():
+    assert (
+        jdbc.jdbc_url("db.internal", 5432, "gold")
+        == "jdbc:postgresql://db.internal:5432/gold"
+    )
+    props = jdbc.connection_properties("u", "p")
+    assert props["driver"] == "org.postgresql.Driver"
+    with pytest.raises(KeyError):
+        jdbc.connection_properties("u", "p", dialect="oracle")
+
+
+# --- Run log + retention (gold_loader analog, Q7) ---------------------------
+
+
+def test_runlog_success_row(spark):
+    run = runlog.StageRun("p", "s")
+    df = run.success(spark, rows=42)
+    r = df.collect()[0]
+    assert r["status"] == "success" and r["rows_processed"] == 42
+    assert r["duration_seconds"] >= 0
+    assert df.schema == runlog.RUNLOG_SCHEMA
+
+
+def test_run_stage_failure_captures_error(spark):
+    def boom():
+        raise ValueError("kaput")
+
+    result, audit = runlog.run_stage(spark, "p", "s", boom)
+    assert result is None
+    r = audit.collect()[0]
+    assert r["status"] == "failed"
+    assert "kaput" in r["error_message"]
+
+
+def test_retention_filter_keeps_timestamp_precision(spark):
+    ev = load_table(spark, "events", SF_ORACLE)
+    anchor = ev.agg(F.max("ts")).collect()[0][0]
+    kept = runlog.retention_filter(ev, "ts", 30, now=anchor)
+    cutoff = anchor - dt.timedelta(days=30)
+    assert kept.filter(F.col("ts") < F.lit(cutoff)).count() == 0
+    # horizon is a timestamp, not a truncated date: nothing newer dropped
+    assert kept.count() == ev.filter(F.col("ts") >= F.lit(cutoff)).count()
