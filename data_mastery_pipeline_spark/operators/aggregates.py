@@ -134,3 +134,18 @@ def rollup_aggregate(
     grouped = df.rollup(*keys) if mode == "rollup" else df.cube(*keys)
     aggs = [AGG_FNS[fn](col).alias(alias) for fn, col, alias in measures]
     return grouped.agg(*aggs, F.grouping_id().alias("grouping_id"))
+
+
+def grouping_sets_aggregate(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    keys: Sequence[str],
+    measures: Sequence[tuple[str, str, str]],
+) -> DataFrame:
+    """∅→native — explicit GROUPING SETS (the general form of rollup/
+    cube; Spark ≥4.0 DataFrame API). One shuffle computes every set —
+    at scale this replaces N separate groupBy jobs over the same scan.
+    """
+    grouped = df.groupingSets([list(s) for s in sets], *[F.col(k) for k in keys])
+    aggs = [AGG_FNS[fn](col).alias(alias) for fn, col, alias in measures]
+    return grouped.agg(*aggs, F.grouping_id().alias("grouping_id"))

@@ -826,3 +826,59 @@ def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         _r2(F.avg(k), "avg_k"), F.count("*").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets + distribution statistics (SURVEY §2.D gap list → native)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_quantity",
+    """
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty,
+           grouping_id(l_returnflag, l_linestatus) AS grouping_id
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — two independent grains in ONE shuffle (the general
+    form of rollup/cube; SURVEY §2.D gap list). At 100 TB this replaces
+    two separate groupBy jobs over the same scan."""
+    li = load_table(spark, "lineitem", sf_dir)
+    out = agg_ops.grouping_sets_aggregate(
+        li,
+        [["l_returnflag"], ["l_linestatus"]],
+        ["l_returnflag", "l_linestatus"],
+        [("sum", "l_quantity", "sum_qty")],
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        _r2(F.col("sum_qty"), "sum_qty"),
+        F.col("grouping_id").cast("bigint").alias("grouping_id"),
+    )
+
+
+@query(
+    "value_distribution",
+    """
+    SELECT event_type,
+           floor((stddev_samp(value)) * 100 + 0.5) / 100.0 AS sd_value,
+           floor((median(value)) * 100 + 0.5) / 100.0 AS med_value,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats (§2.D gap list): stddev + exact median per
+    group. Exact median is a sort-based aggregate — fine per group here;
+    the 100 TB path swaps in percentile_approx (t-digest, one pass,
+    mergeable) when exactness isn't contractual."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        _r2(F.stddev_samp("value"), "sd_value"),
+        _r2(F.median("value"), "med_value"),
+        F.count("*").alias("n"),
+    )
