@@ -882,3 +882,34 @@ def value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r2(F.median("value"), "med_value"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "salted_agg_value",
+    """
+    SELECT event_type,
+           floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value,
+           floor((avg(value)) * 100 + 0.5) / 100.0 AS avg_value,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def salted_agg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregate (operators/skew.py): groupBy(keys +
+    salt) partials then merge — the manual fallback when one hot key
+    straggles a task and AQE can't split it. The oracle is the PLAIN
+    GROUP BY: salting must be semantically invisible (avg decomposes to
+    sum/count so partial averages never get mis-weighted)."""
+    from .operators import skew
+
+    ev = load_table(spark, "events", sf_dir)
+    out = skew.salted_aggregate(
+        ev.select("event_type", "value"),
+        ["event_type"],
+        [("sum", "value", "sum_value"), ("avg", "value", "avg_value"),
+         ("count", "value", "n")],
+    )
+    return out.select(
+        "event_type", _r2(F.col("sum_value"), "sum_value"),
+        _r2(F.col("avg_value"), "avg_value"), F.col("n"),
+    )
