@@ -393,3 +393,18 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = binarycol.attach_binary_payload(load_table(spark, "documents", sf_dir))
     out = binarycol.frame_sample_plan(docs, every_nth=10)
     return out.select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (similarity/ivf.py): k-means cells (fixed seed),
+    exact cosine within the query's nearest probe cells. Trained
+    centroids aren't SQL-expressible → rows-only check; recall vs the
+    exact baseline is asserted in tests/test_similarity.py."""
+    from .similarity import ivf
+
+    qv = _query_vec(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = ivf.train_centroids(emb, n_cells=8, max_train_rows=20_000)
+    out = ivf.ivf_topk(emb, cents, qv, k=10, n_probes=3)
+    return out.select("vec_id", quantize(F.col("cos"), "cos", 4))

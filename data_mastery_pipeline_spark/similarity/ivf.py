@@ -1,0 +1,98 @@
+"""IVF (inverted-file) ANN — trained-centroid bucketing, the
+production-scale complement to the data-independent sign-LSH buckets.
+
+Index build: k-means centroids (Spark ML, fixed seed) over a training
+sample; every vector is assigned to its nearest centroid ("cell") with
+a pure Catalyst argmin expression (centroids become plan literals — no
+join, no UDF in the hot path). At 100 TB the table is written
+partitioned by `cell`, so a query scans `n_probes / n_cells` of the
+data: centroid assignment is the partition-pruning predicate.
+
+Search: exact cosine within the query's `n_probes` nearest cells.
+Recall/latency trades via n_cells and n_probes — the standard IVF-Flat
+design (FAISS terminology), expressed as DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from ..dedup.embedding import cosine
+
+
+def train_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> list[list[float]]:
+    """k-means centroids on a bounded sample (index-build step; at scale
+    train on a sample, never the full table). Returns plain Python
+    vectors so assignment compiles to plan literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = (
+        df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+        .limit(max_train_rows)
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _l2sq_to(vec: Column, centroid: Sequence[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add `cell` = argmin_i ||v - centroid_i||² as a single expression
+    (array of distances → array_position of the min)."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[_l2sq_to(v, c) for c in centroids])
+    cell = F.array_position(dists, F.array_min(dists)) - 1
+    return df.withColumn("cell", cell.cast("int"))
+
+
+def _probe_cells(
+    query_vec: Sequence[float], centroids: Sequence[Sequence[float]], n_probes: int
+) -> list[int]:
+    d = [
+        sum((q - c) ** 2 for q, c in zip(query_vec, cen)) for cen in centroids
+    ]
+    return sorted(range(len(centroids)), key=lambda i: d[i])[: max(1, n_probes)]
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's n_probes
+    nearest cells. The cell filter is pushable — on a cell-partitioned
+    table it prunes partitions."""
+    probes = _probe_cells(list(query_vec), centroids, n_probes)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = (
+        assign_cells(df, centroids, vec_col)
+        .filter(F.col("cell").isin(probes))
+        .select(F.col(id_col), cosine(F.col(vec_col).cast("array<double>"), q).alias("cos"))
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)

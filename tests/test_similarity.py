@@ -1,0 +1,59 @@
+"""ANN quality: the approximate paths must recall most of the exact
+top-k, and bucketing/assignment must be well-formed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_mastery_pipeline_spark.similarity import brute, ivf, lsh
+from data_mastery_pipeline_spark.tables import load_table
+
+from conftest import SF_ORACLE
+
+
+def _qvec(spark):
+    row = (
+        load_table(spark, "embeddings", SF_ORACLE)
+        .filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def test_ivf_assignment_covers_all_cells_validly(spark):
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    cents = ivf.train_centroids(emb, n_cells=8, max_train_rows=5000)
+    assert len(cents) == 8
+    cells = ivf.assign_cells(emb, cents).select("cell").distinct().collect()
+    vals = {r["cell"] for r in cells}
+    assert vals <= set(range(8)) and len(vals) >= 2
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    qv = _qvec(spark)
+    exact = {r["vec_id"] for r in brute.cosine_topk(emb, qv, k=10).collect()}
+    cents = ivf.train_centroids(emb, n_cells=8, max_train_rows=20_000)
+    approx = {r["vec_id"] for r in ivf.ivf_topk(emb, cents, qv, k=10, n_probes=3).collect()}
+    # query vector itself must be found, and recall must be substantial
+    assert 0 in approx
+    assert len(exact & approx) >= 5, (exact, approx)
+
+
+def test_sign_lsh_recall_vs_exact(spark):
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    qv = _qvec(spark)
+    exact = {r["vec_id"] for r in brute.cosine_topk(emb, qv, k=10).collect()}
+    approx = {r["vec_id"] for r in lsh.lsh_cosine_topk(emb, qv, k=10, n_bits=8, n_probes=4).collect()}
+    # testdata embeddings are near-orthogonal random vectors — the
+    # adversarial case for LSH (true neighbors barely beat noise), so
+    # require the guaranteed self-match plus nonzero overlap, not high
+    # recall (see test_ivf_recall_vs_exact for the trained-index bound).
+    assert 0 in approx
+    assert len(exact & approx) >= 2, (exact, approx)
+
+
+def test_ivf_probe_cells_orders_by_distance():
+    cents = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+    assert ivf._probe_cells([0.1, 0.1], cents, 2) == [0, 1] or \
+           ivf._probe_cells([0.1, 0.1], cents, 2) == [0, 2]
+    assert ivf._probe_cells([9.0, 0.0], cents, 1) == [1]
