@@ -94,6 +94,54 @@ def extract_image_features(df: DataFrame, fake_decoder: bool = True) -> DataFram
     return df.select("doc_id", "payload").mapInPandas(run, schema=IMAGE_FEATURES)
 
 
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def decode_audio_batch(pdf: pd.DataFrame, fake_decoder: bool) -> pd.DataFrame:
+    """Per-batch audio decode → (doc_id, sample_rate, duration, samples).
+
+    Real implementation would demux/decode with soundfile/ffmpeg —
+    neither ships here, so without ``fake_decoder`` this raises. The
+    fake derives duration from payload length (SQL-mirrorable, so the
+    contract query is oracle-checked end-to-end)."""
+    if not fake_decoder:
+        raise NotImplementedError(
+            "audio codecs not available in this environment; "
+            "pass fake_decoder=True for the deterministic stub"
+        )
+    n = pdf["payload"].str.len()
+    rate = 16_000
+    deci = (n % 600).astype("int64")  # tenths of a second
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "sample_rate": pd.Series([rate] * len(pdf), dtype="int32"),
+            "duration_s": deci.astype("float64") / 10.0,
+            # integer arithmetic (deci * rate/10) — float duration*rate
+            # truncates vs rounds differently across engines
+            "n_samples": deci * (rate // 10),
+        }
+    )
+
+
+def extract_audio_features(df: DataFrame, fake_decoder: bool = True) -> DataFrame:
+    """Arrow-batched mapInPandas over the binary column — identical
+    plumbing to image decode; only the codec differs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield decode_audio_batch(pdf, fake_decoder)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=AUDIO_FEATURES)
+
+
 def frame_sample_plan(df: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: emit (doc_id, frame_idx) rows for
     frames 0, n, 2n… based on a fake frame count derived from payload

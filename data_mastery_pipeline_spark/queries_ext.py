@@ -408,3 +408,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf.train_centroids(emb, n_cells=8, max_train_rows=20_000)
     out = ivf.ivf_topk(emb, cents, qv, k=10, n_probes=3)
     return out.select("vec_id", quantize(F.col("cos"), "cos", 4))
+
+
+@query(
+    "audio_features",
+    """
+    SELECT doc_id,
+           16000 AS sample_rate,
+           (octet_length(encode(text)) % 600) / 10.0 AS duration_s,
+           CAST((octet_length(encode(text)) % 600) * 1600 AS BIGINT) AS n_samples
+    FROM documents
+    """,
+)
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode/feature-extract plumbing over binary payloads
+    (Arrow-batched mapInPandas; deterministic fake decoder — codecs
+    absent). Oracle mirrors the fake's arithmetic."""
+    docs = binarycol.attach_binary_payload(load_table(spark, "documents", sf_dir))
+    out = binarycol.extract_audio_features(docs, fake_decoder=True)
+    return out.select(
+        "doc_id", F.col("sample_rate").cast("int").alias("sample_rate"),
+        "duration_s", "n_samples",
+    )
