@@ -913,3 +913,35 @@ def salted_agg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", _r2(F.col("sum_value"), "sum_value"),
         _r2(F.col("avg_value"), "avg_value"), F.col("n"),
     )
+
+
+@query(
+    "below_avg_quantity",
+    """
+    SELECT l_partkey,
+           floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS small_order_revenue
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    GROUP BY l_partkey
+    """,
+)
+def below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape) — Catalyst
+    decorrelates to an aggregate + self-join (SURVEY §4 "subquery
+    decorrelation: built-in"); expressed via spark.sql to exercise the
+    SQL entry point end-to-end."""
+    li = load_table(spark, "lineitem", sf_dir)
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS DOUBLE) / 100.0
+                   AS small_order_revenue
+        FROM lineitem l1
+        WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_partkey
+        """
+    )

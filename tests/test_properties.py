@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) — invariants the example-based
+suites can't sweep: random inputs, adversarial floats, empty/degenerate
+shapes. The reference has no property tests at all (SURVEY §5); these
+run the REAL Spark operators on generated frames.
+
+Spark round-trips per example are expensive → small deadline-free
+profiles with capped example counts; the generators aim at structure
+(duplicates, ties, nulls, hot keys), not volume.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_mastery_pipeline_spark.operators import cleaning, skew
+
+SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, tiebreak_ts, value) rows with deliberately colliding keys/ts
+ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 5),                      # key: few values → many dups
+        st.integers(0, 3),                      # ts: ties guaranteed
+        st.floats(-1e6, 1e6, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([(int(k), int(t), float(v)) for k, t, v in rows], SCHEMA)
+
+
+@SET
+@given(rows=ROWS)
+def test_dedup_deterministic_is_a_function_of_the_set(spark, rows):
+    """Exactly one row per key survives; WHICH row is fixed by the
+    ordering regardless of input partitioning/arrival order."""
+    df = _df(spark, rows)
+    out = cleaning.dedup_deterministic(df, ["k"], [F.desc("ts"), F.desc("v")])
+    got = {r["k"]: (r["ts"], r["v"]) for r in out.collect()}
+    keys = {k for k, _, _ in rows}
+    assert got.keys() == keys
+    for k in keys:
+        expected = max(((t, v) for kk, t, v in rows if kk == k))
+        assert got[k] == expected
+    # arrival order must not matter
+    out2 = cleaning.dedup_deterministic(
+        _df(spark, list(reversed(rows))), ["k"], [F.desc("ts"), F.desc("v")]
+    )
+    assert {r["k"]: (r["ts"], r["v"]) for r in out2.collect()} == got
+
+
+@SET
+@given(rows=ROWS)
+def test_salted_aggregate_equals_plain_aggregate(spark, rows):
+    df = _df(spark, rows)
+    salted = skew.salted_aggregate(
+        df, ["k"],
+        [("sum", "v", "s"), ("count", "v", "n"), ("min", "v", "lo"), ("max", "v", "hi")],
+        salt_buckets=7,
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count("v").alias("n"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    a = {r["k"]: r for r in salted.collect()}
+    b = {r["k"]: r for r in plain.collect()}
+    assert a.keys() == b.keys()
+    for k in b:
+        assert math.isclose(a[k]["s"], b[k]["s"], rel_tol=1e-9, abs_tol=1e-9)
+        assert (a[k]["n"], a[k]["lo"], a[k]["hi"]) == (b[k]["n"], b[k]["lo"], b[k]["hi"])
+
+
+@SET
+@given(rows=ROWS, keys=st.lists(st.integers(0, 5), max_size=6))
+def test_idempotent_append_never_duplicates_keys(spark, rows, keys):
+    """Appending any batch against any existing key set adds only unseen
+    keys — the S14 contract that makes replays harmless."""
+    new = _df(spark, rows)
+    existing = spark.createDataFrame([(int(k),) for k in keys], "k long")
+    fresh = cleaning.idempotent_append(new, existing, ["k"])
+    fresh_keys = {r["k"] for r in fresh.select("k").distinct().collect()}
+    assert fresh_keys.isdisjoint(set(keys))
+    # nothing new is lost: every input key not already present survives
+    assert fresh_keys == {k for k, _, _ in rows} - set(keys)
