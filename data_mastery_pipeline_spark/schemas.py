@@ -190,7 +190,14 @@ def assert_schema(df: DataFrame, expected: T.StructType) -> DataFrame:
     Compares name+type (ignoring nullability, which parquet round-trips
     loosely) and raises :class:`SchemaDriftError` with a field-level diff.
     """
-    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert_schema_struct(df.schema, expected)
+    return df
+
+
+def assert_schema_struct(got_schema: T.StructType, expected: T.StructType) -> None:
+    """Struct-level form of :func:`assert_schema` (for footer schemas
+    read without a DataFrame)."""
+    got = {f.name: f.dataType.simpleString() for f in got_schema.fields}
     want = {f.name: f.dataType.simpleString() for f in expected.fields}
     if got != want:
         missing = sorted(set(want) - set(got))
@@ -200,4 +207,3 @@ def assert_schema(df: DataFrame, expected: T.StructType) -> DataFrame:
             f"schema drift: missing={missing} extra={extra} "
             f"changed={[(k, want[k], got[k]) for k in changed]}"
         )
-    return df

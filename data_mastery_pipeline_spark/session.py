@@ -60,6 +60,10 @@ def get_spark(
         # reader rejects outright; read the raw int64 nanos and convert
         # (tables.load_table) — floor to µs matches DuckDB's truncation.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # UTC-session discipline: parquet TIMESTAMP(isAdjustedToUTC=false)
+        # infers as session-zoned timestamp, not TIMESTAMP_NTZ, so footer
+        # schemas agree with the registry (tables.check_drift)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 try:  # Spark >= 4.0
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     HAVE_DATASOURCE_API = True
 except ImportError:  # pragma: no cover — older Spark: driver-side fallback only
@@ -146,8 +151,43 @@ if HAVE_DATASOURCE_API:
             if row is not None:
                 yield row
 
+    class WeatherRestStreamReader(SimpleDataSourceStreamReader):
+        """Streaming twin of the reference's poll loop
+        (weather_producer.py:252-271: fetch every interval, forever).
+        Each micro-batch is one poll cycle over all cities; the OFFSET is
+        the poll epoch, so the checkpoint WAL replays missed cycles
+        exactly (readBetweenOffsets) — the S8 commit protocol for a
+        source with no broker."""
+
+        def __init__(self, options: dict) -> None:
+            cities = options.get("cities", ",".join(DEFAULT_CITIES))
+            self.cities = [c.strip() for c in cities.split(",") if c.strip()]
+            self.epoch0 = int(options.get("epoch", 1_700_000_000))
+            self.interval = int(options.get("interval", 3600))  # config.yaml:11
+
+        def initialOffset(self) -> dict:
+            return {"epoch": self.epoch0}
+
+        def _rows(self, epoch: int) -> list[tuple]:
+            # materialized list, not a generator: the prefetch cache
+            # copies the returned iterator (generators don't pickle)
+            rows = (parse_weather(synthetic_fetch(c, epoch)) for c in self.cities)
+            return [r for r in rows if r is not None]
+
+        def read(self, start: dict):
+            epoch = int(start["epoch"])
+            return self._rows(epoch), {"epoch": epoch + self.interval}
+
+        def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+            return [
+                row
+                for epoch in range(int(start["epoch"]), int(end["epoch"]), self.interval)
+                for row in self._rows(epoch)
+            ]
+
     class WeatherRestDataSource(DataSource):
-        """`spark.read.format("weather_rest").option("cities", ...)`."""
+        """`spark.read.format("weather_rest")` (batch) and
+        `spark.readStream.format("weather_rest")` (poll-loop stream)."""
 
         @classmethod
         def name(cls) -> str:
@@ -158,6 +198,9 @@ if HAVE_DATASOURCE_API:
 
         def reader(self, schema: T.StructType) -> DataSourceReader:
             return WeatherRestReader(self.options)
+
+        def simpleStreamReader(self, schema: T.StructType) -> SimpleDataSourceStreamReader:
+            return WeatherRestStreamReader(self.options)
 
 
 _REGISTERED: set[int] = set()
@@ -199,3 +242,21 @@ def read_weather_driver_side(
     source above is the scale path."""
     rows = [r for c in cities if (r := parse_weather(fetch_fn(c, epoch))) is not None]
     return spark.createDataFrame(rows, WEATHER_SCHEMA)
+
+
+def stream_weather(
+    spark: SparkSession,
+    cities: Sequence[str] = DEFAULT_CITIES,
+    epoch: int = 1_700_000_000,
+    interval: int = 3600,
+) -> DataFrame:
+    """Poll-loop stream: one micro-batch per fetch cycle (the reference's
+    producer loop as a readStream)."""
+    register(spark)
+    return (
+        spark.readStream.format("weather_rest")
+        .option("cities", ",".join(cities))
+        .option("epoch", str(epoch))
+        .option("interval", str(interval))
+        .load()
+    )

@@ -47,6 +47,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 
 
+def check_drift(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Schema-drift probe (SURVEY §1.3; reference config.yaml:109): read
+    the table's FOOTER schema (inference, no data scan) and diff it
+    against the registry. `load_table`'s enforced-schema read would
+    silently coerce or null out drifted columns — this check makes
+    drift loud instead. Run it per batch before processing.
+
+    ``events`` is exempt from type comparison on ``ts`` (stored
+    TIMESTAMP(NANOS), surfaced as µs — see load_table).
+    """
+    from . import schemas as S
+
+    observed = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    expected = S.EVENTS_RAW if name == "events" else S.TABLES[name]
+    S.assert_schema_struct(observed, expected)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load the full star schema as a dict of DataFrames."""
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}

@@ -123,3 +123,40 @@ def test_retention_filter_keeps_timestamp_precision(spark):
     assert kept.filter(F.col("ts") < F.lit(cutoff)).count() == 0
     # horizon is a timestamp, not a truncated date: nothing newer dropped
     assert kept.count() == ev.filter(F.col("ts") >= F.lit(cutoff)).count()
+
+
+def test_rest_stream_polls_and_advances_epoch(spark):
+    import tempfile
+    import uuid
+
+    stream = rest.stream_weather(spark, cities=("Paris", "London"), interval=3600)
+    name = f"wx_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        # wait until at least 3 poll cycles (micro-batches) have landed
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 6:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    got = spark.table(name).collect()
+    assert len(got) >= 6  # ≥3 cycles × 2 cities
+    # each cycle carries a distinct observation timestamp, 1h apart
+    ts = sorted({r["timestamp"] for r in got})
+    assert len(ts) >= 3
+    assert (ts[1] - ts[0]).total_seconds() == 3600.0
+    # per-cycle determinism: Paris rows repeat the synthetic fetch exactly
+    paris = [r for r in got if r["city"] == "Paris" and r["timestamp"] == ts[0]]
+    expected = rest.parse_weather(rest.synthetic_fetch("Paris"))
+    assert paris and tuple(paris[0])[:14] == expected[:14]
