@@ -125,3 +125,79 @@ def runlog_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "demo_pipeline", "events_count", lambda: (ev, ev.count())
     )
     return audit.select("stage", "status", "rows_processed")
+
+
+def _golden_daily_values() -> str:
+    """Python mirror of ingest→silver→daily for the default config —
+    enumerable because every stage is a pure function of (city, epoch).
+    Returns a DuckDB VALUES literal."""
+    from collections import defaultdict
+    from datetime import datetime, timezone
+
+    groups: dict[tuple, list] = defaultdict(list)
+    for i in range(24):
+        epoch = 1_700_000_000 + i * 3600
+        for city in rest.DEFAULT_CITIES:
+            r = rest.parse_weather(rest.synthetic_fetch(city, epoch))
+            assert r is not None
+            temp, temp_min, temp_max, humidity = r[2], r[4], r[5], r[7]
+            if not (-100.0 <= temp <= 60.0):
+                continue
+            d = datetime.fromtimestamp(epoch, tz=timezone.utc)
+            groups[(r[0], r[1], d.year, d.month, d.day)].append(
+                (temp, temp_min, temp_max, humidity)
+            )
+
+    def q2(x: float) -> float:
+        import math
+
+        return math.floor(x * 100 + 0.5) / 100.0
+
+    rows = []
+    for (city, country, y, m, d), vals in sorted(groups.items()):
+        n = len(vals)
+        rows.append(
+            f"('{city}', '{country}', {y}, {m}, {d}, "
+            f"{q2(sum(v[0] for v in vals) / n)}, {min(v[1] for v in vals)}, "
+            f"{max(v[2] for v in vals)}, {q2(sum(v[3] for v in vals) / n)}, {n})"
+        )
+    return ",\n           ".join(rows)
+
+
+@query(
+    "weather_pipeline_daily",
+    f"""
+    SELECT city, country, year, month, day,
+           avg_temperature::DOUBLE AS avg_temperature,
+           min_temperature::DOUBLE AS min_temperature,
+           max_temperature::DOUBLE AS max_temperature,
+           avg_humidity::DOUBLE AS avg_humidity,
+           record_count::BIGINT AS record_count
+    FROM (
+        VALUES {_golden_daily_values()}
+    ) AS t(city, country, year, month, day, avg_temperature, min_temperature,
+           max_temperature, avg_humidity, record_count)
+    """,
+)
+def weather_pipeline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE silver flow in one plan (SURVEY §3.1-3.2):
+    24 REST poll cycles → clean → derive → daily aggregate
+    (pipeline.py). The oracle is an independently-computed golden table
+    (pure Python mirror of every stage), so this checks the full
+    composition, not just the operators."""
+    from . import pipeline
+    from .registry import quantize
+
+    bronze = pipeline.ingest_bronze(spark, n_cycles=24)
+    daily = pipeline.silver_daily(pipeline.to_silver(bronze))
+    return daily.select(
+        "city", "country",
+        F.col("year").cast("int").alias("year"),
+        F.col("month").cast("int").alias("month"),
+        F.col("day").cast("int").alias("day"),
+        quantize(F.col("avg_temperature"), "avg_temperature"),
+        F.col("min_temperature"),
+        F.col("max_temperature"),
+        quantize(F.col("avg_humidity"), "avg_humidity"),
+        F.col("record_count"),
+    )

@@ -1,0 +1,43 @@
+"""End-to-end weather pipeline (SURVEY §3.1): one Spark app replaces the
+reference's seven-task DAG; stages audited, quality-gated, written."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from data_mastery_pipeline_spark import pipeline
+
+
+def test_full_pipeline_runs_and_writes(spark):
+    out = tempfile.mkdtemp()
+    res = pipeline.run_weather_pipeline(spark, out, n_cycles=24)
+
+    # 5 cities × 24 cycles, nothing filtered by the synthetic value ranges
+    assert res.silver_rows == 120
+    # 22:13 UTC start → each city spans exactly 2 calendar days
+    assert res.daily_rows == 10
+    assert res.hourly_rows == 120
+    assert res.quality.passed
+
+    for name in ("weather_cleaned", "daily_weather_summary", "hourly_weather_summary"):
+        assert os.path.isdir(os.path.join(out, name)), name
+    # silver is hive-partitioned by event date
+    assert any(
+        d.startswith("year=") for d in os.listdir(os.path.join(out, "weather_cleaned"))
+    )
+
+    audit = res.audit.collect()
+    assert {r["stage"] for r in audit} == {"silver_detail", "gold_daily", "gold_hourly"}
+    assert all(r["status"] == "success" for r in audit)
+
+
+def test_silver_derivations_present(spark):
+    bronze = pipeline.ingest_bronze(spark, n_cycles=2)
+    silver = pipeline.to_silver(bronze)
+    cols = set(silver.columns)
+    assert {"year", "month", "day", "hour", "day_of_week", "week_of_year",
+            "quarter", "temp_range", "heat_index", "is_weekend", "is_day",
+            "quality_score"} <= cols
+    # synthetic data is null-free → every score is the full 100
+    assert silver.filter("quality_score != 100").count() == 0
