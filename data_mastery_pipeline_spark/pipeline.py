@@ -172,3 +172,35 @@ def run_weather_pipeline(
         quality=rep,
         audit=audit,
     )
+
+
+def stream_silver(
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str,
+    cities: Sequence[str] = rest.DEFAULT_CITIES,
+    start_epoch: int = 1_700_000_000,
+    interval: int = 3600,
+):
+    """Streaming twin of the batch silver flow (SURVEY §7 step 9: same
+    transformations under foreachBatch): REST poll stream → to_silver →
+    idempotent append keyed on (city, timestamp). At-least-once delivery
+    from the source + key-dedup at the sink = effectively-once silver —
+    the reference's S8+P4+UNIQUE-index contract in engine form.
+
+    Returns the started StreamingQuery (caller stops it / awaits)."""
+    from .streaming import sinks
+
+    stream = rest.stream_weather(spark, cities, start_epoch, interval)
+
+    def write_batch(batch_df: DataFrame, _epoch: int) -> None:
+        silver = to_silver(batch_df)
+        sinks.idempotent_append_batch(silver, out_dir, keys=["city", "timestamp"])
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )

@@ -41,3 +41,42 @@ def test_silver_derivations_present(spark):
             "quality_score"} <= cols
     # synthetic data is null-free → every score is the full 100
     assert silver.filter("quality_score != 100").count() == 0
+
+
+def test_stream_silver_effectively_once(spark):
+    import time
+
+    out = os.path.join(tempfile.mkdtemp(), "silver_stream")
+    ckpt = tempfile.mkdtemp()
+    q = pipeline.stream_silver(spark, out, ckpt, cities=("Paris", "London"))
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+            if n >= 6:  # ≥3 poll cycles × 2 cities
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out)
+    n = got.count()
+    assert n >= 6
+    # effectively-once: key (city, timestamp) is unique despite
+    # at-least-once delivery + any replayed batches
+    assert got.select("city", "timestamp").distinct().count() == n
+    # derivations flowed through the streaming path too
+    assert {"heat_index", "quality_score", "is_day"} <= set(got.columns)
+
+    # replaying an already-written batch is a no-op (S8 contract)
+    from data_mastery_pipeline_spark.streaming import sinks
+
+    first = pipeline.to_silver(
+        pipeline.ingest_bronze(spark, ("Paris", "London"), n_cycles=1)
+    )
+    sinks.idempotent_append_batch(first, out, keys=["city", "timestamp"])
+    assert spark.read.parquet(out).count() == n
