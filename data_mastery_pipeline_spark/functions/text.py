@@ -118,3 +118,12 @@ def rolling_fingerprint(text: str | Column, seed: int = 0) -> Column:
         F.lit(seed).cast("bigint"),
         lambda acc, x: F.xxhash64(acc, x),
     )
+
+
+def normalize(text: str | Column) -> Column:
+    """Canonical text normalization (the standard pre-dedup transform):
+    lowercase, strip punctuation, collapse whitespace runs, trim."""
+    t = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(t)
+    no_punct = F.regexp_replace(lowered, r"[^\w\s]", "")
+    return F.trim(F.regexp_replace(no_punct, r"\s+", " "))

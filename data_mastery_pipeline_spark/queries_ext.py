@@ -430,3 +430,44 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("sample_rate").cast("int").alias("sample_rate"),
         "duration_s", "n_samples",
     )
+
+
+@query(
+    "text_normalize",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                               '\\s+', ' ', 'g')) AS norm_text,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS norm_md5
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (lower → strip punctuation → collapse
+    whitespace) with a content hash — the canonical pre-dedup transform
+    (§2.I regex/lower/trim extensions)."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    norm = textfn.normalize("text")
+    return docs.select("doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_md5"))
+
+
+@query(
+    "users_per_type",
+    """
+    SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_list,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set (§2.D gap list): distinct users per event type as a
+    sorted list (serialized to string so both engines hash the same
+    representation)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.array_join(F.array_sort(F.collect_set("user_id")), ",").alias("user_list"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
