@@ -94,6 +94,49 @@ def extract_image_features(df: DataFrame, fake_decoder: bool = True) -> DataFram
     return df.select("doc_id", "payload").mapInPandas(run, schema=IMAGE_FEATURES)
 
 
+RESIZED_IMAGE = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("scale", T.DoubleType()),
+    ]
+)
+
+
+def resize_image_batch(pdf: pd.DataFrame, target: int, fake_decoder: bool) -> pd.DataFrame:
+    """Per-batch decode + aspect-preserving resize to fit a target box
+    (the standard vision-model preprocessing step). Real implementation:
+    PIL.thumbnail / cv2.resize on decoded pixels; here the geometry is
+    real and the pixel work is the stubbed decode."""
+    decoded = decode_image_batch(pdf, fake_decoder)
+    w = decoded["width"].astype("float64")
+    h = decoded["height"].astype("float64")
+    scale = (target / w).combine(target / h, min).clip(upper=1.0)
+    return pd.DataFrame(
+        {
+            "doc_id": decoded["doc_id"],
+            "width": decoded["width"],
+            "height": decoded["height"],
+            "out_width": (w * scale).astype("int64").astype("int32"),
+            "out_height": (h * scale).astype("int64").astype("int32"),
+            "scale": scale,
+        }
+    )
+
+
+def resize_images(df: DataFrame, target: int = 224, fake_decoder: bool = True) -> DataFrame:
+    """Distributed decode+resize over the binary column (mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield resize_image_batch(pdf, target, fake_decoder)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=RESIZED_IMAGE)
+
+
 AUDIO_FEATURES = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

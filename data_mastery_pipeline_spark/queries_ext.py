@@ -471,3 +471,27 @@ def users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("user_id")), ",").alias("user_list"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "image_resize",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
+               CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER) AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(trunc(width * least(least(224.0 / width, 224.0 / height), 1.0)) AS INTEGER) AS out_width,
+           CAST(trunc(height * least(least(224.0 / width, 224.0 / height), 1.0)) AS INTEGER) AS out_height,
+           least(least(224.0 / width, 224.0 / height), 1.0) AS scale
+    FROM dims
+    """,
+)
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize-to-fit (224 box) over binary payloads —
+    decode+resize in one Arrow-batched mapInPandas pass; oracle mirrors
+    the geometry arithmetic (decode dims faked from payload size)."""
+    docs = binarycol.attach_binary_payload(load_table(spark, "documents", sf_dir))
+    return binarycol.resize_images(docs, target=224, fake_decoder=True)
