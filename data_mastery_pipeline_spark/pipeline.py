@@ -36,17 +36,12 @@ def ingest_bronze(
     n_cycles: int = 24,
     interval: int = 3600,
 ) -> DataFrame:
-    """Bronze: N poll cycles of the REST source, unioned (the batch
-    backfill form; the streaming form is rest.stream_weather + the same
-    downstream operators under foreachBatch)."""
-    frames = [
-        rest.read_weather(spark, cities, epoch=start_epoch + i * interval)
-        for i in range(n_cycles)
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    """Bronze: N poll cycles of the REST source in ONE scan (the batch
+    backfill form — cities × cycles input partitions; the streaming form
+    is rest.stream_weather + the same operators under foreachBatch)."""
+    return rest.read_weather(
+        spark, cities, epoch=start_epoch, n_cycles=n_cycles, interval=interval
+    )
 
 
 def to_silver(bronze: DataFrame) -> DataFrame:

@@ -141,10 +141,19 @@ if HAVE_DATASOURCE_API:
             cities = options.get("cities", ",".join(DEFAULT_CITIES))
             self.cities = [c.strip() for c in cities.split(",") if c.strip()]
             self.epoch = int(options.get("epoch", 1_700_000_000))
+            # batch backfill range: n_cycles polls, `interval` apart —
+            # one SCAN with cities×cycles partitions instead of a union
+            # of per-cycle reads (one plan node however long the range)
+            self.n_cycles = int(options.get("n_cycles", 1))
+            self.interval = int(options.get("interval", 3600))
 
         def partitions(self) -> Sequence[InputPartition]:
-            # One partition per city → executor-parallel fetch.
-            return [_CityPartition(c, self.epoch) for c in self.cities]
+            # One partition per (city, poll epoch) → executor-parallel fetch.
+            return [
+                _CityPartition(c, self.epoch + i * self.interval)
+                for i in range(self.n_cycles)
+                for c in self.cities
+            ]
 
         def read(self, partition: _CityPartition) -> Iterator[tuple]:
             row = parse_weather(synthetic_fetch(partition.city, partition.epoch))
@@ -220,13 +229,19 @@ def read_weather(
     spark: SparkSession,
     cities: Sequence[str] = DEFAULT_CITIES,
     epoch: int = 1_700_000_000,
+    n_cycles: int = 1,
+    interval: int = 3600,
 ) -> DataFrame:
-    """Executor-parallel REST ingest → flat typed DataFrame."""
+    """Executor-parallel REST ingest → flat typed DataFrame. With
+    ``n_cycles`` > 1, one scan covers the whole backfill range
+    (cities × cycles input partitions)."""
     register(spark)
     return (
         spark.read.format("weather_rest")
         .option("cities", ",".join(cities))
         .option("epoch", str(epoch))
+        .option("n_cycles", str(n_cycles))
+        .option("interval", str(interval))
         .load()
     )
 
