@@ -945,3 +945,64 @@ def below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_partkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot (reshaping surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_event_values",
+    """
+    SELECT user_id,
+           floor((coalesce(sum(CASE WHEN event_type = 'click'    THEN value END), 0)) * 100 + 0.5) / 100.0 AS click,
+           floor((coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0)) * 100 + 0.5) / 100.0 AS purchase,
+           floor((coalesce(sum(CASE WHEN event_type = 'view'     THEN value END), 0)) * 100 + 0.5) / 100.0 AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — long→wide reshaping: per-user value totals, one column per
+    event type. Values list passed EXPLICITLY (pivot without it runs an
+    extra distinct job over the key column — the 100 TB anti-pattern)."""
+    ev = load_table(spark, "events", sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.coalesce(F.sum("value"), F.lit(0.0)))
+    )
+    return out.select(
+        "user_id", _r2(F.col("click"), "click"),
+        _r2(F.col("purchase"), "purchase"), _r2(F.col("view"), "view"),
+    )
+
+
+@query(
+    "unpivot_daily_measures",
+    """
+    WITH daily AS (
+        SELECT CAST(year(ts) AS INTEGER) AS year,
+               CAST(month(ts) AS INTEGER) AS month,
+               CAST(dayofmonth(ts) AS INTEGER) AS day,
+               avg(value) AS avg_value, max(value) AS max_value
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT year, month, day, measure,
+           floor((val) * 100 + 0.5) / 100.0 AS val
+    FROM daily
+    UNPIVOT (val FOR measure IN (avg_value, max_value))
+    """,
+)
+def unpivot_daily_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — wide→long reshaping of the daily measure columns
+    (serving-layer export shape)."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.year("ts").alias("year"), F.month("ts").alias("month"),
+        F.dayofmonth("ts").alias("day"),
+    ).agg(F.avg("value").alias("avg_value"), F.max("value").alias("max_value"))
+    long = daily.unpivot(
+        ["year", "month", "day"], ["avg_value", "max_value"], "measure", "val"
+    )
+    return long.select("year", "month", "day", "measure", _r2(F.col("val"), "val"))
