@@ -143,3 +143,46 @@ def star_join(
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+
+
+def time_bucket_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: int,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Proximity range join with BOTH sides large and no equi key —
+    |left_ts - right_ts| <= tolerance — via time-bucket blocking.
+
+    A naive non-equi join here is a nested-loop/cartesian disaster; the
+    scalable form buckets both sides into tolerance-sized bins and hash-
+    joins each left bucket against {bucket-1, bucket, bucket+1} (any
+    qualifying pair is at most one bin apart), applying the exact range
+    predicate as a post-filter. One shuffle per side on the bucket key;
+    candidate count is bounded by bin occupancy, not |L|×|R|. The same
+    trick generalizes to any 1-D range join (value bands, geohash cells
+    for 2-D).
+
+    Columns come back prefixed to avoid collisions.
+    """
+    # microsecond arithmetic throughout — unix_timestamp() truncates to
+    # seconds and silently widens the tolerance at the boundary
+    tol_us = int(tolerance_seconds) * 1_000_000
+    bucket = lambda c: F.expr(f"unix_micros({c}) div {tol_us}")  # noqa: E731
+    l = left.select(
+        *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]
+    ).withColumn("__bucket", F.explode(F.array(
+        bucket(f"{left_prefix}{left_ts}") - 1,
+        bucket(f"{left_prefix}{left_ts}"),
+        bucket(f"{left_prefix}{left_ts}") + 1,
+    )))
+    r = right.select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    ).withColumn("__bucket", bucket(f"{right_prefix}{right_ts}"))
+
+    lts, rts = F.col(f"{left_prefix}{left_ts}"), F.col(f"{right_prefix}{right_ts}")
+    within = F.abs(F.unix_micros(lts) - F.unix_micros(rts)) <= tol_us
+    return l.join(r, on="__bucket", how="inner").filter(within).drop("__bucket")

@@ -1006,3 +1006,30 @@ def unpivot_daily_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["year", "month", "day"], ["avg_value", "max_value"], "measure", "val"
     )
     return long.select("year", "month", "day", "measure", _r2(F.col("val"), "val"))
+
+
+@query(
+    "clicks_near_purchases",
+    """
+    SELECT c.user_id AS click_user, count(*) AS n_nearby_purchases
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT ts FROM events WHERE event_type = 'purchase') p
+      ON p.ts BETWEEN c.ts - INTERVAL 2 MINUTE AND c.ts + INTERVAL 2 MINUTE
+    GROUP BY 1
+    """,
+)
+def clicks_near_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with BOTH sides large and NO equi key (the shape a
+    nested loop can't survive at 100 TB): purchases within ±2 minutes of
+    any click, via time-bucket blocking (joins.time_bucket_range_join —
+    hash join on tolerance-sized bins, exact predicate as post-filter)."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("ts")
+    out = joins.time_bucket_range_join(
+        clicks, purchases, "ts", "ts", tolerance_seconds=120,
+        left_prefix="c_", right_prefix="p_",
+    )
+    return out.groupBy(F.col("c_user_id").alias("click_user")).agg(
+        F.count("*").alias("n_nearby_purchases")
+    )

@@ -96,3 +96,12 @@ def test_events_scans_prune_to_used_columns(q):
     for name in ("hourly_agg", "running_total"):
         for cols in plans.read_schema_columns(q[name]):
             assert len(cols) <= 6, (name, cols)
+
+
+def test_time_bucket_range_join_is_hash_not_nested_loop(q):
+    df = q["clicks_near_purchases"]
+    assert plans.cartesian_product_count(df) == 0
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the bucket key makes it a proper hash/sort-merge equi join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
