@@ -75,6 +75,37 @@ def running_sum(
     return df.withColumn(alias, F.sum(value_col).over(w))
 
 
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Batch gap-based sessionization — the batch twin of
+    streaming/windows.py's session_window (SURVEY §2.J ∅→native row).
+
+    A session breaks when the gap to the previous event of the same key
+    exceeds ``gap_seconds``. Classic two-window formulation: lag() marks
+    session starts, a running sum over the same window spec numbers them
+    (``session_id`` is 1-based per key). Both windows share ONE shuffle
+    on ``keys`` (same partition spec); gaps are compared in integer
+    microseconds so the boundary is exact (double seconds would round).
+
+    Scale: one shuffle; per-key data must fit a task's sort buffer —
+    fine for user-keyed event data (no single user has 100 TB of
+    events). ``tiebreak`` makes ordering total when timestamps tie.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap_us = int(gap_seconds) * 1_000_000
+    prev = F.lag(us).over(w)
+    is_start = (prev.isNull() | ((us - prev) > gap_us)).cast("int")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_id", F.sum(is_start).over(running))
+
+
 def top_k_per_group(
     df: DataFrame,
     keys: Sequence[str],

@@ -1033,3 +1033,218 @@ def clicks_near_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(F.col("c_user_id").alias("click_user")).agg(
         F.count("*").alias("n_nearby_purchases")
     )
+
+
+@query(
+    "user_sessions_batch",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY 1, 2
+    """,
+)
+def user_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30 min gap) — the oracle-checkable
+    batch twin of `stream_session_30m` / `stream_user_sessions`
+    (windows.sessionize: lag marks starts, running sum numbers sessions,
+    both windows sharing one shuffle on user_id)."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id")
+    s = windows.sessionize(
+        ev, keys=["user_id"], ts_col="ts", gap_seconds=1800, tiebreak=["event_id"]
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "order_count_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: LEFT OUTER join (customers with zero orders must
+    survive) -> per-customer count -> distribution of counts. Exercises
+    outer-join null semantics (count(col) skips nulls) and a re-aggregation
+    over an aggregate. At scale: the outer join shuffles on custkey; the
+    second aggregate's key (c_count) is tiny -> partial agg collapses it
+    map-side."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "big_orders",
+    """
+    SELECT c_name, o_orderkey,
+           floor((t.total_qty) * 100 + 0.5) / 100.0 AS total_qty
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 300
+    ) t ON o_orderkey = t.l_orderkey
+    """,
+)
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: aggregate-then-join — large-quantity orders via a
+    HAVING subquery joined back to orders and customer. The lineitem agg
+    runs FIRST (shuffle on l_orderkey), shrinking the join's probe side to
+    the qualifying keys; customer is broadcast. The wrong plan (join raw
+    lineitem first, aggregate after) shuffles the full fact twice."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(qualifying, orders.o_orderkey == qualifying.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", _r2(F.col("total_qty"), "total_qty"))
+    )
+
+
+@query(
+    "returned_orders_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def returned_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: EXISTS correlated subquery == LEFT SEMI join (one
+    probe-side row per match regardless of multiplicity — an inner join
+    would double-count orders with several returned lines). The semi join
+    ships only l_orderkey from the filtered fact."""
+    orders = load_table(spark, "orders", sf_dir)
+    returned = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           floor((quantile_cont(value, 0.50)) * 100 + 0.5) / 100.0 AS p50,
+           floor((quantile_cont(value, 0.90)) * 100 + 0.5) / 100.0 AS p90,
+           floor((quantile_cont(value, 0.99)) * 100 + 0.5) / 100.0 AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (F.percentile == SQL
+    percentile_cont == DuckDB quantile_cont, all linear interpolation).
+    At 100 TB use approx_percentile instead (t-digest sketch, one pass,
+    mergeable map-side) — the exact form materializes each group's values
+    into the aggregation buffer."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        _r2(F.expr("percentile(value, 0.50)"), "p50"),
+        _r2(F.expr("percentile(value, 0.90)"), "p90"),
+        _r2(F.expr("percentile(value, 0.99)"), "p99"),
+    )
+
+
+@query(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket,
+           count(*) AS n,
+           floor((min(value)) * 100 + 0.5) / 100.0 AS lo,
+           floor((max(value)) * 100 + 0.5) / 100.0 AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by pure column arithmetic (floor(value/width))
+    — a groupBy on a derived low-cardinality key, fully map-side
+    combinable. The portable form of width_bucket."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 50.0).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _r2(F.min("value"), "lo"),
+            _r2(F.max("value"), "hi"),
+        )
+    )
+
+
+@query(
+    "union_schema_evolution",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM (
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE year(o_orderdate) < 1995
+        UNION ALL BY NAME
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE year(o_orderdate) >= 1995
+    )
+    """,
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union — unionByName(allowMissingColumns=True)
+    (SURVEY §2.H extension): a legacy extract lacking o_orderpriority
+    unions with the current schema; missing columns become nulls, matched
+    BY NAME not position (positional unionAll would silently misalign)."""
+    orders = load_table(spark, "orders", sf_dir)
+    legacy = orders.filter(F.year("o_orderdate") < 1995).select(
+        "o_orderkey", "o_totalprice"
+    )
+    current = orders.filter(F.year("o_orderdate") >= 1995).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return legacy.unionByName(current, allowMissingColumns=True)

@@ -105,3 +105,24 @@ def test_time_bucket_range_join_is_hash_not_nested_loop(q):
     assert "BroadcastNestedLoopJoin" not in plan
     # the bucket key makes it a proper hash/sort-merge equi join
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_user_sessions_batch_single_window_shuffle(q):
+    # lag + running-sum share one window spec → one shuffle on user_id,
+    # plus one for the (user_id, session_id) aggregate.
+    assert plans.exchange_count(q["user_sessions_batch"]) <= 2
+
+
+def test_big_orders_aggregates_before_join_and_broadcasts_customer(q):
+    df = q["big_orders"]
+    assert plans.cartesian_product_count(df) == 0
+    assert plans.broadcast_join_count(df) >= 1  # customer dim
+    # lineitem scan must read only the two agg columns
+    cols_per_scan = plans.read_schema_columns(df)
+    assert any(set(c) == {"l_orderkey", "l_quantity"} for c in cols_per_scan)
+
+
+def test_returned_orders_exists_pushes_returnflag_filter(q):
+    df = q["returned_orders_exists"]
+    assert any("l_returnflag" in p for p in plans.pushed_filters(df))
+    assert "LeftSemi" in plans.formatted_plan(df)
