@@ -97,6 +97,54 @@ def synthetic_fetch(city: str, epoch: int = 1_700_000_000) -> dict:
     }
 
 
+class HttpFetcher:
+    """Real HTTP GET fetcher — stdlib urllib, no extra deps — with the
+    reference's WeatherAPIClient policy (weather_producer.py:66-91):
+    ``?q={city}&units=metric``, 10 s timeout, None on any error, plus
+    bounded retries with linear backoff (the producer's retries=3,
+    weather_producer.py:151). A module-level class (not a closure) so it
+    pickles to executors inside the data-source reader.
+
+    The poll epoch is forwarded as ``dt`` so deterministic test servers
+    can echo time-dependent payloads; real endpoints ignore it.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        api_key: str | None = None,
+        timeout_seconds: float = 10.0,
+        retries: int = 3,
+        backoff_seconds: float = 0.5,
+    ) -> None:
+        self.base_url = base_url
+        self.api_key = api_key
+        self.timeout_seconds = timeout_seconds
+        self.retries = retries
+        self.backoff_seconds = backoff_seconds
+
+    def __call__(self, city: str, epoch: int) -> dict | None:
+        import json
+        import time
+        import urllib.parse
+        import urllib.request
+
+        params = {"q": city, "units": "metric", "dt": str(epoch)}
+        if self.api_key:
+            params["appid"] = self.api_key
+        url = f"{self.base_url}?{urllib.parse.urlencode(params)}"
+        for attempt in range(max(1, self.retries)):
+            try:
+                with urllib.request.urlopen(url, timeout=self.timeout_seconds) as resp:
+                    if getattr(resp, "status", 200) != 200:
+                        raise OSError(f"HTTP {resp.status}")
+                    return json.loads(resp.read().decode("utf-8"))
+            except Exception:
+                if attempt + 1 < self.retries:
+                    time.sleep(self.backoff_seconds * (attempt + 1))
+        return None
+
+
 def parse_weather(raw: dict, ingestion_ts: datetime | None = None) -> tuple | None:
     """S2 — nested payload → flat 18-tuple matching WEATHER_SCHEMA; None
     on malformed input (the reference's None-on-error contract,
@@ -129,6 +177,21 @@ def parse_weather(raw: dict, ingestion_ts: datetime | None = None) -> tuple | No
         return None
 
 
+def _fetcher_from_options(options: dict) -> Callable[[str, int], dict | None]:
+    """base_url option set → real HTTP fetch (executor-side); otherwise
+    the deterministic synthetic fetcher (no network in this container)."""
+    base_url = options.get("base_url")
+    if not base_url:
+        return synthetic_fetch
+    return HttpFetcher(
+        base_url,
+        api_key=options.get("api_key") or None,
+        timeout_seconds=float(options.get("timeout_seconds", 10.0)),
+        retries=int(options.get("retries", 3)),
+        backoff_seconds=float(options.get("backoff_seconds", 0.5)),
+    )
+
+
 if HAVE_DATASOURCE_API:
 
     class _CityPartition(InputPartition):
@@ -146,6 +209,7 @@ if HAVE_DATASOURCE_API:
             # of per-cycle reads (one plan node however long the range)
             self.n_cycles = int(options.get("n_cycles", 1))
             self.interval = int(options.get("interval", 3600))
+            self.fetch = _fetcher_from_options(options)
 
         def partitions(self) -> Sequence[InputPartition]:
             # One partition per (city, poll epoch) → executor-parallel fetch.
@@ -156,7 +220,8 @@ if HAVE_DATASOURCE_API:
             ]
 
         def read(self, partition: _CityPartition) -> Iterator[tuple]:
-            row = parse_weather(synthetic_fetch(partition.city, partition.epoch))
+            raw = self.fetch(partition.city, partition.epoch)
+            row = parse_weather(raw) if raw is not None else None
             if row is not None:
                 yield row
 
@@ -173,6 +238,7 @@ if HAVE_DATASOURCE_API:
             self.cities = [c.strip() for c in cities.split(",") if c.strip()]
             self.epoch0 = int(options.get("epoch", 1_700_000_000))
             self.interval = int(options.get("interval", 3600))  # config.yaml:11
+            self.fetch = _fetcher_from_options(options)
 
         def initialOffset(self) -> dict:
             return {"epoch": self.epoch0}
@@ -180,7 +246,8 @@ if HAVE_DATASOURCE_API:
         def _rows(self, epoch: int) -> list[tuple]:
             # materialized list, not a generator: the prefetch cache
             # copies the returned iterator (generators don't pickle)
-            rows = (parse_weather(synthetic_fetch(c, epoch)) for c in self.cities)
+            raws = (self.fetch(c, epoch) for c in self.cities)
+            rows = (parse_weather(r) for r in raws if r is not None)
             return [r for r in rows if r is not None]
 
         def read(self, start: dict):
@@ -231,19 +298,27 @@ def read_weather(
     epoch: int = 1_700_000_000,
     n_cycles: int = 1,
     interval: int = 3600,
+    base_url: str | None = None,
+    api_key: str | None = None,
 ) -> DataFrame:
     """Executor-parallel REST ingest → flat typed DataFrame. With
     ``n_cycles`` > 1, one scan covers the whole backfill range
-    (cities × cycles input partitions)."""
+    (cities × cycles input partitions). With ``base_url``, each
+    partition performs a REAL executor-side HTTP GET (HttpFetcher:
+    10 s timeout, 3 retries, None-on-error drops the row)."""
     register(spark)
-    return (
+    reader = (
         spark.read.format("weather_rest")
         .option("cities", ",".join(cities))
         .option("epoch", str(epoch))
         .option("n_cycles", str(n_cycles))
         .option("interval", str(interval))
-        .load()
     )
+    if base_url:
+        reader = reader.option("base_url", base_url)
+    if api_key:
+        reader = reader.option("api_key", api_key)
+    return reader.load()
 
 
 def read_weather_driver_side(

@@ -9,6 +9,7 @@ commits (S8, kafka_consumer_s3.py:238-240).
 
 from __future__ import annotations
 
+import contextlib
 import tempfile
 import uuid
 
@@ -16,6 +17,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
+
+# RocksDB-backed streaming state (ships with Spark's rocksdbjni jar).
+# The default HDFSBackedStateStoreProvider keeps EVERY key's state on
+# the executor HEAP — at 100 TB of keyed state (dedup keys, open
+# session windows) that's an OOM, not a tuning problem. RocksDB spills
+# state to local SSD with an off-heap block cache, bounding heap by the
+# changelog + cache, and supports changelog checkpointing for faster
+# commits. This is the production default for large stateful queries.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextlib.contextmanager
+def rocksdb_state(spark: SparkSession, changelog_checkpointing: bool = True):
+    """Scope RocksDB state-store use to a block: queries STARTED inside
+    pick up the provider from the session conf (it's bound per-query at
+    start, so already-running queries are unaffected); the previous
+    provider is restored on exit."""
+    changelog_conf = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    prev = spark.conf.get(_PROVIDER_CONF, None)
+    prev_changelog = spark.conf.get(changelog_conf, None)
+    spark.conf.set(_PROVIDER_CONF, ROCKSDB_PROVIDER)
+    spark.conf.set(changelog_conf, str(changelog_checkpointing).lower())
+    try:
+        yield spark
+    finally:
+        for key, old in ((_PROVIDER_CONF, prev), (changelog_conf, prev_changelog)):
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def stream_events(

@@ -160,3 +160,69 @@ def test_rest_stream_polls_and_advances_epoch(spark):
     paris = [r for r in got if r["city"] == "Paris" and r["timestamp"] == ts[0]]
     expected = rest.parse_weather(rest.synthetic_fetch("Paris"))
     assert paris and tuple(paris[0])[:14] == expected[:14]
+
+
+# --- Real HTTP fetch (HttpFetcher, stdlib urllib) ---------------------------
+
+
+@pytest.fixture(scope="module")
+def weather_server():
+    """Local http.server speaking the OpenWeather GET contract: echoes
+    the deterministic synthetic payload for (q, dt); /missing 404s."""
+    import http.server
+    import json
+    import threading
+    import urllib.parse
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            params = dict(urllib.parse.parse_qsl(parsed.query))
+            if parsed.path != "/weather" or "q" not in params:
+                self.send_error(404)
+                return
+            payload = rest.synthetic_fetch(params["q"], int(params.get("dt", 0)))
+            body = json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_fetcher_success_matches_synthetic(weather_server):
+    fetch = rest.HttpFetcher(f"{weather_server}/weather")
+    assert fetch("Paris", 1_700_000_000) == rest.synthetic_fetch("Paris", 1_700_000_000)
+
+
+def test_http_fetcher_error_returns_none_after_bounded_retries(weather_server):
+    # 404 path: the reference's None-on-error contract (producer :83-91)
+    fetch = rest.HttpFetcher(f"{weather_server}/nope", retries=2, backoff_seconds=0.01)
+    assert fetch("Paris", 0) is None
+
+
+def test_http_fetcher_unreachable_returns_none():
+    # connection refused (reserved port, nothing listening) — fast failure
+    fetch = rest.HttpFetcher(
+        "http://127.0.0.1:9/weather", timeout_seconds=0.5, retries=1
+    )
+    assert fetch("Paris", 0) is None
+
+
+def test_rest_source_over_real_http_matches_synthetic(spark, weather_server):
+    via_http = rest.read_weather(
+        spark, cities=("Paris", "London"), base_url=f"{weather_server}/weather"
+    )
+    synthetic = rest.read_weather(spark, cities=("Paris", "London"))
+    assert sorted(map(tuple, via_http.collect())) == sorted(
+        map(tuple, synthetic.collect())
+    )

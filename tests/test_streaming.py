@@ -200,3 +200,42 @@ def schema_of_events():
     from pyspark.sql import types as T
 
     return T.StructType([f for f in schemas.EVENTS.fields if f.name != "props"])
+
+
+def test_rocksdb_state_store_matches_heap_provider(spark, staged_events):
+    """Same stateful query (tumbling agg + stateful dedup) on the RocksDB
+    state store provider — results identical to the default heap
+    provider, proving the production large-state config works."""
+    path, ev = staged_events
+    with core.rocksdb_state(spark):
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == core.ROCKSDB_PROVIDER
+        )
+        stream = _stream_staged(spark, path)
+        got = core.run_available_now(
+            swin.tumbling_value_stats(stream, window="1 hour", watermark="1 hour"),
+            output_mode="complete",
+        )
+        rows_agg = sorted(map(tuple, got.collect()))
+        dedup = core.run_available_now(
+            dedup_within_watermark(
+                _stream_staged(spark, path).select("ts", "user_id", "event_type"),
+                ["user_id", "event_type"],
+                delay="30 days",
+            ),
+            output_mode="append",
+        )
+        n_dedup = dedup.count()
+    # provider restored after the block
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        )
+        != core.ROCKSDB_PROVIDER
+    )
+    want = swin.tumbling_value_stats(ev, window="1 hour")
+    assert rows_agg == sorted(map(tuple, want.collect()))
+    n_keys = ev.select("user_id", "event_type").distinct().count()
+    assert n_dedup == n_keys
