@@ -495,3 +495,30 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the geometry arithmetic (decode dims faked from payload size)."""
     docs = binarycol.attach_binary_payload(load_table(spark, "documents", sf_dir))
     return binarycol.resize_images(docs, target=224, fake_decoder=True)
+
+
+@query(
+    "embedding_centroids",
+    """
+    SELECT label, dim,
+           floor((avg(v)) * 10000 + 0.5) / 10000.0 AS mean_v,
+           count(*) AS n_vectors
+    FROM (
+        SELECT label, unnest(embedding) AS v,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim
+        FROM embeddings
+    )
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes / IVF training
+    step) via posexplode + hash aggregate — vector math as plain
+    columnar aggregation, no driver collect (similarity/brute.py::
+    label_centroids). 4-decimal quantization: values are ~N(0,1) floats,
+    2 decimals would flatten them."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = sim_brute.label_centroids(emb)
+    return out.select(
+        "label", "dim", quantize(F.col("mean_v"), "mean_v", 4), "n_vectors"
+    )

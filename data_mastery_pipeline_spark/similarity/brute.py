@@ -32,3 +32,28 @@ def cosine_topk(
         cosine(F.col(vec_col).cast("array<double>"), q).alias("cos"),
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid of an embedding column, long format
+    (label, dim, mean_v) — the distributed vector-mean every clustering /
+    IVF-training / class-prototype step needs (ivf.py trains its cells
+    with the same pattern).
+
+    posexplode turns arrays into (dim, value) rows so the mean is a plain
+    hash aggregate: map-side partial sums per (label, dim), ONE shuffle of
+    labels x dims rows — never a collect of vectors to the driver. The
+    wide-format alternative (aggregate() over zipped arrays) holds whole
+    vectors in each aggregation buffer; long format keeps buffers scalar
+    and lets AQE handle label skew.
+    """
+    exploded = df.select(
+        F.col(label_col), F.posexplode(vec_col).alias("dim", "v")
+    )
+    return exploded.groupBy(label_col, "dim").agg(
+        F.avg("v").alias("mean_v"), F.count("*").alias("n_vectors")
+    )

@@ -66,3 +66,87 @@ def read_day(
     return df.filter(
         (F.col("year") == year) & (F.col("month") == month) & (F.col("day") == day)
     )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    partition_cols: Sequence[str] = DATE_PARTS,
+    max_records_per_file: int = 1_000_000,
+) -> dict:
+    """Small-file compaction — rewrite a partitioned dataset so each
+    partition directory holds few, right-sized files.
+
+    Streaming ingest (one file per micro-batch per partition — the
+    reference's one-parquet-per-100-messages layout,
+    kafka_consumer_s3.py:154) accretes thousands of tiny files per
+    partition; at 100 TB that is a metadata/listing bottleneck and a
+    per-file open cost that dominates scans. The fix is periodic rewrite:
+    repartition BY THE PARTITION COLUMNS so each partition dir's rows
+    land in one shuffle partition (AQE coalesces small ones /
+    splits skewed ones), then write with `maxRecordsPerFile` as the
+    upper bound.
+
+    Writes to ``dest_path`` — parquet directories cannot be rewritten
+    in place while being read (that atomicity is what table formats'
+    MERGE/OPTIMIZE add; with plain parquet, swap paths after the write).
+    Returns {"files_before", "files_after", "rows"}.
+    """
+    import glob
+
+    def _count_files(p: str) -> int:
+        return len(glob.glob(f"{p}/**/*.parquet", recursive=True))
+
+    df = spark.read.parquet(src_path)
+    rows = df.count()
+    before = _count_files(src_path)
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy(*partition_cols)
+        .parquet(dest_path)
+    )
+    return {
+        "files_before": before,
+        "files_after": _count_files(dest_path),
+        "rows": rows,
+    }
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    mode: str = "overwrite",
+    max_records_per_file: int = 1_000_000,
+    num_files: int | None = None,
+) -> None:
+    """Cluster-on-write for data skipping — the plain-parquet analog of
+    the reference's serving-side btree indexes (schema.sql:81-86) and of
+    table-format Z-ordering (SURVEY §4 access-path row).
+
+    repartitionByRange assigns disjoint key ranges to output files;
+    sortWithinPartitions orders rows inside each. Parquet's row-group
+    min/max statistics then become SELECTIVE: a point or range filter on
+    the cluster key prunes whole files/row-groups at scan time instead
+    of decoding them. On 100 TB this is the difference between reading
+    one file and reading all of them for a needle query. (Multi-column
+    needle queries across independent dimensions want true Z-ordering —
+    a space-filling curve — which needs a table format or an explicit
+    interleave-bits column; single-dimension range clustering is the
+    parquet-native 90% case.)
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    ranged = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files is not None  # pin file count; else AQE sizes it
+        else df.repartitionByRange(*cols)
+    )
+    (
+        ranged.sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .parquet(path)
+    )

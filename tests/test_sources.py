@@ -226,3 +226,52 @@ def test_rest_source_over_real_http_matches_synthetic(spark, weather_server):
     assert sorted(map(tuple, via_http.collect())) == sorted(
         map(tuple, synthetic.collect())
     )
+
+
+def test_compaction_shrinks_file_count_preserves_data(spark, tmp_path):
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "compact")
+    ev = load_table(spark, "events", SF_ORACLE).select("event_id", "ts", "user_id")
+    frag = writers.with_date_partitions(ev)
+    # simulate micro-batch accretion: many tiny files per partition dir
+    writers.write_partitioned(frag, src, mode="overwrite", max_records_per_file=50)
+    stats = writers.compact_partitioned(spark, src, dest)
+    assert stats["files_before"] > 3 * stats["files_after"]
+    assert stats["rows"] == ev.count()
+    # hive layout preserved and values identical
+    a = sorted(map(tuple, spark.read.parquet(dest).select("event_id", "user_id").collect()))
+    b = sorted(map(tuple, ev.select("event_id", "user_id").collect()))
+    assert a == b
+    # partition pruning still works on the compacted layout
+    one_day = writers.read_day(spark, dest, 2024, 1, 2)
+    assert one_day.count() > 0
+
+
+def test_clustered_write_gives_selective_file_stats(spark, tmp_path):
+    """After write_clustered on user_id, each file's user_id min/max span
+    is a small disjoint slice of the key space — the property parquet
+    row-group skipping needs to prune needle queries."""
+    import pyarrow.parquet as pq
+    import glob
+
+    dest = str(tmp_path / "clustered")
+    ev = load_table(spark, "events", SF_ORACLE).select("event_id", "user_id", "value")
+    writers.write_clustered(ev, dest, ["user_id"], num_files=8)
+
+    files = glob.glob(f"{dest}/*.parquet")
+    assert len(files) > 1
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["user_id"]).statistics
+            los.append(st.min)
+            his.append(st.max)
+        spans.append((min(los), max(his)))
+    glo = min(s[0] for s in spans)
+    ghi = max(s[1] for s in spans)
+    total_span = sum(hi - lo for lo, hi in spans)
+    # clustered: per-file spans tile the key space instead of each file
+    # covering ~all of it (unclustered would give ~len(files) * global)
+    assert total_span <= 1.2 * (ghi - glo)
