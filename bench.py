@@ -40,6 +40,11 @@ HEADLINE = [
     "text_quality",
     "partitioned_roundtrip",
     "stream_tumbling_hourly",
+    "user_sessions_batch",
+    "big_orders",
+    "clicks_near_purchases",
+    "embedding_centroids",
+    "near_dup_clusters",
 ]
 
 

@@ -1,0 +1,122 @@
+"""Connected components over a pair graph — near-dup pairs → dedup GROUPS.
+
+Pair detection (minhash.py / ngram.py / simhash.py) yields edges; the
+deduplication step a training-data pipeline actually executes needs the
+transitive closure of those edges — "these 5 docs are all one document,
+keep one". This operator assigns every node the minimum node id of its
+component via iterative min-label propagation:
+
+    label(n) ← min(label(n), min_{(m,n) ∈ E} label(m))      until fixpoint
+
+Each iteration is one join + one min-aggregate — both plain shuffles on
+the node id. Convergence takes O(graph diameter) rounds, and near-dup
+graphs are shallow (docs similar to a common ancestor), so 3-5 rounds is
+typical. `localCheckpoint` after each round truncates the lineage so the
+plan doesn't grow exponentially across iterations (the classic iterative-
+DataFrame trap: unchecked, round k replays rounds 1..k-1).
+
+At extreme scale (billions of edges, high-diameter graphs) the
+alternating large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) converges in fewer, more
+balanced rounds; min-propagation is the right default for the shallow
+graphs dedup produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_alias: str = "id",
+    comp_alias: str = "component",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; the
+    component id is the minimum node id of the component. Deterministic
+    regardless of partitioning (min is order-insensitive)."""
+    # checkpoint the DIRECTED edges first, then mirror: union-then-
+    # checkpoint would evaluate the (possibly expensive) edge plan twice
+    # d holds each undirected edge ONCE (a<b normalized); propagation
+    # mirrors it lazily, contraction only ever rewrites the half-size set.
+    d = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    d = d.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).localCheckpoint()
+
+    # mapping: original node → current representative. Starts as identity;
+    # each round composes the round's relabeling into it.
+    mirrored = d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mapping = (
+        mirrored.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # One min-propagation round over the CURRENT (contracted) graph:
+        # lab(r) = min(r, min of r's neighbors).
+        mirrored = d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        prop = (
+            mirrored.groupBy(F.col("b").alias("id"))
+            .agg(F.min("a").alias("lab"))
+            .withColumn("lab", F.least("id", "lab"))
+            .localCheckpoint()  # also breaks the self-join plan identity below
+        )
+        # Pointer jump (lab ← lab(lab)): collapses the stars the round
+        # just formed; tiny table, cheap join, halves the rounds needed
+        # on chain-shaped graphs.
+        ptr = prop.select(F.col("id").alias("p_id"), F.col("lab").alias("p_lab"))
+        jumped = (
+            prop.join(ptr, F.col("lab") == F.col("p_id"))
+            .select("id", F.col("p_lab").alias("lab"))
+            .localCheckpoint()
+        )
+        # Compose into the full mapping (original node space).
+        mapping = (
+            mapping.alias("m")
+            .join(jumped.alias("j"), F.col("m.lab") == F.col("j.id"), "left")
+            .select(
+                F.col("m.id").alias("id"),
+                F.coalesce(F.col("j.lab"), F.col("m.lab")).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        # CONTRACT: rewrite edges in representative space and drop
+        # self-loops + duplicates. Dense clusters collapse to a point
+        # after one round, so |e| shrinks geometrically — later rounds
+        # shuffle thousands of rows, not the full edge set (the
+        # alternating-contraction idea of Kiveris et al. SoCC'14).
+        ja = jumped.select(F.col("id").alias("a"), F.col("lab").alias("la"))
+        jb = jumped.select(F.col("id").alias("b"), F.col("lab").alias("lb"))
+        d = (
+            d.join(ja, "a")
+            .join(jb, "b")
+            .select(
+                F.least("la", "lb").alias("a"), F.greatest("la", "lb").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if d.isEmpty():
+            break
+    labels = mapping
+    return labels.select(F.col("id").alias(id_alias), F.col("lab").alias(comp_alias))
+
+
+def canonical_per_component(
+    members: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    comp_col: str = "component",
+) -> DataFrame:
+    """Keep ONE row of ``df`` per component (the minimum id — the
+    component label itself): the "drop near-duplicates" action. Rows of
+    ``df`` not in any component (singletons) are kept as-is."""
+    dups = members.filter(F.col(id_col) != F.col(comp_col)).select(id_col)
+    return df.join(dups, id_col, "left_anti")

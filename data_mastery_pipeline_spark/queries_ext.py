@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .dedup import components as dedup_components
 from .dedup import exact as dedup_exact
 from .dedup import embedding as dedup_emb
 from .dedup import minhash as dedup_minhash
@@ -522,3 +523,71 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "label", "dim", quantize(F.col("mean_v"), "mean_v", 4), "n_vectors"
     )
+
+
+_SQL_NEAR_DUP_CLUSTERS = f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, lang, list_distinct({_SQL_TOKS}) AS toks,
+               len(list_distinct({_SQL_TOKS})) AS n_toks
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM base a JOIN base b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND b.n_toks BETWEEN a.n_toks * 0.8 AND a.n_toks * 1.2
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= 0.35
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ), reach(node, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+def _near_dup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup_ngram.jaccard_pairs_blocked(
+        docs, block_cols=("lang",), length_tolerance=0.2, threshold=0.35
+    ).select("id_a", "id_b")
+    return dedup_components.connected_components(
+        pairs, id_alias="doc_id", comp_alias="cluster_id"
+    )
+
+
+@query("near_dup_clusters", _SQL_NEAR_DUP_CLUSTERS)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup GROUPS: iterative min-label propagation
+    (dedup/components.py) over the exact-Jaccard pair graph. The oracle
+    is a DuckDB recursive CTE computing the same transitive closure, so
+    the ITERATIVE DataFrame algorithm itself is value-checked — not just
+    rows-counted."""
+    return _near_dup_members(spark, sf_dir)
+
+
+@query(
+    "near_dup_canonical",
+    f"""
+    WITH RECURSIVE members AS ({_SQL_NEAR_DUP_CLUSTERS})
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+        SELECT doc_id FROM members WHERE doc_id <> cluster_id
+    )
+    """,
+)
+def near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION: keep one canonical doc per near-dup cluster
+    (the min doc_id), singletons untouched — left-anti join of documents
+    against non-canonical members."""
+    docs = load_table(spark, "documents", sf_dir)
+    members = _near_dup_members(spark, sf_dir)
+    kept = dedup_components.canonical_per_component(
+        members, docs, id_col="doc_id", comp_col="cluster_id"
+    )
+    return kept.select("doc_id", "lang", "source")
