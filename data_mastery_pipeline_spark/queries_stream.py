@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 from .registry import quantize, query
 from .schemas import EVENTS
 from .streaming import core, dedup as sdedup, kafka, stateful, windows as swin
+from .streaming import joins as sjoins
 from .tables import load_table
 
 # JSON timestamp format carrying full µs precision for the Kafka
@@ -199,3 +200,40 @@ def kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.col("value"), "value", 4),
         "_kafka_partition",
     )
+
+
+@query(
+    "stream_interval_join",
+    """
+    SELECT c.user_id AS click_user, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT ts FROM events WHERE event_type = 'purchase') p
+      ON p.ts BETWEEN c.ts - INTERVAL 2 MINUTE AND c.ts + INTERVAL 2 MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — purchases within ±2 min of any
+    click, both sides unbounded streams (the streaming twin of
+    clicks_near_purchases). Watermarks on BOTH sides bound the join
+    state: a buffered click can be evicted once the purchase watermark
+    passes click_ts + 2 min (Spark derives the eviction bound from the
+    time-range condition). Without them, each side would buffer its
+    whole history — the unbounded-state trap of stream-stream joins.
+
+    Spark REFUSES stream-stream joins with no equality predicate (state
+    would be all-pairs); the same time-bucket blocking as the batch
+    operator supplies one (streaming/joins.py::interval_join_streams)."""
+    clicks = (
+        core.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        core.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("ts").alias("purchase_ts"))
+    )
+    joined = sjoins.interval_join_streams(
+        clicks, purchases, "click_ts", "purchase_ts", tolerance_seconds=120
+    ).select("click_user", "click_ts", "purchase_ts")
+    return core.run_available_now(joined, output_mode="append")

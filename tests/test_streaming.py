@@ -239,3 +239,43 @@ def test_rocksdb_state_store_matches_heap_provider(spark, staged_events):
     assert rows_agg == sorted(map(tuple, want.collect()))
     n_keys = ev.select("user_id", "event_type").distinct().count()
     assert n_dedup == n_keys
+
+
+def test_multibatch_stream_stream_interval_join(spark, staged_events):
+    """Stream-stream time-bucket interval join across 4 micro-batches
+    equals the batch join — including pairs whose click and purchase
+    arrive in DIFFERENT micro-batches (the join state carries them)."""
+    from data_mastery_pipeline_spark.streaming import joins as sjoins
+
+    path, ev = staged_events
+    clicks = (
+        _stream_staged(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        _stream_staged(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("ts").alias("purchase_ts"))
+    )
+    out = core.run_available_now(
+        sjoins.interval_join_streams(
+            clicks, purchases, "click_ts", "purchase_ts", tolerance_seconds=120,
+            watermark="10 minutes",
+        ).select("click_user", "click_ts", "purchase_ts"),
+        output_mode="append",
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts")
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("purchase_ts")
+    )
+    want = bc.join(
+        bp,
+        F.abs(F.unix_micros("click_ts") - F.unix_micros("purchase_ts"))
+        <= 120 * 1_000_000,
+    )
+    got_rows = sorted(map(tuple, out.collect()))
+    want_rows = sorted(map(tuple, want.select("click_user", "click_ts", "purchase_ts").collect()))
+    assert got_rows == want_rows and len(got_rows) > 0
