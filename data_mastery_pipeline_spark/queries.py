@@ -1248,3 +1248,40 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     return legacy.unionByName(current, allowMissingColumns=True)
+
+
+@query(
+    "top_supplier_revenue",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           floor((total_revenue) * 100 + 0.5) / 100.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped: per-supplier revenue aggregate filtered by a
+    SCALAR subquery on its own maximum. The aggregate computes once and
+    fans out (self-referencing subquery); the max collapses to one row
+    and broadcasts back — no second scan of lineitem, no sort. (A window
+    max over an empty partitionBy would serialize to one task — the
+    scalar-subquery form keeps it a two-row-ish broadcast.)"""
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("m"))
+    out = (
+        revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+    )
+    return out.select("s_suppkey", "s_name", _r2(F.col("total_revenue"), "total_revenue"))
