@@ -58,6 +58,7 @@ def connected_components(
     ).localCheckpoint()
 
     for _ in range(max_iter):
+        prev_d, prev_mapping = d, mapping
         # One min-propagation round over the CURRENT (contracted) graph:
         # lab(r) = min(r, min of r's neighbors).
         mirrored = d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -103,7 +104,12 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        if d.isEmpty():
+        stop = d.isEmpty()
+        # free superseded checkpoint blocks — an unbounded loop would
+        # otherwise accumulate every round's materialization in storage
+        for stale in (prev_d, prev_mapping, prop, jumped):
+            stale.unpersist()
+        if stop:
             break
     labels = mapping
     return labels.select(F.col("id").alias(id_alias), F.col("lab").alias(comp_alias))
