@@ -591,3 +591,42 @@ def near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         members, docs, id_col="doc_id", comp_col="cluster_id"
     )
     return kept.select("doc_id", "lang", "source")
+
+
+@query(
+    "top_tokens",
+    f"""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 50
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode tokens -> count -> top-50 with a
+    deterministic (count DESC, token) tie-break. The canonical corpus-
+    statistics pass: one shuffle of (token, partial count) pairs thanks
+    to map-side combine; top-k is TakeOrderedAndProject, never a global
+    sort. At 100 TB the same plan holds — the shuffle carries one row
+    per distinct token per map partition, not one per occurrence."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(textfn.tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.desc("n"), F.col("tok")).limit(50)
+
+
+@query("value_percentiles_approx")
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile twin of value_percentiles — the one-pass
+    mergeable-sketch form that replaces exact percentiles at 100 TB
+    (exact materializes each group's values in the agg buffer; the
+    sketch is O(1/accuracy) per group and combines map-side). Rows-only
+    check: sketch outputs are engine-specific by construction; the exact
+    twin anchors correctness."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.50, 10000)").alias("p50"),
+        F.expr("approx_percentile(value, 0.90, 10000)").alias("p90"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"),
+    )

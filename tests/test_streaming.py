@@ -279,3 +279,64 @@ def test_multibatch_stream_stream_interval_join(spark, staged_events):
     got_rows = sorted(map(tuple, out.collect()))
     want_rows = sorted(map(tuple, want.select("click_user", "click_ts", "purchase_ts").collect()))
     assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_stream_stream_left_outer_interval_join(spark, staged_events):
+    """LEFT OUTER stream-stream interval join: matched rows equal the
+    inner join; clicks with no purchase within tolerance come out
+    null-padded once the watermark passes them (the tail inside the
+    final watermark horizon may legitimately stay unemitted)."""
+    from data_mastery_pipeline_spark.streaming import joins as sjoins
+
+    path, ev = staged_events
+
+    def clicks_stream():
+        return (
+            _stream_staged(spark, path)
+            .filter(F.col("event_type") == "click")
+            .select(F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        )
+
+    purchases = (
+        _stream_staged(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("ts").alias("purchase_ts"))
+    )
+    out = core.run_available_now(
+        sjoins.interval_join_streams(
+            clicks_stream(), purchases, "click_ts", "purchase_ts",
+            tolerance_seconds=120, watermark="10 minutes", how="left_outer",
+        ).select("click_id", "click_ts", "purchase_ts"),
+        output_mode="append",
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("purchase_ts")
+    )
+    cond = F.abs(F.unix_micros("click_ts") - F.unix_micros("purchase_ts")) <= 120_000_000
+
+    got_matched = sorted(map(tuple, out.filter(F.col("purchase_ts").isNotNull()).collect()))
+    want_matched = sorted(map(tuple, bc.join(bp, cond).select("click_id", "click_ts", "purchase_ts").collect()))
+    assert got_matched == want_matched
+
+    # null-padded = exactly a subset of the batch anti-join, and every
+    # unmatched click safely older than the final watermark horizon is
+    # present (horizon: max event time - watermark - tolerance).
+    got_unmatched = {r["click_id"] for r in out.filter(F.col("purchase_ts").isNull()).collect()}
+    batch_unmatched = {r["click_id"] for r in bc.join(bp, cond, "left_anti").collect()}
+    assert got_unmatched <= batch_unmatched
+    # the watermark the FINAL batch runs with was computed from the
+    # batches before it, so anchor the horizon at the 3rd-quartile batch
+    # boundary, not the global max event time
+    import datetime as dt
+
+    t75_us = ev.select(F.unix_micros("ts").alias("us")).approxQuantile("us", [0.75], 0.0)[0]
+    t75 = dt.datetime.fromtimestamp(t75_us / 1e6)
+    horizon = t75 - dt.timedelta(minutes=10 + 2 + 1)
+    old_unmatched = {
+        r["click_id"]
+        for r in bc.join(bp, cond, "left_anti").filter(F.col("click_ts") < F.lit(horizon)).collect()
+    }
+    assert old_unmatched <= got_unmatched and len(old_unmatched) > 0
