@@ -1285,3 +1285,63 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
     )
     return out.select("s_suppkey", "s_name", _r2(F.col("total_revenue"), "total_revenue"))
+
+
+@query(
+    "nation_trade_flows",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS volume
+    FROM lineitem
+    JOIN orders    ON o_orderkey = l_orderkey
+    JOIN customer  ON c_custkey = o_custkey
+    JOIN supplier  ON s_suppkey = l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped: ROLE-PLAYING dimension — the nation table joins
+    TWICE under different roles (supplier's nation vs customer's nation),
+    each role broadcast independently; cross-nation flows only. The fact
+    side shuffles once for orders (fact x fact), every dimension is a
+    broadcast — the multi-role pattern behind currency/date/geography
+    dims in real star schemas."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    # DECIMAL, not double: a 600-group double sum lands on 2-decimal
+    # quantization boundaries often enough that accumulation ORDER flips
+    # the rounded value between engines; decimal aggregation is exact
+    # and order-insensitive (and exercises the survey's NUMERIC serving
+    # types, SURVEY §1.2).
+    vol = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    ).cast("decimal(28,4)")
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("o_orderdate").alias("order_year")
+    ).agg(vol.alias("volume"))

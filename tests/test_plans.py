@@ -126,3 +126,10 @@ def test_returned_orders_exists_pushes_returnflag_filter(q):
     df = q["returned_orders_exists"]
     assert any("l_returnflag" in p for p in plans.pushed_filters(df))
     assert "LeftSemi" in plans.formatted_plan(df)
+
+
+def test_nation_trade_flows_broadcasts_all_dim_roles(q):
+    df = q["nation_trade_flows"]
+    assert plans.cartesian_product_count(df) == 0
+    # customer, supplier, and BOTH nation roles broadcast independently
+    assert plans.broadcast_join_count(df) >= 4
