@@ -90,3 +90,32 @@ def apply_retention(df: DataFrame, ts_col: str, cutoff: Column) -> DataFrame:
     same predicate on the partition column prunes whole partitions (the
     Spark-native analog of the reference's DELETE + partition drop)."""
     return df.filter(F.col(ts_col) >= cutoff)
+
+
+def with_observed_metrics(
+    df: DataFrame,
+    name: str = "metrics",
+    value_cols: Sequence[str] = (),
+):
+    """Attach free in-flight metrics to a DataFrame via ``observe()``.
+
+    The reference calls ``df.count()`` after every stage
+    (silver_processor.py:148,198,326) — each one RE-EXECUTES the plan,
+    so its pipeline pays for three extra full passes per run (the
+    SURVEY §3.2 anti-pattern). ``observe`` computes aggregate metrics
+    DURING the action that was going to run anyway: zero extra jobs,
+    zero extra scans, exact at any scale.
+
+    Returns (df_with_observation, observation); read
+    ``observation.get`` AFTER an action ran. Metrics: row count plus a
+    null count per listed column.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in value_cols:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        )
+    return df.observe(obs, *metrics), obs

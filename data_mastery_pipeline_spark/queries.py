@@ -1345,3 +1345,30 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("o_orderdate").alias("order_year")
     ).agg(vol.alias("volume"))
+
+
+@query(
+    "json_props_variant",
+    """
+    SELECT event_type,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 via Spark 4 VARIANT: parse_json once into the binary variant
+    encoding, then typed path extraction (variant_get). Against
+    get_json_object (json_props), variant parses each payload ONCE and
+    fields come out pre-shredded — with several extractions per payload
+    the string is re-parsed per path, the variant is not. The oracle is
+    plain SQL json_extract (values must agree regardless of encoding)."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.max("k").alias("max_k"),
+        F.min("k").alias("min_k"),
+        F.count("*").alias("n"),
+    )

@@ -61,3 +61,21 @@ def test_empty_dataset_fails(spark):
     rep = quality.check_quality(ev, key_cols=[], null_checked=[])
     assert not rep.passed
     assert "empty dataset" in rep.failures
+
+
+def test_observed_metrics_piggyback_on_the_action(spark):
+    """observe() yields row/null counts from the SAME job as the real
+    action — the scale-correct replacement for the reference's
+    count()-per-stage pattern (silver_processor.py:148,198,326)."""
+    from data_mastery_pipeline_spark.operators.quality import with_observed_metrics
+    from data_mastery_pipeline_spark.tables import load_table
+    from conftest import SF_ORACLE
+
+    ev = load_table(spark, "events", SF_ORACLE).select("event_id", "user_id", "props")
+    observed, obs = with_observed_metrics(ev, "ev_metrics", value_cols=["props"])
+    # one real action (the pipeline's own write/agg); metrics ride along
+    n_out = observed.filter(F.col("user_id").isNotNull()).count()
+    got = obs.get
+    assert got["n_rows"] == ev.count()  # observed BEFORE the filter
+    assert got["null_props"] == ev.filter(F.col("props").isNull()).count()
+    assert n_out <= got["n_rows"]
