@@ -124,7 +124,10 @@ def run_weather_pipeline(
         return result
 
     bronze = ingest_bronze(spark, cities, start_epoch, n_cycles)
-    silver = to_silver(bronze)
+    # observe() rides the stage writes below — row counts come from the
+    # jobs that run anyway, not from the reference's count-per-stage
+    # re-executions (silver_processor.py:148,198,326 anti-pattern)
+    silver, s_obs = quality.with_observed_metrics(to_silver(bronze), "silver_obs")
 
     def write_silver():
         writers.write_partitioned(
@@ -145,7 +148,8 @@ def run_weather_pipeline(
     if not rep.passed:
         raise RuntimeError(f"quality gate failed: {rep.failures}")
 
-    daily, hourly = silver_daily(silver), silver_hourly(silver)
+    daily, d_obs = quality.with_observed_metrics(silver_daily(silver), "daily_obs")
+    hourly, h_obs = quality.with_observed_metrics(silver_hourly(silver), "hourly_obs")
 
     def write_gold(df: DataFrame, name: str):
         def act():
@@ -161,9 +165,9 @@ def run_weather_pipeline(
     for a in audits[1:]:
         audit = audit.unionByName(a)
     return PipelineResult(
-        silver_rows=silver.count(),
-        daily_rows=daily.count(),
-        hourly_rows=hourly.count(),
+        silver_rows=int(s_obs.get["n_rows"]),
+        daily_rows=int(d_obs.get["n_rows"]),
+        hourly_rows=int(h_obs.get["n_rows"]),
         quality=rep,
         audit=audit,
     )
