@@ -46,7 +46,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (complete mode) — the streaming twin of hourly_agg (A2)."""
     ev = core.stream_events(spark, sf_dir)
     out = swin.tumbling_value_stats(ev, window="1 hour", watermark="1 hour")
-    res = core.run_available_now(out, output_mode="complete")
+    res = core.run_available_now(out, output_mode="complete", shuffle_partitions=8)
     return res.select(
         "window_start", "event_type", "n_events", quantize(F.col("sum_value"), "sum_value")
     )
@@ -73,7 +73,7 @@ def stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = swin.sliding_value_stats(
         ev, window="1 hour", slide="30 minutes", watermark="1 hour"
     )
-    return core.run_available_now(out, output_mode="complete")
+    return core.run_available_now(out, output_mode="complete", shuffle_partitions=8)
 
 
 @query(
@@ -108,7 +108,7 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window definition."""
     ev = core.stream_events(spark, sf_dir)
     out = swin.session_value_stats(ev, gap="30 minutes", watermark="1 hour")
-    res = core.run_available_now(out, output_mode="complete")
+    res = core.run_available_now(out, output_mode="complete", shuffle_partitions=8)
     return res.select(
         "session_start",
         "session_end",
@@ -131,7 +131,7 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sdedup.dedup_within_watermark(
         ev, ["user_id", "event_type"], ts_col="ts", delay="30 days"
     )
-    res = core.run_available_now(out, output_mode="append")
+    res = core.run_available_now(out, output_mode="append", shuffle_partitions=8)
     return res.select("user_id", "event_type").distinct()
 
 
@@ -158,7 +158,7 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per batch; with one batch the final row per user is the total."""
     ev = core.stream_events(spark, sf_dir).select("ts", "user_id")
     out = stateful.sessionize_users(ev)
-    res = core.run_available_now(out, output_mode="update")
+    res = core.run_available_now(out, output_mode="update", shuffle_partitions=8)
     return res
 
 
@@ -236,4 +236,4 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = sjoins.interval_join_streams(
         clicks, purchases, "click_ts", "purchase_ts", tolerance_seconds=120
     ).select("click_user", "click_ts", "purchase_ts")
-    return core.run_available_now(joined, output_mode="append")
+    return core.run_available_now(joined, output_mode="append", shuffle_partitions=8)
