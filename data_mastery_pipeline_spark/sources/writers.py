@@ -150,3 +150,65 @@ def write_clustered(
         .option("maxRecordsPerFile", str(max_records_per_file))
         .parquet(path)
     )
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str] = DATE_PARTS,
+) -> dict:
+    """Partition-bounded MERGE (SCD-1 upsert) on plain parquet — the
+    general form of the reference's idempotent load (S14, gold_loader.py:
+    296-319): rows matching on ``key_cols`` are REPLACED by the update,
+    new keys are inserted, untouched partitions are not rewritten.
+
+    Mechanics: the updates' distinct partition values (a driver-side
+    list bounded by partitions touched, NOT data size) select the target
+    partitions to read; existing rows lose matches via left-anti join on
+    the keys; survivors union the updates; `partitionOverwriteMode=
+    dynamic` overwrites ONLY the touched partition directories. Rewrite
+    cost scales with touched-partition bytes — at 100 TB an update
+    stream touching today's partition rewrites ~1/365th of the table,
+    never the whole thing. (Table formats make this transactional and
+    row-level; this is the contract on plain parquet.)
+
+    ``updates`` must carry the partition columns. Returns
+    {"touched_partitions", "updated_or_inserted"}.
+    """
+    part_vals = updates.select(*partition_cols).distinct().collect()
+    touched = [tuple(r) for r in part_vals]
+    cond = F.lit(False)
+    for vals in touched:
+        match = F.lit(True)
+        for c, v in zip(partition_cols, vals):
+            match = match & (F.col(c) == F.lit(v))
+        cond = cond | match
+    target = spark.read.parquet(target_path).filter(cond)
+    survivors = target.join(
+        updates.select(*key_cols), list(key_cols), "left_anti"
+    )
+    # materialize BEFORE writing: the merged frame reads the very
+    # partitions the write overwrites (Spark refuses the cycle, and a
+    # lazy plan would re-scan mid-overwrite). Bounded by touched
+    # partitions, not table size.
+    merged = survivors.unionByName(updates.select(*target.columns)).localCheckpoint()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(target_path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "touched_partitions": len(touched),
+        "updated_or_inserted": updates.count(),
+    }

@@ -275,3 +275,39 @@ def test_clustered_write_gives_selective_file_stats(spark, tmp_path):
     # clustered: per-file spans tile the key space instead of each file
     # covering ~all of it (unclustered would give ~len(files) * global)
     assert total_span <= 1.2 * (ghi - glo)
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    target = str(tmp_path / "merge_target")
+    ev = load_table(spark, "events", SF_ORACLE).select("event_id", "ts", "user_id", "value")
+    base = writers.with_date_partitions(ev)
+    writers.write_partitioned(base, target, mode="overwrite")
+
+    # pick one existing day; update 5 of its rows + insert 2 new keys there
+    one = base.orderBy("event_id").limit(1).collect()[0]
+    y, m, d = one["year"], one["month"], one["day"]
+    day_rows = base.filter((F.col("year") == y) & (F.col("month") == m) & (F.col("day") == d))
+    upd = (
+        day_rows.orderBy("event_id").limit(5)
+        .withColumn("value", F.lit(-999.0))
+    )
+    new_rows = upd.withColumn("event_id", F.col("event_id") + 10_000_000)
+    updates = upd.unionByName(new_rows)
+
+    import glob, os
+    untouched_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{target}/**/*.parquet", recursive=True)
+        if f"year={y}/month={m}/day={d}" not in f
+    }
+    stats = writers.merge_upsert_partitioned(spark, target, updates, ["event_id"])
+    assert stats["touched_partitions"] == 1
+    assert stats["updated_or_inserted"] == 10
+
+    after = spark.read.parquet(target)
+    # updated rows replaced, inserts present, total = base + 5 inserts
+    assert after.filter(F.col("value") == -999.0).count() == 10
+    assert after.count() == base.count() + 5
+    # untouched partition files were not rewritten
+    for f, mt in untouched_before.items():
+        assert os.path.getmtime(f) == mt, f
