@@ -103,3 +103,64 @@ def test_idempotent_append_never_duplicates_keys(spark, rows, keys):
     assert fresh_keys.isdisjoint(set(keys))
     # nothing new is lost: every input key not already present survives
     assert fresh_keys == {k for k, _, _ in rows} - set(keys)
+
+
+# --- time-bucket range join ≡ naive cross-join filter -----------------------
+
+TS_ROWS = st.lists(st.integers(0, 600), min_size=0, max_size=25)
+
+
+@SET
+@given(left=TS_ROWS, right=TS_ROWS, tol=st.integers(1, 120))
+def test_time_bucket_range_join_equals_naive(spark, left, right, tol):
+    """Bucketed range join == brute-force |l-r| <= tol on random second
+    offsets, for arbitrary tolerances — exercises the bucket±1 boundary
+    (an off-by-one there silently drops edge pairs)."""
+    from data_mastery_pipeline_spark.operators import joins as bjoins
+
+    l = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(left)], "lid long, sec long"
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    r = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(right)], "rid long, sec long"
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+
+    got = bjoins.time_bucket_range_join(l, r, "ts", "ts", tolerance_seconds=tol)
+    got_pairs = sorted((x["l_lid"], x["r_rid"]) for x in got.collect())
+    want_pairs = sorted(
+        (i, j)
+        for i, ls in enumerate(left)
+        for j, rs in enumerate(right)
+        if abs(ls - rs) <= tol
+    )
+    assert got_pairs == want_pairs
+
+
+# --- sessionize ≡ per-key python simulation ---------------------------------
+
+
+@SET
+@given(rows=ROWS, gap=st.integers(1, 4))
+def test_sessionize_matches_python_simulation(spark, rows, gap):
+    from collections import defaultdict
+
+    from data_mastery_pipeline_spark.operators import windows as bwin
+
+    df = _df(spark, rows).withColumn("t", F.timestamp_seconds("ts"))
+    out = bwin.sessionize(df, keys=["k"], ts_col="t", gap_seconds=gap, tiebreak=["v"])
+    got = {
+        (r["k"], r["ts"], r["v"]): r["session_id"] for r in out.collect()
+    }
+
+    by_key = defaultdict(list)
+    for k, ts, v in rows:
+        by_key[int(k)].append((int(ts), float(v)))
+    want = {}
+    for k, evs in by_key.items():
+        sid, prev = 0, None
+        for ts, v in sorted(evs):
+            if prev is None or ts - prev > gap:
+                sid += 1
+            want[(k, ts, v)] = sid
+            prev = ts
+    assert got == want
