@@ -1,0 +1,98 @@
+"""Deterministic sampling & split operators for training-data curation.
+
+`df.sample()` draws from a per-partition RNG — resampling changes when
+partitioning changes, and a row's fate depends on where it sits. Curation
+needs the opposite: a row's membership must be a pure FUNCTION OF ITS ID
+(stable under repartition, re-runs, and incremental arrival), and train/
+test must stay disjoint forever. Hence hash-gate sampling: gate(id) ∈
+[0, 10000) decides membership; fractions become threshold comparisons.
+
+Two gates:
+- ``hash_gate`` — xxhash64(id, salt): the production default (uniform,
+  well-mixed, any id type). Engine-specific → rows-only oracle checks.
+- ``affine_gate`` — ((id % 99991) * 2654435761 + salt) % 10000: weaker
+  mixing but pure integer arithmetic any SQL engine reproduces, so the
+  DuckDB oracle can value-check the whole sampling pipeline. The inner
+  mod keeps the product far from int64 overflow (DuckDB raises on
+  overflow rather than wrapping, so silent wraparound can't be relied
+  on for portability).
+
+All operators are narrow (no shuffle) except deterministic_shuffle,
+which is exactly one exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+GATE_BUCKETS = 10_000
+
+
+def hash_gate(id_col: str, salt: int = 0) -> Column:
+    """xxhash64-based gate in [0, GATE_BUCKETS)."""
+    return F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(GATE_BUCKETS))
+
+
+def affine_gate(id_col: str, salt: int = 0) -> Column:
+    """SQL-portable gate in [0, GATE_BUCKETS) for integer ids (see
+    module docstring for the overflow-safety of the constants)."""
+    return F.pmod(
+        F.pmod(F.col(id_col), F.lit(99_991)) * F.lit(2_654_435_761) + F.lit(salt),
+        F.lit(GATE_BUCKETS),
+    )
+
+
+def sample_by_gate(
+    df: DataFrame, fraction: float, gate: Column
+) -> DataFrame:
+    """Keep rows whose gate falls under ``fraction`` — deterministic,
+    repartition-stable, incremental-arrival-stable."""
+    return df.filter(gate < int(round(fraction * GATE_BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    gate: Column,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. keep 50% of English docs, 20% of
+    the rest) — the corpus-balancing step of a training-data pipeline.
+    One narrow filter; no shuffle, no RNG."""
+    thr = F.lit(int(round(default_fraction * GATE_BUCKETS)))
+    for key, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == key, F.lit(int(round(frac * GATE_BUCKETS)))
+        ).otherwise(thr)
+    return df.filter(gate < thr)
+
+
+def train_test_split(
+    df: DataFrame, test_fraction: float, gate: Column
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test), disjoint and exhaustive by construction: the gate
+    partitions the id space, so a row can never migrate between splits
+    across runs or dataset growth — the leakage guarantee `.sample()`
+    cannot give."""
+    cut = int(round(test_fraction * GATE_BUCKETS))
+    return df.filter(gate >= cut), df.filter(gate < cut)
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: int = 0, num_partitions: int | None = None
+) -> DataFrame:
+    """Reproducible global shuffle for training-example order: order by
+    a salted hash of the id. Same seed → identical order on every run
+    and cluster layout; different seed → a fresh permutation. One
+    range exchange (it IS a global sort on the hash), which also yields
+    evenly sized output partitions regardless of input skew."""
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    out = df.repartitionByRange(
+        *( [num_partitions] if num_partitions is not None else [] ), key
+    )
+    return out.sortWithinPartitions(key)

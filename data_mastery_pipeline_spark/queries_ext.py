@@ -19,6 +19,7 @@ from .dedup import ngram as dedup_ngram
 from .dedup import simhash as dedup_simhash
 from .functions import text as textfn
 from .multimodal import binarycol
+from .operators import sampling
 from .registry import quantize, query
 from .similarity import brute as sim_brute
 from .similarity import lsh as sim_lsh
@@ -630,3 +631,47 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.90, 10000)").alias("p90"),
         F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"),
     )
+
+
+@query(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ((doc_id % 99991) * 2654435761 + 7) % 10000 <
+          CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling — keep 50% of English
+    docs, 20% of every other language, membership a pure function of
+    doc_id (operators/sampling.py). Portable affine gate so the oracle
+    value-checks the exact kept set, not just a count."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = sampling.stratified_sample(
+        docs,
+        strata_col="lang",
+        fractions={"en": 0.5},
+        gate=sampling.affine_gate("doc_id", salt=7),
+        default_fraction=0.2,
+    )
+    return out.select("doc_id", "lang")
+
+
+@query(
+    "train_test_split_test",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE ((doc_id % 99991) * 2654435761 + 13) % 10000 < 1000
+    """,
+)
+def train_test_split_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TEST side of a deterministic 90/10 split: gate-partitioned id
+    space means train/test stay disjoint under re-runs, repartitioning
+    and dataset growth — the leakage guarantee random sample() lacks."""
+    docs = load_table(spark, "documents", sf_dir)
+    _train, test = sampling.train_test_split(
+        docs, test_fraction=0.1, gate=sampling.affine_gate("doc_id", salt=13)
+    )
+    return test.select("doc_id", "source")

@@ -54,3 +54,42 @@ def test_jaccard_build_strategies_agree(spark):
     ra = sorted((r["id_a"], r["id_b"]) for r in a.collect())
     rb = sorted((r["id_a"], r["id_b"]) for r in b.collect())
     assert ra == rb and len(ra) > 0
+
+
+# --- sampling & split operators ---------------------------------------------
+
+
+def test_train_test_split_disjoint_exhaustive_stable(spark):
+    from data_mastery_pipeline_spark.operators import sampling
+    from data_mastery_pipeline_spark.tables import load_table
+    from conftest import SF_ORACLE
+
+    docs = load_table(spark, "documents", SF_ORACLE)
+    gate = sampling.hash_gate("doc_id", salt=42)
+    train, test = sampling.train_test_split(docs, 0.1, gate)
+    n, ntr, nte = docs.count(), train.count(), test.count()
+    assert ntr + nte == n
+    assert train.join(test, "doc_id", "inner").count() == 0
+    # ~10% within tolerance for 500 docs
+    assert 0.04 * n <= nte <= 0.16 * n
+    # membership is repartition-stable
+    re_test = sampling.train_test_split(docs.repartition(13), 0.1, 
+        sampling.hash_gate("doc_id", salt=42))[1]
+    assert sorted(r["doc_id"] for r in re_test.collect()) == sorted(
+        r["doc_id"] for r in test.collect()
+    )
+
+
+def test_deterministic_shuffle_reproducible_permutation(spark):
+    from data_mastery_pipeline_spark.operators import sampling
+    from data_mastery_pipeline_spark.tables import load_table
+    from conftest import SF_ORACLE
+
+    docs = load_table(spark, "documents", SF_ORACLE).select("doc_id")
+    a = [r["doc_id"] for r in sampling.deterministic_shuffle(docs, "doc_id", seed=1, num_partitions=4).collect()]
+    b = [r["doc_id"] for r in sampling.deterministic_shuffle(docs, "doc_id", seed=1, num_partitions=4).collect()]
+    c = [r["doc_id"] for r in sampling.deterministic_shuffle(docs, "doc_id", seed=2, num_partitions=4).collect()]
+    assert a == b                      # same seed → identical order
+    assert a != c                      # new seed → new permutation
+    assert sorted(a) == sorted(c)      # same multiset
+    assert a != sorted(a)              # actually shuffled
