@@ -1292,7 +1292,8 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            CAST(year(o_orderdate) AS INTEGER) AS order_year,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2))))
                 AS DECIMAL(28,4)) AS volume
     FROM lineitem
     JOIN orders    ON o_orderkey = l_orderkey
@@ -1334,14 +1335,15 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
-    # DECIMAL, not double: a 600-group double sum lands on 2-decimal
-    # quantization boundaries often enough that accumulation ORDER flips
-    # the rounded value between engines; decimal aggregation is exact
-    # and order-insensitive (and exercises the survey's NUMERIC serving
-    # types, SURVEY §1.2).
-    vol = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    ).cast("decimal(28,4)")
+    # Exact decimal END-TO-END: the source doubles hold exact 2-decimal
+    # values, so casting the *inputs* to decimal(12,2) (not the double
+    # product — Spark and DuckDB round a double→decimal cast of an
+    # inexact product differently at .xxx5 boundaries, the round-1
+    # hash_match failure) makes every multiply/sum exact decimal
+    # arithmetic — order-insensitive and bit-identical across engines.
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    vol = F.sum(ep * (F.lit(1).cast("decimal(12,2)") - disc)).cast("decimal(28,4)")
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("o_orderdate").alias("order_year")
     ).agg(vol.alias("volume"))
