@@ -51,11 +51,17 @@ def salted_aggregate(
     salt_buckets: int = 32,
 ) -> DataFrame:
     """Two-stage skew-proof aggregate: groupBy(keys + salt) partials,
-    then groupBy(keys) merge. The salt is a deterministic spread of the
-    input (hash of the full row via spark_partition_id + a cheap
-    per-row counter is overkill; pmod(xxhash64(all cols)) suffices and
-    keeps the operator deterministic for tests)."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    then groupBy(keys) merge. The salt mixes the row hash with
+    monotonically_increasing_id() so a hot key made of IDENTICAL rows
+    (null/default bucket of repeated payloads) still spreads round-robin
+    across buckets — a content-only hash would re-collide them onto one
+    straggler. The id is stable for a fixed input partitioning (same run
+    layout ⇒ same salt), and the salt never affects the result: stage 2
+    merges all buckets of a key regardless of how rows were sprayed."""
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]) + F.monotonically_increasing_id(),
+        F.lit(salt_buckets),
+    )
     salted = df.withColumn("__salt", salt)
 
     partial_aggs: dict[str, Column] = {}  # name -> agg expr (deduped)
@@ -86,12 +92,31 @@ def salted_join(
     into every salt bucket (size × salt_buckets — acceptable when build
     is the smaller-but-not-broadcastable side), salt the probe side by
     row hash, join on (keys + salt). A hot probe key now spreads over
-    `salt_buckets` tasks instead of one."""
+    `salt_buckets` tasks instead of one.
+
+    Only probe-side-preserving joins are legal: with right/full outer
+    joins every unmatched BUILD row would surface once per salt bucket
+    (it was replicated into all of them), yielding salt_buckets
+    null-padded duplicates — so those modes are rejected. Flip the
+    arguments to express a right-outer as a left-outer.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched build rows "
+            f"once per salt bucket; use one of {sorted(allowed)} "
+            "(swap sides to express right-outer as left-outer)"
+        )
     on = list(on)
     buckets = F.array(*[F.lit(i) for i in range(salt_buckets)])
     build_rep = build.withColumn("__salt", F.explode(buckets))
     probe_salt = probe.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(salt_buckets)),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in probe.columns])
+            + F.monotonically_increasing_id(),
+            F.lit(salt_buckets),
+        ),
     )
     return probe_salt.join(build_rep, on=on + ["__salt"], how=how).drop("__salt")

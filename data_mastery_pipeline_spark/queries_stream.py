@@ -157,7 +157,9 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     session/event counters carried across micro-batches. Update-mode
     rows per batch; with one batch the final row per user is the total."""
     ev = core.stream_events(spark, sf_dir).select("ts", "user_id")
-    out = stateful.sessionize_users(ev)
+    # TTL off: availableNow drains never terminate under processing-time
+    # timers (see sessionize_users docstring); production streams keep it.
+    out = stateful.sessionize_users(ev, state_ttl_ms=None)
     res = core.run_available_now(out, output_mode="update", shuffle_partitions=8)
     return res
 

@@ -174,9 +174,22 @@ def merge_upsert_partitioned(
     never the whole thing. (Table formats make this transactional and
     row-level; this is the contract on plain parquet.)
 
-    ``updates`` must carry the partition columns. Returns
+    ``updates`` must carry the partition columns. SCOPE OF UNIQUENESS:
+    key_cols uniqueness is guaranteed only WITHIN a partition. An update
+    whose partition-column value differs from the live row's (a
+    late-arriving correction that moves a key to another day) inserts
+    into the new partition but leaves the stale row in the old one —
+    duplicate keys table-wide. Derive partition_cols from key_cols (as
+    the contract query does: key includes the date) or pre-delete moved
+    keys from their old partitions before calling. Returns
     {"touched_partitions", "updated_or_inserted"}.
     """
+    missing = [c for c in partition_cols if c not in updates.columns]
+    if missing:
+        raise ValueError(
+            f"merge_upsert_partitioned: updates lack partition columns {missing}; "
+            "partition-bounded merge cannot locate target partitions without them"
+        )
     part_vals = updates.select(*partition_cols).distinct().collect()
     touched = [tuple(r) for r in part_vals]
     cond = F.lit(False)

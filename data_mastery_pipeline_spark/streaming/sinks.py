@@ -12,10 +12,10 @@ errors downgraded to warnings, gold_loader.py:313-319).
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql.utils import AnalysisException
 
 
 def idempotent_append_batch(
@@ -30,22 +30,28 @@ def idempotent_append_batch(
     knob, so the probe never shuffles the target.
     """
     spark = batch_df.sparkSession
-    if any(f.path for f in _parquet_files(target_path)):
-        existing = spark.read.parquet(target_path).select(*keys)
+    existing = _read_target_keys(spark, target_path, keys)
+    if existing is not None:
         fresh = batch_df.join(existing, on=list(keys), how="left_anti")
     else:
         fresh = batch_df
     fresh.write.mode("append").parquet(target_path)
 
 
-def _parquet_files(path: str):
-    class _F:
-        def __init__(self, p):
-            self.path = p
+def _read_target_keys(spark, path: str, keys: Sequence[str]) -> DataFrame | None:
+    """Key projection of the target, or None if it doesn't exist yet.
 
-    if not os.path.isdir(path):
-        return []
-    return [_F(p) for p in os.listdir(path) if p.endswith(".parquet")]
+    Existence is probed by attempting the read, not by os.path — the
+    target may live on any Hadoop filesystem (s3a://, hdfs://, file://),
+    where a local isdir() check would always say "empty" and silently
+    break the effectively-once contract. A missing or still-empty target
+    raises AnalysisException (PATH_NOT_FOUND / unable to infer schema),
+    which is exactly the "nothing to dedup against" case.
+    """
+    try:
+        return spark.read.parquet(path).select(*keys)
+    except AnalysisException:
+        return None
 
 
 def write_stream_idempotent(

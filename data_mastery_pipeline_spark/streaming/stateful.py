@@ -38,45 +38,91 @@ SESSION_OUTPUT = T.StructType(
 )
 
 GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
+# Evict a user's state after this much processing-time idleness. Any idle
+# key past the session gap can be dropped without changing semantics: a
+# later event would start a new session anyway, and (n_sessions, n_events)
+# totals are emitted downstream each update. Kept > GAP_US so an in-flight
+# session is never cut short by eviction.
+STATE_TTL_MS = 60 * 60 * 1000  # 1 hour
 
 
-def _sessionize(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold this batch's events for one user into the running state and
-    emit the updated (n_sessions, n_events) row."""
-    last_ts, n_sessions, n_events = (
-        state.get if state.exists else (None, 0, 0)
-    )
-    ts_all = []
-    for pdf in pdfs:
-        # ns→µs ints: avoids float rounding for comparisons below.
-        ts_all.append(pdf["ts"].astype("int64") // 1000)
-    ts = pd.concat(ts_all).sort_values() if ts_all else pd.Series([], dtype="int64")
-    for t in ts:
-        t = int(t)
-        if last_ts is None or t - last_ts > GAP_US:
-            n_sessions += 1
-        last_ts = t
-        n_events += 1
-    state.update((last_ts, n_sessions, n_events))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
-    )
+def _make_sessionize(state_ttl_ms: int | None):
+    """Build the per-group fold. ``state_ttl_ms`` None ⇒ no timer calls
+    (required under NoTimeout, where setTimeoutDuration raises)."""
+
+    def _sessionize(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Fold this batch's events for one user into the running state
+        and emit the updated (n_sessions, n_events) row."""
+        if state.hasTimedOut:
+            # Idle-key eviction: emit the final totals once and drop the
+            # state so an unbounded user-id stream has bounded state.
+            last_ts, n_sessions, n_events = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_sessions": [n_sessions],
+                    "n_events": [n_events],
+                }
+            )
+            return
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        ts_all = []
+        for pdf in pdfs:
+            # ns→µs ints: avoids float rounding for comparisons below.
+            ts_all.append(pdf["ts"].astype("int64") // 1000)
+        ts = (
+            pd.concat(ts_all).sort_values()
+            if ts_all
+            else pd.Series([], dtype="int64")
+        )
+        for t in ts:
+            t = int(t)
+            if last_ts is None or t - last_ts > GAP_US:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return _sessionize
 
 
-def sessionize_users(df: DataFrame) -> DataFrame:
+def sessionize_users(
+    df: DataFrame, state_ttl_ms: int | None = STATE_TTL_MS
+) -> DataFrame:
     """Per-user session/event counters with cross-batch state.
 
     Update-mode semantics: one row per (user, micro-batch) carrying the
     state as of that batch; the final batch's row per user is the total.
+
+    ``state_ttl_ms`` bounds state on an unbounded user-id stream: idle
+    keys are evicted by a processing-time timer (their final totals
+    emitted once on eviction). Pass ``None`` to disable timers — REQUIRED
+    for finite ``availableNow`` drains (tests, backfills): processing-time
+    timers keep scheduling empty timeout micro-batches, so the drain never
+    terminates (measured: batchId grows forever at 0 input rows). A
+    continuous production stream keeps the default.
     """
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return df.groupBy("user_id").applyInPandasWithState(
-        _sessionize,
+        _make_sessionize(state_ttl_ms),
         outputStructType=SESSION_OUTPUT,
         stateStructType=SESSION_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -70,7 +70,9 @@ def test_multibatch_stateful_sessions_equal_batch_islands(spark, staged_events):
     counters equal the batch gaps-and-islands computation."""
     path, ev = staged_events
     stream = _stream_staged(spark, path).select("ts", "user_id")
-    out = core.run_available_now(sessionize_users(stream), output_mode="update")
+    out = core.run_available_now(
+        sessionize_users(stream, state_ttl_ms=None), output_mode="update"
+    )
     # update-mode memory sink appends one row per (user, batch); the final
     # state row per user is the one with the largest n_events.
     from pyspark.sql import Window
@@ -340,3 +342,63 @@ def test_stream_stream_left_outer_interval_join(spark, staged_events):
         for r in bc.join(bp, cond, "left_anti").filter(F.col("click_ts") < F.lit(horizon)).collect()
     }
     assert old_unmatched <= got_unmatched and len(old_unmatched) > 0
+
+
+class _FakeGroupState:
+    """Minimal GroupState double for unit-testing the fold's timeout
+    branch without running the streaming engine (processing-time timers
+    can't fire inside a deterministic availableNow drain)."""
+
+    def __init__(self, value=None, has_timed_out=False):
+        self._value = value
+        self.hasTimedOut = has_timed_out
+        self.removed = False
+        self.timeout_set_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set_ms = ms
+
+
+def test_sessionize_timeout_evicts_and_emits_final_totals():
+    from data_mastery_pipeline_spark.streaming.stateful import _make_sessionize
+
+    fold = _make_sessionize(60_000)
+    st = _FakeGroupState(value=(1_000_000, 3, 42), has_timed_out=True)
+    out = list(fold((7,), iter([]), st))
+    assert st.removed, "timed-out key must be evicted"
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["user_id"], row["n_sessions"], row["n_events"]) == (7, 3, 42)
+
+
+def test_sessionize_sets_timer_only_when_ttl_given():
+    import pandas as pd
+
+    from data_mastery_pipeline_spark.streaming.stateful import GAP_US, _make_sessionize
+
+    pdf = pd.DataFrame({"ts": pd.to_datetime([0, GAP_US * 2_000], unit="ns")})
+
+    st = _FakeGroupState()
+    list(_make_sessionize(60_000)((1,), iter([pdf]), st))
+    assert st.timeout_set_ms == 60_000
+
+    st2 = _FakeGroupState()
+    list(_make_sessionize(None)((1,), iter([pdf]), st2))
+    assert st2.timeout_set_ms is None  # NoTimeout path must not touch timers
+    # both paths agree on the fold itself: 2 events, ts gap > GAP_US ⇒ 2 sessions
+    assert st2.get == st.get and st2.get[1:] == (2, 2)
