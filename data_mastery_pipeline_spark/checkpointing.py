@@ -1,0 +1,44 @@
+"""Lineage truncation for iterative / fan-out DataFrame pipelines.
+
+Two tiers, one switch:
+
+- ``checkpoint_dir=None`` → ``localCheckpoint``: materializes to executor
+  block storage. Fast (no DFS write), but the blocks live on the
+  executors that computed them — **an executor loss loses the blocks and
+  kills every consumer of the checkpointed frame**. Right for local[] /
+  test runs and short-lived fan-outs.
+- ``checkpoint_dir="hdfs://…/ckpt"`` → reliable ``checkpoint()``: writes
+  the RDD to the (fault-tolerant) checkpoint filesystem, so iteration
+  state survives executor churn. This is the production setting for
+  multi-round algorithms (connected components) on a real cluster, where
+  a 1000-executor job WILL lose executors mid-iteration.
+
+The checkpoint dir is set once per SparkContext (Spark keeps it global);
+passing different dirs in one session keeps the first and warns via
+Spark's own semantics — pin one dir per job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Materialize ``df`` and cut its logical plan (see module docstring
+    for the local-vs-reliable trade-off). Eager in both modes: the frame
+    is computed here, consumers read blocks/files."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint()
+
+
+def release(df: DataFrame, checkpoint_dir: str | None = None) -> None:
+    """Free a superseded checkpoint's storage. Local checkpoints hold
+    executor block memory/disk → unpersist now; reliable checkpoint files
+    are cleaned by ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    (or the job's own dir teardown), and unpersist is a no-op on them."""
+    if checkpoint_dir is None:
+        df.unpersist()

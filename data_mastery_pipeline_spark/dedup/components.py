@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpointing import release, truncate_lineage
+
 
 def connected_components(
     edges: DataFrame,
@@ -35,10 +37,17 @@ def connected_components(
     id_alias: str = "id",
     comp_alias: str = "component",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the
     component id is the minimum node id of the component. Deterministic
-    regardless of partitioning (min is order-insensitive)."""
+    regardless of partitioning (min is order-insensitive).
+
+    ``checkpoint_dir``: None → localCheckpoint per round (fast; right for
+    local runs). On a real cluster pass a DFS path — local checkpoint
+    blocks die with their executor, and a lost block aborts the whole
+    iteration (see checkpointing.truncate_lineage)."""
+    ckpt = lambda df: truncate_lineage(df, checkpoint_dir)  # noqa: E731
     # checkpoint the DIRECTED edges first, then mirror: union-then-
     # checkpoint would evaluate the (possibly expensive) edge plan twice
     # d holds each undirected edge ONCE (a<b normalized); propagation
@@ -46,7 +55,8 @@ def connected_components(
     d = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     d = d.select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).localCheckpoint()
+    )
+    d = ckpt(d)
 
     # mapping: original node → current representative. Starts as identity;
     # each round composes the round's relabeling into it.
@@ -55,7 +65,8 @@ def connected_components(
         mirrored.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("lab", F.col("id"))
-    ).localCheckpoint()
+    )
+    mapping = ckpt(mapping)
 
     for _ in range(max_iter):
         prev_d, prev_mapping = d, mapping
@@ -66,8 +77,8 @@ def connected_components(
             mirrored.groupBy(F.col("b").alias("id"))
             .agg(F.min("a").alias("lab"))
             .withColumn("lab", F.least("id", "lab"))
-            .localCheckpoint()  # also breaks the self-join plan identity below
         )
+        prop = ckpt(prop)  # also breaks the self-join plan identity below
         # Pointer jump (lab ← lab(lab)): collapses the stars the round
         # just formed; tiny table, cheap join, halves the rounds needed
         # on chain-shaped graphs.
@@ -75,8 +86,8 @@ def connected_components(
         jumped = (
             prop.join(ptr, F.col("lab") == F.col("p_id"))
             .select("id", F.col("p_lab").alias("lab"))
-            .localCheckpoint()
         )
+        jumped = ckpt(jumped)
         # Compose into the full mapping (original node space).
         mapping = (
             mapping.alias("m")
@@ -85,8 +96,8 @@ def connected_components(
                 F.col("m.id").alias("id"),
                 F.coalesce(F.col("j.lab"), F.col("m.lab")).alias("lab"),
             )
-            .localCheckpoint()
         )
+        mapping = ckpt(mapping)
         # CONTRACT: rewrite edges in representative space and drop
         # self-loops + duplicates. Dense clusters collapse to a point
         # after one round, so |e| shrinks geometrically — later rounds
@@ -102,13 +113,13 @@ def connected_components(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
         )
+        d = ckpt(d)
         stop = d.isEmpty()
         # free superseded checkpoint blocks — an unbounded loop would
         # otherwise accumulate every round's materialization in storage
         for stale in (prev_d, prev_mapping, prop, jumped):
-            stale.unpersist()
+            release(stale, checkpoint_dir)
         if stop:
             break
     labels = mapping

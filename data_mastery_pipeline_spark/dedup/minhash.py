@@ -13,9 +13,11 @@ Pipeline (all Catalyst expressions — no UDFs, no Spark-ML dependency):
              shingle-hash set come out of the same single shuffle)
   banding:   signature split into b bands of r rows; band hash = xxhash64
   candidate: explode bands → groupBy (band_idx, band_hash) → pairs
-  verify:    exact Jaccard on the int shingle-hash sets of candidate
-             pairs (array_intersect on int64 — 31-bit collisions shift
-             Jaccard by < 1e-3, far under any useful threshold)
+  verify:    Jaccard on bottom-k (KMV) sketches of the int shingle-hash
+             sets of candidate pairs — exact while the pair's union fits
+             the sketch, ±O(1/√k) beyond (array_intersect on int64;
+             31-bit collisions shift Jaccard by < 1e-3, far under any
+             useful threshold)
 
 Scale: shuffles are (a) the signature/set groupBy on doc id (map-side
 combine reduces each partition to one row per doc), (b) the band-bucket
@@ -42,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
+from ..checkpointing import truncate_lineage
 from ..functions.text import tokens
 
 _MASK31 = 0x7FFFFFFF
@@ -90,10 +93,21 @@ def signatures_and_sets(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 64,
+    max_set_size: int | None = None,
 ) -> DataFrame:
     """(id, minhash[num_hashes], sh_set) in ONE aggregation: explode the
     per-row shingle hashes, then a single vectorized groupBy computing
-    all 64 mins plus the exact shingle-hash set for later verification.
+    all 64 mins plus the shingle-hash set for later verification.
+
+    ``max_set_size`` bounds sh_set to the k SMALLEST hashes — a bottom-k
+    (KMV) sketch. Memory bound per doc downstream of the aggregate:
+    64 ints + max_set_size ints, independent of document length (a
+    100 TB corpus of book-length docs would otherwise make sh_set the
+    row-size hot spot through the checkpoint and both verify joins).
+    The aggregation buffer itself still sees the doc's distinct shingles
+    — the same order of memory as the input text row it came from.
+    ``kmv_jaccard`` stays EXACT whenever |A ∪ B| ≤ max_set_size and is
+    the standard ±O(1/√k) KMV estimate beyond it.
     """
     exploded = df.select(
         F.col(id_col), F.explode(shingle_hashes(text_col, k)).alias("h")
@@ -106,9 +120,32 @@ def signatures_and_sets(
     arr = "array(" + ",".join(
         f"min((h * {a}L + {b}L) % {_P}L)" for a, b in _hash_family(num_hashes)
     ) + ")"
+    sh = F.collect_set("h")
+    if max_set_size is not None:
+        sh = F.slice(F.array_sort(sh), 1, max_set_size)
     return exploded.groupBy(id_col).agg(
-        F.expr(arr).alias("minhash"), F.collect_set("h").alias("sh_set")
+        F.expr(arr).alias("minhash"), sh.alias("sh_set")
     )
+
+
+def kmv_jaccard(
+    set_a: Column | str, set_b: Column | str, max_set_size: int | None
+) -> Column:
+    """Jaccard from two bottom-k shingle sketches (Beyer et al. 2007 /
+    MMDS §3.3): with M = the k smallest of A_k ∪ B_k (itself a bottom-k
+    sketch of A ∪ B), J ≈ |M ∩ A_k ∩ B_k| / |M|. Exact when the true
+    union fits in k (slice returns the whole union); ±O(1/√k) otherwise.
+    ``max_set_size=None`` ⇒ plain exact Jaccard over full sets."""
+    a, b = F.col(set_a) if isinstance(set_a, str) else set_a, (
+        F.col(set_b) if isinstance(set_b, str) else set_b
+    )
+    union = F.array_union(a, b)
+    if max_set_size is None:
+        inter = F.size(F.array_intersect(a, b)).cast("double")
+        return inter / F.size(union).cast("double")
+    m = F.slice(F.array_sort(union), 1, max_set_size)
+    inter = F.size(F.array_intersect(F.array_intersect(m, a), b))
+    return inter.cast("double") / F.size(m).cast("double")
 
 
 def minhash_signatures(
@@ -179,22 +216,36 @@ def verified_near_dups(
     num_hashes: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.5,
+    max_set_size: int | None = 8192,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: candidates from LSH
-    banding, verified with exact Jaccard over int shingle-hash sets.
-    Returns (id_a, id_b, jaccard) for pairs ≥ threshold.
+    banding, verified with (bottom-k-sketched) Jaccard over int
+    shingle-hash sets. Returns (id_a, id_b, jaccard) for pairs ≥
+    threshold.
+
+    ``max_set_size`` caps per-doc verification memory (see
+    signatures_and_sets): the default 8192 keeps verification EXACT for
+    any pair whose union has ≤ 8192 distinct shingles (~6k words of
+    running text) and KMV-estimated within ~1% beyond — long documents
+    no longer carry unbounded sh_set arrays through the shuffle/joins.
+    ``None`` restores full exact sets.
 
     The signatures+sets frame fans out three ways (banding + two
-    verification joins), so it is materialized ONCE with
-    ``localCheckpoint`` — measured 3× faster cold than recomputing the
+    verification joins), so it is materialized ONCE via
+    ``truncate_lineage`` — measured 3× faster cold than recomputing the
     shingle aggregation per consumer (`.persist()` alone measured
     slower: it re-optimizes the full plan per consumer; the checkpoint
-    truncates it). The frame is tiny next to the input text — 64 ints +
-    one hash per distinct shingle per doc — and stays resident for the
-    session (callers holding many of these can `.unpersist()` the
-    result's lineage when done).
+    truncates it). ``checkpoint_dir=None`` keeps the fast local
+    checkpoint; pass a DFS path on a real cluster (local blocks die with
+    their executor). The frame stays resident for the session (callers
+    holding many of these can `.unpersist()` the result's lineage when
+    done).
     """
-    ss = signatures_and_sets(df, text_col, id_col, k, num_hashes).localCheckpoint()
+    ss = truncate_lineage(
+        signatures_and_sets(df, text_col, id_col, k, num_hashes, max_set_size),
+        checkpoint_dir,
+    )
     pairs = lsh_candidate_pairs(
         ss.select(id_col, "minhash"), id_col, num_hashes, bands
     )
@@ -203,10 +254,8 @@ def verified_near_dups(
         pairs.join(sets.withColumnsRenamed({id_col: "id_a", "sh_set": "sh_a"}), "id_a")
         .join(sets.withColumnsRenamed({id_col: "id_b", "sh_set": "sh_b"}), "id_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        joined.withColumn("jaccard", inter / union)
+        joined.withColumn("jaccard", kmv_jaccard("sh_a", "sh_b", max_set_size))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

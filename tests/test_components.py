@@ -93,3 +93,71 @@ def test_deterministic_shuffle_reproducible_permutation(spark):
     assert a != c                      # new seed → new permutation
     assert sorted(a) == sorted(c)      # same multiset
     assert a != sorted(a)              # actually shuffled
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir → reliable RDD checkpoints (survive executor loss
+    on a real cluster); result identical to the localCheckpoint path."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    ckpt = tmp_path / "ckpt"
+    got = components.connected_components(edges, checkpoint_dir=str(ckpt))
+    assert {r["id"]: r["component"] for r in got.collect()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+    }
+    # files really went to the reliable checkpoint dir
+    assert any(p.is_file() for p in ckpt.rglob("*"))
+
+
+# --- bounded (bottom-k / KMV) shingle-set verification ----------------------
+
+
+def _long_doc(n_tokens: int, mutate_frac: float = 0.0, seed: int = 0) -> str:
+    import random
+
+    toks = [f"w{i}" for i in range(n_tokens)]
+    if mutate_frac:
+        rng = random.Random(seed)
+        for i in rng.sample(range(n_tokens), int(n_tokens * mutate_frac)):
+            toks[i] = f"m{i}"
+    return " ".join(toks)
+
+
+def test_signature_sets_bounded_for_long_docs(spark):
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.dedup import minhash
+
+    df = spark.createDataFrame(
+        [(0, _long_doc(3000)), (1, _long_doc(3000, 0.1, seed=7))],
+        "doc_id long, text string",
+    )
+    ss = minhash.signatures_and_sets(df, max_set_size=512)
+    sizes = [r[0] for r in ss.select(F.size("sh_set")).collect()]
+    assert max(sizes) == 512  # 3000-token docs clipped to the sketch bound
+
+
+def test_kmv_verify_tracks_exact_jaccard_on_long_docs(spark):
+    from data_mastery_pipeline_spark.dedup import minhash
+
+    df = spark.createDataFrame(
+        [(0, _long_doc(3000)), (1, _long_doc(3000, 0.1, seed=7))],
+        "doc_id long, text string",
+    )
+
+    def pairs(max_set_size):
+        out = minhash.verified_near_dups(
+            df, jaccard_threshold=0.3, max_set_size=max_set_size
+        )
+        return {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+
+    exact = pairs(None)
+    assert exact, "10%-mutated twin must be a verified near-dup"
+    # union (~3.3k shingles) fits the default 8192 sketch → bit-identical
+    assert pairs(8192) == exact
+    # 512-hash sketch: same pairs, jaccard within KMV error (σ≈0.022)
+    est = pairs(512)
+    assert est.keys() == exact.keys()
+    for p, j in exact.items():
+        assert abs(est[p] - j) < 0.08, (p, est[p], j)
