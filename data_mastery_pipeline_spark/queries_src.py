@@ -65,22 +65,26 @@ def rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6+S7+S10+S11 — the write path, for real: events → hive
     `year=/month=/day=` parquet layout (snappy), then a partition-PRUNED
-    read of the latest day (filter on partition columns; Catalyst lists
-    only that directory) aggregated per event type.
+    read of the latest day aggregated per event type.
 
-    The one driver-side collect fetches a single scalar (the target
-    day) to parameterize partition pruning — the static twin of dynamic
-    partition pruning, not a data collect."""
+    The target day stays INSIDE the plan: a one-row (year, month, day)
+    aggregate broadcast into the partitioned scan triggers dynamic
+    partition pruning (`dynamicpruning#` in PartitionFilters — only the
+    matching day's directory is listed/read, decided at runtime). No
+    driver-side collect anywhere in the query."""
     ev = load_table(spark, "events", sf_dir)
-    target = ev.agg(F.max(F.to_date("ts")).alias("d")).collect()[0]["d"]
-
     out_dir = os.path.join(
         tempfile.gettempdir(), f"dmps_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     writers.write_partitioned(
         writers.with_date_partitions(ev), out_dir, mode="overwrite"
     )
-    back = writers.read_day(spark, out_dir, target.year, target.month, target.day)
+    target = ev.agg(F.max(F.to_date("ts")).alias("d")).select(
+        F.year("d").alias("year"),
+        F.month("d").alias("month"),
+        F.dayofmonth("d").alias("day"),
+    )
+    back = writers.read_days_dynamic(spark, out_dir, target)
     return back.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 
@@ -96,10 +100,10 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def retention_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 — retention horizon as a filter rewrite (cleanup_old_data
     analog, schema.sql:259-286), anchored at the dataset's max event
-    time so the check is deterministic."""
+    time so the check is deterministic. The anchor is a broadcast scalar
+    subquery, not a driver collect (retention_filter_dynamic)."""
     ev = load_table(spark, "events", sf_dir)
-    anchor = ev.agg(F.max("ts")).collect()[0][0]
-    kept = runlog.retention_filter(ev, "ts", 30, now=anchor)
+    kept = runlog.retention_filter_dynamic(ev, "ts", 30)
     from .registry import quantize
 
     return kept.agg(

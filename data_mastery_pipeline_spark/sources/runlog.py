@@ -111,3 +111,25 @@ def retention_filter(
     schema.sql:264, keeps time-of-day)."""
     anchor = F.lit(now) if now is not None else F.current_timestamp()
     return df.filter(F.col(ts_col) >= anchor - F.expr(f"INTERVAL {int(retain_days)} DAYS"))
+
+
+def retention_filter_dynamic(
+    df: DataFrame,
+    ts_col: str,
+    retain_days: int,
+) -> DataFrame:
+    """Q7 with a DATA-DERIVED horizon (max event time), kept entirely
+    inside the plan: the one-row max aggregate is broadcast and the
+    cutoff comparison happens executor-side — no driver `.collect()`
+    round trip, no separate job for the anchor. Use when the horizon
+    anchors to the data itself (deterministic tests, backfills);
+    `retention_filter` covers the wall-clock/pinned-instant case."""
+    anchor = df.agg(F.max(ts_col).alias("__retention_anchor"))
+    return (
+        df.crossJoin(F.broadcast(anchor))
+        .filter(
+            F.col(ts_col)
+            >= F.col("__retention_anchor") - F.expr(f"INTERVAL {int(retain_days)} DAYS")
+        )
+        .drop("__retention_anchor")
+    )

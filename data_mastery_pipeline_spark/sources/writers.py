@@ -68,6 +68,31 @@ def read_day(
     )
 
 
+def read_days_dynamic(
+    spark: SparkSession,
+    path: str,
+    days: DataFrame,
+) -> DataFrame:
+    """Partition-pruned scan of the days listed in ``days`` (a small
+    frame with year/month/day columns, e.g. an aggregate over another
+    table) — WITHOUT collecting the day values to the driver: the
+    broadcast join triggers DYNAMIC partition pruning, so only the
+    matching directories are read, decided at runtime.
+
+    The ``year >= 1970`` filter is semantically a no-op; it exists
+    because Catalyst's DPP planner only prunes when the build side has a
+    "likely selective" predicate (a literal comparison —
+    ``isLikelySelective`` in the optimizer; an aggregate alone does not
+    qualify). With it, the scan's PartitionFilters gains
+    ``dynamicpruning#`` subqueries on year/month/day (plan-asserted in
+    tests); without it, every partition would be listed.
+    """
+    dim = days.filter(F.col("year") >= F.lit(1970))
+    return spark.read.parquet(path).join(
+        F.broadcast(dim), on=list(DATE_PARTS), how="inner"
+    )
+
+
 def compact_partitioned(
     spark: SparkSession,
     src_path: str,

@@ -125,6 +125,40 @@ def test_retention_filter_keeps_timestamp_precision(spark):
     assert kept.count() == ev.filter(F.col("ts") >= F.lit(cutoff)).count()
 
 
+def test_retention_filter_dynamic_matches_collected_anchor(spark):
+    """Plan-native horizon (broadcast scalar subquery) ≡ the collect-
+    then-filter formulation, with zero driver round trips."""
+    ev = load_table(spark, "events", SF_ORACLE)
+    anchor = ev.agg(F.max("ts")).collect()[0][0]
+    static = runlog.retention_filter(ev, "ts", 30, now=anchor)
+    dynamic = runlog.retention_filter_dynamic(ev, "ts", 30)
+    assert dynamic.count() == static.count()
+    assert dynamic.columns == ev.columns  # anchor column dropped
+
+
+def test_read_days_dynamic_prunes_partitions_at_runtime(spark, tmp_path):
+    """The broadcast day-dim join must plan DYNAMIC partition pruning:
+    PartitionFilters carries a dynamicpruning# subquery, so only the
+    target day's directory is read — no driver-side day collect."""
+    from data_mastery_pipeline_spark.sources import writers
+
+    ev = load_table(spark, "events", SF_ORACLE)
+    out = str(tmp_path / "part")
+    writers.write_partitioned(writers.with_date_partitions(ev), out)
+    target = ev.agg(F.max(F.to_date("ts")).alias("d")).select(
+        F.year("d").alias("year"),
+        F.month("d").alias("month"),
+        F.dayofmonth("d").alias("day"),
+    )
+    back = writers.read_days_dynamic(spark, out, target)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    want = ev.filter(
+        F.to_date("ts") == ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    ).count()
+    assert back.count() == want
+
+
 def test_rest_stream_polls_and_advances_epoch(spark):
     import tempfile
     import uuid
