@@ -205,3 +205,57 @@ def weather_pipeline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.col("avg_humidity"), "avg_humidity"),
         F.col("record_count"),
     )
+
+
+@query(
+    "pg_serving_roundtrip",
+    f"""
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           {sql_quantize("sum(value)", "sum_value")}
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def pg_serving_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12+S13, LIVE: gold per-user stats upserted into a real PostgreSQL
+    serving table (INSERT .. ON CONFLICT keyed on user_id — the
+    gold_loader idempotency contract, gold_loader.py:296-319 + UNIQUE
+    index sql/schema.sql:86), then read BACK through the executor-side
+    wire-protocol data source in 4 parallel range slices. The returned
+    frame is the serving table's content, so the oracle checks the full
+    write→store→partitioned-read cycle. DROP+recreate keeps re-runs
+    deterministic; the upsert keeps a replay of the same run a no-op.
+    """
+    from .registry import quantize
+    from .sources import pgserving, pgwire
+
+    if not pgserving.ensure_local_server():
+        raise RuntimeError("local PostgreSQL unavailable for serving round-trip")
+    pgserving.register(spark)
+
+    ev = load_table(spark, "events", sf_dir)
+    gold = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            quantize(F.sum("value"), "sum_value"),
+        )
+    )
+    table = f"gold_user_stats_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    with pgwire.PGConnection(port=pgserving.LOCAL_PORT, database="serving") as conn:
+        conn.execute(f"DROP TABLE IF EXISTS {table}")
+        pgserving.ensure_serving_table(conn, table, gold.schema, key_cols=["user_id"])
+    pgserving.write_serving_table(
+        gold, table, port=pgserving.LOCAL_PORT, database="serving",
+        upsert_keys=["user_id"], num_partitions=4,
+    )
+    # Partitioned-connector bounds are driver-side literals by contract
+    # (Spark's own JDBC reader takes lowerBound/upperBound parameters at
+    # planning time — slice boundaries cannot live inside the plan).
+    hi = int(ev.agg(F.max("user_id")).collect()[0][0] or 0) + 1
+    return pgserving.read_serving_table(
+        spark, table, port=pgserving.LOCAL_PORT, database="serving",
+        partition_column="user_id", lower_bound=0, upper_bound=hi, num_partitions=4,
+    )
