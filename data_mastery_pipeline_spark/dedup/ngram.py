@@ -116,3 +116,137 @@ def jaccard_pairs_blocked(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _hashed_token_base(df: DataFrame, text_col: str, id_col: str, block_cols):
+    toks_hashed = F.transform(
+        F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        toks_hashed.alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+
+
+def prefix_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    length_tolerance: float = 0.2,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """PPJoin-style candidate generation (Xiao et al., "Efficient
+    Similarity Joins for Near Duplicate Detection", WWW'08 — the public
+    prefix-filtering principle): order every token set by a global
+    rarest-first canonical order, keep only the first
+    ``n − ⌈t·n⌉ + 1`` tokens (the PREFIX), and equi-join docs on shared
+    prefix tokens. Soundness: J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉,
+    and a set whose prefix missed every intersection element would have
+    to fit all of them in its ⌈t·n⌉−1 suffix slots — contradiction. So
+    every qualifying pair shares ≥1 prefix token, while non-dup pairs
+    rarely share RARE tokens — the candidate set shrinks from
+    |block|² to Σ_rare-token |posting list|².
+
+    Rarest-first is what makes it work: token order = ascending global
+    document frequency, so prefixes hold a doc's most discriminative
+    tokens and hot-token posting lists stay out of the index. One extra
+    aggregation (the df table) + one join buys that — both plain
+    shuffles on token hash, no skew (the head of a Zipf vocabulary is
+    exactly what the prefix EXCLUDES).
+
+    Returns distinct (id_a, id_b) candidates — a superset of the
+    qualifying pairs under the same block + length predicates as
+    ``jaccard_pairs_blocked``; verification stays the caller's job.
+    """
+    base = _hashed_token_base(df, text_col, id_col, block_cols)
+    lo, hi = 1.0 - length_tolerance, 1.0 + length_tolerance
+
+    tok_df = (
+        base.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df_"))
+    )
+    # re-sort each doc's tokens rarest-first; (df_, tok) struct sort makes
+    # the order total and deterministic across engines/partitionings
+    ordered = (
+        base.select("id", F.explode("toks").alias("tok"))
+        .join(tok_df, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks_rare_first")
+        )
+    )
+    prefix_len = F.col("n_toks") - F.ceil(F.lit(threshold) * F.col("n_toks")) + 1
+    pref = (
+        base.select("id", *block_cols, "n_toks")
+        .join(ordered, "id")
+        .select(
+            "id",
+            *block_cols,
+            "n_toks",
+            F.explode(F.slice("toks_rare_first", 1, prefix_len)).alias("ptok"),
+        )
+    )
+    a = pref.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("n_toks").alias("n_a"),
+        "ptok",
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("n_toks").alias("n_b"),
+        "ptok",
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    cond = cond & F.col("n_b").between(F.col("n_a") * lo, F.col("n_a") * hi)
+    return a.join(b, on="ptok").filter(cond).select("id_a", "id_b").distinct()
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    length_tolerance: float = 0.2,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Exact Jaccard pairs via prefix-filtered candidates — identical
+    output to ``jaccard_pairs_blocked`` (property-tested), with the
+    all-pairs-within-block candidate set replaced by the PPJoin prefix
+    index. The scale path when blocks are large and near-dup density is
+    low: candidate count tracks the number of genuinely-similar pairs,
+    not |block|²."""
+    base = _hashed_token_base(df, text_col, id_col, block_cols)
+    cand = prefix_candidates(
+        df, text_col, id_col, block_cols, length_tolerance, threshold
+    )
+    sets = base.select("id", "toks", "n_toks")
+    joined = cand.join(
+        sets.select(
+            F.col("id").alias("id_a"), F.col("toks").alias("toks_a"),
+            F.col("n_toks").alias("n_a"),
+        ),
+        "id_a",
+    ).join(
+        sets.select(
+            F.col("id").alias("id_b"), F.col("toks").alias("toks_b"),
+            F.col("n_toks").alias("n_b"),
+        ),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.col("n_a") + F.col("n_b") - inter
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

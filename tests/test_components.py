@@ -161,3 +161,71 @@ def test_kmv_verify_tracks_exact_jaccard_on_long_docs(spark):
     assert est.keys() == exact.keys()
     for p, j in exact.items():
         assert abs(est[p] - j) < 0.08, (p, est[p], j)
+
+
+def test_prefix_filter_same_pairs_fewer_candidates(spark):
+    """PPJoin prefix filtering: identical verified output to the blocked
+    all-pairs path, with a strictly smaller candidate set (VERDICT r1 #8
+    acceptance: candidate-count reduction at equal output)."""
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.dedup import ngram
+    from data_mastery_pipeline_spark.tables import load_table
+    from conftest import SF_ORACLE
+
+    docs = load_table(spark, "documents", SF_ORACLE)
+
+    blocked = ngram.jaccard_pairs_blocked(docs)
+    prefix = ngram.jaccard_pairs_prefix(docs)
+    rb = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in blocked.collect())
+    rp = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in prefix.collect())
+    assert rp == rb and len(rp) > 0
+
+    # candidate volume: blocked verifies every within-block length-window
+    # pair; the prefix index must verify strictly fewer.
+    t = docs.select(
+        F.col("doc_id").alias("id"), "lang",
+        F.size(F.array_distinct(F.split(F.lower("text"), r"\W+"))).alias("n"),
+    )
+    a = t.select(F.col("id").alias("id_a"), F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    b = t.select(F.col("id").alias("id_b"), F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    n_blocked = a.join(
+        b,
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("lang_a") == F.col("lang_b"))
+        & F.col("n_b").between(F.col("n_a") * 0.8, F.col("n_a") * 1.2),
+    ).count()
+    n_prefix = ngram.prefix_candidates(docs).count()
+    assert len(rp) <= n_prefix < n_blocked, (len(rp), n_prefix, n_blocked)
+
+
+def test_prefix_filter_big_reduction_on_low_density_corpus(spark):
+    """The dense testdata can't show the prefix win (16k of 16.6k
+    within-block pairs genuinely qualify — nothing to prune). On a
+    low-near-dup-density corpus — the realistic shape at 100 TB — the
+    prefix index must collapse the candidate set by an order of
+    magnitude while keeping the output identical."""
+    import random
+
+    from data_mastery_pipeline_spark.dedup import ngram
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(20000)]
+    rows = []
+    for i in range(300):  # mostly-dissimilar docs, similar lengths
+        rows.append((i, "en", " ".join(rng.sample(vocab, 40))))
+    for i in range(10):  # a few genuine near-dup twins
+        base_toks = rng.sample(vocab, 40)
+        twin = list(base_toks)
+        twin[0] = "mutant"
+        rows.append((1000 + 2 * i, "en", " ".join(base_toks)))
+        rows.append((1001 + 2 * i, "en", " ".join(twin)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    blocked = sorted(map(tuple, ngram.jaccard_pairs_blocked(docs).collect()))
+    prefix = sorted(map(tuple, ngram.jaccard_pairs_prefix(docs).collect()))
+    assert prefix == blocked and len(prefix) >= 10
+
+    n_prefix = ngram.prefix_candidates(docs).count()
+    n_blocked_pairs = 320 * 319 // 2  # one block, one length bucket
+    assert n_prefix * 10 < n_blocked_pairs, (n_prefix, n_blocked_pairs)
