@@ -13,9 +13,13 @@ with the scale knobs the reference leaves at defaults:
   - partitioned reads (`partitionColumn/lowerBound/upperBound`) so a
     big serving table scans in parallel instead of one connection.
 
-No JDBC driver jar nor database ships in this container, so calls fail
-fast with a clear message; the option-building logic is what unit tests
-cover (tests/test_sources.py).
+No JDBC driver jar ships in this container, so these calls fail fast
+with a clear message; the option-building logic is what unit tests cover
+(tests/test_sources.py). The LIVE serving path — same partitioned-read /
+bounded-connection architecture against the container's real PostgreSQL
+server — is pgserving.py (wire-protocol client + Python Data Source),
+exercised end-to-end by tests/test_pgserving.py and the
+`pg_serving_roundtrip` contract query.
 """
 
 from __future__ import annotations
