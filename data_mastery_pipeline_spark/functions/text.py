@@ -127,3 +127,75 @@ def normalize(text: str | Column) -> Column:
     lowered = F.lower(t)
     no_punct = F.regexp_replace(lowered, r"[^\w\s]", "")
     return F.trim(F.regexp_replace(no_punct, r"\s+", " "))
+
+
+# --- repetition metrics (Gopher-style, Rae et al. 2021 §A1.1) --------------
+
+
+def duplicate_fraction(arr: Column) -> Column:
+    """1 − |distinct|/|all| of an array — the repeated-element mass.
+    0 = all unique, →1 = one element repeated throughout."""
+    n = F.size(arr)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(arr)) / n.cast("double")
+    )
+
+
+def lines(text: str | Column) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(t, r"\n")
+
+
+def word_ngrams(text: str | Column, n: int) -> Column:
+    """Word n-grams as strings (space-joined). Documents shorter than n
+    tokens yield their whole token run as one (shorter) entry — which
+    can never equal a true n-gram, so downstream joins ignore it."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+
+
+def repetition_metrics(text: str | Column) -> dict[str, Column]:
+    """The cheap repetition family used by Gopher-style quality filters:
+    duplicate-line fraction plus duplicate word 1/2/3-gram fractions.
+    High values ⇒ boilerplate/spam (nav bars, keyword stuffing, logs).
+    All pure Catalyst array expressions; the SQL oracle mirrors them
+    with list_distinct/list lambdas."""
+    return {
+        "dup_line_frac": duplicate_fraction(lines(text)),
+        "dup_token_frac": duplicate_fraction(tokens(text)),
+        "dup_2gram_frac": duplicate_fraction(word_ngrams(text, 2)),
+        "dup_3gram_frac": duplicate_fraction(word_ngrams(text, 3)),
+    }
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+# Patterns deliberately RE2-and-Java-compatible (no backrefs/lookarounds)
+# so the Spark expression and the DuckDB oracle run the SAME regex.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[ \-]?\d{2,4}([ \-]?\d{2,4}){2,3}\b",
+}
+
+
+def pii_counts(text: str | Column) -> dict[str, Column]:
+    """Match counts per PII class (pre-scrub audit metric)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return {
+        f"n_{name}": F.regexp_count(t, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(text: str | Column) -> Column:
+    """Replace each PII class with a typed placeholder (<EMAIL>, <IP>,
+    <PHONE>) — the standard pre-training redaction transform. Order
+    matters: emails first (an address would otherwise lose its host dots
+    to the IP pattern on numeric domains)."""
+    t = F.col(text) if isinstance(text, str) else text
+    out = t
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out

@@ -20,7 +20,7 @@ from .dedup import simhash as dedup_simhash
 from .functions import text as textfn
 from .multimodal import binarycol
 from .operators import sampling
-from .registry import quantize, query
+from .registry import quantize, query, sql_quantize
 from .similarity import brute as sim_brute
 from .similarity import lsh as sim_lsh
 from .tables import load_table
@@ -675,3 +675,172 @@ def train_test_split_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, test_fraction=0.1, gate=sampling.affine_gate("doc_id", salt=13)
     )
     return test.select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Round 2: repetition metrics, PII scrub, contamination check
+# ---------------------------------------------------------------------------
+
+
+def _sql_dup_frac(arr_expr: str) -> str:
+    """DuckDB mirror of functions.text.duplicate_fraction (arrays here
+    are never empty: split() yields at least [''])."""
+    return f"(1 - len(list_distinct({arr_expr})) / greatest(len({arr_expr}), 1))"
+
+
+def _sql_ngrams(n: int) -> str:
+    """DuckDB mirror of functions.text.word_ngrams (inclusive slice
+    t[i:i+n-1] = n tokens; short docs yield their whole run once)."""
+    t = _SQL_TOKS
+    return (
+        f"[array_to_string(({t})[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, greatest(len({t})-{n - 1}, 1))]"
+    )
+
+
+@query(
+    "text_repetition",
+    f"""
+    WITH m AS (
+        SELECT lang,
+               {_sql_dup_frac("string_split(text, chr(10))")} AS dup_line_frac,
+               {_sql_dup_frac(_SQL_TOKS)} AS dup_token_frac,
+               {_sql_dup_frac(_sql_ngrams(2))} AS dup_2gram_frac,
+               {_sql_dup_frac(_sql_ngrams(3))} AS dup_3gram_frac
+        FROM documents
+    )
+    SELECT lang,
+           {sql_quantize("avg(dup_line_frac)", "avg_dup_line_frac", 4)},
+           {sql_quantize("avg(dup_token_frac)", "avg_dup_token_frac", 4)},
+           {sql_quantize("avg(dup_2gram_frac)", "avg_dup_2gram_frac", 4)},
+           {sql_quantize("avg(dup_3gram_frac)", "avg_dup_3gram_frac", 4)},
+           CAST(sum(CASE WHEN dup_3gram_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM m GROUP BY 1
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1):
+    duplicate-line and duplicate word 1/2/3-gram fractions per language,
+    plus the count of docs a dup-3gram>0.2 filter would drop. Pure
+    Catalyst array expressions — one narrow projection + one shuffle for
+    the per-lang aggregate; per-row flags compare identically across
+    engines (same IEEE ops), only the averages are quantized."""
+    docs = load_table(spark, "documents", sf_dir)
+    m = textfn.repetition_metrics("text")
+    scored = docs.select("lang", *[c.alias(k) for k, c in m.items()])
+    return scored.groupBy("lang").agg(
+        quantize(F.avg("dup_line_frac"), "avg_dup_line_frac", 4),
+        quantize(F.avg("dup_token_frac"), "avg_dup_token_frac", 4),
+        quantize(F.avg("dup_2gram_frac"), "avg_dup_2gram_frac", 4),
+        quantize(F.avg("dup_3gram_frac"), "avg_dup_3gram_frac", 4),
+        F.sum((F.col("dup_3gram_frac") > 0.2).cast("long")).alias("n_flagged"),
+    )
+
+
+_SQL_PII_AUG = (
+    "text || ' contact user' || doc_id || '@example.com from 10.1.2.' "
+    "|| (doc_id % 256) || CASE WHEN doc_id % 2 = 0 "
+    "THEN ' call +1 555 0100 42' ELSE '' END"
+)
+
+
+@query(
+    "pii_scrub",
+    f"""
+    WITH aug AS (SELECT source, {_SQL_PII_AUG} AS t FROM documents),
+    scrubbed AS (
+        SELECT source, t,
+               len(regexp_extract_all(t, '{textfn.PII_PATTERNS["email"]}')) AS n_email,
+               len(regexp_extract_all(t, '{textfn.PII_PATTERNS["ip"]}')) AS n_ip,
+               len(regexp_extract_all(t, '{textfn.PII_PATTERNS["phone"]}')) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{textfn.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                   '{textfn.PII_PATTERNS["ip"]}', '<IP>', 'g'),
+                   '{textfn.PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS clean
+        FROM aug
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS total_emails,
+           CAST(sum(n_ip) AS BIGINT) AS total_ips,
+           CAST(sum(n_phone) AS BIGINT) AS total_phones,
+           CAST(sum(length(t) - length(clean)) AS BIGINT) AS redacted_char_delta
+    FROM scrubbed GROUP BY 1
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: every document is augmented with a
+    deterministic synthetic contact line (so the operator provably FIRES
+    on every row — the corpus itself is PII-free), then scrubbed with
+    the shared RE2-and-Java-compatible patterns (functions.text.
+    PII_PATTERNS — the same regex strings run on both engines). Counts
+    and redacted-length deltas per source. Single narrow projection +
+    one aggregate shuffle; regex work is JVM-side codegen."""
+    docs = load_table(spark, "documents", sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.1.2."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" call +1 555 0100 42")).otherwise(
+            F.lit("")
+        ),
+    )
+    counts = textfn.pii_counts(aug)
+    t = docs.select(
+        "source",
+        F.length(aug).alias("len_raw"),
+        F.length(textfn.scrub_pii(aug)).alias("len_clean"),
+        *[c.alias(k) for k, c in counts.items()],
+    )
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("total_emails"),
+        F.sum("n_ip").alias("total_ips"),
+        F.sum("n_phone").alias("total_phones"),
+        F.sum(F.col("len_raw") - F.col("len_clean")).alias("redacted_char_delta"),
+    )
+
+
+@query(
+    "contamination_check",
+    f"""
+    WITH grams AS (
+        SELECT doc_id, unnest({_sql_ngrams(8)}) AS g FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT g FROM grams
+        WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+          AND len(string_split(g, ' ')) = 8
+    )
+    SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_contaminated_grams
+    FROM grams JOIN bench USING (g)
+    GROUP BY 1
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every document sharing an 8-token
+    word n-gram with the benchmark set (here: the 5 lowest-doc_id docs,
+    so the check is deterministic and self-verifying — the benchmark IS
+    in the corpus, as in real contamination sweeps). Shape: the
+    benchmark gram set is tiny → broadcast inner join against the
+    exploded corpus grams, one aggregate shuffle on doc_id. At 100 TB
+    swap gram strings for xxhash64(gram) on both sides — same plan, 8×
+    narrower shuffle rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(textfn.word_ngrams("text", 8)).alias("g")
+    )
+    bench = (
+        grams.join(docs.orderBy("doc_id").limit(5).select("doc_id"), "doc_id")
+        .filter(F.size(F.split(F.col("g"), " ")) == 8)
+        .select("g")
+        .distinct()
+    )
+    return (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_contaminated_grams"))
+    )

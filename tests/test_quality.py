@@ -79,3 +79,60 @@ def test_observed_metrics_piggyback_on_the_action(spark):
     assert got["n_rows"] == ev.count()  # observed BEFORE the filter
     assert got["null_props"] == ev.filter(F.col("props").isNull()).count()
     assert n_out <= got["n_rows"]
+
+
+# --- round 2: repetition metrics, PII scrub -------------------------------
+
+
+def test_repetition_metrics_known_values(spark):
+    from data_mastery_pipeline_spark.functions import text as textfn
+
+    df = spark.createDataFrame(
+        [("a a a a",), ("x\nx\ny",), ("w1 w2 w3 w4",)], "text string"
+    )
+    m = textfn.repetition_metrics("text")
+    rows = df.select(
+        m["dup_token_frac"].alias("t"),
+        m["dup_2gram_frac"].alias("g2"),
+        m["dup_line_frac"].alias("ln"),
+    ).collect()
+    # "a a a a": 4 tokens 1 distinct → 0.75; 3 bigrams "a a" → 2/3
+    assert rows[0]["t"] == 0.75 and abs(rows[0]["g2"] - 2 / 3) < 1e-12
+    # "x\nx\ny": 3 lines, 2 distinct → 1/3
+    assert abs(rows[1]["ln"] - 1 / 3) < 1e-12
+    # all-unique doc: zero everywhere
+    assert rows[2]["t"] == 0.0 and rows[2]["g2"] == 0.0 and rows[2]["ln"] == 0.0
+
+
+def test_word_ngrams_short_doc_single_entry(spark):
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.functions import text as textfn
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    got = df.select(textfn.word_ngrams("text", 8).alias("g")).collect()[0]["g"]
+    assert got == ["a b"]  # whole short run once; can't equal a true 8-gram
+    got3 = df.select(
+        F.size(textfn.word_ngrams(F.lit("q w e r t"), 3)).alias("n")
+    ).collect()[0]["n"]
+    assert got3 == 3  # n-k+1 grams
+
+
+def test_pii_scrub_and_counts(spark):
+    from data_mastery_pipeline_spark.functions import text as textfn
+
+    txt = (
+        "write a@b.io or c.d+tag@ex-ample.org, host 10.0.255.7, "
+        "call +49 151 1234 5678 now"
+    )
+    df = spark.createDataFrame([(txt,), ("no pii here",)], "text string")
+    out = df.select(
+        textfn.scrub_pii("text").alias("clean"),
+        *[c.alias(k) for k, c in textfn.pii_counts("text").items()],
+    ).collect()
+    assert out[0]["clean"] == (
+        "write <EMAIL> or <EMAIL>, host <IP>, call <PHONE> now"
+    )
+    assert (out[0]["n_email"], out[0]["n_ip"], out[0]["n_phone"]) == (2, 1, 1)
+    assert out[1]["clean"] == "no pii here"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (0, 0, 0)
