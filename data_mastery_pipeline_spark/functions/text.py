@@ -216,3 +216,33 @@ def scrub_pii(text: str | Column) -> Column:
     for name, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return out
+
+
+# --- context-window chunking ----------------------------------------------
+
+
+def chunk_spans(
+    text: str | Column, chunk_size: int = 512, overlap: int = 64
+) -> Column:
+    """Split a document into token-window chunks with overlap — the
+    standard pre-training / RAG segmentation. Returns an array of
+    structs (chunk_idx, chunk_text, n_chunk_tokens); chunk starts step
+    by ``chunk_size − overlap`` so consecutive chunks share ``overlap``
+    tokens; the final chunk may be shorter (never empty: starts stop at
+    the last token). Pure Catalyst (sequence/slice/transform) — chunking
+    a 100 TB corpus is a narrow map, no shuffle."""
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    step = chunk_size - overlap
+    toks = tokens(text)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(toks, s + 1, chunk_size), " ").alias("chunk_text"),
+            F.size(F.slice(toks, s + 1, chunk_size)).alias("n_chunk_tokens"),
+        ),
+    )

@@ -850,3 +850,40 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("gh").alias("n_contaminated_grams"))
     )
+
+
+@query(
+    "doc_chunks",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest([{'i': CAST(s/24 AS BIGINT), 'c': array_to_string(t[s+1:s+32], ' ')}
+                       for s in generate_series(0, greatest(len(t)-1, 0), 24)]) AS ch
+        FROM toks
+    )
+    SELECT doc_id,
+           ch.i AS chunk_idx,
+           CAST(len(string_split(ch.c, ' ')) AS INTEGER) AS n_chunk_tokens,
+           md5(ch.c) AS chunk_md5
+    FROM chunks
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (chunk_size=32, overlap=8 at test scale;
+    512/64 defaults in the function): every document split into
+    overlapping token windows — the segmentation step feeding
+    tokenization/packing in a pre-training pipeline. Content is
+    value-checked compactly via md5(chunk_text). Narrow map + explode,
+    no shuffle; the oracle mirrors the spans with a DuckDB list
+    comprehension."""
+    docs = load_table(spark, "documents", sf_dir)
+    ch = F.explode(textfn.chunk_spans("text", chunk_size=32, overlap=8)).alias("ch")
+    return docs.select("doc_id", ch).select(
+        "doc_id",
+        F.col("ch.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.md5("ch.chunk_text").alias("chunk_md5"),
+    )

@@ -136,3 +136,22 @@ def test_pii_scrub_and_counts(spark):
     assert (out[0]["n_email"], out[0]["n_ip"], out[0]["n_phone"]) == (2, 1, 1)
     assert out[1]["clean"] == "no pii here"
     assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (0, 0, 0)
+
+
+def test_chunk_spans_overlap_and_tail(spark):
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.functions import text as textfn
+
+    df = spark.createDataFrame(
+        [("a b c d e f g h",), ("x",)], "text string"
+    )
+    got = df.select(textfn.chunk_spans("text", chunk_size=4, overlap=1).alias("c")).collect()
+    chunks0 = [(r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"]) for r in got[0]["c"]]
+    # starts step by 3: [a b c d], [d e f g], [g h] — overlap 1, short tail
+    assert chunks0 == [(0, "a b c d", 4), (1, "d e f g", 4), (2, "g h", 2)]
+    assert [tuple(r) for r in got[1]["c"]] == [(0, "x", 1)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="overlap"):
+        df.select(textfn.chunk_spans("text", chunk_size=4, overlap=4))
