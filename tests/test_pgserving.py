@@ -109,3 +109,50 @@ def test_overwrite_mode_rejected(spark, pg):
             .option("table", "whatever")
             .save()
         )
+
+
+# --- wire-protocol encoding properties ------------------------------------
+
+
+from hypothesis import HealthCheck, given, settings as hy_settings
+from hypothesis import strategies as st
+
+_WIRE_SET = hy_settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable-ish unicode plus every character the COPY/literal encoders
+# must escape (tab, newline, CR, backslash, quote) and NULs are rejected
+# by PG text columns, so exclude only \x00
+_TEXT = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\x00"
+    ),
+    max_size=80,
+)
+
+
+@_WIRE_SET
+@given(s=_TEXT, v=st.one_of(st.none(), st.floats(allow_nan=False, width=64)))
+def test_copy_roundtrip_preserves_arbitrary_text(pg, s, v):
+    """COPY text-format escaping: whatever goes in comes back verbatim
+    through the real server (tabs, newlines, backslashes, unicode)."""
+    pg.execute(
+        "DROP TABLE IF EXISTS wire_prop; "
+        "CREATE TABLE wire_prop(id int, s text, v double precision)"
+    )
+    pg.copy_rows("wire_prop", ["id", "s", "v"], [(1, s, v)])
+    got = pg.query("SELECT s, v FROM wire_prop").rows[0]
+    assert got[0] == s
+    assert got[1] == v or (v is not None and abs(got[1] - v) < 1e-307)
+
+
+@_WIRE_SET
+@given(s=_TEXT)
+def test_quote_literal_roundtrip(pg, s):
+    """INSERT-literal quoting: server parses our literal back to the
+    exact original string (quote doubling, no backslash surprises)."""
+    got = pg.query(f"SELECT {pgwire.quote_literal(s)}").rows[0][0]
+    assert got == s
