@@ -887,3 +887,43 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
         F.md5("ch.chunk_text").alias("chunk_md5"),
     )
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH sized AS (
+        SELECT source, doc_id, len({_SQL_TOKS}) AS n_toks FROM documents
+    ),
+    packed AS (
+        SELECT source, n_toks,
+               sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_toks AS start_offset
+        FROM sized
+    )
+    SELECT source,
+           CAST(floor(start_offset / 2048) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (operators/packing.py): docs
+    stream per source in doc_id order into 2048-token training
+    sequences; per (source, bin) doc and token counts. One window
+    shuffle on source + one aggregate — the per-shard parallel shape a
+    distributed loader uses (a global ordered cumsum would be a
+    single-partition non-starter)."""
+    from .operators import packing
+
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select("source", "doc_id", textfn.token_count("text").alias("n_toks"))
+    packed = packing.pack_greedy(
+        sized, size_col="n_toks", order_col="doc_id",
+        partition_cols=["source"], capacity=2048,
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )

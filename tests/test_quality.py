@@ -155,3 +155,24 @@ def test_chunk_spans_overlap_and_tail(spark):
 
     with _pt.raises(ValueError, match="overlap"):
         df.select(textfn.chunk_spans("text", chunk_size=4, overlap=4))
+
+
+def test_pack_greedy_concat_and_split_semantics(spark):
+    from data_mastery_pipeline_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [("a", 1, 6), ("a", 2, 3), ("a", 3, 4), ("a", 4, 10), ("b", 1, 9)],
+        "src string, i long, n long",
+    )
+    out = packing.pack_greedy(
+        df, size_col="n", order_col="i", partition_cols=["src"], capacity=8
+    )
+    got = {(r["src"], r["i"]): (r["start_offset"], r["bin_id"]) for r in out.collect()}
+    # src a: offsets 0,6,9,13 → bins 0,0,1,1 (item 2 straddles 8, counted
+    # at its start; item 4 starts in bin 1 and spills into bin 2)
+    assert got[("a", 1)] == (0, 0)
+    assert got[("a", 2)] == (6, 0)
+    assert got[("a", 3)] == (9, 1)
+    assert got[("a", 4)] == (13, 1)
+    # src b packs independently from offset 0
+    assert got[("b", 1)] == (0, 0)
