@@ -83,6 +83,13 @@ _PRIORITY = [
     "stream_dedup_keys",
     "stream_user_sessions",
     "stream_interval_join",
+    # new in round 2 (never driver-checked)
+    "pg_serving_roundtrip",
+    "text_repetition",
+    "pii_scrub",
+    "contamination_check",
+    "doc_chunks",
+    "sequence_packing",
 ]
 
 
