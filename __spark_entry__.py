@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 import data_mastery_pipeline_spark.queries  # noqa: F401  (registers core queries)
 import data_mastery_pipeline_spark.queries_ext  # noqa: F401  (registers extension queries)
 import data_mastery_pipeline_spark.queries_src  # noqa: F401  (registers source/sink queries)
+import data_mastery_pipeline_spark.queries_stats  # noqa: F401  (registers stats/time-series queries)
 import data_mastery_pipeline_spark.queries_stream  # noqa: F401  (registers streaming queries)
 from data_mastery_pipeline_spark.registry import ORACLE, QUERIES
 
@@ -90,6 +91,19 @@ _PRIORITY = [
     "contamination_check",
     "doc_chunks",
     "sequence_packing",
+    # stats / time-series / join-shape batch (new this round, never checked)
+    "stat_moments",
+    "median_quartiles",
+    "segment_rank_family",
+    "moving_avg_7d",
+    "gap_fill_ffill",
+    "promo_revenue",
+    "brand_size_revenue",
+    "rich_inactive_customers",
+    "tfidf_top_terms",
+    "length_deciles",
+    "source_mixture",
+    "string_suite",
 ]
 
 

@@ -1,0 +1,570 @@
+"""Statistical / time-series / retrieval analytics queries (round 2).
+
+Widens the engine surface beyond SURVEY §2 with the analytics a serving
+layer over the reference's gold tables would grow next (the reference
+stops at avg/min/max/count — silver_processor.py:279-304 — and its SQL
+views schema.sql:211-252): higher moments, exact quantiles, the full
+ranking-function family, windowed time series (moving average, calendar
+gap-fill + forward-fill), classic disjunctive-predicate and
+scalar-subquery join shapes (TPC-H Q14/Q19/Q22 forms), and
+training-corpus statistics (TF-IDF, curriculum binning, source mixture).
+
+Oracle-parity conventions follow queries.py: identical aliases both
+sides, doubles quantized via the engine-agnostic floor form, integer
+casts where DuckDB widens, deterministic tie-breaks on every ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as textfn
+from .registry import quantize, query
+from .tables import load_table
+
+_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Higher statistical moments (extends SURVEY §2.D beyond avg/min/max/count)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_moments",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT)                  AS n,
+             stddev_samp(l_quantity)                   AS sd,
+             var_samp(l_quantity)                      AS var,
+             corr(l_quantity, l_extendedprice)         AS co,
+             covar_samp(l_quantity, l_extendedprice)   AS cv,
+             avg(l_quantity)                           AS m1,
+             avg(l_quantity * l_quantity)              AS m2,
+             avg(l_quantity * l_quantity * l_quantity) AS m3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           floor(sd * 10000 + 0.5) / 10000.0 AS sd_qty,
+           floor(var * 10000 + 0.5) / 10000.0 AS var_qty,
+           floor(co * 10000 + 0.5) / 10000.0 AS corr_qty_price,
+           floor(cv * 100 + 0.5) / 100.0 AS covar_qty_price,
+           floor(((m3 - 3*m1*m2 + 2*m1*m1*m1) / ((m2 - m1*m1) ^ 1.5)) * 10000 + 0.5) / 10000.0
+             AS skew_qty
+    FROM m
+    """,
+)
+def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second/third moments + bivariate stats per return flag.
+
+    stddev_samp / var_samp / corr / covar_samp share one textbook
+    definition across engines; skewness does NOT (Spark = population
+    m3/m2^1.5, DuckDB = bias-corrected sample), so it is computed from
+    raw moments with one explicit formula on both sides.
+
+    Scale: one partial+final hash agg on a 3-value key — all moment
+    accumulators combine map-side, a single O(groups) shuffle.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.stddev_samp(q).alias("sd"),
+        F.var_samp(q).alias("var"),
+        F.corr(q, p).alias("co"),
+        F.covar_samp(q, p).alias("cv"),
+        F.avg(q).alias("m1"),
+        F.avg(q * q).alias("m2"),
+        F.avg(q * q * q).alias("m3"),
+    )
+    m1, m2, m3 = F.col("m1"), F.col("m2"), F.col("m3")
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(m2 - m1 * m1, 1.5)
+    return m.select(
+        "l_returnflag",
+        "n",
+        quantize(F.col("sd"), "sd_qty", 4),
+        quantize(F.col("var"), "var_qty", 4),
+        quantize(F.col("co"), "corr_qty_price", 4),
+        quantize(F.col("cv"), "covar_qty_price", 2),
+        quantize(skew, "skew_qty", 4),
+    )
+
+
+@query(
+    "median_quartiles",
+    """
+    SELECT event_type,
+           floor(quantile_cont(value, 0.25) * 10000 + 0.5) / 10000.0 AS q1,
+           floor(quantile_cont(value, 0.50) * 10000 + 0.5) / 10000.0 AS med,
+           floor(quantile_cont(value, 0.75) * 10000 + 0.5) / 10000.0 AS q3
+    FROM events GROUP BY event_type
+    """,
+)
+def median_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per event type (the exact twin of
+    ``value_percentiles_approx``). Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation-at-(n-1)p rule.
+
+    Scale: exact percentiles buffer each group's values — correct for
+    the contract check; at 100 TB the approx_percentile twin (mergeable
+    KLL-style sketch, map-side combine) is the production path.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("pct")
+    )
+    return pct.select(
+        "event_type",
+        quantize(F.element_at("pct", 1), "q1", 4),
+        quantize(F.element_at("pct", 2), "med", 4),
+        quantize(F.element_at("pct", 3), "q3", 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function family (extends SURVEY §2.E beyond row_number/rank/lag)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "segment_rank_family",
+    """
+    WITH totals AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             floor(sum(o.o_totalprice) * 100 + 0.5) / 100.0 AS total
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    )
+    SELECT c_mktsegment, o_custkey, total,
+           CAST(rank()       OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0 AS prnk,
+           floor(cume_dist()    OVER w * 1000000 + 0.5) / 1000000.0 AS cdist,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM totals
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY total DESC, o_custkey)
+    """,
+)
+def segment_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking surface — rank / dense_rank / percent_rank /
+    cume_dist / ntile — over customer spend within market segment.
+
+    Ordering is on the *quantized* total plus the key, so the window
+    order is bit-identical across engines (a raw double sum could flip
+    near-ties). Partitioned by segment: each partition ranks
+    independently — the scalable form of ranking (a global ORDER BY
+    window collapses to one task; partition-scoped ranking does not).
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    totals = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(quantize(F.sum("o_totalprice"), "total", 2))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("total"), F.asc("o_custkey"))
+    return totals.select(
+        "c_mktsegment",
+        "o_custkey",
+        "total",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        quantize(F.percent_rank().over(w), "prnk", 6),
+        quantize(F.cume_dist().over(w), "cdist", 6),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed time series (moving average, calendar gap-fill + forward fill)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "moving_avg_7d",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100.0 AS rev
+      FROM lineitem GROUP BY 1
+    )
+    SELECT d, rev,
+           floor(avg(rev) OVER (
+               ORDER BY date_diff('day', DATE '1970-01-01', d)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) * 100 + 0.5) / 100.0 AS ma7
+    FROM daily
+    """,
+)
+def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily revenue — a RANGE frame
+    keyed on the epoch-day number, so calendar gaps shrink the window
+    (unlike a ROWS frame, which would silently span gaps).
+
+    Scale: the window runs over the *pre-aggregated* daily series, whose
+    cardinality is bounded by the calendar (~2.5k rows for 7 years)
+    regardless of fact-table size — the unpartitioned window is safe at
+    any scale because the heavy reduction (one shuffle, map-side
+    combine) happens first.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(quantize(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "rev", 2))
+    )
+    day_nr = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(day_nr).rangeBetween(-6, 0)
+    return daily.select("d", "rev", quantize(F.avg("rev").over(w), "ma7", 2))
+
+
+@query(
+    "gap_fill_ffill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             floor(sum(value) * 100 + 0.5) / 100.0 AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+    cal AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM spans
+    ),
+    j AS (SELECT cal.user_id, cal.d, daily.v FROM cal LEFT JOIN daily USING (user_id, d))
+    SELECT user_id, d,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_ff,
+           v IS NULL AS is_filled
+    FROM j
+    """,
+)
+def gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward fill per user: densify each user's
+    daily series over their own [min(d), max(d)] span (sequence +
+    explode), then carry the last observed value forward
+    (``last(..., ignorenulls)`` over a running frame).
+
+    Scale: everything is keyed by user_id — the explode fans out to at
+    most span-days rows per user, the join and window are co-partitioned
+    on user_id (one shuffle reused), no global ordering anywhere.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        quantize(F.sum("value"), "v", 2)
+    )
+    spans = daily.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = spans.select("user_id", F.explode(F.sequence("d0", "d1")).alias("d"))
+    j = cal.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "d",
+        F.last("v", ignorenulls=True).over(w).alias("v_ff"),
+        F.col("v").isNull().alias("is_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic join shapes (TPC-H Q14 / Q19 / Q22 forms on the available columns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "promo_revenue",
+    """
+    SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                  / sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000.0
+             AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from promo parts —
+    a conditional aggregate over a fact⋈dim join.
+
+    Scale: the tight l_shipdate range is pushed to the parquet scan
+    (row-group min/max skipping does most of the work), part is
+    broadcast, and the two sums reduce map-side to a single row — no
+    shuffle of fact rows at all.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0)))
+    return joined.agg(quantize(100.0 * promo / F.sum(disc_price), "promo_pct", 4))
+
+
+@query(
+    "brand_size_revenue",
+    """
+    SELECT floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100.0 AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+       OR (p_brand = 'Brand#2'  AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of per-brand (size, quantity) bands
+    spanning both join sides.
+
+    Scale: Catalyst CNF-converts the OR so the derivable per-table
+    conjuncts (l_quantity ∈ [1,50], p_size ∈ [1,50], brand ∈ set) push
+    below the join; part broadcasts; the residual disjunction evaluates
+    post-join inside codegen. Single map-side-reduced scalar — no
+    shuffle of fact rows.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#4") & sz.between(1, 15) & q.between(1, 20))
+        | ((br == "Brand#2") & sz.between(10, 30) & q.between(10, 40))
+        | ((br == "Brand#19") & sz.between(20, 50) & q.between(20, 50))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(quantize(F.sum(disc_price), "revenue", 2))
+
+
+@query(
+    "rich_inactive_customers",
+    """
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS numcust,
+           floor(sum(c_acctbal) * 100 + 0.5) / 100.0 AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    """,
+)
+def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape on the available columns: customers with
+    above-average positive balance and no orders, summarized by nation.
+
+    Scale: the scalar average stays *inside the plan* as a broadcast
+    1-row cross join (no driver collect); the no-orders test is a
+    left-anti join (shuffle on custkey, or broadcast of the distinct
+    custkey set when it fits); nation is broadcast.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    inactive = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        inactive.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            quantize(F.sum("c_acctbal"), "totacctbal", 2),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus statistics (TF-IDF, curriculum binning, source mixture)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             floor(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) * 1000000 + 0.5)
+               / 1000000.0 AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf =
+    ln((1+N)/(1+df)) + 1, sklearn's convention).
+
+    All inputs to the score are exact integers (tf, df, N), so the
+    double score is bit-reproducible; ranking orders by the quantized
+    score with a token tie-break.
+
+    Scale: two corpus-wide aggregations (tf on (doc,tok), df on tok) —
+    each one shuffle with map-side combine; N joins as a broadcast
+    1-row relation (in-plan, no collect); final top-k is a window
+    partitioned by doc_id, never a global sort. The df relation is
+    vocabulary-sized — at 100 TB it stays a sort-merge join on tok
+    unless the vocabulary fits a broadcast.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(textfn.tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", quantize(F.col("tf") * idf, "tfidf", 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )
+
+
+@query(
+    "length_deciles",
+    """
+    WITH binned AS (
+      SELECT n_chars,
+             CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS decile
+      FROM documents
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           floor(avg(n_chars) * 100 + 0.5) / 100.0 AS avg_chars
+    FROM binned GROUP BY decile
+    """,
+)
+def length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: documents bucketed into length deciles
+    (ntile over a deterministic order), then per-decile stats — the
+    standard way to stage training data from short to long sequences.
+
+    Scale note: ntile needs a total order (single-task window). The
+    contract query keeps the exact form; the 100 TB path replaces it
+    with approx_percentile cutoffs + a bucket join — same output
+    contract, fully parallel (`operators/sampling.py` has the
+    hash-gate analog).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.orderBy("n_chars", "doc_id")
+    binned = docs.select("n_chars", F.ntile(10).over(w).cast("int").alias("decile"))
+    return binned.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        quantize(F.avg("n_chars"), "avg_chars", 2),
+    )
+
+
+@query(
+    "source_mixture",
+    f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           floor((n_tokens * 1.0 / sum(n_tokens) OVER ()) * 1000000 + 0.5) / 1000000.0
+             AS token_share,
+           floor(least(1.0, (1.0 / count(*) OVER ())
+                            / (n_tokens * 1.0 / sum(n_tokens) OVER ())) * 1000000 + 0.5)
+             / 1000000.0 AS sample_rate
+    FROM per_src
+    """,
+)
+def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning: per-source token share and the sampling
+    rate that flattens the mixture to uniform across sources
+    (rate = min(1, target_share / actual_share)) — the computation
+    behind down-sampling over-represented domains in a training corpus.
+
+    Scale: the heavy pass is one hash agg keyed by source; the window
+    runs over the *aggregated* relation (cardinality = #sources), so
+    the unpartitioned frame is bounded and safe.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(textfn.token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = 1.0 / F.count("*").over(w)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        quantize(share, "token_share", 6),
+        quantize(F.least(F.lit(1.0), target / share), "sample_rate", 6),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String-function suite (extends SURVEY §2.I — the reference uses only
+# lower/contains/concat, gold_loader.py:313, schema.sql:264)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_suite",
+    """
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INT) AS brand_num,
+           upper(p_name)                 AS name_upper,
+           lpad(p_name, 16, '*')         AS name_padded,
+           reverse(p_name)               AS name_rev,
+           split_part(p_name, ' ', 1)    AS first_word,
+           substr(p_name, 2, 3)          AS name_mid,
+           CAST(levenshtein(p_name, lower(p_type)) AS INT) AS lev_name_type,
+           replace(p_name, ' ', '_')     AS name_snake
+    FROM part
+    """,
+)
+def string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface in one projection: regexp capture,
+    case mapping, padding, reversal, field splitting, substring, edit
+    distance, replacement — each a Catalyst expression DuckDB defines
+    identically.
+
+    Scale: pure narrow projection inside whole-stage codegen — no
+    shuffle, no UDF; cost is a single scan.
+    """
+    part = load_table(spark, "part", sf_dir)
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_brand"), r"(\d+)", 1).cast("int").alias("brand_num"),
+        F.upper(name).alias("name_upper"),
+        F.lpad(name, 16, "*").alias("name_padded"),
+        F.reverse(name).alias("name_rev"),
+        F.split_part(name, F.lit(" "), F.lit(1)).alias("first_word"),
+        F.substring(name, 2, 3).alias("name_mid"),
+        F.levenshtein(name, F.lower(F.col("p_type"))).cast("int").alias("lev_name_type"),
+        F.replace(name, F.lit(" "), F.lit("_")).alias("name_snake"),
+    )

@@ -13,6 +13,7 @@ import pytest
 
 import data_mastery_pipeline_spark.queries  # noqa: F401
 import data_mastery_pipeline_spark.queries_ext  # noqa: F401
+import data_mastery_pipeline_spark.queries_stats  # noqa: F401
 from data_mastery_pipeline_spark import plans
 from data_mastery_pipeline_spark.registry import QUERIES
 
@@ -133,3 +134,70 @@ def test_nation_trade_flows_broadcasts_all_dim_roles(q):
     assert plans.cartesian_product_count(df) == 0
     # customer, supplier, and BOTH nation roles broadcast independently
     assert plans.broadcast_join_count(df) >= 4
+
+
+# --- round-2 stats/time-series/join-shape batch (queries_stats.py) ---------
+
+
+def test_promo_revenue_pushes_date_range_and_broadcasts_part(q):
+    df = q["promo_revenue"]
+    joined = " ".join(plans.pushed_filters(df))
+    assert "GreaterThanOrEqual(l_shipdate" in joined
+    assert "LessThan(l_shipdate" in joined
+    assert plans.broadcast_join_count(df) >= 1
+    # conditional agg reduces map-side: single exchange to the final row
+    assert plans.exchange_count(df) == 1
+
+
+def test_brand_size_revenue_cnf_pushes_disjunction_to_both_scans(q):
+    # The OR spans both join sides; Catalyst must CNF-extract the
+    # per-table residuals and push them into BOTH parquet scans —
+    # at 100 TB this is the difference between scanning 3 brands'
+    # row groups and scanning the whole fact table.
+    df = q["brand_size_revenue"]
+    pushed = plans.pushed_filters(df)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed)
+    assert any("p_brand" in p and "Or(" in p for p in pushed)
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.cartesian_product_count(df) == 0
+
+
+def test_rich_inactive_customers_scalar_stays_in_plan(q):
+    # Scalar avg joins as a broadcast 1-row relation (no driver
+    # collect), no-orders test is an anti join, nation broadcasts.
+    df = q["rich_inactive_customers"]
+    assert plans.cartesian_product_count(df) == 0
+    assert plans.broadcast_join_count(df) >= 3
+    assert "LeftAnti" in plans.formatted_plan(df)
+
+
+def test_gap_fill_reuses_user_partitioning(q):
+    # daily agg, spans agg, join, and ffill window are all keyed by
+    # user_id — the shuffle must be reused, not repeated per stage.
+    assert plans.exchange_count(q["gap_fill_ffill"]) <= 2
+    assert plans.cartesian_product_count(q["gap_fill_ffill"]) == 0
+
+
+def test_moving_avg_window_runs_over_preaggregated_days(q):
+    # one shuffle for the daily agg + one single-partition exchange for
+    # the calendar-bounded window — never a shuffle of raw fact rows
+    # into the window.
+    assert plans.exchange_count(q["moving_avg_7d"]) <= 2
+
+
+def test_tfidf_no_cartesian_and_broadcast_scalar(q):
+    df = q["tfidf_top_terms"]
+    assert plans.cartesian_product_count(df) == 0
+    assert plans.broadcast_join_count(df) >= 1  # N joins as broadcast 1-row
+
+
+def test_string_suite_pure_projection_no_shuffle(q):
+    df = q["string_suite"]
+    assert plans.exchange_count(df) == 0
+    (cols,) = plans.read_schema_columns(df)
+    assert set(cols) == {"p_partkey", "p_name", "p_brand", "p_type"}
+
+
+def test_stat_moments_single_shuffle(q):
+    # all moment accumulators combine map-side → one exchange
+    assert plans.exchange_count(q["stat_moments"]) == 1
