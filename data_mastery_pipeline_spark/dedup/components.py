@@ -58,18 +58,26 @@ def connected_components(
     )
     d = ckpt(d)
 
-    # mapping: original node → current representative. Starts as identity;
-    # each round composes the round's relabeling into it.
+    # mapping: original node → current representative. Starts as identity
+    # (a lazy plan over the edge checkpoint — round 0's materialization
+    # below computes it as part of its one job; no separate init job).
     mirrored = d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
     mapping = (
         mirrored.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("lab", F.col("id"))
     )
-    mapping = ckpt(mapping)
 
+    # Per-round job budget matters as much as per-round data volume:
+    # every materialization pays fixed driver cost (analysis + codegen +
+    # job scheduling) that dwarfs the actual work once contraction has
+    # shrunk the graph. The loop therefore materializes exactly TWICE per
+    # round: `prop` (needed anyway to break the pointer-jump self-join's
+    # plan identity) and a tagged union holding the new edge set AND the
+    # new mapping in ONE checkpoint (tag 1 = edge (a,b), tag 0 = mapping
+    # (id,lab)); the two frames are cheap filter-views over its blocks.
+    prev_combined: DataFrame | None = None
     for _ in range(max_iter):
-        prev_d, prev_mapping = d, mapping
         # One min-propagation round over the CURRENT (contracted) graph:
         # lab(r) = min(r, min of r's neighbors).
         mirrored = d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -80,16 +88,15 @@ def connected_components(
         )
         prop = ckpt(prop)  # also breaks the self-join plan identity below
         # Pointer jump (lab ← lab(lab)): collapses the stars the round
-        # just formed; tiny table, cheap join, halves the rounds needed
-        # on chain-shaped graphs.
+        # just formed; tiny join over the prop checkpoint, recomputed by
+        # each consumer inside the same job — stages, not extra jobs.
         ptr = prop.select(F.col("id").alias("p_id"), F.col("lab").alias("p_lab"))
         jumped = (
             prop.join(ptr, F.col("lab") == F.col("p_id"))
             .select("id", F.col("p_lab").alias("lab"))
         )
-        jumped = ckpt(jumped)
         # Compose into the full mapping (original node space).
-        mapping = (
+        new_mapping = (
             mapping.alias("m")
             .join(jumped.alias("j"), F.col("m.lab") == F.col("j.id"), "left")
             .select(
@@ -97,7 +104,6 @@ def connected_components(
                 F.coalesce(F.col("j.lab"), F.col("m.lab")).alias("lab"),
             )
         )
-        mapping = ckpt(mapping)
         # CONTRACT: rewrite edges in representative space and drop
         # self-loops + duplicates. Dense clusters collapse to a point
         # after one round, so |e| shrinks geometrically — later rounds
@@ -105,7 +111,7 @@ def connected_components(
         # alternating-contraction idea of Kiveris et al. SoCC'14).
         ja = jumped.select(F.col("id").alias("a"), F.col("lab").alias("la"))
         jb = jumped.select(F.col("id").alias("b"), F.col("lab").alias("lb"))
-        d = (
+        new_d = (
             d.join(ja, "a")
             .join(jb, "b")
             .select(
@@ -114,12 +120,31 @@ def connected_components(
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        d = ckpt(d)
+        # Materialize new_d + new_mapping together (edges first, so the
+        # emptiness probe below touches the leading blocks only).
+        combined = ckpt(
+            new_d.select(F.lit(1).alias("tag"), F.col("a").alias("x"), F.col("b").alias("y"))
+            .unionAll(
+                new_mapping.select(
+                    F.lit(0).alias("tag"), F.col("id").alias("x"), F.col("lab").alias("y")
+                )
+            )
+        )
+        prev_d = d
+        d = combined.filter(F.col("tag") == 1).select(
+            F.col("x").alias("a"), F.col("y").alias("b")
+        )
+        mapping = combined.filter(F.col("tag") == 0).select(
+            F.col("x").alias("id"), F.col("y").alias("lab")
+        )
         stop = d.isEmpty()
         # free superseded checkpoint blocks — an unbounded loop would
         # otherwise accumulate every round's materialization in storage
-        for stale in (prev_d, prev_mapping, prop, jumped):
-            release(stale, checkpoint_dir)
+        release(prop, checkpoint_dir)
+        release(prev_d, checkpoint_dir)
+        if prev_combined is not None:
+            release(prev_combined, checkpoint_dir)
+        prev_combined = combined
         if stop:
             break
     labels = mapping
