@@ -104,6 +104,11 @@ _PRIORITY = [
     "length_deciles",
     "source_mixture",
     "string_suite",
+    "ship_priority",
+    "returned_revenue_by_customer",
+    "embedding_norms",
+    "modal_value_bucket",
+    "distinct_users_hll_sketch",
 ]
 
 

@@ -568,3 +568,210 @@ def string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(name, F.lower(F.col("p_type"))).cast("int").alias("lev_name_type"),
         F.replace(name, F.lit(" "), F.lit("_")).alias("name_snake"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: classic order-priority / returns shapes (TPC-H Q3 / Q10 forms),
+# higher-order array functions, deterministic mode, mergeable HLL sketches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ship_priority",
+    """
+    SELECT l_orderkey,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100.0 AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped-at-cutoff orders by revenue for
+    one market segment (deterministic tie-break on date + orderkey).
+
+    Scale: both date predicates push to the fact scans (row-group
+    skipping), customer filters to one segment and BROADCASTS into
+    orders, the orders⋈lineitem join shuffles on the shared orderkey,
+    and the final top-10 is TakeOrderedAndProject — never a global sort.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    j = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(quantize(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue", 2))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "returned_revenue_by_customer",
+    """
+    SELECT c_custkey, c_name, n_name,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100.0 AS revenue,
+           floor(c_acctbal * 100 + 0.5) / 100.0 AS acctbal
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in one quarter, with their nation.
+
+    Scale: l_returnflag + the quarter range push to the scans; customer
+    and nation broadcast; one shuffle joins the two fact sides on
+    orderkey; the aggregate keys on custkey (+ carried dims) and top-20
+    is TakeOrderedAndProject.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(quantize(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue", 2))
+        .select(
+            "c_custkey", "c_name", "n_name", "revenue",
+            quantize(F.col("c_acctbal"), "acctbal", 2),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           floor(sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                       FROM unnest(embedding) AS u(x))) * 10000 + 0.5) / 10000.0 AS l2_norm,
+           floor((SELECT max(abs(CAST(x AS DOUBLE))) FROM unnest(embedding) AS u(x))
+                 * 10000 + 0.5) / 10000.0 AS max_abs,
+           floor((SELECT sum(CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x))
+                 / len(embedding) * 10000 + 0.5) / 10000.0 AS mean_v
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector statistics via higher-order array functions — the
+    UDF-free path for embedding math (SURVEY §2.K: the engine's
+    pandas_udf surface exists for decode-style work, but norms/means
+    stay in Catalyst): ``aggregate`` folds the squared sum, ``transform``
+    maps |x|, all inside whole-stage codegen.
+
+    Scale: narrow projection, no shuffle, no Python — the same
+    expression shape the ANN queries use for their distance math.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    xd = lambda x: x.cast("double")  # noqa: E731
+    sq_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + xd(x) * xd(x)
+    )
+    abs_arr = F.transform("embedding", lambda x: F.abs(xd(x)))
+    total = F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + xd(x))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n_dims"),
+        quantize(F.sqrt(sq_sum), "l2_norm", 4),
+        quantize(F.array_max(abs_arr), "max_abs", 4),
+        quantize(total / F.size("embedding"), "mean_v", 4),
+    )
+
+
+@query(
+    "modal_value_bucket",
+    """
+    SELECT event_type, bucket AS modal_bucket, n AS modal_count
+    FROM (
+      SELECT event_type, bucket, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY n DESC, bucket) AS rn
+      FROM (
+        SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+      )
+    ) WHERE rn = 1
+    """,
+)
+def modal_value_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most frequent value bucket per event
+    type. Built-in ``mode()`` is tie-arbitrary in every engine, so the
+    engine's canonical form is count + rank with a full tie-break —
+    same output everywhere, and the two-level aggregate is the scalable
+    shape (first shuffle reduces to (type, bucket) cardinality, the
+    ranking window sees only aggregated rows).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.floor(F.col("value") / 10).cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("bucket"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("bucket").alias("modal_bucket"), F.col("n").alias("modal_count"))
+    )
+
+
+@query("distinct_users_hll_sketch")
+def distinct_users_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch surface (Datasketches-compatible
+    ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``,
+    Spark 3.5+): per-type user sketches PLUS their union re-estimated —
+    the partial-aggregation contract a 100 TB rollup tree relies on
+    (sketches combine associatively map-side and across grains; the
+    union row proves merge, not just re-count). Rows-only check by
+    design: sketch binaries are engine-specific; the exact twin
+    ``distinct_users`` anchors the values.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_type_est = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    overall = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"), F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    return per_type_est.unionByName(overall)

@@ -201,3 +201,25 @@ def test_string_suite_pure_projection_no_shuffle(q):
 def test_stat_moments_single_shuffle(q):
     # all moment accumulators combine map-side → one exchange
     assert plans.exchange_count(q["stat_moments"]) == 1
+
+
+def test_ship_priority_topk_broadcast_segment(q):
+    df = q["ship_priority"]
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+    assert plans.broadcast_join_count(df) >= 1  # filtered customer dim
+    joined = " ".join(plans.pushed_filters(df))
+    assert "o_orderdate" in joined and "l_shipdate" in joined
+
+
+def test_returned_revenue_pushes_flag_and_broadcasts_dims(q):
+    df = q["returned_revenue_by_customer"]
+    assert any("l_returnflag" in p for p in plans.pushed_filters(df))
+    assert plans.broadcast_join_count(df) >= 2  # customer + nation
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_embedding_norms_no_shuffle_no_python(q):
+    df = q["embedding_norms"]
+    assert plans.exchange_count(df) == 0
+    plan = plans.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
