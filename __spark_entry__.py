@@ -109,6 +109,7 @@ _PRIORITY = [
     "embedding_norms",
     "modal_value_bucket",
     "distinct_users_hll_sketch",
+    "ewma_user_value",
 ]
 
 

@@ -775,3 +775,46 @@ def distinct_users_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("event_type"), F.hll_sketch_estimate("sk").alias("approx_users")
     )
     return per_type_est.unionByName(overall)
+
+
+@query(
+    "ewma_user_value",
+    """
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE value IS NOT NULL
+    ), rec(user_id, event_id, rn, ts, ewma) AS (
+        SELECT user_id, event_id, rn, ts, value FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.rn, o.ts, 0.3 * o.value + 0.7 * r.ewma
+        FROM rec r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, floor(ewma * 10000 + 0.5) / 10000.0 AS ewma
+    FROM rec
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (α = 0.3) — the engine's
+    ``applyInPandas`` recurrence operator (operators/recurrence.py)
+    verified row-for-row against a recursive-CTE oracle computing the
+    identical recursion. This is the pattern for any per-key sequential
+    state in BATCH (streaming twin: applyInPandasWithState in
+    streaming/stateful.py).
+
+    Scale: one shuffle on user_id; Arrow batches per key; no global
+    ordering anywhere.
+    """
+    from .operators import recurrence
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    out = recurrence.ewma_per_key(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.3,
+    )
+    return out.select(
+        "user_id", "event_id", "ts", quantize(F.col("ewma"), "ewma", 4)
+    )

@@ -164,3 +164,42 @@ def test_sessionize_matches_python_simulation(spark, rows, gap):
             want[(k, ts, v)] = sid
             prev = ts
     assert got == want
+
+
+# --- per-key recurrence (operators/recurrence.py) --------------------------
+
+EWMA_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # key (few → long runs)
+        st.integers(min_value=0, max_value=10**6),    # order
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SET
+@given(rows=EWMA_ROWS, alpha=st.floats(min_value=0.05, max_value=0.95))
+def test_ewma_matches_reference_recursion(spark, rows, alpha):
+    from data_mastery_pipeline_spark.operators import recurrence
+
+    # unique (key, order) so the ordering is total
+    dedup = {(k, o): v for k, o, v in rows}
+    rows = [(k, o, v) for (k, o), v in sorted(dedup.items())]
+    df = spark.createDataFrame(rows, "k long, o long, v double")
+    got = {
+        (r.k, r.o): r.ewma
+        for r in recurrence.ewma_per_key(
+            df, key_cols=["k"], order_cols=["o"], value_col="v", alpha=alpha
+        ).collect()
+    }
+    # reference: plain Python recursion per key in order
+    prev: dict[int, float] = {}
+    for k, o, v in rows:
+        prev[k] = v if k not in prev else alpha * v + (1.0 - alpha) * prev[k]
+        assert got[(k, o)] == prev[k], (k, o)
+    assert len(got) == len(rows)
