@@ -98,9 +98,12 @@ EVENTS = T.StructType(
     ]
 )
 
-# On-disk twin of EVENTS: ts is TIMESTAMP(NANOS) parquet, which Spark's
-# reader rejects as TimestampType; it is read as raw int64 nanoseconds
-# (spark.sql.legacy.parquet.nanosAsLong) and converted in tables.load_table.
+# On-disk twin of EVENTS for the TIMESTAMP(NANOS)/int64 physical form,
+# which Spark's reader rejects as TimestampType; it is read as raw int64
+# nanoseconds (spark.sql.legacy.parquet.nanosAsLong) and converted in
+# tables.load_table. Which form a file uses is probed from the parquet
+# footer at read time (tables.events_ts_kind) — the testdata generator
+# has shipped BOTH forms across rounds, so neither is assumed.
 EVENTS_RAW = T.StructType(
     [
         _f("event_id", T.LongType()),

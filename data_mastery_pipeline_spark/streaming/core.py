@@ -61,19 +61,27 @@ def stream_events(
 ) -> DataFrame:
     """``readStream`` over the events table (schema-enforced file source).
 
-    Same TIMESTAMP(NANOS) handling as the batch scan (tables.load_table):
-    raw int64 nanos → floor-divide to µs. ``maxFilesPerTrigger`` is the
-    file-source analog of Kafka's ``maxOffsetsPerTrigger`` back-pressure
-    knob (reference batch_size, config/config.yaml:12).
+    Same footer-driven ``ts`` handling as the batch scan
+    (tables.events_ts_kind): parquet TIMESTAMP reads directly;
+    TIMESTAMP(NANOS)/int64 reads raw nanos and floor-divides to µs.
+    ``maxFilesPerTrigger`` is the file-source analog of Kafka's
+    ``maxOffsetsPerTrigger`` back-pressure knob (reference batch_size,
+    config/config.yaml:12).
     """
+    from ..tables import events_ts_kind
+
     # The testdata table is a single parquet FILE; the file stream source
     # only accepts a directory or a glob, so glob the file (a real
     # deployment points this at the Bronze landing directory — new files
     # per trigger = the micro-batches).
-    reader = spark.readStream.schema(schemas.EVENTS_RAW).option("basePath", sf_dir)
+    kind = events_ts_kind(sf_dir)
+    schema = schemas.EVENTS if kind == "timestamp" else schemas.EVENTS_RAW
+    reader = spark.readStream.schema(schema).option("basePath", sf_dir)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(f"{sf_dir}/events*.parquet")
+    if kind == "timestamp":
+        return raw
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -30,16 +30,72 @@ TABLE_NAMES = (
 )
 
 
+# Footer-probe cache: (resolved file path, mtime) → "timestamp" | "nanos-long".
+# Keyed on mtime so a driver-side testdata regeneration (which broke round 3:
+# TIMESTAMP(NANOS) → timestamp[us]) invalidates the cache instead of serving
+# a stale read plan.
+_TS_KIND_CACHE: dict[tuple[str, float], str] = {}
+
+
+def events_ts_kind(sf_dir: str = DEFAULT_SF_DIR) -> str:
+    """Probe the events.parquet FOOTER (pyarrow — no Spark conf dependency,
+    a Spark inference read of TIMESTAMP(NANOS) throws without nanosAsLong)
+    and classify the physical type of ``ts``:
+
+    - ``"timestamp"``: parquet TIMESTAMP(MICROS/MILLIS) — Spark reads it
+      directly as TimestampType.
+    - ``"nanos-long"``: TIMESTAMP(NANOS) or raw int64 epoch-nanos — Spark
+      must read int64 (legacy.parquet.nanosAsLong) and floor-divide to µs.
+
+    Anything else raises :class:`schemas.SchemaDriftError` loudly — the
+    round-3 failure mode was exactly a silent misread after the physical
+    type moved under an enforced schema.
+    """
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):  # partitioned/dir layout: probe one data file
+        parts = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        probe = parts[0] if parts else path
+    else:
+        probe = path
+    key = (probe, os.path.getmtime(probe))
+    if key not in _TS_KIND_CACHE:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(probe).field("ts").type
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            kind = "nanos-long"
+        elif pa.types.is_timestamp(t):
+            kind = "timestamp"
+        elif pa.types.is_integer(t):
+            kind = "nanos-long"
+        else:
+            raise schemas.SchemaDriftError(
+                f"events.ts physical type {t} is neither parquet TIMESTAMP "
+                f"nor int64 — refusing to guess a conversion"
+            )
+        _TS_KIND_CACHE[key] = kind
+    return _TS_KIND_CACHE[key]
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one testdata table with its registry schema enforced.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet — read as int64 nanos
-    (legacy.parquet.nanosAsLong) and floored to microseconds via integer
-    division (``div``, never double division: ns epochs ≈ 1.7e18 exceed
-    double's 53-bit mantissa), matching DuckDB's ns→µs truncation.
+    ``events.ts`` physical handling is FOOTER-DRIVEN (see
+    :func:`events_ts_kind`): parquet TIMESTAMP reads straight into
+    TimestampType; TIMESTAMP(NANOS)/int64 reads as raw int64 nanos and
+    floors to microseconds via integer division (``div``, never double
+    division: ns epochs ≈ 1.7e18 exceed double's 53-bit mantissa),
+    matching DuckDB's ns→µs truncation. Either way the surfaced schema
+    is the registry ``EVENTS`` type.
     """
     if name == "events":
-        raw = spark.read.schema(schemas.EVENTS_RAW).parquet(f"{sf_dir}/{name}.parquet")
+        path = f"{sf_dir}/{name}.parquet"
+        if events_ts_kind(sf_dir) == "timestamp":
+            return spark.read.schema(schemas.EVENTS).parquet(path)
+        raw = spark.read.schema(schemas.EVENTS_RAW).parquet(path)
         from pyspark.sql import functions as F
 
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -54,13 +110,20 @@ def check_drift(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) ->
     silently coerce or null out drifted columns — this check makes
     drift loud instead. Run it per batch before processing.
 
-    ``events`` is exempt from type comparison on ``ts`` (stored
-    TIMESTAMP(NANOS), surfaced as µs — see load_table).
+    ``events`` compares against whichever physical form the footer
+    declares (``EVENTS`` for parquet TIMESTAMP, ``EVENTS_RAW`` for
+    NANOS-as-long) — :func:`events_ts_kind` itself rejects any third
+    form loudly.
     """
     from . import schemas as S
 
     observed = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
-    expected = S.EVENTS_RAW if name == "events" else S.TABLES[name]
+    if name == "events":
+        expected = (
+            S.EVENTS if events_ts_kind(sf_dir) == "timestamp" else S.EVENTS_RAW
+        )
+    else:
+        expected = S.TABLES[name]
     S.assert_schema_struct(observed, expected)
 
 

@@ -39,3 +39,68 @@ def test_type_change_detected(spark):
 def test_matching_schema_passes_through(spark):
     df = tables.load_table(spark, "orders", SF_ORACLE)
     assert schemas.assert_schema(df, schemas.ORDERS) is df
+
+
+# --- footer-driven events.ts physical-type tolerance (round-4 guard) -------
+# Round 3's defining failure: the testdata generator switched events.ts from
+# TIMESTAMP(NANOS) to timestamp[us] and the enforced int64 read silently
+# produced 1970 timestamps. These tests pin BOTH physical forms to the same
+# logical result, and pin the loud failure for any third form.
+
+
+def _write_events(tmp_path, ts_array):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(['{"k":1}', '{"k":2}']),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_events_micros_and_nanos_forms_read_identically(spark, tmp_path):
+    import pyarrow as pa
+
+    micros = [1704067200_000000, 1704067260_500000]  # 2024-01-01 00:00/00:01
+    d_us = _write_events(tmp_path / "us", pa.array(micros, pa.timestamp("us")))
+    d_ns = _write_events(
+        tmp_path / "ns", pa.array([m * 1000 for m in micros], pa.timestamp("ns"))
+    )
+    rows_us = sorted(tables.load_table(spark, "events", d_us).collect())
+    rows_ns = sorted(tables.load_table(spark, "events", d_ns).collect())
+    assert rows_us == rows_ns
+    assert str(rows_us[0]["ts"].year) == "2024"
+    assert tables.events_ts_kind(d_us) == "timestamp"
+    assert tables.events_ts_kind(d_ns) == "nanos-long"
+
+
+def test_events_unknown_ts_physical_type_is_loud(spark, tmp_path):
+    import pyarrow as pa
+
+    d = _write_events(tmp_path, pa.array(["2024-01-01", "2024-01-02"], pa.string()))
+    with pytest.raises(schemas.SchemaDriftError, match="neither parquet TIMESTAMP"):
+        tables.load_table(spark, "events", d)
+
+
+def test_events_kind_cache_invalidates_on_rewrite(spark, tmp_path):
+    import os
+
+    import pyarrow as pa
+
+    micros = [1704067200_000000, 1704067260_500000]
+    d = _write_events(tmp_path, pa.array(micros, pa.timestamp("us")))
+    assert tables.events_ts_kind(d) == "timestamp"
+    _write_events(
+        tmp_path, pa.array([m * 1000 for m in micros], pa.timestamp("ns"))
+    )
+    os.utime(tmp_path / "events.parquet", (0, 9999999999))  # force mtime change
+    assert tables.events_ts_kind(d) == "nanos-long"
