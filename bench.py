@@ -122,7 +122,10 @@ def main() -> None:
     # read+write here moves that to session bring-up where it belongs
     _warm_python_datasource(spark)
 
+    from data_mastery_pipeline_spark.dedup import components as _cc
+
     timings: dict[str, float] = {}
+    detail: dict[str, object] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
@@ -133,6 +136,10 @@ def main() -> None:
         df = QUERIES[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t, 3)
+        if name == "near_dup_clusters" and _cc.LAST_RUN_STATS:
+            # per-round attribution (rounds × edges × wall) so a bench
+            # anomaly on the iterative operator is explainable
+            detail["near_dup_clusters_rounds"] = list(_cc.LAST_RUN_STATS)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -145,6 +152,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "session_startup_sec": round(session_sec, 3),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+                **({"detail": detail} if detail else {}),
             }
         )
     )

@@ -24,10 +24,20 @@ graphs dedup produces.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpointing import release, truncate_lineage
+
+# Per-round attribution of the MOST RECENT connected_components run:
+# [{"round": k, "wall_sec": s, "edges_after": n}, ...]. Benchmarks read
+# this after running a CC-backed query so an anomalous wall time is
+# explainable (rounds? edge volume? one slow round?) instead of a bare
+# number — three rounds of unexplained bench variance on this operator
+# is what bought the instrumentation.
+LAST_RUN_STATS: list[dict] = []
 
 
 def connected_components(
@@ -76,8 +86,10 @@ def connected_components(
     # plan identity) and a tagged union holding the new edge set AND the
     # new mapping in ONE checkpoint (tag 1 = edge (a,b), tag 0 = mapping
     # (id,lab)); the two frames are cheap filter-views over its blocks.
+    LAST_RUN_STATS.clear()
     prev_combined: DataFrame | None = None
-    for _ in range(max_iter):
+    for _round in range(max_iter):
+        _t0 = time.time()
         # One min-propagation round over the CURRENT (contracted) graph:
         # lab(r) = min(r, min of r's neighbors).
         mirrored = d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -137,7 +149,9 @@ def connected_components(
         mapping = combined.filter(F.col("tag") == 0).select(
             F.col("x").alias("id"), F.col("y").alias("lab")
         )
-        stop = d.isEmpty()
+        # count over the already-materialized blocks (cheap) doubles as
+        # the convergence probe AND the per-round attribution record
+        n_edges = d.count()
         # free superseded checkpoint blocks — an unbounded loop would
         # otherwise accumulate every round's materialization in storage
         release(prop, checkpoint_dir)
@@ -145,7 +159,14 @@ def connected_components(
         if prev_combined is not None:
             release(prev_combined, checkpoint_dir)
         prev_combined = combined
-        if stop:
+        LAST_RUN_STATS.append(
+            {
+                "round": _round,
+                "wall_sec": round(time.time() - _t0, 3),
+                "edges_after": n_edges,
+            }
+        )
+        if n_edges == 0:
             break
     labels = mapping
     return labels.select(F.col("id").alias(id_alias), F.col("lab").alias(comp_alias))
