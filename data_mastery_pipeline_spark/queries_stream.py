@@ -224,7 +224,18 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark REFUSES stream-stream joins with no equality predicate (state
     would be all-pairs); the same time-bucket blocking as the batch
-    operator supplies one (streaming/joins.py::interval_join_streams)."""
+    operator supplies one (streaming/joins.py::interval_join_streams).
+
+    A pre-flight density probe (streaming/joins.py::check_interval_fanout)
+    guards the fan-out: round 3's collapsed-timestamp testdata silently
+    inflated this join's output 1000×; now that input shape raises."""
+    sjoins.check_interval_fanout(
+        load_table(spark, "events", sf_dir).filter(
+            F.col("event_type") == "purchase"
+        ),
+        "ts",
+        tolerance_seconds=120,
+    )
     clicks = (
         core.stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "click")

@@ -19,6 +19,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class IntervalJoinFanoutError(RuntimeError):
+    """The interval join's expected per-row fan-out exceeds its bound —
+    the event-time distribution is degenerate (collapsed timestamps) or
+    the tolerance is far too wide for the stream's density."""
+
+
+def check_interval_fanout(
+    right_batch: DataFrame,
+    right_ts: str,
+    tolerance_seconds: int,
+    max_expected_matches_per_row: float = 64.0,
+) -> float:
+    """Pre-flight degeneracy probe for an interval join: estimate the
+    EXPECTED matches per probe row as ``right-side event density ×
+    2·tolerance`` and raise :class:`IntervalJoinFanoutError` when it
+    exceeds the bound.
+
+    Why this exists: when the round-3 testdata regen collapsed every
+    event timestamp into a 2-hour span (ns misread as µs), the ±2-minute
+    interval join silently produced 1000× the correct row count — the
+    join itself has no notion of "this output is absurd". Density is the
+    cheapest signal that catches exactly that failure: a 1000× time
+    collapse is a 1000× density spike, while legitimate load growth also
+    grows the time span and leaves density stable.
+
+    Cost: one scalar aggregate (count/min/max) over the BATCH twin of
+    the stream input — min/max/count come from parquet footer stats
+    when aggregate pushdown applies, so at 100 TB this reads metadata,
+    not data. For a long-running streaming job, run the same expression
+    per micro-batch via ``foreachBatch`` or an ``observe()`` listener
+    instead of a pre-flight scan.
+
+    Returns the expected-matches estimate (useful for logging/tests).
+    """
+    n, mn, mx = right_batch.agg(
+        F.count(F.col(right_ts)),
+        F.min(right_ts),
+        F.max(right_ts),
+    ).first()
+    if not n:
+        return 0.0
+    span_sec = max((mx - mn).total_seconds(), 1.0)
+    expected = (n / span_sec) * 2.0 * float(tolerance_seconds)
+    if expected > max_expected_matches_per_row:
+        raise IntervalJoinFanoutError(
+            f"interval join fan-out check: {n} rows over {span_sec:.0f}s "
+            f"→ expected {expected:.1f} matches/row at ±{tolerance_seconds}s "
+            f"(bound {max_expected_matches_per_row}). Event time looks "
+            f"degenerate — check the source's timestamp decoding before "
+            f"trusting this join's output."
+        )
+    return expected
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

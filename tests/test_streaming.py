@@ -402,3 +402,39 @@ def test_sessionize_sets_timer_only_when_ttl_given():
     assert st2.timeout_set_ms is None  # NoTimeout path must not touch timers
     # both paths agree on the fold itself: 2 events, ts gap > GAP_US ⇒ 2 sessions
     assert st2.get == st.get and st2.get[1:] == (2, 2)
+
+
+def test_interval_join_fanout_guard_trips_on_degenerate_timestamps(spark, tmp_path):
+    """Round-3 regression class: collapsed event time (a 1000x density
+    spike from misdecoded timestamps) must raise BEFORE the join runs,
+    not silently inflate the output 1000x."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.streaming import joins as sjoins
+
+    base = datetime.datetime(2024, 1, 1)
+    # 2000 purchases crammed into 10 seconds: density 200/s, expected
+    # matches per row at +/-120s ~ 48000 >> 64
+    degenerate = spark.range(2000).select(
+        (F.lit(base) + F.make_interval(secs=F.col("id") / 200.0)).alias("ts")
+    )
+    with pytest.raises(sjoins.IntervalJoinFanoutError, match="degenerate"):
+        sjoins.check_interval_fanout(degenerate, "ts", tolerance_seconds=120)
+
+    # healthy spread (2000 rows over ~23 days) passes and returns the estimate
+    healthy = spark.range(2000).select(
+        (F.lit(base) + F.make_interval(secs=F.col("id") * F.lit(1000.0))).alias("ts")
+    )
+    est = sjoins.check_interval_fanout(healthy, "ts", tolerance_seconds=120)
+    assert 0 < est < 64
+
+
+def test_interval_join_fanout_guard_empty_input_ok(spark):
+    from pyspark.sql import types as T
+
+    from data_mastery_pipeline_spark.streaming import joins as sjoins
+
+    empty = spark.createDataFrame([], T.StructType([T.StructField("ts", T.TimestampType())]))
+    assert sjoins.check_interval_fanout(empty, "ts", tolerance_seconds=120) == 0.0
