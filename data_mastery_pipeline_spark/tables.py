@@ -1,9 +1,28 @@
-"""Testdata table loaders — schema-enforced parquet scans (SURVEY §2 S9).
+"""Testdata table loaders — schema-enforced parquet scans (SURVEY §2 S9)
+with FOOTER-DRIVEN physical-type tolerance.
 
 The reference never infers schemas for Spark reads (silver_processor.py:
 144-146 applies a declared StructType); we do the same for every table.
 Enforced schemas also guarantee the scan's ReadSchema is exactly the
 registry type, so column pruning and filter pushdown behave predictably.
+
+What the reference never faces — it owns its writers — is OTHER
+PEOPLE'S parquet changing physical representation underneath a declared
+logical schema. This repo got burned exactly once: the testdata
+generator switched ``events.ts`` from TIMESTAMP(NANOS) to
+``timestamp[us]`` and the enforced int64-nanos read silently produced
+1970 timestamps across every events query. The loader therefore probes
+each file's FOOTER (pyarrow, metadata-only, cached per mtime) before
+every read and adapts:
+
+- logical type matches the registry → enforced read as declared;
+- a registry ``timestamp`` stored as TIMESTAMP(NANOS) or raw int64
+  epoch-nanos → read as long + exact ``div 1000`` (never double
+  division: ns epochs ≈ 1.7e18 exceed double's 53-bit mantissa),
+  matching DuckDB's ns→µs truncation;
+- extra footer columns → pruned (the enforced read never sees them);
+- a MISSING or INCOMPATIBLE column → loud :class:`SchemaDriftError`,
+  never a silent null/garbage column.
 """
 
 from __future__ import annotations
@@ -11,6 +30,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from . import schemas
 
@@ -29,102 +49,155 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-
-# Footer-probe cache: (resolved file path, mtime) → "timestamp" | "nanos-long".
-# Keyed on mtime so a driver-side testdata regeneration (which broke round 3:
-# TIMESTAMP(NANOS) → timestamp[us]) invalidates the cache instead of serving
-# a stale read plan.
-_TS_KIND_CACHE: dict[tuple[str, float], str] = {}
+# (probe file path, mtime) → {column: "nanos-long"} conversion plan.
+# Keyed on mtime so a driver-side testdata regeneration invalidates the
+# cache instead of serving a stale read plan.
+_PLAN_CACHE: dict[tuple[str, float], dict[str, str]] = {}
 
 
-def events_ts_kind(sf_dir: str = DEFAULT_SF_DIR) -> str:
-    """Probe the events.parquet FOOTER (pyarrow — no Spark conf dependency,
-    a Spark inference read of TIMESTAMP(NANOS) throws without nanosAsLong)
-    and classify the physical type of ``ts``:
-
-    - ``"timestamp"``: parquet TIMESTAMP(MICROS/MILLIS) — Spark reads it
-      directly as TimestampType.
-    - ``"nanos-long"``: TIMESTAMP(NANOS) or raw int64 epoch-nanos — Spark
-      must read int64 (legacy.parquet.nanosAsLong) and floor-divide to µs.
-
-    Anything else raises :class:`schemas.SchemaDriftError` loudly — the
-    round-3 failure mode was exactly a silent misread after the physical
-    type moved under an enforced schema.
-    """
-    path = f"{sf_dir}/events.parquet"
-    if os.path.isdir(path):  # partitioned/dir layout: probe one data file
+def _probe_file(path: str) -> str:
+    """Resolve the single parquet file to footer-probe (first data file
+    for directory layouts)."""
+    if os.path.isdir(path):
         parts = sorted(
             os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
         )
-        probe = parts[0] if parts else path
-    else:
-        probe = path
-    key = (probe, os.path.getmtime(probe))
-    if key not in _TS_KIND_CACHE:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        return parts[0] if parts else path
+    return path
 
-        t = pq.read_schema(probe).field("ts").type
-        if pa.types.is_timestamp(t) and t.unit == "ns":
-            kind = "nanos-long"
-        elif pa.types.is_timestamp(t):
-            kind = "timestamp"
-        elif pa.types.is_integer(t):
-            kind = "nanos-long"
-        else:
-            raise schemas.SchemaDriftError(
-                f"events.ts physical type {t} is neither parquet TIMESTAMP "
-                f"nor int64 — refusing to guess a conversion"
+
+def _pa_compatible(pa_type, spark_type: T.DataType) -> bool:
+    """Does an enforced Spark read of a footer type ``pa_type`` yield
+    ``spark_type`` faithfully? (Widening int reads are fine; anything
+    lossy or cross-family is not.)"""
+    import pyarrow as pa
+
+    s = spark_type.simpleString()
+    if s == "bigint":
+        return pa.types.is_integer(pa_type)
+    if s == "int":
+        return pa.types.is_integer(pa_type) and pa_type.bit_width <= 32
+    if s == "double":
+        return pa.types.is_floating(pa_type)
+    if s == "float":
+        return pa.types.is_float32(pa_type) or pa.types.is_float16(pa_type)
+    if s == "string":
+        return pa.types.is_string(pa_type) or pa.types.is_large_string(pa_type)
+    if s == "binary":
+        return pa.types.is_binary(pa_type) or pa.types.is_large_binary(pa_type)
+    if s == "boolean":
+        return pa.types.is_boolean(pa_type)
+    if s == "timestamp":
+        return pa.types.is_timestamp(pa_type) and pa_type.unit != "ns"
+    if s == "date":
+        return pa.types.is_date(pa_type)
+    if s.startswith("array<"):
+        if not (pa.types.is_list(pa_type) or pa.types.is_large_list(pa_type)):
+            return False
+        return _pa_compatible(pa_type.value_type, spark_type.elementType)
+    # decimals/structs/maps: exact simpleString match via arrow→spark
+    # isn't needed for the registry's tables; treat conservatively
+    return False
+
+
+def read_plan(name: str, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
+    """Footer-vs-registry compatibility check for one table; returns the
+    per-column conversion plan ({} = enforced read as declared,
+    {"ts": "nanos-long"} = read int64 + div 1000). Raises
+    :class:`schemas.SchemaDriftError` on a missing or incompatible
+    column — the loud alternative to round 3's silent misread."""
+    expected = schemas.TABLES[name]
+    probe = _probe_file(f"{sf_dir}/{name}.parquet")
+    key = (probe, os.path.getmtime(probe))
+    if key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    footer = pq.read_schema(probe)
+    footer_types = {f.name: f.type for f in footer}
+    plan: dict[str, str] = {}
+    problems: list[str] = []
+    for field in expected.fields:
+        if field.name not in footer_types:
+            problems.append(f"missing column {field.name!r}")
+            continue
+        pa_t = footer_types[field.name]
+        if _pa_compatible(pa_t, field.dataType):
+            continue
+        is_ts = field.dataType.simpleString() == "timestamp"
+        stored_nanos = (
+            pa.types.is_timestamp(pa_t) and pa_t.unit == "ns"
+        ) or pa.types.is_integer(pa_t)
+        if is_ts and stored_nanos:
+            plan[field.name] = "nanos-long"
+            continue
+        problems.append(
+            f"column {field.name!r}: stored {pa_t} incompatible with "
+            f"declared {field.dataType.simpleString()}"
+        )
+    if problems:
+        raise schemas.SchemaDriftError(
+            f"table {name!r} @ {probe}: " + "; ".join(problems)
+        )
+    _PLAN_CACHE[key] = plan
+    return plan
+
+
+def read_schema_for(name: str, plan: dict[str, str]) -> T.StructType:
+    """The enforced READ schema implementing ``plan``: declared registry
+    types, with nanos-long columns read as LongType for later
+    conversion."""
+    expected = schemas.TABLES[name]
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.LongType() if plan.get(f.name) == "nanos-long" else f.dataType,
+                f.nullable,
             )
-        _TS_KIND_CACHE[key] = kind
-    return _TS_KIND_CACHE[key]
+            for f in expected.fields
+        ]
+    )
+
+
+def apply_plan(df: DataFrame, plan: dict[str, str]) -> DataFrame:
+    """Convert plan columns to their declared logical types (ns→µs
+    floor-divide via integer ``div``)."""
+    from pyspark.sql import functions as F
+
+    for col, action in plan.items():
+        if action == "nanos-long":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Read one testdata table with its registry schema enforced.
+    """Read one testdata table, registry schema enforced, physical form
+    footer-adapted (see module docstring). The surfaced schema is always
+    exactly the registry type."""
+    plan = read_plan(name, sf_dir)
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.schema(read_schema_for(name, plan)).parquet(path)
+    return apply_plan(df, plan)
 
-    ``events.ts`` physical handling is FOOTER-DRIVEN (see
-    :func:`events_ts_kind`): parquet TIMESTAMP reads straight into
-    TimestampType; TIMESTAMP(NANOS)/int64 reads as raw int64 nanos and
-    floors to microseconds via integer division (``div``, never double
-    division: ns epochs ≈ 1.7e18 exceed double's 53-bit mantissa),
-    matching DuckDB's ns→µs truncation. Either way the surfaced schema
-    is the registry ``EVENTS`` type.
-    """
-    if name == "events":
-        path = f"{sf_dir}/{name}.parquet"
-        if events_ts_kind(sf_dir) == "timestamp":
-            return spark.read.schema(schemas.EVENTS).parquet(path)
-        raw = spark.read.schema(schemas.EVENTS_RAW).parquet(path)
-        from pyspark.sql import functions as F
 
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    schema = schemas.TABLES[name]
-    return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+def events_ts_kind(sf_dir: str = DEFAULT_SF_DIR) -> str:
+    """Physical form of ``events.ts``: ``"timestamp"`` (parquet
+    TIMESTAMP µs/ms — direct read) or ``"nanos-long"`` (TIMESTAMP(NANOS)
+    / int64 epoch-nanos — long read + div 1000). Streaming reads key off
+    this; any third form raises loudly via :func:`read_plan`."""
+    return read_plan("events", sf_dir).get("ts", "timestamp")
 
 
 def check_drift(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> None:
-    """Schema-drift probe (SURVEY §1.3; reference config.yaml:109): read
-    the table's FOOTER schema (inference, no data scan) and diff it
-    against the registry. `load_table`'s enforced-schema read would
-    silently coerce or null out drifted columns — this check makes
-    drift loud instead. Run it per batch before processing.
-
-    ``events`` compares against whichever physical form the footer
-    declares (``EVENTS`` for parquet TIMESTAMP, ``EVENTS_RAW`` for
-    NANOS-as-long) — :func:`events_ts_kind` itself rejects any third
-    form loudly.
-    """
-    from . import schemas as S
-
-    observed = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
-    if name == "events":
-        expected = (
-            S.EVENTS if events_ts_kind(sf_dir) == "timestamp" else S.EVENTS_RAW
-        )
-    else:
-        expected = S.TABLES[name]
-    S.assert_schema_struct(observed, expected)
+    """Schema-drift probe (SURVEY §1.3; reference config.yaml:109):
+    verify the table's FOOTER is compatible with the registry (no data
+    scan). :func:`load_table` runs the same check on every read — this
+    entry point exists for pipelines that want the check BEFORE
+    processing a batch, and for tests."""
+    read_plan(name, sf_dir)  # raises SchemaDriftError on drift
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

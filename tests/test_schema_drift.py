@@ -87,7 +87,7 @@ def test_events_unknown_ts_physical_type_is_loud(spark, tmp_path):
     import pyarrow as pa
 
     d = _write_events(tmp_path, pa.array(["2024-01-01", "2024-01-02"], pa.string()))
-    with pytest.raises(schemas.SchemaDriftError, match="neither parquet TIMESTAMP"):
+    with pytest.raises(schemas.SchemaDriftError, match="incompatible"):
         tables.load_table(spark, "events", d)
 
 
@@ -104,3 +104,59 @@ def test_events_kind_cache_invalidates_on_rewrite(spark, tmp_path):
     )
     os.utime(tmp_path / "events.parquet", (0, 9999999999))  # force mtime change
     assert tables.events_ts_kind(d) == "nanos-long"
+
+
+def test_orders_timestamp_nanos_form_tolerated(spark, tmp_path):
+    """The generalized footer tolerance: ANY registry timestamp column
+    survives a TIMESTAMP(NANOS) physical form, not just events.ts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1704067200_000000, 1704153600_000000]
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([10, 20], pa.int64()),
+            "o_orderstatus": pa.array(["O", "F"]),
+            "o_totalprice": pa.array([1.0, 2.0], pa.float64()),
+            "o_orderdate": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"]),
+        }
+    )
+    d = tmp_path / "ns_orders"
+    d.mkdir()
+    pq.write_table(t, str(d / "orders.parquet"))
+    rows = tables.load_table(spark, "orders", str(d)).orderBy("o_orderkey").collect()
+    assert rows[0]["o_orderdate"].year == 2024
+    assert tables.read_plan("orders", str(d)) == {"o_orderdate": "nanos-long"}
+
+
+def test_missing_column_in_footer_is_loud(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"r_regionkey": pa.array([1], pa.int32())})  # r_name missing
+    d = tmp_path / "r"
+    d.mkdir()
+    pq.write_table(t, str(d / "region.parquet"))
+    with pytest.raises(schemas.SchemaDriftError, match="missing column 'r_name'"):
+        tables.load_table(spark, "region", str(d))
+
+
+def test_extra_footer_column_is_pruned(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "r_regionkey": pa.array([1], pa.int32()),
+            "r_name": pa.array(["EUROPE"]),
+            "surprise": pa.array([42], pa.int64()),
+        }
+    )
+    d = tmp_path / "r2"
+    d.mkdir()
+    pq.write_table(t, str(d / "region.parquet"))
+    df = tables.load_table(spark, "region", str(d))
+    assert df.columns == ["r_regionkey", "r_name"]
+    assert df.count() == 1
