@@ -7,5 +7,6 @@ from .inspect import (  # noqa: F401
     formatted_plan,
     pushed_filters,
     read_schema_columns,
+    runtime_bloom_filter_present,
     scan_count,
 )

@@ -76,3 +76,15 @@ def cartesian_product_count(df: DataFrame) -> int:
     this is the O(n*m) disaster switch; anything nonzero should be a
     deliberate, size-bounded choice."""
     return _node_count(df, "CartesianProduct")
+
+
+def runtime_bloom_filter_present(df: DataFrame) -> bool:
+    """True iff the optimized plan prunes a shuffle-join's probe side
+    with a runtime bloom filter (``might_contain`` over a
+    ``bloom_filter_agg`` subquery). The 100 TB story: when the dim side
+    is too big to broadcast, Spark builds a bloom filter from the
+    filtered dim keys and applies it BEFORE the fact side's shuffle, so
+    rows that cannot join never cross the network. This inspects the
+    final plan string — evaluate it inside the conf scope that enabled
+    the filter."""
+    return "might_contain" in formatted_plan(df)

@@ -223,3 +223,49 @@ def test_embedding_norms_no_shuffle_no_python(q):
     assert plans.exchange_count(df) == 0
     plan = plans.formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
+    """Scale path for non-broadcastable dims: runtime bloom-filter join
+    pruning (spark.sql.optimizer.runtime.bloomFilter). With broadcast
+    disabled (dim 'too big'), Spark must build a bloom filter from the
+    selective orders side and apply might_contain on lineitem BEFORE its
+    shuffle — at 100 TB that keeps never-joining fact rows off the
+    network entirely. Values are pinned against the broadcast-join plan
+    of the same query."""
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.tables import load_table
+
+    def build():
+        # fresh DataFrame per conf regime: a DataFrame pins its
+        # QueryExecution on first use, so conf changes after that
+        # never re-optimize it
+        li = load_table(spark, "lineitem", SF_ORACLE)
+        od = load_table(spark, "orders", SF_ORACLE).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+        )
+
+    expected = build().collect()  # broadcast plan (default confs)
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = build()
+        assert plans.runtime_bloom_filter_present(joined)
+        assert joined.collect() == expected
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
