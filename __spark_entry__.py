@@ -97,7 +97,7 @@ _PRIORITY = [
     "near_dup_canonical",
     "text_repetition",
     "contamination_check",
-    "sequence_packing",
+    "lm_bigram_quality",
 ]
 
 

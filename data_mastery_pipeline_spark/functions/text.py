@@ -246,3 +246,16 @@ def chunk_spans(
             F.size(F.slice(toks, s + 1, chunk_size)).alias("n_chunk_tokens"),
         ),
     )
+
+
+def bigram_structs(text: str | Column) -> Column:
+    """Adjacent token pairs as (w1, w2) structs — the bigram stream a
+    corpus-trained language model scores. Empty for docs with < 2
+    tokens. Narrow map, no shuffle."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )

@@ -1,9 +1,13 @@
 """Extension queries — LLM-data-pipeline operators (BASELINE.json scope):
 dedup (exact/MinHash/SimHash/n-gram/embedding), similarity search, text
-analysis, multimodal columns. Same oracle conventions as queries.py;
-operators whose hash family isn't SQL-expressible (xxhash64-based MinHash
-and SimHash) are registered without an oracle → driver records the
-rows-only check.
+analysis, multimodal columns. Same oracle conventions as queries.py.
+Every query here is value-hash oracle-checked except
+``rolling_fingerprints`` (xxhash64 rolling fold — not reproducible in
+DuckDB; its exact twin ``doc_fingerprints`` is checked): MinHash is
+checked against the exact all-pairs shingle-Jaccard set, SimHash runs
+the md5-portable hash so DuckDB recomputes identical fingerprints, and
+the approximate operators (IVF, sketches) output exact anchors plus
+in-query tolerance certificates.
 """
 
 from __future__ import annotations
@@ -1053,4 +1057,59 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("source", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_toks").alias("n_tokens"),
+    )
+
+
+@query(
+    "lm_bigram_quality",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT w1) AS v FROM bg
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           floor((avg(ln((c12 + 0.5) / (c1 + 0.5 * v)))) * 10000 + 0.5) / 10000.0
+             AS avg_logprob
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: a bigram language model with
+    add-k smoothing (k=0.5) TRAINED ON THE CORPUS ITSELF scores each
+    document by its average bigram log-likelihood — the classic
+    LM-based quality filter of training-data pipelines (low scores =
+    boilerplate-free gibberish; implausibly high = templated
+    repetition), here with no external model dependency.
+
+    Plan shape at 100 TB: bigram expansion is a narrow map
+    (zip_with over token slices); the model is two hash aggregates
+    whose cardinality is VOCAB-bounded (distinct bigrams/unigrams, not
+    corpus size); scoring is two shuffle joins on those vocab tables
+    (AQE broadcasts them when a shard's vocabulary is small) plus a
+    broadcast scalar for V; the final per-doc average is one map-side
+    combinable aggregate. No Python anywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    bg = (
+        docs.select("doc_id", F.explode(textfn.bigram_structs("text")).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = bg.agg(F.count_distinct("w1").alias("v"))
+    scored = (
+        bg.join(c12, ["w1", "w2"]).join(c1, ["w1"]).crossJoin(F.broadcast(v))
+    )
+    logp = F.log((F.col("c12") + F.lit(0.5)) / (F.col("c1") + F.lit(0.5) * F.col("v")))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        quantize(F.avg(logp), "avg_logprob", 4),
     )

@@ -22,8 +22,10 @@ import zipfile
 from pyspark.sql import SparkSession
 
 # Shuffle partitions: ~cores in local mode. On a cluster this should be
-# 2-3x total executor cores (or left to AQE coalescing from a high
-# initial value); we set initialPartitionNum high so AQE can split/merge.
+# 2-3x total executor cores, or left to AQE coalescing by setting
+# spark.sql.adaptive.coalescePartitions.initialPartitionNum high via
+# spark-submit (deliberately NOT pinned here: the right initial value is
+# a property of the fleet, and local[N] gains nothing from over-splitting).
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
 
 
