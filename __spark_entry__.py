@@ -91,7 +91,7 @@ _PRIORITY = [
     "users_per_type",
     "retention_30d",
     "weather_pipeline_daily",
-    "nation_trade_flows",
+    "source_unigram_drift",
     # r03-green extension surface (rotate a few through the tail slots)
     "near_dup_clusters",
     "near_dup_canonical",

@@ -1113,3 +1113,65 @@ def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         quantize(F.avg(logp), "avg_logprob", 4),
     )
+
+
+@query(
+    "source_unigram_drift",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ), per_src AS (
+      SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2
+    ), src_tot AS (
+      SELECT source, sum(c) AS n FROM per_src GROUP BY 1
+    ), corpus AS (
+      SELECT tok, sum(c) AS cc FROM per_src GROUP BY 1
+    ), corpus_tot AS (
+      SELECT sum(cc) AS nn, count(*) AS v FROM corpus
+    )
+    SELECT s.source,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           floor((sum(((s.c + 0.5) / (t.n + 0.5 * ct.v))
+                      * ln(((s.c + 0.5) / (t.n + 0.5 * ct.v))
+                           / ((c.cc + 0.5) / (ct.nn + 0.5 * ct.v)))))
+                 * 10000 + 0.5) / 10000.0 AS kl_vs_corpus
+    FROM per_src s
+    JOIN src_tot t USING (source)
+    JOIN corpus c USING (tok)
+    CROSS JOIN corpus_tot ct
+    GROUP BY s.source, t.n
+    """,
+)
+def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture drift monitor: KL(P_source ‖ P_corpus) over add-0.5
+    smoothed unigram distributions, one row per source — the check a
+    training-data pipeline runs when a new crawl snapshot lands ("did
+    this source's language shift?"). Smoothing is over the corpus
+    vocabulary V, so sources missing a token still integrate to ~1 and
+    KL stays finite without dropping terms.
+
+    Scale shape: token counts are VOCAB-bounded hash aggregates
+    (map-side combined — the shuffle carries one row per distinct
+    (source, token), never per occurrence); the corpus marginal reuses
+    the per-source counts (no second pass over text); totals are a
+    broadcast scalar. At 100 TB the heavy stage is the narrow tokenize
+    map; everything after is megabytes."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("source", F.explode(textfn.tokens("text")).alias("tok"))
+    per_src = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = per_src.groupBy("tok").agg(F.sum("c").alias("cc"))
+    corpus_tot = corpus.agg(
+        F.sum("cc").alias("nn"), F.count("*").alias("v")
+    )
+    p = (F.col("c") + F.lit(0.5)) / (F.col("n") + F.lit(0.5) * F.col("v"))
+    q = (F.col("cc") + F.lit(0.5)) / (F.col("nn") + F.lit(0.5) * F.col("v"))
+    joined = (
+        per_src.join(src_tot, ["source"])
+        .join(corpus, ["tok"])
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    return joined.groupBy("source", F.col("n").alias("n_tokens")).agg(
+        quantize(F.sum(p * F.log(p / q)), "kl_vs_corpus", 4)
+    )
