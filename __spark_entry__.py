@@ -92,12 +92,12 @@ _PRIORITY = [
     "retention_30d",
     "weather_pipeline_daily",
     "source_unigram_drift",
-    # r03-green extension surface (rotate a few through the tail slots)
+    # new round-4 queries (never driver-checked) + the one iterative op
     "near_dup_clusters",
-    "near_dup_canonical",
-    "text_repetition",
-    "contamination_check",
     "lm_bigram_quality",
+    "funnel_conversion",
+    "cohort_retention",
+    "prefix_edit_near_dups",
 ]
 
 

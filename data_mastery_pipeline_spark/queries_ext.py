@@ -1175,3 +1175,65 @@ def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("source", F.col("n").alias("n_tokens")).agg(
         quantize(F.sum(p * F.log(p / q)), "kl_vs_corpus", 4)
     )
+
+
+@query(
+    "prefix_edit_near_dups",
+    """
+    WITH base AS (
+        SELECT doc_id, lang, substr(trim(text), 1, 64) AS head,
+               length(substr(trim(text), 1, 64)) AS n
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+    FROM base a JOIN base b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n - b.n) <= 8
+    WHERE levenshtein(a.head, b.head) <= 8
+    """,
+)
+def prefix_edit_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection over document HEADS (first 64
+    chars — the title-ish prefix where templated duplicates collide):
+    pairs within Levenshtein distance 8, blocked on (lang, |length
+    diff| ≤ 8 — a sound filter: edit distance ≥ length difference).
+    Completes the dedup family with the metric the token-set operators
+    can't see (character-level edits inside words).
+
+    Scale shape: same broadcast-block join as jaccard_pairs_blocked
+    (full parallelism despite the handful of lang blocks); Levenshtein
+    runs on bounded 64-char heads, so the per-pair cost is a constant,
+    not O(doc²). Spark ≥3.5's 3-arg levenshtein(l, r, threshold) is the
+    production early-exit form; the 2-arg form is kept here so the
+    DuckDB oracle computes the identical function."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.trim(F.col("text")), 1, 64).alias("head"),
+    ).withColumn("n", F.length("head"))
+    sc = spark.sparkContext
+    a = base.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("head").alias("head_a"),
+        F.col("n").alias("n_a"),
+    ).repartition(sc.defaultParallelism)
+    b = base.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("head").alias("head_b"),
+        F.col("n").alias("n_b"),
+    )
+    cond = (
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("lang_a") == F.col("lang_b"))
+        & (F.abs(F.col("n_a") - F.col("n_b")) <= 8)
+    )
+    joined = a.join(F.broadcast(b), cond)
+    dist = F.levenshtein(F.col("head_a"), F.col("head_b"))
+    return (
+        joined.select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 8)
+    )

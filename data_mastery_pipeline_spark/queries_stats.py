@@ -848,3 +848,104 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", "ts", quantize(F.col("ewma"), "ewma", 4)
     )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): users whose FIRST
+    qualifying event at each stage happens strictly after the previous
+    stage's — the product-analytics staple. Expressed as a cascade of
+    per-user min aggregates, each joined to the previous stage's
+    anchor: three shuffles on user_id (co-partitioned after the first)
+    + three broadcast scalar counts. No windows over the full event
+    stream, no per-user sorting — state per stage is one timestamp per
+    surviving user."""
+    ev = load_table(spark, "events", sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1
+    )
+    SELECT date_trunc('week', f.t0) AS cohort_week,
+           CAST(floor(date_diff('day', date_trunc('week', f.t0),
+                                date_trunc('week', e.ts)) / 7) AS BIGINT)
+             AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by the week they
+    first appeared; n_active = distinct users of that cohort active at
+    each week offset — the second product-analytics staple. One
+    per-user min aggregate, one join back to events (both shuffles on
+    user_id), one distinct-count aggregate on (cohort, offset); at
+    100 TB the distinct expansion is the heavy stage and the declared
+    scale path is approx_count_distinct, same trade as
+    distinct_users_approx."""
+    ev = load_table(spark, "events", sf_dir)
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    joined = ev.join(first_seen, "user_id").select(
+        "user_id",
+        # to_date: Spark's date_trunc yields TIMESTAMP, DuckDB's DATE —
+        # surface the DATE form on both sides
+        F.to_date(F.date_trunc("week", "t0")).alias("cohort_week"),
+        (
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.date_trunc("week", "t0"))
+                / 7
+            )
+        ).alias("week_offset"),
+    )
+    return joined.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
