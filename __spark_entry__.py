@@ -88,8 +88,8 @@ _PRIORITY = [
     "stream_dedup_keys",
     "moving_avg_7d",
     "segment_rank_family",
-    "users_per_type",
-    "retention_30d",
+    "daily_revenue_anomalies",
+    "part_cooccurrence",
     "weather_pipeline_daily",
     "source_unigram_drift",
     # new round-4 queries (never driver-checked) + the one iterative op

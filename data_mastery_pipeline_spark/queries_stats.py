@@ -949,3 +949,111 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("cohort_week", "week_offset").agg(
         F.count_distinct("user_id").alias("n_active")
     )
+
+
+@query(
+    "daily_revenue_anomalies",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100.0 AS rev
+      FROM lineitem GROUP BY 1
+    ), scored AS (
+      SELECT d, rev,
+             avg(rev) OVER w AS mu,
+             stddev_samp(rev) OVER w AS sd,
+             count(*) OVER w AS n_win
+      FROM daily
+      WINDOW w AS (
+        ORDER BY date_diff('day', DATE '1970-01-01', d)
+        RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT d, rev,
+           floor(((rev - mu) / sd) * 10000 + 0.5) / 10000.0 AS z,
+           abs(rev - mu) > 3 * sd AS is_anomaly
+    FROM scored
+    WHERE n_win >= 7 AND sd > 0
+    """,
+)
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly flags: each day's revenue z-scored against
+    its own TRAILING 28-day window (RANGE frame ending at 1 PRECEDING —
+    the current day never contaminates its own baseline; calendar gaps
+    shrink the window instead of silently spanning it). Days with fewer
+    than 7 trailing observations or a degenerate baseline are withheld
+    rather than scored against noise.
+
+    Scale: same shape as moving_avg_7d — the unpartitioned window runs
+    over the PRE-AGGREGATED daily series (calendar-bounded cardinality),
+    after the one heavy map-side-combined reduction. Per-entity
+    monitoring partitions the window by the entity key and scales
+    linearly."""
+    li = load_table(spark, "lineitem", sf_dir)
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        quantize(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "rev", 2
+        )
+    )
+    day_nr = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(day_nr).rangeBetween(-28, -1)
+    scored = daily.select(
+        "d",
+        "rev",
+        F.avg("rev").over(w).alias("mu"),
+        F.stddev_samp("rev").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_win"),
+    )
+    return (
+        scored.filter((F.col("n_win") >= 7) & (F.col("sd") > 0))
+        .select(
+            "d",
+            "rev",
+            quantize((F.col("rev") - F.col("mu")) / F.col("sd"), "z", 4),
+            (F.abs(F.col("rev") - F.col("mu")) > 3 * F.col("sd")).alias("is_anomaly"),
+        )
+    )
+
+
+@query(
+    "part_cooccurrence",
+    """
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM pl a JOIN pl b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in ≥2
+    orders — the candidate-generation stage of association mining (the
+    support-2 cut IS the a-priori pruning step). Self-join on the order
+    key after a DISTINCT projection, pair direction fixed by part-key
+    order.
+
+    Scale: the self-join shuffles on l_orderkey, and fan-out per order
+    is lines²-bounded (TPC-H ≤ 7 lines → ≤ 21 pairs/order — linear in
+    practice). The pair aggregate is a plain map-side-combined hash agg
+    whose key space is the observed co-occurrence structure, far
+    smaller than |parts|². A pathological basket (one order with 10⁵
+    items) is the skew lever: cap basket size upstream, same policy as
+    LSH's max_bucket."""
+    li = load_table(spark, "lineitem", sf_dir)
+    pl = li.select("l_orderkey", "l_partkey").distinct()
+    a = pl.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = pl.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "k").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
