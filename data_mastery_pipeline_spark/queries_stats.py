@@ -1057,3 +1057,114 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH anchor AS (SELECT max(o_orderdate) AS t1 FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT t1 FROM anchor)) AS recency_days,
+             count(*) AS frequency,
+             floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_bucket,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_bucket,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_bucket
+    FROM per_cust
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    anchored at the dataset's max date for determinism) / frequency /
+    monetary, each quintile-bucketed with key tie-breaks so the
+    buckets are engine-identical.
+
+    Scale: per-customer aggregate first (one map-side-combined
+    shuffle); the ntile windows then run over |customers| pre-reduced
+    rows. Unpartitioned ntile single-tasks at extreme customer counts —
+    the 100 TB form replaces it with approx_percentile thresholds
+    (5 quantile cuts, broadcast back), trading exact quintile
+    boundaries for full parallelism."""
+    orders = load_table(spark, "orders", sf_dir)
+    anchor = orders.agg(F.max("o_orderdate").alias("t1"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            quantize(F.sum("o_totalprice"), "monetary", 2),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("t1"), F.to_date("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).cast("int").alias("r_bucket"),
+        F.ntile(5).over(wf).cast("int").alias("f_bucket"),
+        F.ntile(5).over(wm).cast("int").alias("m_bucket"),
+    )
+
+
+@query(
+    "revenue_concentration",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS total
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT total,
+             CAST(ntile(10) OVER (ORDER BY total DESC, o_custkey) AS INT) AS decile
+      FROM per_cust
+    ), grand AS (SELECT sum(total) AS g FROM per_cust)
+    SELECT decile,
+           count(*) AS n_customers,
+           floor((sum(total) / (SELECT g FROM grand)) * 1000000 + 0.5) / 1000000.0
+             AS revenue_share
+    FROM ranked GROUP BY decile
+    """,
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / Lorenz view: customers split into spend deciles
+    (top decile = 1), each decile's share of total revenue — the
+    "top 10% of customers drive X% of revenue" concentration check.
+    Same scale shape as rfm_segments: one per-customer reduction, one
+    bounded window over pre-reduced rows, quantile thresholds as the
+    extreme-cardinality fallback."""
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        quantize(F.sum("o_totalprice"), "total", 2)
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "total", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+    grand = per_cust.agg(F.sum("total").alias("g"))
+    return (
+        ranked.groupBy("decile")
+        .agg(F.count("*").alias("n_customers"), F.sum("total").alias("dec_total"))
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "decile",
+            "n_customers",
+            quantize(F.col("dec_total") / F.col("g"), "revenue_share", 6),
+        )
+    )
