@@ -49,6 +49,9 @@ HEADLINE = [
     "pg_serving_roundtrip",
     "text_repetition",
     "contamination_check",
+    # round 4 additions
+    "lm_bigram_quality",
+    "source_unigram_drift",
 ]
 
 
