@@ -269,3 +269,30 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_round4_analytics_queries_plan_shape(q):
+    """The round-4 analytics additions keep the discipline: no
+    cartesian products anywhere; the co-occurrence self-join is an
+    equi-join on the order key; the LM/KL text models are vocab-bounded
+    aggregates, not cross joins of the corpus with itself (their only
+    cross join is the broadcast 1-row scalar)."""
+    for name in (
+        "lm_bigram_quality",
+        "source_unigram_drift",
+        "funnel_conversion",
+        "cohort_retention",
+        "part_cooccurrence",
+        "daily_revenue_anomalies",
+        "rfm_segments",
+        "revenue_concentration",
+    ):
+        assert plans.cartesian_product_count(q[name]) == 0, name
+
+
+def test_prefix_edit_near_dups_blocks_via_broadcast(q):
+    # same shape as the Jaccard block join: broadcast build side, no
+    # cartesian — the lang/length predicates ride the join condition
+    df = q["prefix_edit_near_dups"]
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.cartesian_product_count(df) == 0
