@@ -1091,20 +1091,28 @@ def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition), here with no external model dependency.
 
     Plan shape at 100 TB: bigram expansion is a narrow map
-    (zip_with over token slices); the model is two hash aggregates
-    whose cardinality is VOCAB-bounded (distinct bigrams/unigrams, not
-    corpus size); scoring is two shuffle joins on those vocab tables
-    (AQE broadcasts them when a shard's vocabulary is small) plus a
-    broadcast scalar for V; the final per-doc average is one map-side
-    combinable aggregate. No Python anywhere."""
+    (zip_with over token slices) and the corpus text is tokenized
+    exactly TWICE — once into the bigram-count model, once as the
+    scoring probe. The model (c12) is materialized (vocab-bounded —
+    distinct bigrams, not corpus size), and the unigram counts and V
+    DERIVE from it (sum/distinct over c12) instead of re-reading text;
+    without this Spark recomputes the explode subtree per consumer
+    (measured: 4 text scans, zero ReusedExchange). Scoring is two
+    shuffle joins on vocab tables (AQE broadcasts small ones) plus a
+    broadcast scalar; the per-doc average is map-side combinable. No
+    Python anywhere."""
+    from .checkpointing import truncate_lineage
+
     docs = load_table(spark, "documents", sf_dir)
     bg = (
         docs.select("doc_id", F.explode(textfn.bigram_structs("text")).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    v = bg.agg(F.count_distinct("w1").alias("v"))
+    c12 = truncate_lineage(
+        bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")), None
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c12.select("w1").distinct().agg(F.count("*").alias("v"))
     scored = (
         bg.join(c12, ["w1", "w2"]).join(c1, ["w1"]).crossJoin(F.broadcast(v))
     )
@@ -1151,15 +1159,21 @@ def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary V, so sources missing a token still integrate to ~1 and
     KL stays finite without dropping terms.
 
-    Scale shape: token counts are VOCAB-bounded hash aggregates
-    (map-side combined — the shuffle carries one row per distinct
-    (source, token), never per occurrence); the corpus marginal reuses
-    the per-source counts (no second pass over text); totals are a
-    broadcast scalar. At 100 TB the heavy stage is the narrow tokenize
-    map; everything after is megabytes."""
+    Scale shape: ONE pass over text — the (source, token) count table
+    is materialized (VOCAB × sources bounded, map-side combined: the
+    shuffle carries one row per distinct key, never per occurrence)
+    and every downstream marginal (per-source totals, corpus counts,
+    grand totals) derives from it; without the materialization Spark
+    recomputes the tokenize subtree per consumer. Totals join back as
+    a broadcast scalar. At 100 TB the heavy stage is the narrow
+    tokenize map; everything after is megabytes."""
+    from .checkpointing import truncate_lineage
+
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select("source", F.explode(textfn.tokens("text")).alias("tok"))
-    per_src = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    per_src = truncate_lineage(
+        tok.groupBy("source", "tok").agg(F.count("*").alias("c")), None
+    )
     src_tot = per_src.groupBy("source").agg(F.sum("c").alias("n"))
     corpus = per_src.groupBy("tok").agg(F.sum("c").alias("cc"))
     corpus_tot = corpus.agg(
