@@ -880,19 +880,27 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor: three shuffles on user_id (co-partitioned after the first)
     + three broadcast scalar counts. No windows over the full event
     stream, no per-user sorting — state per stage is one timestamp per
-    surviving user."""
+    surviving user. Each stage anchor is MATERIALIZED (one timestamp
+    per surviving user — bounded): each feeds both the next stage and
+    its own count, and unmaterialized the cascade re-derived every
+    predecessor per consumer (measured: 11 event scans; now 3, one
+    pushed-filter scan per stage)."""
+    from .checkpointing import truncate_lineage
+
     ev = load_table(spark, "events", sf_dir)
-    v = (
+    v = truncate_lineage(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+        .agg(F.min("ts").alias("t_view")),
+        None,
     )
-    c = (
+    c = truncate_lineage(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+        .agg(F.min("ts").alias("t_click")),
+        None,
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -931,9 +939,15 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id), one distinct-count aggregate on (cohort, offset); at
     100 TB the distinct expansion is the heavy stage and the declared
     scale path is approx_count_distinct, same trade as
-    distinct_users_approx."""
+    distinct_users_approx. The per-user first-seen table is
+    materialized (|users| rows) so the events scan happens once per
+    side, not once per consumer."""
+    from .checkpointing import truncate_lineage
+
     ev = load_table(spark, "events", sf_dir)
-    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    first_seen = truncate_lineage(
+        ev.groupBy("user_id").agg(F.min("ts").alias("t0")), None
+    )
     joined = ev.join(first_seen, "user_id").select(
         "user_id",
         # to_date: Spark's date_trunc yields TIMESTAMP, DuckDB's DATE —
@@ -1090,7 +1104,10 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. Unpartitioned ntile single-tasks at extreme customer counts —
     the 100 TB form replaces it with approx_percentile thresholds
     (5 quantile cuts, broadcast back), trading exact quintile
-    boundaries for full parallelism."""
+    boundaries for full parallelism. The per-customer frame is
+    materialized so the three bucket windows read it once."""
+    from .checkpointing import truncate_lineage
+
     orders = load_table(spark, "orders", sf_dir)
     anchor = orders.agg(F.max("o_orderdate").alias("t1"))
     per_cust = (
@@ -1110,6 +1127,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+    per_cust = truncate_lineage(per_cust, None)
     wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
     wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
     wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
