@@ -1186,3 +1186,102 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantize(F.col("dec_total") / F.col("g"), "revenue_share", 6),
         )
     )
+
+
+@query(
+    "user_value_runs",
+    """
+    WITH buck AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value / 100.0) AS BIGINT) AS vb
+      FROM events WHERE value IS NOT NULL
+    ), flagged AS (
+      SELECT user_id, ts, event_id, vb,
+             CASE WHEN vb = lag(vb) OVER w THEN 0 ELSE 1 END AS is_start
+      FROM buck WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, ts, vb,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, vb AS value_bucket,
+           min(ts) AS valid_from, max(ts) AS last_seen, count(*) AS n_events
+    FROM runs GROUP BY 1, 2, 3
+    """,
+)
+def user_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands / SCD2-style run compression: consecutive
+    events with the same value bucket per user collapse into one
+    validity row (run id = running count of change points). The
+    history-table build every CDC pipeline performs, expressed with
+    lag + running sum — both over ONE window spec, so the whole query
+    is a single shuffle on user_id plus the final run aggregate.
+
+    Scale: state per partition is one previous-row buffer (streaming
+    frame, no buffering of whole partitions); run count is bounded by
+    events, aggregate key by runs. Value bucketing (floor/100) keeps
+    runs non-trivial on continuous data — real CDC compares natural
+    attribute values."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    buck = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 100.0).cast("bigint").alias("vb"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = buck.withColumn(
+        "is_start",
+        F.when(F.col("vb") == F.lag("vb").over(w), F.lit(0)).otherwise(F.lit(1)),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy(
+        "user_id",
+        F.col("run_id").cast("bigint").alias("run_id"),
+        F.col("vb").alias("value_bucket"),
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("last_seen"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "event_path_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS e1, e2, e3, count(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 5
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the most common 3-step event-type
+    sequences per user stream (lead ×2 over one window spec → one
+    shuffle on user_id), support-5 cut. The "what do users do next"
+    flow analysis, and the n-gram trick from text applied to event
+    streams."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
