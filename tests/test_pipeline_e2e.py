@@ -8,6 +8,8 @@ import tempfile
 
 from data_mastery_pipeline_spark import pipeline
 
+from conftest import SF_SMOKE
+
 
 def test_full_pipeline_runs_and_writes(spark):
     out = tempfile.mkdtemp()
@@ -80,3 +82,22 @@ def test_stream_silver_effectively_once(spark):
     )
     sinks.idempotent_append_batch(first, out, keys=["city", "timestamp"])
     assert spark.read.parquet(out).count() == n
+
+
+def test_bench_emits_one_valid_json_line(spark, monkeypatch, capsys):
+    """The driver parses bench.py's stdout as ONE JSON line with fixed
+    keys — a formatting regression would lose the round's BENCH row.
+    Run main() against two cheap queries at smoke scale and parse."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "SF_DIR", SF_SMOKE)
+    monkeypatch.setattr(bench, "HEADLINE", ["top10_orders", "hourly_agg"])
+    bench.main()
+    out = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    payload = json.loads(out[-1])
+    assert payload["metric"] == "headline_query_wall_seconds_total"
+    assert payload["unit"] == "sec"
+    assert set(payload["queries"]) == {"top10_orders", "hourly_agg"}
+    assert payload["value"] > 0 and payload["sf"] == 0.001
