@@ -108,23 +108,31 @@ def signatures_and_sets(
     — the same order of memory as the input text row it came from.
     ``kmv_jaccard`` stays EXACT whenever |A ∪ B| ≤ max_set_size and is
     the standard ±O(1/√k) KMV estimate beyond it.
+
+    ZERO-SHUFFLE: signatures are per-row array folds
+    (``array_min(transform(...))`` per hash function), not an
+    explode + groupBy — the earlier exploded form shuffled one row per
+    (doc, shingle) just to take per-doc mins of values that never
+    leave their row. Same math, same outputs, narrow map only; at
+    100 TB this deletes the largest shuffle of the MinHash pipeline
+    (the banding/bucket shuffles that follow carry 64-int signatures,
+    not shingle streams).
+
+    One SQL string for all 64 folds instead of 64 Column trees: each
+    Column-tree fold costs ~6 py4j driver→JVM round trips, ~400 total;
+    a single expr() parses JVM-side in one call (measured 8× faster
+    construction at identical plans).
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(shingle_hashes(text_col, k)).alias("h")
-    )
-    # One SQL string for all 64 mins instead of 64 Column trees: each
-    # F.min((col*a+b)%p) costs ~6 py4j driver→JVM round trips, ~400
-    # total; a single expr() parses JVM-side in one call (measured 8×
-    # faster construction at identical plans — the expressions are the
-    # same Catalyst aggregates either way, so execution is unchanged).
     arr = "array(" + ",".join(
-        f"min((h * {a}L + {b}L) % {_P}L)" for a, b in _hash_family(num_hashes)
+        f"array_min(transform(__sh, h -> (h * {a}L + {b}L) % {_P}L))"
+        for a, b in _hash_family(num_hashes)
     ) + ")"
-    sh = F.collect_set("h")
+    sh: Column = F.col("__sh")
     if max_set_size is not None:
         sh = F.slice(F.array_sort(sh), 1, max_set_size)
-    return exploded.groupBy(id_col).agg(
-        F.expr(arr).alias("minhash"), sh.alias("sh_set")
+    return (
+        df.select(F.col(id_col), shingle_hashes(text_col, k).alias("__sh"))
+        .select(F.col(id_col), F.expr(arr).alias("minhash"), sh.alias("sh_set"))
     )
 
 
