@@ -31,14 +31,19 @@ BITS = 64
 BITS_MD5 = 60
 
 
-def _token_hash(hash_fn: str) -> tuple[Column, int]:
-    tok = F.col("tok")
+def _token_hashes(text_col: str | Column, hash_fn: str) -> tuple[Column, int]:
+    """Array of per-token hashes (duplicates preserved — each
+    occurrence votes) and the usable bit width."""
+    toks = tokens(text_col)
     if hash_fn == "xxhash64":
-        return F.xxhash64(tok), BITS
+        return F.transform(toks, lambda t: F.xxhash64(t)), BITS
     if hash_fn == "md5_60":
         return (
-            F.conv(F.substring(F.md5(tok.cast("binary")), 1, 15), 16, 10).cast(
-                "bigint"
+            F.transform(
+                toks,
+                lambda t: F.conv(
+                    F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10
+                ).cast("bigint"),
             ),
             BITS_MD5,
         )
@@ -54,26 +59,27 @@ def simhash_fingerprints(
     """(id, fp) with fp = SimHash of the token stream (duplicate tokens
     vote once per occurrence, standard weighting). ``hash_fn``:
     ``"xxhash64"`` (64-bit, fast default) or ``"md5_60"`` (60-bit,
-    byte-portable to DuckDB/ANSI SQL for oracle checking)."""
-    h, bits = _token_hash(hash_fn)
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", h)
-    # one aggregate: n_tokens + per-bit set-count (all map-side combinable)
-    aggs = [F.count("*").alias("n")] + [
-        F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
-        for i in range(bits)
-    ]
-    counts = tok.groupBy(id_col).agg(*aggs)
-    fp: Column = F.lit(0).cast("bigint")
-    for i in range(bits):
-        fp = fp.bitwiseOR(
-            F.when(
-                F.col(f"c{i}") * 2 > F.col("n"),
-                F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        )
-    return counts.select(F.col(id_col), fp.alias("fp"))
+    byte-portable to DuckDB/ANSI SQL for oracle checking).
+
+    ZERO-SHUFFLE: the majority vote per bit is a per-row fold over the
+    token-hash array (nested higher-order functions — ``aggregate``
+    over bit indices, ``filter``/``size`` for the vote count), not an
+    explode + per-doc bit-count aggregate. The earlier exploded form
+    shuffled one row per token occurrence just to count bits of values
+    that never leave their row; at 100 TB that was the pipeline's only
+    data-sized shuffle (banding shuffles 64-bit fingerprints). The
+    sign bit is safe: ``shiftleft(1L, 63)`` wraps to Long.MIN_VALUE and
+    is combined with OR, never addition."""
+    hashes, bits = _token_hashes(text_col, hash_fn)
+    fp_expr = (
+        f"aggregate(sequence(0, {bits - 1}), 0L, "
+        "(acc, i) -> acc | IF("
+        "2 * size(filter(__h, h -> (h >> i) & 1 = 1)) > size(__h), "
+        "shiftleft(1L, i), 0L))"
+    )
+    return df.select(F.col(id_col), hashes.alias("__h")).select(
+        F.col(id_col), F.expr(fp_expr).alias("fp")
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
