@@ -296,3 +296,18 @@ def test_prefix_edit_near_dups_blocks_via_broadcast(q):
     df = q["prefix_edit_near_dups"]
     assert plans.broadcast_join_count(df) >= 1
     assert plans.cartesian_product_count(df) == 0
+
+
+def test_minhash_signatures_and_simhash_fingerprints_zero_shuffle(spark):
+    """The sketch-building stages are pure narrow maps — a regression
+    back to explode + per-doc aggregation would re-introduce a
+    data-sized shuffle invisible at sf0.01 and dominant at 100 TB."""
+    from data_mastery_pipeline_spark.dedup import minhash, simhash
+    from data_mastery_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF_ORACLE)
+    sigs = minhash.signatures_and_sets(docs, max_set_size=8192)
+    assert plans.exchange_count(sigs) == 0
+    for hash_fn in ("xxhash64", "md5_60"):
+        fp = simhash.simhash_fingerprints(docs, hash_fn=hash_fn)
+        assert plans.exchange_count(fp) == 0, hash_fn
