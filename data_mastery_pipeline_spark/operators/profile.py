@@ -1,0 +1,65 @@
+"""Column profiling — the `DESCRIBE`-on-steroids every engine grows.
+
+One row per column: row/null/distinct counts plus min/max (stringified
+so heterogeneous column types stack into one long-form frame). The
+whole profile is ONE aggregate pass computing every column's statistics
+side by side (all map-side combinable), then a driver-free unpivot of
+the single result row into long form — never one job per column, which
+is the naive implementation's O(columns) scans.
+
+At 100 TB: the scan reads every profiled column once; distinct counts
+are the heavy accumulators — swap ``exact=False`` for HLL
+(approx_count_distinct, rsd 0.01) to keep the aggregation buffers
+O(1) per column, same trade as distinct_users_approx.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = True) -> DataFrame:
+    """Long-form profile: (column, dtype, n_rows, n_null, n_distinct,
+    min_value, max_value) per profiled column, ordered by column name.
+
+    ``n_distinct`` ignores NULLs (count(DISTINCT col) semantics);
+    min/max are rendered as strings for a uniform schema.
+    """
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    distinct = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(c, 0.01))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            distinct(c).alias(f"__dist_{c}"),
+            # aggregate on the NATIVE type, cast the result — casting
+            # first would make numeric min/max lexicographic ('9' > '14')
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("column")
+    )

@@ -1285,3 +1285,50 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+@query(
+    "profile_events",
+    """
+    WITH s AS (SELECT * FROM events)
+    SELECT * FROM (
+      SELECT 'event_id' AS "column", 'bigint' AS dtype, count(*) AS n_rows,
+             sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+             count(DISTINCT event_id) AS n_distinct,
+             min(event_id)::VARCHAR AS min_value, max(event_id)::VARCHAR AS max_value
+      FROM s
+      UNION ALL
+      SELECT 'event_type', 'string', count(*),
+             sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT event_type),
+             min(event_type), max(event_type) FROM s
+      UNION ALL
+      SELECT 'props', 'string', count(*),
+             sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT props),
+             min(props), max(props) FROM s
+      UNION ALL
+      SELECT 'ts', 'timestamp', count(*),
+             sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT ts),
+             min(ts)::VARCHAR, max(ts)::VARCHAR FROM s
+      UNION ALL
+      SELECT 'user_id', 'bigint', count(*),
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT user_id),
+             min(user_id)::VARCHAR, max(user_id)::VARCHAR FROM s
+    ) ORDER BY "column"
+    """,
+)
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/profile.py): one aggregate pass
+    computes every column's row/null/distinct counts and stringified
+    min/max side by side, then unpivots the single result row long-form
+    — never one job per column. The ``value`` double column is omitted
+    from THIS driver-checked profile only because engines format
+    double→string differently; the operator itself profiles any column.
+    """
+    from .operators import profile as prof
+
+    ev = load_table(spark, "events", sf_dir)
+    return prof.profile(ev, ["event_id", "ts", "user_id", "event_type", "props"])
