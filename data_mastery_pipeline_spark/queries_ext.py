@@ -1251,3 +1251,51 @@ def prefix_edit_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
         .filter(F.col("edit_dist") <= 8)
     )
+
+
+@query(
+    "semantic_search_meta",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id,
+               floor((list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q))) * 10000 + 0.5) / 10000.0 AS cos
+        FROM embeddings
+    ), topk AS (
+        SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    )
+    SELECT t.vec_id, t.cos, d.lang, d.source, d.n_chars
+    FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+    ORDER BY t.cos DESC, t.vec_id
+    """,
+)
+def semantic_search_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval SERVING shape: ANN top-k over the embedding table,
+    hydrated with document metadata by a broadcast join of the k-row
+    result against the documents table — the two-step (index → store)
+    pattern every vector-search deployment runs. The k-row side
+    broadcasts, so hydration costs one dim-table scan, no shuffle of
+    either table."""
+    qv = _query_vec(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    topk = (
+        emb.select(
+            "vec_id",
+            quantize(
+                dedup_emb.cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.array(*[F.lit(x) for x in qv]),
+                ),
+                "cos",
+                4,
+            ),
+        )
+        .orderBy(F.desc("cos"), F.col("vec_id"))
+        .limit(10)
+    )
+    return (
+        docs.join(F.broadcast(topk), docs.doc_id == topk.vec_id)
+        .select("vec_id", "cos", "lang", "source", "n_chars")
+        .orderBy(F.desc("cos"), F.col("vec_id"))
+    )
