@@ -7,10 +7,10 @@ Pipeline (all Catalyst expressions — no UDFs, no Spark-ML dependency):
   family:    g_i(h) = (a_i*h + b_i) mod p  (universal hashing — cheap
              multiply-add per function instead of 64 string re-hashes;
              a_i,b_i from a fixed-seed PRNG, so fully deterministic)
-  minhash:   explode shingle hashes → ONE vectorized
-             groupBy(doc).agg(min(g_0)…min(g_63), collect_set(h))
-             (map-side partial aggregation; signatures AND the exact
-             shingle-hash set come out of the same single shuffle)
+  minhash:   per-row array folds — array_min(transform(shingles, g_i))
+             for each of the 64 functions, plus the bottom-k sketch
+             from the same array (ZERO shuffle: mins never need values
+             from other rows)
   banding:   signature split into b bands of r rows; band hash = xxhash64
   candidate: explode bands → groupBy (band_idx, band_hash) → pairs
   verify:    Jaccard on bottom-k (KMV) sketches of the int shingle-hash
@@ -95,17 +95,15 @@ def signatures_and_sets(
     num_hashes: int = 64,
     max_set_size: int | None = None,
 ) -> DataFrame:
-    """(id, minhash[num_hashes], sh_set) in ONE aggregation: explode the
-    per-row shingle hashes, then a single vectorized groupBy computing
-    all 64 mins plus the shingle-hash set for later verification.
+    """(id, minhash[num_hashes], sh_set) as ONE narrow projection over
+    each row's shingle-hash array — signatures and the verification
+    sketch come from the same array, no aggregation anywhere.
 
     ``max_set_size`` bounds sh_set to the k SMALLEST hashes — a bottom-k
-    (KMV) sketch. Memory bound per doc downstream of the aggregate:
-    64 ints + max_set_size ints, independent of document length (a
-    100 TB corpus of book-length docs would otherwise make sh_set the
-    row-size hot spot through the checkpoint and both verify joins).
-    The aggregation buffer itself still sees the doc's distinct shingles
-    — the same order of memory as the input text row it came from.
+    (KMV) sketch. Memory bound per doc downstream: 64 ints +
+    max_set_size ints, independent of document length (a 100 TB corpus
+    of book-length docs would otherwise make sh_set the row-size hot
+    spot through the checkpoint and both verify joins).
     ``kmv_jaccard`` stays EXACT whenever |A ∪ B| ≤ max_set_size and is
     the standard ±O(1/√k) KMV estimate beyond it.
 

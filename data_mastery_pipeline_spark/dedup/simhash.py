@@ -92,14 +92,24 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     radius: int = 3,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with Hamming distance ≤ radius, via pigeonhole band blocking
     ((radius+1) bands of bits/(radius+1) bits → exact recall: a pair
     within ``radius`` differs in ≤ radius bands, so ≥1 band matches
     exactly; bits the flooring leaves uncovered only COARSEN buckets,
-    never drop a qualifying pair)."""
+    never drop a qualifying pair).
+
+    ``max_bucket`` is a RECALL trade, not a free knob: a dropped
+    overfull bucket can hide a qualifying pair whose every matching
+    band overflowed. Wide radii make this concrete — radius 12 leaves
+    60//13 = 4-bit bands (16 keys), so ANY corpus beyond ~16k docs
+    overfills every bucket. Pass ``None`` for exact recall (the
+    oracle-checked configuration); keep a cap only when degenerate
+    buckets (mass-duplicate content that belongs to exact dedup first)
+    would otherwise blow up the pair fan-out, and prefer a narrower
+    radius with wider bands at scale."""
     n_bands = radius + 1
     bits = BITS_MD5 if hash_fn == "md5_60" else BITS
     width = bits // n_bands
@@ -122,7 +132,11 @@ def simhash_near_dups(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("fp"))).alias("docs"),
             F.count("*").alias("n"),
         )
-        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .filter(
+            (F.col("n") > 1)
+            if max_bucket is None
+            else ((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        )
     )
     pairs = (
         buckets.select(

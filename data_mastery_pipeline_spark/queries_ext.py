@@ -297,9 +297,15 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit hash so the ORACLE recomputes the identical fingerprints in
     SQL and the full pair set is value-checked; the xxhash64 default in
     dedup/simhash.py remains the scale path (hash choice does not
-    change the algorithm, only reproducibility across engines)."""
+    change the algorithm, only reproducibility across engines).
+    ``max_bucket=None`` because the oracle has no bucket cap: radius 12
+    → 4-bit bands (16 keys), so a capped run WOULD silently drop pairs
+    on a bigger corpus and hash-mismatch (see simhash_near_dups
+    docstring for when a cap is appropriate)."""
     docs = load_table(spark, "documents", sf_dir)
-    return dedup_simhash.simhash_near_dups(docs, radius=12, hash_fn="md5_60")
+    return dedup_simhash.simhash_near_dups(
+        docs, radius=12, hash_fn="md5_60", max_bucket=None
+    )
 
 
 @query(
@@ -338,6 +344,29 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
     return [float(x) for x in row["embedding"]]
 
 
+def _exact_cosine_topk(
+    spark: SparkSession, sf_dir: str, qv: list[float], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k (vec_id, cos) against ``qv`` — the shared
+    baseline of ann_cosine_topk / ann_ivf_topk / semantic_search_meta.
+    One definition so the quantization (4 decimals) and the tie-break
+    (quantized cos desc, vec_id asc) cannot drift between the three
+    queries' Spark sides — their DuckDB oracles assume all of it."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    scored = emb.select(
+        "vec_id",
+        quantize(
+            dedup_emb.cosine(
+                F.col("embedding").cast("array<double>"),
+                F.array(*[F.lit(x) for x in qv]),
+            ),
+            "cos",
+            4,
+        ),
+    )
+    return scored.orderBy(F.desc("cos"), F.col("vec_id")).limit(k)
+
+
 @query(
     "ann_cosine_topk",
     """
@@ -354,17 +383,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against vec_id=0 — the exact ANN
     baseline (one scan + TakeOrderedAndProject; ordering on the
     quantized score so both engines break ties identically)."""
-    qv = _query_vec(spark, sf_dir)
-    emb = load_table(spark, "embeddings", sf_dir)
-    scored = emb.select(
-        "vec_id",
-        quantize(
-            dedup_emb.cosine(F.col("embedding").cast("array<double>"),
-                             F.array(*[F.lit(x) for x in qv])),
-            "cos", 4,
-        ),
-    )
-    return scored.orderBy(F.desc("cos"), F.col("vec_id")).limit(10)
+    return _exact_cosine_topk(spark, sf_dir, _query_vec(spark, sf_dir))
 
 
 @query(
@@ -494,23 +513,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     cents = ivf.train_centroids(emb, n_cells=8, max_train_rows=20_000)
     ivf_out = ivf.ivf_topk(emb, cents, qv, k=10, n_probes=3).select("vec_id")
-    exact = (
-        emb.select(
-            "vec_id",
-            quantize(
-                dedup_emb.cosine(
-                    F.col("embedding").cast("array<double>"),
-                    F.array(*[F.lit(x) for x in qv]),
-                ),
-                "cos",
-                4,
-            ),
-        )
-        .orderBy(F.desc("cos"), F.col("vec_id"))
-        .limit(10)
+    exact = _exact_cosine_topk(spark, sf_dir, qv)
+    # lazy recall certificate: a 1-row broadcast aggregate, not a
+    # construction-time .count() (which would execute training + both
+    # top-k's before the DataFrame is even returned)
+    hits = (
+        exact.join(ivf_out, "vec_id", "left_semi")
+        .agg(F.count("*").alias("__n_hit"))
     )
-    n_hit = exact.join(ivf_out, "vec_id", "left_semi").count()  # scalar probe
-    return exact.withColumn("ivf_recall_ok", F.lit(n_hit >= 5))
+    return (
+        exact.crossJoin(F.broadcast(hits))
+        .withColumn("ivf_recall_ok", F.col("__n_hit") >= 5)
+        .drop("__n_hit")
+    )
 
 
 @query(
@@ -1137,18 +1152,20 @@ def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tok, sum(c) AS cc FROM per_src GROUP BY 1
     ), corpus_tot AS (
       SELECT sum(cc) AS nn, count(*) AS v FROM corpus
+    ), universe AS (
+      SELECT t.source, t.n, c.tok, c.cc, coalesce(s.c, 0) AS c
+      FROM src_tot t CROSS JOIN corpus c
+      LEFT JOIN per_src s ON s.source = t.source AND s.tok = c.tok
     )
-    SELECT s.source,
-           CAST(t.n AS BIGINT) AS n_tokens,
-           floor((sum(((s.c + 0.5) / (t.n + 0.5 * ct.v))
-                      * ln(((s.c + 0.5) / (t.n + 0.5 * ct.v))
-                           / ((c.cc + 0.5) / (ct.nn + 0.5 * ct.v)))))
+    SELECT u.source,
+           CAST(u.n AS BIGINT) AS n_tokens,
+           floor((sum(((u.c + 0.5) / (u.n + 0.5 * ct.v))
+                      * ln(((u.c + 0.5) / (u.n + 0.5 * ct.v))
+                           / ((u.cc + 0.5) / (ct.nn + 0.5 * ct.v)))))
                  * 10000 + 0.5) / 10000.0 AS kl_vs_corpus
-    FROM per_src s
-    JOIN src_tot t USING (source)
-    JOIN corpus c USING (tok)
+    FROM universe u
     CROSS JOIN corpus_tot ct
-    GROUP BY s.source, t.n
+    GROUP BY u.source, u.n
     """,
 )
 def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1156,8 +1173,12 @@ def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothed unigram distributions, one row per source — the check a
     training-data pipeline runs when a new crawl snapshot lands ("did
     this source's language shift?"). Smoothing is over the corpus
-    vocabulary V, so sources missing a token still integrate to ~1 and
-    KL stays finite without dropping terms.
+    vocabulary V, and the sum runs over the FULL (source × vocabulary)
+    universe — absent tokens contribute their smoothed mass p₀ =
+    0.5/(n + 0.5V), not zero. A truncated sum over observed tokens
+    only (the first draft) is not a KL divergence and is not even
+    guaranteed non-negative; the full form is ≥ 0 by Gibbs'
+    inequality, which tests/test_analytics.py pins.
 
     Scale shape: ONE pass over text — the (source, token) count table
     is materialized (VOCAB × sources bounded, map-side combined: the
@@ -1181,11 +1202,16 @@ def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (F.col("c") + F.lit(0.5)) / (F.col("n") + F.lit(0.5) * F.col("v"))
     q = (F.col("cc") + F.lit(0.5)) / (F.col("nn") + F.lit(0.5) * F.col("v"))
-    joined = (
-        per_src.join(src_tot, ["source"])
-        .join(corpus, ["tok"])
-        .crossJoin(F.broadcast(corpus_tot))
+    # full universe: every (source, corpus token), absent counts = 0.
+    # |sources| × |vocab| rows — vocab-bounded, same order as the model
+    # tables themselves; the broadcast of src_tot keeps it shuffle-free.
+    universe = (
+        F.broadcast(src_tot)
+        .crossJoin(corpus)
+        .join(per_src, ["source", "tok"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
     )
+    joined = universe.crossJoin(F.broadcast(corpus_tot))
     return joined.groupBy("source", F.col("n").alias("n_tokens")).agg(
         quantize(F.sum(p * F.log(p / q)), "kl_vs_corpus", 4)
     )
@@ -1276,24 +1302,8 @@ def semantic_search_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern every vector-search deployment runs. The k-row side
     broadcasts, so hydration costs one dim-table scan, no shuffle of
     either table."""
-    qv = _query_vec(spark, sf_dir)
-    emb = load_table(spark, "embeddings", sf_dir)
     docs = load_table(spark, "documents", sf_dir)
-    topk = (
-        emb.select(
-            "vec_id",
-            quantize(
-                dedup_emb.cosine(
-                    F.col("embedding").cast("array<double>"),
-                    F.array(*[F.lit(x) for x in qv]),
-                ),
-                "cos",
-                4,
-            ),
-        )
-        .orderBy(F.desc("cos"), F.col("vec_id"))
-        .limit(10)
-    )
+    topk = _exact_cosine_topk(spark, sf_dir, _query_vec(spark, sf_dir))
     return (
         docs.join(F.broadcast(topk), docs.doc_id == topk.vec_id)
         .select("vec_id", "cos", "lang", "source", "n_chars")

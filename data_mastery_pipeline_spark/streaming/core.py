@@ -14,9 +14,6 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from .. import schemas
 
 # RocksDB-backed streaming state (ships with Spark's rocksdbjni jar).
 # The default HDFSBackedStateStoreProvider keeps EVERY key's state on
@@ -68,21 +65,22 @@ def stream_events(
     ``maxOffsetsPerTrigger`` back-pressure knob (reference batch_size,
     config/config.yaml:12).
     """
-    from ..tables import events_ts_kind
+    from ..tables import apply_plan, read_plan, read_schema_for
 
     # The testdata table is a single parquet FILE; the file stream source
     # only accepts a directory or a glob, so glob the file (a real
     # deployment points this at the Bronze landing directory — new files
-    # per trigger = the micro-batches).
-    kind = events_ts_kind(sf_dir)
-    schema = schemas.EVENTS if kind == "timestamp" else schemas.EVENTS_RAW
-    reader = spark.readStream.schema(schema).option("basePath", sf_dir)
+    # per trigger = the micro-batches). The footer probe covers ONE file;
+    # the whole directory must share its physical form (tables.read_plan
+    # contract) — mixed-form directories fail at read time, not silently.
+    plan = read_plan("events", sf_dir)
+    reader = spark.readStream.schema(read_schema_for("events", plan)).option(
+        "basePath", sf_dir
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(f"{sf_dir}/events*.parquet")
-    if kind == "timestamp":
-        return raw
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return apply_plan(raw, plan)
 
 
 def run_available_now(

@@ -100,12 +100,60 @@ def _pa_compatible(pa_type, spark_type: T.DataType) -> bool:
     return False
 
 
+def _epoch_unit_of(probe: str, col: str) -> str:
+    """Classify a RAW-int epoch column's unit by magnitude, using the
+    parquet row-group statistics (footer metadata, no data scan; falls
+    back to reading a single value if stats are absent). 2024-era
+    epochs: seconds ≈ 1.7e9, millis ≈ 1.7e12, micros ≈ 1.7e15,
+    nanos ≈ 1.7e18 — three orders of magnitude apart, so the bands are
+    unambiguous for any timestamp between 1973 and 2500. Raises
+    :class:`schemas.SchemaDriftError` outside every band rather than
+    guessing: an int64 column that LOOKS like a timestamp but holds
+    e.g. sequence numbers must not be silently rescaled."""
+    import pyarrow.parquet as pq
+
+    sample: int | None = None
+    meta = pq.ParquetFile(probe)
+    idx = meta.schema_arrow.get_field_index(col)
+    for rg in range(meta.metadata.num_row_groups):
+        stats = meta.metadata.row_group(rg).column(idx).statistics
+        if stats is not None and stats.has_min_max:
+            sample = int(stats.max)
+            break
+    if sample is None:  # stats suppressed: read one value of one column
+        tbl = meta.read_row_group(0, columns=[col])
+        vals = [v for v in tbl.column(0).to_pylist() if v is not None]
+        if not vals:
+            return "nanos"  # all-null: unit is irrelevant, any works
+        sample = int(vals[0])
+    mag = abs(sample)
+    if 10**17 <= mag < 10**20:
+        return "nanos"
+    if 10**14 <= mag < 10**17:
+        return "micros"
+    if 10**11 <= mag < 10**14:
+        return "millis"
+    if 10**8 <= mag < 10**11:
+        return "seconds"
+    raise schemas.SchemaDriftError(
+        f"column {col!r} @ {probe}: raw int value {sample} matches no "
+        f"epoch magnitude band (sec/ms/µs/ns) — refusing to rescale"
+    )
+
+
 def read_plan(name: str, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
     """Footer-vs-registry compatibility check for one table; returns the
     per-column conversion plan ({} = enforced read as declared,
-    {"ts": "nanos-long"} = read int64 + div 1000). Raises
+    {"ts": "nanos-long"} = read int64 + div 1000,
+    {"ts": "micros-long"} etc. for the other epoch units). Raises
     :class:`schemas.SchemaDriftError` on a missing or incompatible
-    column — the loud alternative to round 3's silent misread."""
+    column — the loud alternative to round 3's silent misread.
+
+    Contract: one physical form per table directory. The probe reads
+    ONE footer (first data file in directory layouts) — a directory
+    mixing physical forms across files is not supported and will fail
+    at read time on the unprobed files rather than silently; testdata
+    and the engine's own writers never produce mixed directories."""
     expected = schemas.TABLES[name]
     probe = _probe_file(f"{sf_dir}/{name}.parquet")
     key = (probe, os.path.getmtime(probe))
@@ -127,11 +175,13 @@ def read_plan(name: str, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
         if _pa_compatible(pa_t, field.dataType):
             continue
         is_ts = field.dataType.simpleString() == "timestamp"
-        stored_nanos = (
-            pa.types.is_timestamp(pa_t) and pa_t.unit == "ns"
-        ) or pa.types.is_integer(pa_t)
-        if is_ts and stored_nanos:
+        if is_ts and pa.types.is_timestamp(pa_t) and pa_t.unit == "ns":
             plan[field.name] = "nanos-long"
+            continue
+        if is_ts and pa.types.is_integer(pa_t):
+            # RAW int epoch: the unit is NOT declared — round 3's bug
+            # was assuming one. Classify by magnitude (footer stats).
+            plan[field.name] = f"{_epoch_unit_of(probe, field.name)}-long"
             continue
         problems.append(
             f"column {field.name!r}: stored {pa_t} incompatible with "
@@ -147,14 +197,14 @@ def read_plan(name: str, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, str]:
 
 def read_schema_for(name: str, plan: dict[str, str]) -> T.StructType:
     """The enforced READ schema implementing ``plan``: declared registry
-    types, with nanos-long columns read as LongType for later
+    types, with ``*-long`` columns read as LongType for later
     conversion."""
     expected = schemas.TABLES[name]
     return T.StructType(
         [
             T.StructField(
                 f.name,
-                T.LongType() if plan.get(f.name) == "nanos-long" else f.dataType,
+                T.LongType() if plan.get(f.name, "").endswith("-long") else f.dataType,
                 f.nullable,
             )
             for f in expected.fields
@@ -163,13 +213,20 @@ def read_schema_for(name: str, plan: dict[str, str]) -> T.StructType:
 
 
 def apply_plan(df: DataFrame, plan: dict[str, str]) -> DataFrame:
-    """Convert plan columns to their declared logical types (ns→µs
-    floor-divide via integer ``div``)."""
+    """Convert plan columns to their declared logical types. Exact
+    integer arithmetic only (``div``, never double division: ns epochs
+    ≈ 1.7e18 exceed double's 53-bit mantissa)."""
     from pyspark.sql import functions as F
 
     for col, action in plan.items():
         if action == "nanos-long":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif action == "micros-long":
+            df = df.withColumn(col, F.timestamp_micros(F.col(col)))
+        elif action == "millis-long":
+            df = df.withColumn(col, F.timestamp_millis(F.col(col)))
+        elif action == "seconds-long":
+            df = df.withColumn(col, F.timestamp_seconds(F.col(col)))
     return df
 
 

@@ -160,3 +160,40 @@ def test_extra_footer_column_is_pruned(spark, tmp_path):
     df = tables.load_table(spark, "region", str(d))
     assert df.columns == ["r_regionkey", "r_name"]
     assert df.count() == 1
+
+
+def test_raw_int_epoch_units_classified_by_magnitude(spark, tmp_path):
+    """Round-4 review finding: a RAW int64 epoch column declares no
+    unit. int64-MICROS must not be floor-divided as if nanos (the
+    silent-1970s class); all four magnitude bands decode to the same
+    logical timestamps, and a non-epoch int is loud."""
+    import pyarrow as pa
+
+    micros = [1704067200_000000, 1704067260_500000]
+    cases = {
+        "nanos-long": [m * 1000 for m in micros],
+        "micros-long": micros,
+        "millis-long": [m // 1000 for m in micros],
+        "seconds-long": [m // 1_000_000 for m in micros],
+    }
+    expected = None
+    for action, vals in cases.items():
+        d = _write_events(tmp_path / action, pa.array(vals, pa.int64()))
+        assert tables.read_plan("events", d)["ts"] == action
+        rows = [r["ts"] for r in tables.load_table(spark, "events", d).orderBy("event_id").collect()]
+        assert rows[0].year == 2024
+        if action == "seconds-long":
+            continue  # truncated to the second; compare year only
+        if expected is None and action == "micros-long":
+            expected = rows
+    # micros and nanos forms agree exactly (ns floor-divides to µs)
+    d_us = str(tmp_path / "micros-long")
+    d_ns = str(tmp_path / "nanos-long")
+    assert (
+        tables.load_table(spark, "events", d_us).collect()
+        == tables.load_table(spark, "events", d_ns).collect()
+    )
+    # non-epoch ints (sequence numbers) refuse to rescale
+    d_bad = _write_events(tmp_path / "bad", pa.array([1, 2], pa.int64()))
+    with pytest.raises(schemas.SchemaDriftError, match="no epoch magnitude band"):
+        tables.load_table(spark, "events", d_bad)
