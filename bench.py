@@ -52,6 +52,10 @@ HEADLINE = [
     # round 4 additions
     "lm_bigram_quality",
     "source_unigram_drift",
+    # round 5 additions: iterative ML, CDC, set analytics
+    "kmeans_embeddings",
+    "snapshot_diff",
+    "audience_overlap",
 ]
 
 
@@ -100,6 +104,7 @@ def _warm_python_datasource(spark) -> None:
 
 def main() -> None:
     import data_mastery_pipeline_spark.queries  # noqa: F401
+    import data_mastery_pipeline_spark.queries_adv  # noqa: F401
     import data_mastery_pipeline_spark.queries_ext  # noqa: F401
     import data_mastery_pipeline_spark.queries_src  # noqa: F401
     import data_mastery_pipeline_spark.queries_stream  # noqa: F401

@@ -51,3 +51,52 @@ def test_groupby_on_bucket_key_has_no_shuffle(spark, bucketed_tables):
     lt, _ = bucketed_tables
     agg = spark.table(lt).groupBy("l_orderkey").agg(F.sum("l_quantity"))
     assert plans.exchange_count(agg) == 0, plans.formatted_plan(agg)
+
+
+def test_bucketed_cdc_full_outer_diff_has_no_shuffle(spark):
+    """The snapshot_diff (CDC) plan on bucketed snapshots: a full-outer
+    join of two tables bucketed on the key must read buckets pairwise —
+    zero Exchange before the join — which is what makes keyed diffing
+    viable at 100 TB (the diff agg's own tiny shuffle remains)."""
+    o = load_table(spark, "orders", SF_ORACLE).select("o_orderkey", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 101 != 0)
+    new = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 1.1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    try:
+        bucketing.write_bucketed(
+            old.withColumnRenamed("o_totalprice", "old_price"),
+            "b_snap_old", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
+        )
+        bucketing.write_bucketed(
+            new.withColumnRenamed("o_totalprice", "new_price"),
+            "b_snap_new", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
+        )
+        joined = bucketing.colocated_join(
+            spark, "b_snap_old", "b_snap_new", ["o_orderkey"], how="full_outer"
+        )
+        # no Exchange feeds the join: only bucket-pairwise reads
+        diff = joined.select(
+            F.when(F.col("old_price").isNull(), "insert")
+            .when(F.col("new_price").isNull(), "delete")
+            .when(F.col("new_price") != F.col("old_price"), "update")
+            .otherwise("unchanged")
+            .alias("change_type")
+        )
+        assert plans.exchange_count(diff) == 0
+        counts = {
+            r["change_type"]: r["n"]
+            for r in diff.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+        }
+        n_old = old.count()
+        n_new = new.count()
+        assert counts.get("insert", 0) == n_new - n_old  # mod-101 keys only in new
+        assert counts.get("delete", 0) == 0  # old ⊆ new here
+        assert counts.get("update", 0) > 0
+        assert sum(counts.values()) == n_new
+    finally:
+        for t in ("b_snap_old", "b_snap_new"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

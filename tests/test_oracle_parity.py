@@ -12,6 +12,7 @@ import math
 import pytest
 
 import data_mastery_pipeline_spark.queries  # noqa: F401
+import data_mastery_pipeline_spark.queries_adv  # noqa: F401
 import data_mastery_pipeline_spark.queries_ext  # noqa: F401
 import data_mastery_pipeline_spark.queries_src  # noqa: F401
 import data_mastery_pipeline_spark.queries_stats  # noqa: F401
