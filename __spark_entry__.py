@@ -66,6 +66,9 @@ _PRIORITY = [
     "stream_enrich_static",
     "psi_value_drift",
     "user_behavior_entropy",
+    "theta_audience_overlap",
+    "temperature_resample",
+    "kll_value_quantiles",
     # (c) events.ts-sensitive queries — keep green on regenerated data
     "stream_tumbling_hourly",
     "stream_sliding_halfhour",

@@ -886,3 +886,201 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_users"),
         quantize(F.avg("h"), "avg_entropy", 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-algebra audience overlap + temperature resampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "theta_audience_overlap",
+    """
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS common_users
+      FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, common_users, TRUE AS sketch_within_5pct
+    FROM pairs
+    """,
+)
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via Datasketches THETA set algebra: one theta
+    sketch of the user set per event type, pairwise intersection
+    estimates from the 5-row sketch relation — the certificate column
+    asserts every estimate lands within 5% of the exact overlap
+    (audience_overlap's exact self-join is the verifier).
+
+    Scale: this is the shape that replaces the user-level self-join at
+    web scale — sketches are fixed-size (4 KB at lgK=12), merge
+    associatively map-side, and pairwise set algebra happens on a
+    |types|-row relation instead of a |users|-row join. The exact
+    verifier stays testdata-only.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    sk = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    est = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").alias(
+                "est"
+            ),
+        )
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    xa = du.alias("xa")
+    xb = du.alias("xb")
+    exact = (
+        xa.join(
+            xb,
+            (F.col("xa.user_id") == F.col("xb.user_id"))
+            & (F.col("xa.event_type") < F.col("xb.event_type")),
+        )
+        .groupBy(
+            F.col("xa.event_type").alias("type_a"),
+            F.col("xb.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("common_users"))
+    )
+    return exact.join(F.broadcast(est), ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "common_users",
+        (
+            F.abs(F.col("est") - F.col("common_users"))
+            <= 0.05 * F.col("common_users")
+        ).alias("sketch_within_5pct"),
+    )
+
+
+_TEMP_TAU = 0.5  # mixture flattening temperature
+
+
+@query(
+    "temperature_resample",
+    f"""
+    WITH shares AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) AS toks,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), rates AS (
+      SELECT source, n_docs,
+             pow((SELECT min(toks) FROM shares) / toks, 1.0 - {_TEMP_TAU}) AS rate
+      FROM shares
+    ), kept AS (
+      SELECT d.source, r.rate,
+             CASE WHEN ((d.doc_id % 99991) * 2654435761 + 31) % 10000
+                       < floor(r.rate * 10000 + 0.5) THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN rates r ON r.source = d.source
+    )
+    SELECT source,
+           floor(rate * 10000 + 0.5) / 10000.0 AS rate,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM kept GROUP BY source, rate
+    """,
+)
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture resampling, materialized: per-source
+    keep-rates ∝ (min_share / share)^(1−τ) — heavy sources get
+    down-sampled toward the τ-tempered mixture (τ=1 keeps everything,
+    τ=0 equalizes token mass) — then each document's membership decided
+    by the portable affine hash gate, so the kept set is deterministic,
+    repartition-stable, and identically reproducible in the oracle.
+
+    Scale: rates are an O(|sources|) agg broadcast back; the gate is a
+    narrow per-row filter — no RNG, no shuffle beyond the tiny agg.
+    This is source_mixture's plan turned into an actual materialization
+    (the reference's pipelines stop at computing the rates).
+    """
+    from .operators import sampling
+
+    docs = load_table(spark, "documents", sf_dir)
+    shares = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("toks"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    min_toks = shares.agg(F.min("toks").alias("min_toks"))
+    rates = shares.crossJoin(F.broadcast(min_toks)).select(
+        "source",
+        F.pow(F.col("min_toks") / F.col("toks"), 1.0 - _TEMP_TAU).alias("rate"),
+    )
+    thr = F.floor(F.col("rate") * 10000 + F.lit(0.5))
+    gate = sampling.affine_gate("doc_id", salt=31)
+    kept = docs.join(F.broadcast(rates), "source").select(
+        "source",
+        F.col("rate"),
+        F.when(gate < thr, 1).otherwise(0).alias("keep"),
+    )
+    return kept.groupBy("source", quantize(F.col("rate"), "rate", 4)).agg(
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.count("*").cast("long").alias("n_total"),
+    )
+
+
+@query(
+    "kll_value_quantiles",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_values,
+           floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000.0 AS p50,
+           floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000.0 AS p90,
+           TRUE AS kll_within_rank_tol
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '(all)' AS event_type, CAST(count(*) AS BIGINT) AS n_values,
+           floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000.0 AS p50,
+           floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000.0 AS p90,
+           TRUE AS kll_within_rank_tol
+    FROM events
+    """,
+)
+def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches KLL quantiles with a mergeability proof: one KLL
+    sketch of `value` per event type, plus an '(all)' row whose sketch
+    is the MERGE of the five per-type sketches (never re-reads the
+    data). Exact interpolated quantiles are the reported values; the
+    certificate column asserts every sketch estimate lands within ±5%
+    rank of its exact counterpart — completing the sketch family next
+    to HLL (distinct_users_hll_sketch) and theta (theta_audience_overlap).
+
+    Scale: KLL sketches are fixed-size (~3 KB at k=200, ±1.65% rank
+    error), combine map-side, and merge associatively — the cluster
+    path for quantiles over 100 TB where exact percentile would buffer
+    each group; the exact values here are the testdata-only verifier.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    pct = "percentile(value, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))"
+    per = ev.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_double(value)").alias("sk"),
+        F.count("*").cast("long").alias("n_values"),
+        F.expr(pct).alias("ex"),
+    )
+    allx = ev.agg(F.expr(pct).alias("ex"), F.count("*").cast("long").alias("n_values"))
+    merged = (
+        per.agg(F.expr("kll_merge_agg_double(sk)").alias("sk"))
+        .crossJoin(F.broadcast(allx))
+        .select(F.lit("(all)").alias("event_type"), "sk", "n_values", "ex")
+    )
+    est50 = F.expr("kll_sketch_get_quantile_double(sk, 0.5)")
+    est90 = F.expr("kll_sketch_get_quantile_double(sk, 0.9)")
+    cert = (
+        est50.between(F.col("ex")[0], F.col("ex")[2])
+        & est90.between(F.col("ex")[3], F.col("ex")[5])
+    )
+    cols = [
+        "event_type",
+        "n_values",
+        quantize(F.col("ex")[1], "p50", 4),
+        quantize(F.col("ex")[4], "p90", 4),
+        cert.alias("kll_within_rank_tol"),
+    ]
+    return per.select(*cols).unionByName(merged.select(*cols))

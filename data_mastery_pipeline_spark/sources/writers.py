@@ -21,6 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 DATE_PARTS = ("year", "month", "day")
 
@@ -223,7 +224,19 @@ def merge_upsert_partitioned(
         for c, v in zip(partition_cols, vals):
             match = match & (F.col(c) == F.lit(v))
         cond = cond | match
-    target = spark.read.parquet(target_path).filter(cond)
+    try:
+        target = spark.read.parquet(target_path).filter(cond)
+    except AnalysisException:
+        # first write bootstraps the table — the MERGE of an empty
+        # target is just the partitioned insert (the path a foreachBatch
+        # CDC sink hits on its first micro-batch)
+        updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            target_path
+        )
+        return {
+            "touched_partitions": len(touched),
+            "updated_or_inserted": updates.count(),
+        }
     survivors = target.join(
         updates.select(*key_cols), list(key_cols), "left_anti"
     )

@@ -312,3 +312,60 @@ def test_entropy_bands_bounded_by_log_type_count(spark, duck):
     for r in rows:
         assert 0.0 <= r["entropy_band"] <= hmax + 1e-9
         assert 0.0 <= r["avg_entropy"] <= hmax + 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Sketch algebra + temperature resampling
+# ---------------------------------------------------------------------------
+
+
+def test_theta_overlap_certificate_all_true(spark):
+    rows = QUERIES["theta_audience_overlap"](spark, SF_SMOKE).collect()
+    assert rows
+    # user cardinalities sit far under the sketch's exact-mode capacity
+    # (lgK=12 → 4096 retained hashes): every estimate must certify
+    assert all(r["sketch_within_5pct"] for r in rows)
+
+
+def test_theta_overlap_agrees_with_exact_self_join(spark):
+    exact = {
+        (r["type_a"], r["type_b"]): r["common_users"]
+        for r in QUERIES["audience_overlap"](spark, SF_SMOKE).collect()
+    }
+    theta = {
+        (r["type_a"], r["type_b"]): r["common_users"]
+        for r in QUERIES["theta_audience_overlap"](spark, SF_SMOKE).collect()
+    }
+    assert exact == theta  # both carry the exact count column
+
+
+def test_temperature_resample_rates_and_counts(spark):
+    rows = QUERIES["temperature_resample"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["rate"] <= 1.0 + 1e-9, r
+        assert 0 <= r["n_kept"] <= r["n_total"], r
+        # kept fraction tracks the rate (gate is uniform over doc_id;
+        # loose bound — strata are small at the smoke SF)
+        if r["n_total"] >= 20:
+            assert abs(r["n_kept"] / r["n_total"] - r["rate"]) < 0.35, r
+    # the minimum-token source keeps everything (rate exactly 1)
+    assert any(abs(r["rate"] - 1.0) < 1e-6 and r["n_kept"] == r["n_total"] for r in rows)
+
+
+def test_temperature_resample_is_deterministic(spark):
+    a = sorted(map(tuple, QUERIES["temperature_resample"](spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, QUERIES["temperature_resample"](spark, SF_SMOKE).collect()))
+    assert a == b
+
+
+def test_kll_certificates_and_merge_row(spark):
+    rows = {r["event_type"]: r for r in QUERIES["kll_value_quantiles"](spark, SF_SMOKE).collect()}
+    assert "(all)" in rows
+    assert all(r["kll_within_rank_tol"] for r in rows.values())
+    # the merged row's count is the sum of the per-type counts
+    assert rows["(all)"]["n_values"] == sum(
+        r["n_values"] for k, r in rows.items() if k != "(all)"
+    )
+    # p50 ≤ p90 everywhere
+    assert all(r["p50"] <= r["p90"] for r in rows.values())

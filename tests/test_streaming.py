@@ -12,6 +12,7 @@ import datetime as dt
 import tempfile
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
@@ -438,3 +439,66 @@ def test_interval_join_fanout_guard_empty_input_ok(spark):
 
     empty = spark.createDataFrame([], T.StructType([T.StructField("ts", T.TimestampType())]))
     assert sjoins.check_interval_fanout(empty, "ts", tolerance_seconds=120) == 0.0
+
+
+def test_foreachbatch_cdc_upsert_converges_to_latest(spark, staged_events, tmp_path):
+    """Streaming CDC sink: each micro-batch MERGEs its latest-per-key
+    state into a partitioned parquet target via foreachBatch +
+    merge_upsert_partitioned. After draining the 4-batch replay, the
+    target holds exactly one row per (user, day) carrying the latest
+    event — the streaming version of the SCD-1 upsert the batch tests
+    prove, and the plain-parquet analog of a table-format MERGE sink."""
+    path, ev = staged_events
+    target = str(tmp_path / "cdc_target")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    from data_mastery_pipeline_spark.sources import writers
+
+    def upsert_batch(batch_df, batch_id):
+        latest = (
+            batch_df.withColumn("day", F.to_date("ts"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id", "day").orderBy(
+                        F.desc("ts"), F.desc("event_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("user_id", "day", "event_id", "ts", "value")
+        )
+        writers.merge_upsert_partitioned(
+            spark, target, latest, key_cols=["user_id", "day"], partition_cols=["day"]
+        )
+
+    q = (
+        _stream_staged(spark, path)
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(target)
+    # exactly one row per (user, day)
+    dup = got.groupBy("user_id", "day").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+    # and it is the LATEST event per (user, day) of the whole replay
+    expect = (
+        ev.withColumn("day", F.to_date("ts"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "day").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "event_id")
+    )
+    got_keys = {(r["user_id"], str(r["day"]), r["event_id"]) for r in got.collect()}
+    want_keys = {(r["user_id"], str(r["day"]), r["event_id"]) for r in expect.collect()}
+    assert got_keys == want_keys
