@@ -21,6 +21,7 @@ import data_mastery_pipeline_spark.queries_ext  # noqa: F401  (registers extensi
 import data_mastery_pipeline_spark.queries_src  # noqa: F401  (registers source/sink queries)
 import data_mastery_pipeline_spark.queries_stats  # noqa: F401  (registers stats/time-series queries)
 import data_mastery_pipeline_spark.queries_stream  # noqa: F401  (registers streaming queries)
+import data_mastery_pipeline_spark.queries_tpch  # noqa: F401  (registers decision-support completion queries)
 from data_mastery_pipeline_spark.registry import ORACLE, QUERIES
 
 
@@ -69,6 +70,15 @@ _PRIORITY = [
     "theta_audience_overlap",
     "temperature_resample",
     "kll_value_quantiles",
+    # (b2) TPC-H completion (Q4/Q5/Q6/Q8/Q9/Q11/Q16/Q20 analogs)
+    "late_order_priorities",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "national_market_share",
+    "product_profit_by_nation",
+    "important_part_values",
+    "supplier_part_variety",
+    "dominant_part_suppliers",
     # (c) events.ts-sensitive queries — keep green on regenerated data
     "stream_tumbling_hourly",
     "stream_sliding_halfhour",
