@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 import data_mastery_pipeline_spark.queries  # noqa: F401  (registers core queries)
 import data_mastery_pipeline_spark.queries_adv  # noqa: F401  (registers round-5 advanced queries)
 import data_mastery_pipeline_spark.queries_ext  # noqa: F401  (registers extension queries)
+import data_mastery_pipeline_spark.queries_ops  # noqa: F401  (registers operational-analytics queries)
 import data_mastery_pipeline_spark.queries_src  # noqa: F401  (registers source/sink queries)
 import data_mastery_pipeline_spark.queries_stats  # noqa: F401  (registers stats/time-series queries)
 import data_mastery_pipeline_spark.queries_stream  # noqa: F401  (registers streaming queries)
@@ -79,6 +80,12 @@ _PRIORITY = [
     "important_part_values",
     "supplier_part_variety",
     "dominant_part_suppliers",
+    # (b3) operational analytics + corpus hygiene
+    "purchase_attribution",
+    "weekday_forecast_backtest",
+    "boilerplate_ngram_share",
+    "events_quarantine",
+    "pagerank_event_types",
     # (c) events.ts-sensitive queries — keep green on regenerated data
     "stream_tumbling_hourly",
     "stream_sliding_halfhour",

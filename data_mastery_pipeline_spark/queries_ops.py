@@ -1,0 +1,402 @@
+"""Operational analytics + corpus hygiene (round-5 widening, batch 2).
+
+Five shapes a production pipeline runs between ingestion and training:
+
+- Last-touch revenue attribution — the marketing-analytics join of the
+  event stream onto itself (which channel gets credit for a purchase),
+  expressed as one IGNORE-NULLS window pass instead of a self-join.
+- Seasonal-naive forecast backtest — the accuracy gate before anyone
+  trusts a daily-revenue forecast: same-weekday trailing average with
+  per-weekday MAPE/bias over the evaluation window.
+- Boilerplate n-gram share — C4-style corpus hygiene: the fraction of
+  a document's distinct 5-grams that recur across ≥3 documents
+  (headers/footers/template text), aggregated per source.
+- Dead-letter quarantine routing — validate events against a rule
+  cascade and route to first-failure reasons; the batch twin of a
+  streaming bad-records sink (reference drops malformed rows silently,
+  kafka_consumer_s3.py:127-135 — routing preserves them for replay).
+- PageRank over the event-type transition graph — the iterative
+  fixed-point pattern (join-agg per iteration, rank relation stays
+  broadcastable) with a fully unrolled SQL oracle.
+
+Oracle-parity conventions follow registry.quantize; iterative and
+windowed doubles are quantized at 6 decimals (both engines fold
+identical per-frame operand sequences, so the only divergence is
+partition-order ulps in upstream sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as textfn
+from .registry import quantize, query
+from .tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "purchase_attribution",
+    """
+    WITH seq AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           floor(sum(value) * 100 + 0.5) / 100.0 AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase's value is credited to the
+    user's most recent preceding non-purchase event type ('direct' when
+    the purchase is the user's first event).
+
+    The naive form is an as-of self-join (purchases ⋈ latest prior
+    event); one IGNORE-NULLS ``last()`` window over the per-user
+    sequence does it in a single shuffle on user_id, no join at all.
+    Deterministic: ordering is (ts, event_id) so same-microsecond
+    events break ties identically in both engines.
+
+    Scale: one hash shuffle on user_id (reused by every other per-user
+    window in a shared pipeline); the 5-channel agg is map-side
+    partial.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            quantize(F.sum("value"), "attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weekday_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ), fc AS (
+      SELECT isodow(day) AS dow, rev,
+             avg(rev) OVER w AS forecast,
+             count(*) OVER w AS n_prior
+      FROM daily
+      WINDOW w AS (PARTITION BY isodow(day) ORDER BY day
+                   ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(dow AS INT) AS dow, CAST(count(*) AS BIGINT) AS n_days,
+           floor(avg(abs(forecast - rev) / rev) * 1000000 + 0.5) / 1000000.0
+             AS mape,
+           floor(avg(forecast - rev) * 100 + 0.5) / 100.0 AS bias
+    FROM fc WHERE n_prior = 4
+    GROUP BY dow ORDER BY dow
+    """,
+)
+def weekday_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest: forecast each day's order revenue as the
+    mean of the same weekday over the 4 prior weeks, then score MAPE
+    and signed bias per weekday across every day that has a full
+    4-sample history.
+
+    This is the accuracy gate a daily-revenue forecast runs behind —
+    the trailing window never sees the scored day (ROWS ... 1
+    PRECEDING), so the backtest is leak-free by construction.
+
+    Scale: the fact table collapses to one row per day in the first
+    agg; the per-weekday window and final agg run on ~n_days rows.
+    ISO weekday (Mon=1) keeps both engines on the same calendar.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    dow = F.weekday("day") + 1  # weekday(): Mon=0 → ISO Mon=1
+    w = Window.partitionBy("dow").orderBy("day").rowsBetween(-4, -1)
+    fc = (
+        daily.withColumn("dow", dow)
+        .withColumn("forecast", F.avg("rev").over(w))
+        .withColumn("n_prior", F.count("*").over(w))
+        .filter(F.col("n_prior") == 4)
+    )
+    return (
+        fc.groupBy(F.col("dow").cast("int").alias("dow"))
+        .agg(
+            F.count("*").alias("n_days"),
+            quantize(
+                F.avg(F.abs(F.col("forecast") - F.col("rev")) / F.col("rev")),
+                "mape",
+                decimals=6,
+            ),
+            quantize(F.avg(F.col("forecast") - F.col("rev")), "bias"),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram share (C4-style corpus hygiene)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "boilerplate_ngram_share",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(CASE WHEN len(t) >= 5
+               THEN list_transform(generate_series(1, len(t) - 4),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                      || t[i+3] || ' ' || t[i+4])
+               ELSE [array_to_string(t, ' ')] END) AS gram
+      FROM toks
+    ), freq AS (
+      SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1
+    ), per_doc AS (
+      SELECT doc_id, source,
+             sum(CASE WHEN nd >= 3 THEN 1.0 ELSE 0.0 END) / count(*) AS share
+      FROM g JOIN freq USING (gram) GROUP BY 1, 2
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           floor(avg(share) * 1000000 + 0.5) / 1000000.0
+             AS avg_boilerplate_share
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def boilerplate_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate measurement: per document, the fraction of
+    its distinct word 5-grams that also occur in ≥3 distinct documents
+    (template text, headers, shared snippets), averaged per source.
+
+    Scale: this is the corpus-global half of the dedup family — the
+    gram→doc-frequency table shuffles once on the gram, the join back
+    is the same shuffle reused, and everything upstream is a narrow
+    per-row transform. At 100 TB the freq table is the data-sized
+    relation; the ≥3 cut happens before any rejoin in a production
+    strip-and-rewrite (here the share itself is the product).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(textfn.word_ngrams("text", 5))).alias("gram"),
+    )
+    freq = grams.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        grams.join(freq, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                F.sum(F.when(F.col("nd") >= 3, 1.0).otherwise(0.0)) / F.count("*")
+            ).alias("share")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            quantize(F.avg("share"), "avg_boilerplate_share", decimals=6),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter quarantine routing
+# ---------------------------------------------------------------------------
+
+_KNOWN_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "events_quarantine",
+    f"""
+    WITH checked AS (
+      SELECT CASE
+        WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+          THEN 'missing_k'
+        WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+          THEN 'k_out_of_range'
+        WHEN value < 0 THEN 'negative_value'
+        WHEN event_type NOT IN {_KNOWN_TYPES!r} THEN 'unknown_type'
+        ELSE 'ok' END AS reason
+      FROM events
+    )
+    SELECT reason, CAST(count(*) AS BIGINT) AS n,
+           floor(count(*) * 1000000.0 / sum(count(*)) OVER () + 0.5)
+             / 1000000.0 AS share
+    FROM checked GROUP BY reason ORDER BY reason
+    """,
+)
+def events_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing: classify every event by the FIRST failing
+    validation rule (parseable props.k → k range → non-negative value →
+    known event type) and report the quarantine mix; 'ok' rows are the
+    pipeline pass-through.
+
+    The reference consumer silently drops malformed payloads
+    (kafka_consumer_s3.py:127-135); routing with a reason keeps the
+    rows replayable — the production form writes each reason partition
+    to a quarantine sink, this query is its audit summary.
+
+    Scale: pure narrow projection + 5-group agg; the share uses a
+    global window over the 5-row aggregate, not the fact table.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    reason = (
+        F.when(k.isNull(), "missing_k")
+        .when(k > 90, "k_out_of_range")
+        .when(F.col("value") < 0, "negative_value")
+        .when(~F.col("event_type").isin(*_KNOWN_TYPES), "unknown_type")
+        .otherwise("ok")
+    )
+    counted = ev.select(reason.alias("reason")).groupBy("reason").agg(
+        F.count("*").alias("n")
+    )
+    share = F.col("n") * 1000000.0 / F.sum("n").over(Window.partitionBy())
+    return counted.select(
+        "reason",
+        "n",
+        (F.floor(share + F.lit(0.5)) / 1000000.0).alias("share"),
+    ).orderBy("reason")
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-type transition graph
+# ---------------------------------------------------------------------------
+
+_PR_SQL = """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS dst
+      FROM events
+    ), edges AS (
+      SELECT event_type AS src, dst, CAST(count(*) AS DOUBLE) AS w
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ), ow AS (
+      SELECT src, sum(w) AS ow FROM edges GROUP BY 1
+    ), e AS (
+      SELECT edges.src, edges.dst, w / ow AS p FROM edges JOIN ow USING (src)
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+    {iters}
+    SELECT node, floor(r * 1000000 + 0.5) / 1000000.0 AS rank
+    FROM r{last} ORDER BY node
+"""
+
+_PR_ITER = """
+    r{i} AS (
+      SELECT nodes.node,
+             0.15 / (SELECT n FROM nn)
+               + 0.85 * COALESCE(c.c, 0.0) AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(e.p * r{prev}.r) AS c
+        FROM e JOIN r{prev} ON r{prev}.node = e.src GROUP BY 1
+      ) c ON c.node = nodes.node
+    )
+"""
+
+_PR_ROUNDS = 3
+
+
+@query(
+    "pagerank_event_types",
+    _PR_SQL.format(
+        iters=",".join(
+            _PR_ITER.format(i=i, prev=i - 1) for i in range(1, _PR_ROUNDS + 1)
+        ),
+        last=_PR_ROUNDS,
+    ),
+)
+def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 power iterations) over the event-type
+    transition graph: edge (a→b) weighted by how often b directly
+    follows a in a user's timeline.
+
+    The iterative fixed-point pattern at engine level: the edge
+    relation is built once (one user_id shuffle for the lead window,
+    one agg on the pair); each iteration is contribution = rank ⋈
+    edges → sum per dst — the rank relation stays node-sized and
+    broadcastable, so an iteration adds NO data-sized shuffle. The
+    oracle unrolls the same 3 iterations as chained CTEs.
+
+    Scale: node count here is |event types|, but nothing in the plan
+    depends on that — with item-level nodes the same loop runs with
+    rank partitioned alongside edges (sort-merge instead of
+    broadcast); the per-iteration structure is unchanged. Dangling
+    nodes (no out-edges) don't arise in this graph; the general form
+    adds their leaked mass to the teleport term.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = seq.groupBy("src", "dst").agg(F.count("*").cast("double").alias("w"))
+    ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = edges.join(ow, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # node-relation scalar (|event types|), not a data collect
+    rank = nodes.select("node", (F.lit(1.0) / n).alias("r"))
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            e.join(F.broadcast(rank), e.src == rank.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("r")).alias("c"))
+        )
+        rank = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(0.15 / n) + F.lit(0.85) * F.coalesce("c", F.lit(0.0))
+            ).alias("r"),
+        )
+    return rank.select("node", quantize(F.col("r"), "rank", decimals=6)).orderBy(
+        "node"
+    )

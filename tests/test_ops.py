@@ -1,0 +1,87 @@
+"""Invariant + plan tests for the operational-analytics queries
+(queries_ops.py). Oracle parity proves value equality; these pin the
+semantics and plan shapes parity cannot see.
+"""
+
+from __future__ import annotations
+
+import math
+
+import data_mastery_pipeline_spark.queries_ops  # noqa: F401
+from data_mastery_pipeline_spark.plans import inspect as plans
+from data_mastery_pipeline_spark.registry import QUERIES
+
+from conftest import SF_SMOKE
+
+
+def test_attribution_conserves_purchase_value(spark, duck):
+    """Attribution redistributes purchase value; it must not create or
+    destroy any: sum over channels == total purchase value."""
+    rows = QUERIES["purchase_attribution"](spark, SF_SMOKE).collect()
+    assert rows
+    total_n, total_v = duck.sql(
+        f"SELECT count(*), sum(value) FROM read_parquet('{SF_SMOKE}/events.parquet') "
+        "WHERE event_type = 'purchase'"
+    ).fetchone()
+    assert sum(r["n_purchases"] for r in rows) == total_n
+    assert math.isclose(
+        sum(r["attributed_value"] for r in rows), total_v, rel_tol=1e-6
+    )
+    # channels are non-purchase types (or 'direct'): a purchase never
+    # credits itself
+    assert "purchase" not in {r["channel"] for r in rows}
+    # single window pass, no self-join
+    df = QUERIES["purchase_attribution"](spark, SF_SMOKE)
+    assert plans.scan_count(df) == 1
+
+
+def test_forecast_backtest_leakfree_and_bounded(spark):
+    rows = QUERIES["weekday_forecast_backtest"](spark, SF_SMOKE).collect()
+    # all 7 ISO weekdays have ≥4 weeks of history in the 6-year span
+    assert [r["dow"] for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    assert all(r["mape"] >= 0.0 for r in rows)
+    # scored days exclude the first 4 same-weekday occurrences
+    assert all(r["n_days"] > 50 for r in rows)
+
+
+def test_boilerplate_share_is_a_fraction_per_source(spark, duck):
+    rows = QUERIES["boilerplate_ngram_share"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(0.0 <= r["avg_boilerplate_share"] <= 1.0 for r in rows)
+    n_docs = duck.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_quarantine_partitions_the_table(spark, duck):
+    rows = QUERIES["events_quarantine"](spark, SF_SMOKE).collect()
+    n_events = duck.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchone()[0]
+    # reasons partition the table; shares sum to ~1
+    assert sum(r["n"] for r in rows) == n_events
+    assert math.isclose(sum(r["share"] for r in rows), 1.0, abs_tol=1e-4)
+    by = {r["reason"]: r["n"] for r in rows}
+    assert by.get("ok", 0) > 0
+    # k ~ U(0..99) → the >90 rule must genuinely fire
+    assert by.get("k_out_of_range", 0) > 0
+    assert set(by) <= {
+        "ok", "missing_k", "k_out_of_range", "negative_value", "unknown_type"
+    }
+
+
+def test_pagerank_is_a_distribution_and_iterations_converge(spark):
+    rows = QUERIES["pagerank_event_types"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5  # the five event types
+    assert math.isclose(sum(r["rank"] for r in rows), 1.0, abs_tol=1e-4)
+    assert all(r["rank"] > 0.0 for r in rows)
+    # ranks are non-degenerate (the transition graph is not uniform)
+    assert len({r["rank"] for r in rows}) > 1
+
+
+def test_pagerank_rank_relation_stays_broadcast(spark):
+    df = QUERIES["pagerank_event_types"](spark, SF_SMOKE)
+    # every iteration's rank⋈edges join is broadcast — 3 iterations → ≥3
+    assert plans.broadcast_join_count(df) >= 3
+    assert plans.cartesian_product_count(df) == 0

@@ -17,6 +17,7 @@ import data_mastery_pipeline_spark.queries_ext  # noqa: F401
 import data_mastery_pipeline_spark.queries_src  # noqa: F401
 import data_mastery_pipeline_spark.queries_stats  # noqa: F401
 import data_mastery_pipeline_spark.queries_stream  # noqa: F401
+import data_mastery_pipeline_spark.queries_ops  # noqa: F401
 import data_mastery_pipeline_spark.queries_tpch  # noqa: F401
 from data_mastery_pipeline_spark.registry import ORACLE, QUERIES
 
