@@ -86,6 +86,9 @@ _PRIORITY = [
     "boilerplate_ngram_share",
     "events_quarantine",
     "pagerank_event_types",
+    "incremental_minhash_dedup",
+    "bm25_search",
+    "ab_test_conversion",
     # (c) events.ts-sensitive queries — keep green on regenerated data
     "stream_tumbling_hourly",
     "stream_sliding_halfhour",

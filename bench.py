@@ -56,6 +56,10 @@ HEADLINE = [
     "kmeans_embeddings",
     "snapshot_diff",
     "audience_overlap",
+    # round 5 batch 2: decision-support completion + corpus hygiene
+    "local_supplier_volume",
+    "boilerplate_ngram_share",
+    "pagerank_event_types",
 ]
 
 
@@ -106,8 +110,10 @@ def main() -> None:
     import data_mastery_pipeline_spark.queries  # noqa: F401
     import data_mastery_pipeline_spark.queries_adv  # noqa: F401
     import data_mastery_pipeline_spark.queries_ext  # noqa: F401
+    import data_mastery_pipeline_spark.queries_ops  # noqa: F401
     import data_mastery_pipeline_spark.queries_src  # noqa: F401
     import data_mastery_pipeline_spark.queries_stream  # noqa: F401
+    import data_mastery_pipeline_spark.queries_tpch  # noqa: F401
     from data_mastery_pipeline_spark.registry import QUERIES
     from data_mastery_pipeline_spark.session import get_spark
 

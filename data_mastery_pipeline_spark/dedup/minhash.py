@@ -167,6 +167,31 @@ def minhash_signatures(
     )
 
 
+def band_table(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band, bh) — one row per (doc, band) with the band's bucket
+    hash. This is the persistable LSH index relation: band it once for
+    a corpus, store it, and every later batch joins its own band table
+    against it (see cross_near_dups)."""
+    r = num_hashes // bands
+    # single parsed expression for all bands (see signatures_and_sets on
+    # why: one py4j call instead of bands × r Column-tree round trips)
+    band_structs = ",".join(
+        "struct({b} as band, xxhash64({b}, {cols}) as bh)".format(
+            b=b, cols=",".join(f"minhash[{b * r + i}]" for i in range(r))
+        )
+        for b in range(bands)
+    )
+    return sig.select(
+        F.col(id_col),
+        F.expr(f"explode(array({band_structs}))").alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -178,19 +203,7 @@ def lsh_candidate_pairs(
 
     Returns (id_a, id_b) with id_a < id_b, distinct across bands.
     """
-    r = num_hashes // bands
-    # single parsed expression for all bands (see signatures_and_sets on
-    # why: one py4j call instead of bands × r Column-tree round trips)
-    band_structs = ",".join(
-        "struct({b} as band, xxhash64({b}, {cols}) as bh)".format(
-            b=b, cols=",".join(f"minhash[{b * r + i}]" for i in range(r))
-        )
-        for b in range(bands)
-    )
-    banded = sig.select(
-        F.col(id_col),
-        F.expr(f"explode(array({band_structs}))").alias("bb"),
-    ).select(id_col, "bb.band", "bb.bh")
+    banded = band_table(sig, id_col, num_hashes, bands)
 
     buckets = (
         banded.groupBy("band", "bh")
@@ -264,4 +277,60 @@ def verified_near_dups(
         joined.withColumn("jaccard", kmv_jaccard("sh_a", "sh_b", max_set_size))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def cross_near_dups(
+    index: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    max_set_size: int | None = 8192,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Incremental dedup: near-dups of ``incoming`` docs AGAINST an
+    ``index`` corpus (not within either side) — the arrival-batch shape
+    of a training-data pipeline, where each new crawl slice dedups
+    against everything already accepted.
+
+    Candidates come from joining the two band tables on (band, bh):
+    only cross-side bucket collisions survive, so within-side pairs are
+    never generated — at 100 TB the index band table is a precomputed,
+    bucketed-on-(band, bh) relation that every arrival batch joins
+    against without re-reading index text (band_table is that
+    persistable index; this function recomputes it only because the
+    engine owns no storage between queries).
+
+    Returns (id_new, id_index, jaccard) for verified pairs ≥ threshold.
+    """
+    ss_i = truncate_lineage(
+        signatures_and_sets(index, text_col, id_col, k, num_hashes, max_set_size),
+        checkpoint_dir,
+    )
+    ss_n = truncate_lineage(
+        signatures_and_sets(incoming, text_col, id_col, k, num_hashes, max_set_size),
+        checkpoint_dir,
+    )
+    bi = band_table(ss_i.select(id_col, "minhash"), id_col, num_hashes, bands)
+    bn = band_table(ss_n.select(id_col, "minhash"), id_col, num_hashes, bands)
+    cand = (
+        bn.withColumnRenamed(id_col, "id_new")
+        .join(bi.withColumnRenamed(id_col, "id_index"), ["band", "bh"])
+        .select("id_new", "id_index")
+        .distinct()
+    )
+    sets_n = ss_n.select(F.col(id_col).alias("id_new"), F.col("sh_set").alias("sh_a"))
+    sets_i = ss_i.select(
+        F.col(id_col).alias("id_index"), F.col("sh_set").alias("sh_b")
+    )
+    return (
+        cand.join(sets_n, "id_new")
+        .join(sets_i, "id_index")
+        .withColumn("jaccard", kmv_jaccard("sh_a", "sh_b", max_set_size))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_new", "id_index", "jaccard")
     )

@@ -400,3 +400,273 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.select("node", quantize(F.col("r"), "rank", decimals=6)).orderBy(
         "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: arrival batch vs accepted-corpus index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incremental_minhash_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, CASE WHEN len(t) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        ELSE [array_to_string(t, ' ')] END AS s
+      FROM toks
+    )
+    SELECT n.doc_id AS id_new, i.doc_id AS id_index,
+           floor((len(list_intersect(n.s, i.s))::DOUBLE
+                  / len(list_distinct(list_concat(n.s, i.s)))::DOUBLE)
+                 * 10000 + 0.5) / 10000.0 AS jaccard
+    FROM sh n JOIN sh i ON n.doc_id % 5 = 0 AND i.doc_id % 5 <> 0
+    WHERE len(list_intersect(n.s, i.s))::DOUBLE
+          / len(list_distinct(list_concat(n.s, i.s)))::DOUBLE >= 0.35
+    """,
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: the 20% "arrival batch" (doc_id ≡ 0 mod 5)
+    deduped AGAINST the 80% accepted index — cross-side LSH band-join
+    candidates, exact-Jaccard verification (dedup.minhash.
+    cross_near_dups).
+
+    This is how a training-data pipeline actually runs dedup: each
+    crawl slice against everything already accepted, never all-pairs
+    over the union. The band table is the persistable index — at scale
+    it is bucketed on (band, bh) and each arrival batch's (tiny) band
+    table joins against it with no index re-scan.
+
+    Oracle = the exact cross-side shingle-Jaccard pairs (no LSH), so
+    hash equality asserts banding recall AND verification, same
+    argument as minhash_near_dup (observed pair similarities ≥0.9 →
+    per-pair recall 1-2e-8).
+    """
+    from .dedup import minhash as dedup_minhash
+
+    docs = load_table(spark, "documents", sf_dir)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    out = dedup_minhash.cross_near_dups(
+        index, incoming, k=3, num_hashes=64, bands=16, jaccard_threshold=0.35
+    )
+    return out.select(
+        "id_new", "id_index", quantize(F.col("jaccard"), "jaccard", decimals=4)
+    ).orderBy("id_new", "id_index")
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance search
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * {_BM25_K1 + 1.0}) / (tf{i} + {_BM25_K1}"
+        f" * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return rf"""
+    WITH d AS (
+      SELECT doc_id, len(t) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents)
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {df_cols}
+      FROM d
+    )
+    SELECT doc_id, floor(({score}) * 1000000 + 0.5) / 1000000.0 AS score
+    FROM d, s
+    WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
+    ORDER BY ({score}) DESC, doc_id LIMIT 20
+    """
+
+
+@query("bm25_search", _bm25_sql())
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) relevance ranking of the corpus for a fixed
+    3-term query — the lexical-retrieval twin of semantic_search_meta.
+
+    Per-doc term frequencies and length are per-row array folds (no
+    explode — the inverted-index shuffle of the TF-IDF query is
+    unnecessary when the query terms are known); corpus stats (N,
+    avgdl, per-term df) are ONE scalar aggregate broadcast back; score
+    + top-20 is TakeOrderedAndProject. All BM25 inputs are integers or
+    exact int-ratios, and both engines fold the identical three-term
+    sum left-to-right, so scores are bit-identical across engines.
+
+    Scale: one scan for stats (tiny aggregate), one for scoring; the
+    only wide op is the 20-row top-k. At 100 TB the stats row comes
+    from corpus metadata instead of a scan, and nothing else changes.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = textfn.tokens("text")
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(toks, lambda x: x == F.lit(t)))
+            .cast("double")
+            .alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
+        )
+        term = idf * (F.col(f"tf{i}") * (_BM25_K1 + 1.0)) / (
+            F.col(f"tf{i}")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        score = term if score is None else score + term
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", score.alias("raw_score"))
+        .orderBy(F.col("raw_score").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", quantize(F.col("raw_score"), "score", decimals=6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (two-proportion z-test)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_test_conversion",
+    """
+    WITH u AS (
+      SELECT user_id, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), v AS (
+      SELECT CASE WHEN ((user_id % 99991) * 2654435761 + 31) % 10000 < 5000
+                  THEN 'A' ELSE 'B' END AS variant, conv
+      FROM u
+    ), agg AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(conv) AS BIGINT) AS n_conv
+      FROM v GROUP BY variant
+    ), s AS (
+      SELECT sum(CASE WHEN variant = 'A' THEN n_users END)::DOUBLE AS na,
+             sum(CASE WHEN variant = 'A' THEN n_conv END)::DOUBLE AS ca,
+             sum(CASE WHEN variant = 'B' THEN n_users END)::DOUBLE AS nb,
+             sum(CASE WHEN variant = 'B' THEN n_conv END)::DOUBLE AS cb
+      FROM agg
+    )
+    SELECT variant, n_users, n_conv,
+           floor((n_conv::DOUBLE / n_users) * 1000000 + 0.5) / 1000000.0
+             AS conv_rate,
+           floor(((ca / na - cb / nb)
+                  / NULLIF(sqrt(((ca + cb) / (na + nb))
+                                * (1.0 - (ca + cb) / (na + nb))
+                                * (1.0 / na + 1.0 / nb)), 0.0))
+                 * 10000 + 0.5) / 10000.0 AS z_score
+    FROM agg, s ORDER BY variant
+    """,
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users split 50/50 by the portable affine hash
+    gate (assignment is deterministic, repartition-stable, and
+    identical in the oracle), conversion = the user's FIRST event is a
+    purchase (scale-invariant ~20% — "did the user ever purchase" is 1.0
+    for every user in this data, which degenerates the pooled variance
+    to zero); per-variant rates plus the pooled two-proportion z-score.
+
+    Scale: one shuffle to the per-user grain, then a 2-row aggregate;
+    the z-score is computed on the 2-row relation (single-row stats
+    cross-joined back) — nothing after the user-grain agg touches data
+    size. The hash gate (not RNG) is what makes the split auditable
+    and re-runnable — the property an experiment platform actually
+    needs.
+    """
+    from .operators import sampling
+
+    ev = load_table(spark, "events", sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    u = (
+        ev.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+        )
+    )
+    variant = F.when(
+        sampling.affine_gate("user_id", salt=31) < 5000, "A"
+    ).otherwise("B")
+    agg = (
+        u.select(variant.alias("variant"), "conv")
+        .groupBy("variant")
+        .agg(F.count("*").alias("n_users"), F.sum("conv").alias("n_conv"))
+    )
+    pick = lambda v, c: F.sum(  # noqa: E731
+        F.when(F.col("variant") == v, F.col(c))
+    ).cast("double")
+    s = agg.agg(
+        pick("A", "n_users").alias("na"),
+        pick("A", "n_conv").alias("ca"),
+        pick("B", "n_users").alias("nb"),
+        pick("B", "n_conv").alias("cb"),
+    )
+    pooled = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    den = F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    # degenerate experiment (pooled rate 0 or 1) → z is NULL, not an
+    # ANSI divide-by-zero (NULLIF twin in the oracle)
+    z = (F.col("ca") / F.col("na") - F.col("cb") / F.col("nb")) / F.when(
+        den != 0.0, den
+    )
+    return (
+        agg.crossJoin(F.broadcast(s))
+        .select(
+            "variant",
+            "n_users",
+            "n_conv",
+            quantize(
+                F.col("n_conv").cast("double") / F.col("n_users"),
+                "conv_rate",
+                decimals=6,
+            ),
+            quantize(z, "z_score", decimals=4),
+        )
+        .orderBy("variant")
+    )

@@ -85,3 +85,49 @@ def test_pagerank_rank_relation_stays_broadcast(spark):
     # every iteration's rank⋈edges join is broadcast — 3 iterations → ≥3
     assert plans.broadcast_join_count(df) >= 3
     assert plans.cartesian_product_count(df) == 0
+
+
+def test_incremental_dedup_pairs_are_strictly_cross_side(spark):
+    rows = QUERIES["incremental_minhash_dedup"](spark, SF_SMOKE).collect()
+    assert rows, "corpus contains cross-side near-dups"
+    assert all(r["id_new"] % 5 == 0 for r in rows)
+    assert all(r["id_index"] % 5 != 0 for r in rows)
+    assert all(0.35 <= r["jaccard"] <= 1.0 for r in rows)
+
+
+def test_bm25_scores_positive_and_rare_term_dominates(spark, duck):
+    rows = QUERIES["bm25_search"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # 'dup' is the rarest query term → top hit must contain it (idf
+    # dominance is the point of BM25 over raw tf)
+    top_text = duck.sql(
+        f"SELECT text FROM read_parquet('{SF_SMOKE}/documents.parquet') "
+        f"WHERE doc_id = {rows[0]['doc_id']}"
+    ).fetchone()[0]
+    assert "dup" in top_text.split()
+
+
+def test_ab_variants_partition_users_and_z_matches_rates(spark, duck):
+    import math as _m
+
+    rows = {r["variant"]: r for r in QUERIES["ab_test_conversion"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"A", "B"}
+    n_users = duck.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchone()[0]
+    assert rows["A"]["n_users"] + rows["B"]["n_users"] == n_users
+    # rates are valid proportions; the POOLED rate is non-degenerate
+    # (per-variant zeros are legitimate at the 15-user smoke SF)
+    for r in rows.values():
+        assert 0.0 <= r["conv_rate"] < 1.0
+    na, ca = rows["A"]["n_users"], rows["A"]["n_conv"]
+    nb, cb = rows["B"]["n_users"], rows["B"]["n_conv"]
+    p = (ca + cb) / (na + nb)
+    assert 0.0 < p < 1.0
+    # z recomputed from the reported counts matches the reported z
+    z = (ca / na - cb / nb) / _m.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+    assert abs(z - rows["A"]["z_score"]) < 1e-3
+    assert rows["A"]["z_score"] == rows["B"]["z_score"]
