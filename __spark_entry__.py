@@ -89,6 +89,8 @@ _PRIORITY = [
     "incremental_minhash_dedup",
     "bm25_search",
     "ab_test_conversion",
+    "chi2_type_value",
+    "path_regex_funnel",
     # (c) events.ts-sensitive queries — keep green on regenerated data
     "stream_tumbling_hourly",
     "stream_sliding_halfhour",

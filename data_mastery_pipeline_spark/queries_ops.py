@@ -670,3 +670,143 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (event type × value bucket)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chi2_type_value",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN value < 25 THEN 'q1' WHEN value < 50 THEN 'q2'
+                  WHEN value < 75 THEN 'q3' ELSE 'q4' END AS bucket
+      FROM events WHERE value IS NOT NULL
+    ), o AS (
+      SELECT event_type, bucket, CAST(count(*) AS DOUBLE) AS obs
+      FROM b GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, bucket, obs,
+             sum(obs) OVER (PARTITION BY event_type) AS row_total,
+             sum(obs) OVER (PARTITION BY bucket) AS col_total,
+             sum(obs) OVER () AS n
+      FROM o
+    )
+    SELECT event_type,
+           floor(sum((obs - row_total * col_total / n)
+                     * (obs - row_total * col_total / n)
+                     / (row_total * col_total / n)) * 10000 + 0.5) / 10000.0
+             AS chi2_contrib,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+)
+def chi2_type_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen: is the event's value distribution
+    (fixed 25/50/75 buckets) independent of its type? Per-type Σ(O−E)²/E
+    contributions; the full statistic is their sum and dof =
+    (types−1)(buckets−1) — the categorical-drift / feature-relevance
+    test an analytics platform runs before trusting a segmentation.
+
+    Fixed bucket edges (not sample quantiles) keep the contingency
+    table deterministic across engines and partitions.
+
+    Scale: one shuffle agg to the (type, bucket) contingency table
+    (≤ 20 cells); expected counts come from window sums OVER that tiny
+    relation, never a second data pass.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    bucket = (
+        F.when(F.col("value") < 25, "q1")
+        .when(F.col("value") < 50, "q2")
+        .when(F.col("value") < 75, "q3")
+        .otherwise("q4")
+    )
+    o = (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("double").alias("obs"))
+    )
+    row_total = F.sum("obs").over(Window.partitionBy("event_type"))
+    col_total = F.sum("obs").over(Window.partitionBy("bucket"))
+    n = F.sum("obs").over(Window.partitionBy())
+    t = o.select(
+        "event_type",
+        "obs",
+        row_total.alias("row_total"),
+        col_total.alias("col_total"),
+        n.alias("n"),
+    )
+    e = F.col("row_total") * F.col("col_total") / F.col("n")
+    contrib = (F.col("obs") - e) * (F.col("obs") - e) / e
+    return (
+        t.groupBy("event_type")
+        .agg(
+            quantize(F.sum(contrib), "chi2_contrib", decimals=4),
+            F.count("*").alias("n_cells"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Path-regex funnel (MATCH_RECOGNIZE analog)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "path_regex_funnel",
+    """
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN regexp_matches(path, 's[^e]*p')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           floor(sum(CASE WHEN regexp_matches(path, 's[^e]*p')
+                          THEN 1.0 ELSE 0.0 END) / count(*) * 1000000 + 0.5)
+             / 1000000.0 AS match_share
+    FROM paths
+    """,
+)
+def path_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern over per-user event paths:
+    users who signed up and later purchased with NO error in between
+    (regex ``s[^e]*p`` over the initial-letter path: s=signup, p=
+    purchase, e=error — initials are unique across the five types).
+
+    Sequence-pattern queries (SQL:2016 MATCH_RECOGNIZE, Flink CEP) cost
+    an engine a dedicated operator; over a bounded alphabet they
+    compress to string aggregation + one regex — the path column is
+    also reusable for arbitrary other patterns without another shuffle.
+
+    Scale: one shuffle to the per-user grain; the sorted aggregation is
+    the same structure the sessionizers use. Paths are |user events|
+    chars (~100 here); a pathological user is bounded by the same
+    per-key-state argument as any sessionization.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: F.substring(s["event_type"], 1, 1),
+        ),
+        "",
+    )
+    paths = ev.groupBy("user_id").agg(path.alias("path"))
+    hit = F.col("path").rlike("s[^e]*p")
+    return paths.agg(
+        F.count("*").alias("n_users"),
+        F.sum(hit.cast("bigint")).alias("n_matched"),
+        quantize(
+            F.sum(hit.cast("double")) / F.count("*"), "match_share", decimals=6
+        ),
+    )

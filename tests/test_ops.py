@@ -131,3 +131,26 @@ def test_ab_variants_partition_users_and_z_matches_rates(spark, duck):
     z = (ca / na - cb / nb) / _m.sqrt(p * (1 - p) * (1 / na + 1 / nb))
     assert abs(z - rows["A"]["z_score"]) < 1e-3
     assert rows["A"]["z_score"] == rows["B"]["z_score"]
+
+
+def test_chi2_contribs_nonnegative_all_types(spark):
+    rows = QUERIES["chi2_type_value"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    assert all(r["chi2_contrib"] >= 0.0 for r in rows)
+    assert all(1 <= r["n_cells"] <= 4 for r in rows)
+
+
+def test_path_regex_counts_match_direct_recompute(spark, duck):
+    row = QUERIES["path_regex_funnel"](spark, SF_SMOKE).collect()[0]
+    n_users, n_matched = duck.sql(
+        f"""
+        WITH p AS (
+          SELECT user_id,
+                 string_agg(substr(event_type,1,1), '' ORDER BY ts, event_id) AS path
+          FROM read_parquet('{SF_SMOKE}/events.parquet') GROUP BY 1
+        ) SELECT count(*), sum(CASE WHEN regexp_matches(path, 's[^e]*p') THEN 1 ELSE 0 END) FROM p
+        """
+    ).fetchone()
+    assert row["n_users"] == n_users
+    assert row["n_matched"] == n_matched
+    assert 0.0 <= row["match_share"] <= 1.0
