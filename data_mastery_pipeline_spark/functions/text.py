@@ -111,12 +111,37 @@ def content_fingerprint(text: str | Column) -> Column:
 
 def rolling_fingerprint(text: str | Column, seed: int = 0) -> Column:
     """Order-sensitive 64-bit fingerprint: xxhash64 folded over the token
-    sequence (rolling-hash style). Engine-native (xxhash64) — checked
-    rows-only, no SQL oracle."""
+    sequence (rolling-hash style). Engine-native (xxhash64) — the fast
+    production variant; use portable_rolling_fingerprint when the value
+    must be reproducible outside Spark."""
     return F.aggregate(
         tokens(text),
         F.lit(seed).cast("bigint"),
         lambda acc, x: F.xxhash64(acc, x),
+    )
+
+
+# portable rolling hash constants: token value = first 48 md5 bits
+# (md5 is everywhere); fold h = (h*B + v) mod P keeps h < 2^31 so
+# h*B + v < 2.2e15 — exact int64 (and exact double) in any engine.
+ROLL_B = 1_000_003
+ROLL_P = 2_147_483_647
+
+
+def portable_rolling_fingerprint(text: str | Column, seed: int = 0) -> Column:
+    """Order-sensitive fingerprint any SQL engine can recompute:
+    h = fold((h * 1000003 + md5_48(token)) mod (2^31-1)) over the token
+    sequence. Same rolling-hash shape as rolling_fingerprint with the
+    engine-native xxhash64 swapped for md5-prefix token values — the
+    cross-engine audit form (e.g. a DuckDB/Trino consumer verifying a
+    Spark-produced dedup manifest)."""
+    tok_val = lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    return F.aggregate(
+        tokens(text),
+        F.lit(seed).cast("bigint"),
+        lambda acc, t: (acc * F.lit(ROLL_B) + tok_val(t)) % F.lit(ROLL_P),
     )
 
 

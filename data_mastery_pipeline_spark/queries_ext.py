@@ -155,13 +155,30 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rolling_fingerprints")
+@query(
+    "rolling_fingerprints",
+    r"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                 t -> CAST('0x' || substr(md5(t), 1, 12) AS BIGINT))),
+             (a, v) -> (a * 1000003 + v) % 2147483647
+           ) AS fingerprint
+    FROM documents
+    """,
+)
 def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling fingerprint (xxhash64 fold over tokens) —
-    engine-native hash family, rows-only check."""
+    """Order-sensitive rolling fingerprint: (h·B + md5₄₈(token)) mod P
+    folded over the token sequence — the portable form, bit-identical in
+    any engine with md5 (the xxhash64 fold,
+    text.rolling_fingerprint, is the faster engine-native variant of
+    the same shape). Word-order sensitivity is the point: re-shuffled
+    copies of a document get DIFFERENT fingerprints (content_fingerprint
+    is the order-insensitive twin)."""
     docs = load_table(spark, "documents", sf_dir)
     return docs.select(
-        "doc_id", textfn.rolling_fingerprint("text").alias("fingerprint")
+        "doc_id", textfn.portable_rolling_fingerprint("text").alias("fingerprint")
     )
 
 
