@@ -378,6 +378,8 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes (no out-edges) don't arise in this graph; the general form
     adds their leaked mass to the teleport term.
     """
+    from .checkpointing import truncate_lineage
+
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -386,8 +388,14 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dst").isNotNull())
     edges = seq.groupBy("src", "dst").agg(F.count("*").cast("double").alias("w"))
     ow = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    e = edges.join(ow, "src").select(
-        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+    # materialize the normalized edge relation ONCE: every iteration
+    # joins against it, and without lineage truncation each join would
+    # replay the window + aggs (a 3-iteration plan measured 55 shuffle
+    # exchanges; truncated it is one edge build + 3 node-sized rounds)
+    e = truncate_lineage(
+        edges.join(ow, "src").select(
+            "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+        )
     )
     nodes = (
         e.select(F.col("src").alias("node"))
