@@ -91,6 +91,8 @@ _PRIORITY = [
     "ab_test_conversion",
     "chi2_type_value",
     "path_regex_funnel",
+    "weighted_sample_per_source",
+    "rolling_fingerprints",
     # (c) events.ts-sensitive queries — keep green on regenerated data
     "stream_tumbling_hourly",
     "stream_sliding_halfhour",

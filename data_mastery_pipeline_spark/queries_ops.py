@@ -831,3 +831,65 @@ def path_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(hit.cast("double")) / F.count("*"), "match_share", decimals=6
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis, derandomized)
+# ---------------------------------------------------------------------------
+
+_WS_K = 5
+_WS_DENOM = float((1 << 48) + 1)
+
+
+@query(
+    "weighted_sample_per_source",
+    f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                       AS BIGINT) + 1) / {_WS_DENOM})
+               / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY es_key, doc_id) AS rk
+      FROM keyed
+    ) WHERE rk <= {_WS_K}
+    ORDER BY source, rk
+    """,
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=5 docs per source,
+    inclusion probability ∝ n_chars — Efraimidis–Spirakis A-ES keys
+    (take the k smallest -ln(u)/w) with the RNG derandomized to an
+    md5-derived uniform on doc_id, so the sample is reproducible,
+    repartition-stable, and identical in the oracle.
+
+    This is the importance-weighted corpus-sampling primitive (length-
+    proportional here; any quality/weight column drops in) that
+    temperature_resample's independent-keep gate cannot provide when
+    you need EXACTLY k per stratum without replacement.
+
+    Scale: one narrow projection computes keys, one shuffle on source
+    for the top-k window; at many-strata scale the window is a
+    per-group k-smallest — no global sort, no RNG state to coordinate
+    across executors.
+    """
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        + 1
+    ) / F.lit(_WS_DENOM)
+    es_key = -F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy("es_key", "doc_id")
+    return (
+        docs.select("source", "doc_id", "n_chars", es_key.alias("es_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WS_K)
+        .select("source", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
+        .orderBy("source", "rk")
+    )

@@ -154,3 +154,17 @@ def test_path_regex_counts_match_direct_recompute(spark, duck):
     assert row["n_users"] == n_users
     assert row["n_matched"] == n_matched
     assert 0.0 <= row["match_share"] <= 1.0
+
+
+def test_weighted_sample_exactly_k_per_source_and_repartition_stable(spark):
+    df = QUERIES["weighted_sample_per_source"](spark, SF_SMOKE)
+    rows = df.collect()
+    from collections import Counter
+
+    per_src = Counter(r["source"] for r in rows)
+    # exactly k per source (every source has ≥5 docs even at smoke SF)
+    assert all(n == 5 for n in per_src.values())
+    assert all(1 <= r["rk"] <= 5 for r in rows)
+    # derandomized: a second evaluation draws the identical sample
+    again = {(r["source"], r["rk"]): r["doc_id"] for r in df.collect()}
+    assert {(r["source"], r["rk"]): r["doc_id"] for r in rows} == again
