@@ -254,6 +254,21 @@ def boilerplate_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNOWN_TYPES = ("click", "view", "purchase", "signup", "error")
 
 
+def validation_reason() -> "F.Column":
+    """First-failing-rule classifier for event rows ('ok' = clean).
+    Shared by the batch audit query and the streaming foreachBatch
+    router (tests/test_streaming.py) so both paths enforce the SAME
+    contract."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        F.when(k.isNull(), "missing_k")
+        .when(k > 90, "k_out_of_range")
+        .when(F.col("value") < 0, "negative_value")
+        .when(~F.col("event_type").isin(*_KNOWN_TYPES), "unknown_type")
+        .otherwise("ok")
+    )
+
+
 @query(
     "events_quarantine",
     f"""
@@ -289,16 +304,10 @@ def events_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window over the 5-row aggregate, not the fact table.
     """
     ev = load_table(spark, "events", sf_dir)
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    reason = (
-        F.when(k.isNull(), "missing_k")
-        .when(k > 90, "k_out_of_range")
-        .when(F.col("value") < 0, "negative_value")
-        .when(~F.col("event_type").isin(*_KNOWN_TYPES), "unknown_type")
-        .otherwise("ok")
-    )
-    counted = ev.select(reason.alias("reason")).groupBy("reason").agg(
-        F.count("*").alias("n")
+    counted = (
+        ev.select(validation_reason().alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
     )
     share = F.col("n") * 1000000.0 / F.sum("n").over(Window.partitionBy())
     return counted.select(

@@ -502,3 +502,69 @@ def test_foreachbatch_cdc_upsert_converges_to_latest(spark, staged_events, tmp_p
     got_keys = {(r["user_id"], str(r["day"]), r["event_id"]) for r in got.collect()}
     want_keys = {(r["user_id"], str(r["day"]), r["event_id"]) for r in expect.collect()}
     assert got_keys == want_keys
+
+
+def test_foreachbatch_quarantine_routing_matches_batch_audit(spark, tmp_path):
+    """Streaming dead-letter routing: each micro-batch is split by the
+    shared validation_reason() classifier — clean rows append to the
+    pass-through sink, failing rows to a reason-partitioned quarantine
+    sink. After the 2-batch replay every event landed exactly once and
+    the per-reason counts equal the batch audit (events_quarantine's
+    classifier over the full table)."""
+    from data_mastery_pipeline_spark.queries_ops import validation_reason
+
+    ev = load_table(spark, "events", SF_SMOKE).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    base = tmp_path / "qsrc"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(base / "b0"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(base / "b1"))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/b*")
+    )
+    clean, quar = str(tmp_path / "clean"), str(tmp_path / "quarantine")
+
+    def route(batch_df, _bid):
+        tagged = batch_df.withColumn("reason", validation_reason())
+        tagged.filter("reason = 'ok'").drop("reason").write.mode("append").parquet(
+            clean
+        )
+        tagged.filter("reason <> 'ok'").write.mode("append").partitionBy(
+            "reason"
+        ).parquet(quar)
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    clean_df = spark.read.parquet(clean)
+    quar_df = spark.read.parquet(quar)
+    n_total = ev.count()
+    assert clean_df.count() + quar_df.count() == n_total
+    got = {r["reason"]: r["count"] for r in quar_df.groupBy("reason").count().collect()}
+    want = {
+        r["reason"]: r["n"]
+        for r in ev.select(validation_reason().alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["reason"] != "ok"
+    }
+    assert got == want and got  # the k>90 rule genuinely fires
+    ids = [
+        r["event_id"]
+        for r in clean_df.select("event_id")
+        .union(quar_df.select("event_id"))
+        .collect()
+    ]
+    assert len(ids) == len(set(ids)) == n_total
