@@ -93,6 +93,8 @@ _PRIORITY = [
     "path_regex_funnel",
     "weighted_sample_per_source",
     "rolling_fingerprints",
+    "revenue_trend_by_nation",
+    "embedding_dim_correlations",
     # (c) events.ts-sensitive queries — keep green on regenerated data
     "stream_tumbling_hourly",
     "stream_sliding_halfhour",

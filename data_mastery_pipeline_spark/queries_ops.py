@@ -902,3 +902,125 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression aggregates: daily revenue trend per nation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_trend_by_nation",
+    """
+    WITH daily AS (
+      SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             sum(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_days,
+           floor(regr_slope(rev, CAST(datediff('day', DATE '1995-01-01', day)
+                                      AS DOUBLE)) * 10000 + 0.5) / 10000.0
+             AS slope,
+           floor(regr_r2(rev, CAST(datediff('day', DATE '1995-01-01', day)
+                                   AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+             AS r2
+    FROM daily GROUP BY n_name ORDER BY n_name
+    """,
+)
+def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend per nation: slope and R² of (daily revenue vs day
+    index) via the SQL regression aggregates — the screening pass a
+    growth dashboard runs per segment before fitting anything fancier.
+
+    regr_slope/regr_r2 are single-pass combinable moment aggregates
+    (no per-group sort, no window): the same partial-agg machinery as
+    sum/avg, so 25 nations or 25 million segments cost one shuffle on
+    the group key.
+
+    Scale: orders⋈customer is the only data-sized join (customer
+    broadcast); the day collapse happens before the regression agg, so
+    the moments run over n_nations × n_days rows.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    x = F.datediff(F.col("day"), F.lit("1995-01-01").cast("date")).cast("double")
+    return (
+        daily.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_days"),
+            quantize(F.regr_slope(F.col("rev"), x), "slope", decimals=4),
+            quantize(F.regr_r2(F.col("rev"), x), "r2", decimals=6),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature correlation screen over the leading embedding dimensions
+# ---------------------------------------------------------------------------
+
+_CORR_DIMS = 8
+
+
+def _corr_sql() -> str:
+    pairs = [
+        (i, j) for i in range(1, _CORR_DIMS + 1) for j in range(i + 1, _CORR_DIMS + 1)
+    ]
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS dim_i, {j} AS dim_j, "
+        f"floor(corr(CAST(embedding[{i}] AS DOUBLE), "
+        f"CAST(embedding[{j}] AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS corr "
+        f"FROM embeddings"
+        for i, j in pairs
+    )
+    return f"SELECT * FROM ({rows}) ORDER BY dim_i, dim_j"
+
+
+@query("embedding_dim_correlations", _corr_sql())
+def embedding_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the leading 8 embedding
+    dimensions (28 pairs) — the redundancy screen a feature pipeline
+    runs before PCA/whitening or feature pruning.
+
+    ONE aggregation pass computes all 28 correlations as parallel
+    moment aggregates (Spark evaluates every F.corr in the same
+    partial+final agg); the result is then unpivoted to rows via
+    stack(). The oracle's 28 UNION ALL scans are the readable
+    formulation — DuckDB reads the tiny table 28× where Spark scans
+    once.
+
+    Scale: single scan, no shuffle beyond the one-row agg; 64 dims
+    would be 2016 agg columns — at that width switch to the exploded
+    (row_id, dim, value) self-join formulation instead.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = [
+        (i, j) for i in range(1, _CORR_DIMS + 1) for j in range(i + 1, _CORR_DIMS + 1)
+    ]
+    aggs = [
+        quantize(
+            F.corr(
+                F.element_at("embedding", i).cast("double"),
+                F.element_at("embedding", j).cast("double"),
+            ),
+            f"c_{i}_{j}",
+            decimals=6,
+        )
+        for i, j in pairs
+    ]
+    wide = emb.agg(*aggs)
+    stack_expr = "stack({}, {}) as (dim_i, dim_j, corr)".format(
+        len(pairs), ", ".join(f"{i}, {j}, c_{i}_{j}" for i, j in pairs)
+    )
+    return wide.select(F.expr(stack_expr)).orderBy("dim_i", "dim_j")

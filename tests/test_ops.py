@@ -168,3 +168,22 @@ def test_weighted_sample_exactly_k_per_source_and_repartition_stable(spark):
     # derandomized: a second evaluation draws the identical sample
     again = {(r["source"], r["rk"]): r["doc_id"] for r in df.collect()}
     assert {(r["source"], r["rk"]): r["doc_id"] for r in rows} == again
+
+
+def test_revenue_trend_covers_all_nations_r2_bounded(spark):
+    rows = QUERIES["revenue_trend_by_nation"](spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    assert all(0.0 <= r["r2"] <= 1.0 for r in rows)
+    # sf0.001 nations can be as thin as ~25 distinct order days
+    assert all(r["n_days"] >= 20 for r in rows)
+
+
+def test_embedding_correlations_single_scan_symmetric_domain(spark):
+    df = QUERIES["embedding_dim_correlations"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) == 28  # C(8,2) upper triangle
+    assert all(r["dim_i"] < r["dim_j"] for r in rows)
+    assert all(-1.0 <= r["corr"] <= 1.0 for r in rows)
+    # all 28 correlations come from ONE scan (the oracle's 28 scans are
+    # the readable formulation, not the plan)
+    assert plans.scan_count(df) == 1
