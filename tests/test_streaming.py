@@ -568,3 +568,88 @@ def test_foreachbatch_quarantine_routing_matches_batch_audit(spark, tmp_path):
         .collect()
     ]
     assert len(ids) == len(set(ids)) == n_total
+
+
+def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
+    """Durability contract (S8/J2): an availableNow drain commits its
+    offsets; a later restart with the SAME checkpoint processes only
+    the files that arrived in between — nothing is reprocessed, nothing
+    is dropped."""
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    ev = load_table(spark, "events", SF_SMOKE).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    quarters = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    for i in (0, 1):
+        quarters[i].coalesce(1).write.parquet(f"{src}/b{i}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == quarters[0].count() + quarters[1].count()
+
+    for i in (2, 3):
+        quarters[i].coalesce(1).write.parquet(f"{src}/b{i}")
+    drain()
+
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()  # nothing dropped
+    assert got.select("event_id").distinct().count() == ev.count()  # nothing twice
+
+
+def test_streaming_listener_reports_input_rows(spark, staged_events):
+    """Observability: a StreamingQueryListener sees every micro-batch's
+    numInputRows; their sum equals the replayed row count (the metrics
+    feed an ops dashboard would ingest)."""
+    import time as _t
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    path, ev = staged_events
+    captured = []
+
+    class _Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            captured.append(event.progress.numInputRows)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _Capture()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            _stream_staged(spark, path)
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener delivery is async — poll until the replay is fully seen
+        deadline = _t.time() + 20
+        while sum(captured) < ev.count() and _t.time() < deadline:
+            _t.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert sum(captured) == ev.count()
+    assert len([n for n in captured if n > 0]) >= 4  # one per staged file
