@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Scale probe: how does the near-dup pipeline's wall time grow with
+corpus size?
+
+Amplifies the sf0.01 documents corpus k× by unioning k replicas with
+offset doc_ids and a replica marker token interleaved every 3 tokens.
+The marker breaks ~83% of each replica's 3-shingles, so replicas are NOT
+near-dups of their originals or of each other (verified: cross-replica
+Jaccard ≈ 0.17 < the 0.35 threshold) — the corpus grows k× while the
+near-dup cluster structure replicates k×, i.e. pair count and cluster
+count scale LINEARLY. A pipeline whose wall time grows superlinearly
+under this probe has a scaling bug (all-pairs behavior, unbounded
+buckets); near-linear growth is the evidence that banding + blocked
+verification + contracted CC hold their complexity promises.
+
+Run from the repo root (quiet box — same caveats as bench.py):
+
+    python tools/scale_probe.py [k ...]   # default: 1 4 16
+
+Prints one JSON line per k: docs, verified near-dup pairs, clusters,
+and wall seconds for (signatures+banding+verify) and (CC clustering).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def amplified(spark, k: int):
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    n = 10_000_000  # id offset stride, far above any real doc_id
+    parts = []
+    for r in range(k):
+        if r == 0:
+            parts.append(docs)
+            continue
+        marker = f"zrep{r}z"
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        # interleave the marker every 3 tokens: flatten 3-token slices
+        # each followed by the marker — breaks most 3-shingles
+        n_tok = F.size(toks)
+        idx = F.sequence(F.lit(0), F.floor((n_tok - 1) / 3).cast("int"))
+        rebuilt = F.array_join(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.concat(
+                        F.slice(toks, i * 3 + 1, 3), F.array(F.lit(marker))
+                    ),
+                )
+            ),
+            " ",
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
+                rebuilt.alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    from data_mastery_pipeline_spark.dedup import components as cc
+    from data_mastery_pipeline_spark.dedup import minhash
+    from data_mastery_pipeline_spark.session import get_spark
+
+    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark(app_name="scale_probe")
+    # warm JVM + python paths once
+    spark.range(10).count()
+
+    for k in ks:
+        docs = amplified(spark, k)
+        n_docs = docs.count()
+
+        t0 = time.time()
+        pairs = minhash.verified_near_dups(
+            docs, k=3, num_hashes=64, bands=16, jaccard_threshold=0.35
+        )
+        n_pairs = pairs.count()
+        t_pairs = time.time() - t0
+
+        t1 = time.time()
+        clusters = cc.connected_components(
+            pairs.select("id_a", "id_b"), "id_a", "id_b"
+        )
+        n_clusters = clusters.select("component").distinct().count()
+        t_cc = time.time() - t1
+
+        print(
+            json.dumps(
+                {
+                    "k": k,
+                    "docs": n_docs,
+                    "near_dup_pairs": n_pairs,
+                    "clusters": n_clusters,
+                    "pairs_wall_sec": round(t_pairs, 2),
+                    "cc_wall_sec": round(t_cc, 2),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
