@@ -123,7 +123,6 @@ _PRIORITY = [
     "simhash_near_dup",
     "value_percentiles_approx",
     "ann_ivf_topk",
-    "rolling_fingerprints",
     # round-4 additions + the iterative op — keep in the window
     "near_dup_clusters",
     "ewma_user_value",

@@ -290,6 +290,7 @@ def cross_near_dups(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     max_set_size: int | None = 8192,
+    max_bucket: int = 1000,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Incremental dedup: near-dups of ``incoming`` docs AGAINST an
@@ -305,6 +306,12 @@ def cross_near_dups(
     persistable index; this function recomputes it only because the
     engine owns no storage between queries).
 
+    ``max_bucket`` applies the same degenerate-bucket guard as
+    lsh_candidate_pairs, per side: an index bucket with M boilerplate
+    collisions meeting an arrival bucket with N would otherwise emit
+    M×N candidates per band — the all-pairs blowup this pipeline
+    exists to avoid. Oversized buckets belong to exact dedup.
+
     Returns (id_new, id_index, jaccard) for verified pairs ≥ threshold.
     """
     ss_i = truncate_lineage(
@@ -315,8 +322,21 @@ def cross_near_dups(
         signatures_and_sets(incoming, text_col, id_col, k, num_hashes, max_set_size),
         checkpoint_dir,
     )
-    bi = band_table(ss_i.select(id_col, "minhash"), id_col, num_hashes, bands)
-    bn = band_table(ss_n.select(id_col, "minhash"), id_col, num_hashes, bands)
+    def _capped(banded: DataFrame) -> DataFrame:
+        big = (
+            banded.groupBy("band", "bh")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "bh")
+        )
+        return banded.join(F.broadcast(big), ["band", "bh"], "left_anti")
+
+    bi = _capped(
+        band_table(ss_i.select(id_col, "minhash"), id_col, num_hashes, bands)
+    )
+    bn = _capped(
+        band_table(ss_n.select(id_col, "minhash"), id_col, num_hashes, bands)
+    )
     cand = (
         bn.withColumnRenamed(id_col, "id_new")
         .join(bi.withColumnRenamed(id_col, "id_index"), ["band", "bh"])

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as textfn
-from .registry import quantize, query
+from .registry import quantize, query, sql_quantize
 from .tables import load_table
 
 
@@ -258,8 +258,15 @@ def validation_reason() -> "F.Column":
     """First-failing-rule classifier for event rows ('ok' = clean).
     Shared by the batch audit query and the streaming foreachBatch
     router (tests/test_streaming.py) so both paths enforce the SAME
-    contract."""
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    contract.
+
+    try_cast to DOUBLE, not a plain bigint cast: under ANSI mode a
+    plain cast would make the classifier itself crash on the malformed
+    rows it exists to route (props.k = '12.5' or 'abc'), and DOUBLE —
+    unlike TRY_CAST AS BIGINT, which DuckDB rounds ('12.5'→13) and
+    Spark nulls — parses identically in both engines for any numeric
+    string."""
+    k = F.get_json_object("props", "$.k").try_cast("double")
     return (
         F.when(k.isNull(), "missing_k")
         .when(k > 90, "k_out_of_range")
@@ -274,9 +281,9 @@ def validation_reason() -> "F.Column":
     f"""
     WITH checked AS (
       SELECT CASE
-        WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+        WHEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NULL
           THEN 'missing_k'
-        WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+        WHEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 90
           THEN 'k_out_of_range'
         WHEN value < 0 THEN 'negative_value'
         WHEN event_type NOT IN {_KNOWN_TYPES!r} THEN 'unknown_type'
@@ -284,8 +291,7 @@ def validation_reason() -> "F.Column":
       FROM events
     )
     SELECT reason, CAST(count(*) AS BIGINT) AS n,
-           floor(count(*) * 1000000.0 / sum(count(*)) OVER () + 0.5)
-             / 1000000.0 AS share
+           {sql_quantize("count(*) * 1.0 / sum(count(*)) OVER ()", "share", 6)}
     FROM checked GROUP BY reason ORDER BY reason
     """,
 )
@@ -309,11 +315,9 @@ def events_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("reason")
         .agg(F.count("*").alias("n"))
     )
-    share = F.col("n") * 1000000.0 / F.sum("n").over(Window.partitionBy())
+    share = F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy())
     return counted.select(
-        "reason",
-        "n",
-        (F.floor(share + F.lit(0.5)) / 1000000.0).alias("share"),
+        "reason", "n", quantize(share, "share", decimals=6)
     ).orderBy("reason")
 
 

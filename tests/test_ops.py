@@ -187,3 +187,22 @@ def test_embedding_correlations_single_scan_symmetric_domain(spark):
     # all 28 correlations come from ONE scan (the oracle's 28 scans are
     # the readable formulation, not the plan)
     assert plans.scan_count(df) == 1
+
+
+def test_cross_near_dups_caps_degenerate_buckets(spark):
+    """The max_bucket guard: a boilerplate bucket with M index × N
+    arrival collisions must not emit M×N candidates (the all-pairs
+    blowup incremental dedup exists to avoid)."""
+    from data_mastery_pipeline_spark.dedup.minhash import cross_near_dups
+
+    text = "the same exact boilerplate text repeated over and over again " * 3
+    idx = spark.createDataFrame(
+        [(i, text) for i in range(30)], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [(1000 + i, text) for i in range(30)], "doc_id long, text string"
+    )
+    capped = cross_near_dups(idx, inc, jaccard_threshold=0.3, max_bucket=10)
+    assert capped.count() == 0  # every bucket oversized → guarded out
+    uncapped = cross_near_dups(idx, inc, jaccard_threshold=0.3, max_bucket=1000)
+    assert uncapped.count() == 900  # 30 × 30 exact-dup cross pairs

@@ -15,6 +15,13 @@ from conftest import SF_SMOKE
 def test_chunk_udtf_matches_catalyst_chunker(spark):
     register_udtfs(spark)
     docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text")
+    # edge cases the Python path historically diverged on: empty text,
+    # whitespace-only text, Unicode NBSP (Java \s does NOT match it)
+    edge = spark.createDataFrame(
+        [(90001, ""), (90002, "   "), (90003, "a b c"), (90004, "\tx y"), (90005, "a\u00a0b c")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(edge)
     docs.createOrReplaceTempView("udtf_docs")
 
     via_udtf = spark.sql(
