@@ -95,6 +95,7 @@ _PRIORITY = [
     "rolling_fingerprints",
     "revenue_trend_by_nation",
     "embedding_dim_correlations",
+    "shared_substring_spans",
     # (c) events.ts-sensitive queries — keep green on regenerated data
     "stream_tumbling_hourly",
     "stream_sliding_halfhour",

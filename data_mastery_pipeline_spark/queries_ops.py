@@ -1028,3 +1028,75 @@ def embedding_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(pairs), ", ".join(f"{i}, {j}, c_{i}_{j}" for i, j in pairs)
     )
     return wide.select(F.expr(stack_expr)).orderBy("dim_i", "dim_j")
+
+
+# ---------------------------------------------------------------------------
+# Substring-level shared spans (training-data dedup below document grain)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 10  # anchor gram length (tokens)
+_SPAN_MIN = 20  # report pairs sharing a span at least this long
+
+
+@query(
+    "shared_substring_spans",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, u.pos, u.gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - {_SPAN_K - 1}),
+                 i -> {{'pos': i,
+                        'gram': array_to_string(t[i:i+{_SPAN_K - 1}], ' ')}})) AS u
+        FROM toks WHERE len(t) >= {_SPAN_K}
+      )
+    ), m AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, b.pos AS pb
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ), d AS (
+      SELECT id_a, id_b, pa,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                     ORDER BY pa) AS grp,
+             pa - pb AS diag
+      FROM m
+    ), spans AS (
+      SELECT id_a, id_b, count(*) + {_SPAN_K - 1} AS span_tokens
+      FROM d GROUP BY id_a, id_b, diag, grp
+    )
+    SELECT id_a, id_b,
+           CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM spans GROUP BY id_a, id_b
+    HAVING max(span_tokens) >= {_SPAN_MIN}
+    ORDER BY id_a, id_b
+    """,
+)
+def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): document pairs sharing
+    a verbatim token run of ≥ 20 tokens, with the longest shared span
+    and span count per pair — the below-document grain that doc-level
+    near-dedup cannot see (two distinct articles quoting the same
+    paragraph).
+
+    Shape: anchor every 10-gram with its position, join anchors on the
+    gram, then merge consecutive anchors per (pair, diagonal pa−pb)
+    with gaps-and-islands — a run of L−9 consecutive anchors is exactly
+    a shared substring of L tokens, so span lengths are EXACT, not
+    heuristic.
+
+    Scale: see dedup/spans.py — the anchor join is the data-sized
+    shuffle; a production run passes max_gram_df to cap anchor
+    document frequency (a boilerplate 10-gram in 10k docs is
+    boilerplate_ngram_share's business, not span dedup's) — uncapped
+    here so the oracle is exact on this corpus.
+    """
+    from .dedup.spans import shared_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return shared_spans(
+        docs, k=_SPAN_K, min_span=_SPAN_MIN, max_gram_df=None
+    ).orderBy("id_a", "id_b")

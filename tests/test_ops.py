@@ -206,3 +206,30 @@ def test_cross_near_dups_caps_degenerate_buckets(spark):
     assert capped.count() == 0  # every bucket oversized → guarded out
     uncapped = cross_near_dups(idx, inc, jaccard_threshold=0.3, max_bucket=1000)
     assert uncapped.count() == 900  # 30 × 30 exact-dup cross pairs
+
+
+def test_shared_spans_exact_on_constructed_overlap(spark):
+    """Two docs sharing a verbatim 25-token run (and nothing else) must
+    report max_span_tokens == 25 exactly — span lengths are exact, not
+    heuristic."""
+    from data_mastery_pipeline_spark.dedup.spans import shared_spans
+
+    shared = " ".join(f"s{i}" for i in range(25))
+    a = "preamble one two three " + shared + " coda alpha beta"
+    b = "totally different opening words here " + shared + " closing run"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, "unrelated text with no overlap at all")],
+        "doc_id long, text string",
+    )
+    rows = shared_spans(docs, k=10, min_span=20).collect()
+    assert {(r["id_a"], r["id_b"]): r["max_span_tokens"] for r in rows} == {
+        (1, 2): 25
+    }
+
+
+def test_shared_spans_query_pairs_are_near_dups(spark):
+    rows = QUERIES["shared_substring_spans"](spark, SF_SMOKE).collect()
+    assert rows, "smoke corpus contains verbatim 20+-token overlaps"
+    assert all(r["max_span_tokens"] >= 20 for r in rows)
+    assert all(r["n_spans"] >= 1 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
