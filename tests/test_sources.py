@@ -345,3 +345,37 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     # untouched partition files were not rewritten
     for f, mt in untouched_before.items():
         assert os.path.getmtime(f) == mt, f
+
+
+def test_stats_only_aggregates_pushes_into_the_scan(spark):
+    """COUNT/MIN/MAX answered from parquet footers: the aggregation is
+    pushed into the DSv2 scan (plan-asserted inside the helper — it
+    RAISES on silent fallback) and the values equal a full aggregation."""
+    from data_mastery_pipeline_spark.sources.stats import stats_only_aggregates
+
+    from conftest import SF_SMOKE
+
+    path = f"{SF_SMOKE}/lineitem.parquet"
+    got = stats_only_aggregates(
+        spark, path, min_max_cols=("l_quantity", "l_extendedprice")
+    ).collect()[0]
+    want = (
+        spark.read.parquet(path)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_quantity").alias("mn_q"),
+            F.max("l_quantity").alias("mx_q"),
+            F.min("l_extendedprice").alias("mn_e"),
+            F.max("l_extendedprice").alias("mx_e"),
+        )
+        .collect()[0]
+    )
+    assert got["n_rows"] == want["n_rows"]
+    assert got["min_l_quantity"] == want["mn_q"]
+    assert got["max_l_quantity"] == want["mx_q"]
+    assert got["min_l_extendedprice"] == want["mn_e"]
+    assert got["max_l_extendedprice"] == want["mx_e"]
+    # the conf window restored the session's pre-call values (the
+    # session factory itself enables aggregatePushdown; the v1 source
+    # list must be back so other scans keep their tested v1 plan shape)
+    assert "parquet" in spark.conf.get("spark.sql.sources.useV1SourceList")
