@@ -96,6 +96,7 @@ _PRIORITY = [
     "revenue_trend_by_nation",
     "embedding_dim_correlations",
     "shared_substring_spans",
+    "rolling_7d_active_users",
     # (c) events.ts-sensitive queries — keep green on regenerated data
     "stream_tumbling_hourly",
     "stream_sliding_halfhour",

@@ -1100,3 +1100,53 @@ def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_spans(
         docs, k=_SPAN_K, min_span=_SPAN_MIN, max_gram_df=None
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (exact WAU series)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_7d_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day active users per day (the WAU series) —
+    the distinct-over-a-sliding-window aggregate that a plain window
+    function cannot express (COUNT(DISTINCT) OVER a RANGE frame is
+    unsupported in both engines for good reason: distinct state per
+    frame).
+
+    Shape: dedup to (day, user) grain first — the fact table collapses
+    ~|events|/|day-user| fold before anything widens — then a 7-day
+    range join against the tiny day spine and one distinct-count per
+    day. The spine side broadcasts; each (day, user) row fans out to at
+    most 7 spine days, so the join output is bounded at 7×|day-user|.
+
+    Scale: at 100 TB the same plan holds because the fan-out factor is
+    the WINDOW length, not the data size; for 90-day windows switch the
+    inner distinct-count to an HLL sketch per day + sliding union
+    (distinct_users_hll_sketch shows the merge machinery).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select(F.col("day").alias("d")).distinct()
+    joined = du.join(
+        F.broadcast(days),
+        (F.col("day") >= F.date_sub(F.col("d"), 6)) & (F.col("day") <= F.col("d")),
+    )
+    return (
+        joined.groupBy(F.col("d").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("day")
+    )

@@ -233,3 +233,20 @@ def test_shared_spans_query_pairs_are_near_dups(spark):
     assert all(r["max_span_tokens"] >= 20 for r in rows)
     assert all(r["n_spans"] >= 1 for r in rows)
     assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_rolling_wau_monotone_vs_daily_and_bounded(spark, duck):
+    rows = QUERIES["rolling_7d_active_users"](spark, SF_SMOKE).collect()
+    assert len(rows) >= 25  # ~30 distinct days in the corpus
+    daily = dict(
+        duck.sql(
+            f"SELECT CAST(ts AS DATE), count(DISTINCT user_id) "
+            f"FROM read_parquet('{SF_SMOKE}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    total_users = duck.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchone()[0]
+    for r in rows:
+        # WAU ≥ that day's DAU and ≤ the total user universe
+        assert daily[r["day"]] <= r["wau"] <= total_users
