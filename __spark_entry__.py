@@ -97,6 +97,8 @@ _PRIORITY = [
     "embedding_dim_correlations",
     "shared_substring_spans",
     "rolling_7d_active_users",
+    "linear_attribution",
+    "user_value_decile_lift",
     # (c) events.ts-sensitive queries — keep green on regenerated data
     "stream_tumbling_hourly",
     "stream_sliding_halfhour",

@@ -1150,3 +1150,153 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution (companion to last-touch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "linear_attribution",
+    """
+    WITH purchases AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT DISTINCT p.event_id AS purchase_id, p.value, e.event_type AS channel
+      FROM purchases p
+      JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type <> 'purchase'
+       AND (e.ts < p.ts OR (e.ts = p.ts AND e.event_id < p.event_id))
+    ), weighted AS (
+      SELECT channel,
+             value / count(*) OVER (PARTITION BY purchase_id) AS share
+      FROM touches
+    )
+    SELECT channel,
+           floor(sum(share) * 100 + 0.5) / 100.0 AS attributed_value,
+           CAST(count(*) AS BIGINT) AS n_credits
+    FROM weighted GROUP BY channel ORDER BY channel
+    """,
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    EQUALLY across the distinct non-purchase channels the user touched
+    before it (purchase_attribution is the last-touch winner-take-all
+    twin; purchases with no prior touch carry no credit here — they are
+    last-touch's 'direct' bucket).
+
+    Scale: the purchases⋈events join shuffles once on user_id and its
+    fan-out is bounded by |channels| per purchase after the DISTINCT
+    (≤ 4 here); the per-purchase credit count is a window over that
+    bounded relation, never the raw event stream.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    e = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("e_id"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    touches = (
+        p.join(
+            e,
+            (p.user_id == e.e_user)
+            & (
+                (e.e_ts < p.p_ts)
+                | ((e.e_ts == p.p_ts) & (e.e_id < p.purchase_id))
+            ),
+        )
+        .select("purchase_id", "value", "channel")
+        .distinct()
+    )
+    share = F.col("value") / F.count("*").over(Window.partitionBy("purchase_id"))
+    return (
+        touches.select("channel", share.alias("share"))
+        .groupBy("channel")
+        .agg(
+            quantize(F.sum("share"), "attributed_value"),
+            F.count("*").alias("n_credits"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains table (model-evaluation shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_value_decile_lift",
+    """
+    WITH u AS (
+      SELECT user_id,
+             avg(value) AS avg_value,
+             max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS had_error
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT had_error,
+             ntile(10) OVER (ORDER BY avg_value DESC, user_id) AS decile
+      FROM u
+    ), base AS (
+      SELECT CAST(sum(had_error) AS DOUBLE) / count(*) AS base_rate FROM u
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+           floor((CAST(sum(had_error) AS DOUBLE) / count(*))
+                 * 1000000 + 0.5) / 1000000.0 AS rate,
+           floor((CAST(sum(had_error) AS DOUBLE) / count(*)
+                  / (SELECT base_rate FROM base))
+                 * 10000 + 0.5) / 10000.0 AS lift
+    FROM ranked GROUP BY decile ORDER BY decile
+    """,
+)
+def user_value_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table — the standard model-evaluation readout: rank
+    users by a score (mean event value, standing in for a model score),
+    cut into deciles, and report each decile's target rate (here:
+    ever hit an error) against the population base rate.
+
+    The ntile ordering carries a user_id tie-break so both engines cut
+    identical deciles — ntile over a non-total order is the classic
+    nondeterminism trap in this shape.
+
+    Scale: one shuffle to user grain; the global ntile is the sort — a
+    production variant at billions of users switches to approx
+    percentile cut-points (value_percentiles_approx machinery) and a
+    broadcast bucket join, trading exact decile boundaries for no
+    global sort.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.avg("value").alias("avg_value"),
+        F.max(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("had_error"),
+    )
+    w = Window.orderBy(F.col("avg_value").desc(), "user_id")
+    ranked = u.select("had_error", F.ntile(10).over(w).alias("decile"))
+    base = u.agg(
+        (F.sum("had_error").cast("double") / F.count("*")).alias("base_rate")
+    )
+    rate = F.sum("had_error").cast("double") / F.count("*")
+    return (
+        ranked.groupBy("decile")
+        .agg(F.count("*").alias("n_users"), rate.alias("rate_raw"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            "decile",
+            "n_users",
+            quantize(F.col("rate_raw"), "rate", decimals=6),
+            quantize(F.col("rate_raw") / F.col("base_rate"), "lift", decimals=4),
+        )
+        .orderBy("decile")
+    )

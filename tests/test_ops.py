@@ -250,3 +250,34 @@ def test_rolling_wau_monotone_vs_daily_and_bounded(spark, duck):
     for r in rows:
         # WAU ≥ that day's DAU and ≤ the total user universe
         assert daily[r["day"]] <= r["wau"] <= total_users
+
+
+def test_linear_attribution_conserves_touched_purchase_value(spark, duck):
+    """Linear attribution conserves exactly the value of purchases that
+    HAVE a prior touch (no-touch purchases are last-touch's 'direct')."""
+    rows = QUERIES["linear_attribution"](spark, SF_SMOKE).collect()
+    assert rows
+    touched_value = duck.sql(
+        f"""
+        SELECT sum(value) FROM read_parquet('{SF_SMOKE}/events.parquet') p
+        WHERE event_type = 'purchase' AND EXISTS (
+          SELECT 1 FROM read_parquet('{SF_SMOKE}/events.parquet') e
+          WHERE e.user_id = p.user_id AND e.event_type <> 'purchase'
+            AND (e.ts < p.ts OR (e.ts = p.ts AND e.event_id < p.event_id))
+        )
+        """
+    ).fetchone()[0]
+    assert math.isclose(
+        sum(r["attributed_value"] for r in rows), touched_value, rel_tol=1e-6
+    )
+    assert "purchase" not in {r["channel"] for r in rows}
+
+
+def test_decile_lift_weighted_rates_average_to_one(spark):
+    rows = QUERIES["user_value_decile_lift"](spark, SF_SMOKE).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n = sum(r["n_users"] for r in rows)
+    # user-weighted mean lift is 1 by construction
+    wmean = sum(r["lift"] * r["n_users"] for r in rows) / n
+    assert math.isclose(wmean, 1.0, abs_tol=0.01)
+    assert all(r["rate"] >= 0.0 for r in rows)
