@@ -1,0 +1,56 @@
+"""End-to-end corpus-pipeline composition (the training-data twin of
+test_pipeline_e2e's weather flow)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_mastery_pipeline_spark.corpus_pipeline import run_corpus_pipeline
+from data_mastery_pipeline_spark.functions import text as textfn
+from data_mastery_pipeline_spark.operators import sampling
+from data_mastery_pipeline_spark.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+def test_corpus_pipeline_stage_monotonicity_and_outputs(spark, tmp_path):
+    res = run_corpus_pipeline(spark, SF_SMOKE, str(tmp_path))
+    r = res.stage_rows
+    # every filtering stage can only shrink the corpus
+    assert r["raw"] >= r["quality_gate"] >= r["exact_dedup"] >= r["near_dedup"]
+    assert r["near_dedup"] >= r["decontaminated"]
+    assert r["raw"] > 0 and r["decontaminated"] > 0
+    # chunking re-expands: every surviving doc yields ≥1 chunk
+    assert r["train_chunks"] >= r["decontaminated"] - int(
+        0.1 * sampling.GATE_BUCKETS
+    )
+
+    out = spark.read.parquet(res.train_path)
+    # packing well-formed: offsets non-negative, bins start at 0 per source
+    assert out.filter(F.col("start_offset") < 0).count() == 0
+    assert out.filter(F.col("bin_id") < 0).count() == 0
+    assert out.filter(F.col("n_chunk_tokens") <= 0).count() == 0
+
+    # no eval-slice doc leaked into train
+    gate = sampling.affine_gate("doc_id", salt=7)
+    leaked = out.select("doc_id").distinct().filter(
+        gate < int(0.1 * sampling.GATE_BUCKETS)
+    )
+    assert leaked.count() == 0
+
+    # decontamination really held: no train doc shares an 8-gram with
+    # the eval slice (recomputed independently from the raw table)
+    docs = load_table(spark, "documents", SF_SMOKE)
+    gram = F.explode(
+        F.transform(textfn.word_ngram_structs("text", 8), lambda s: F.xxhash64(s))
+    )
+    eval_grams = (
+        docs.filter(gate < int(0.1 * sampling.GATE_BUCKETS))
+        .select(gram.alias("gh"))
+        .distinct()
+    )
+    train_ids = out.select("doc_id").distinct()
+    train_grams = docs.join(train_ids, "doc_id").select(
+        "doc_id", gram.alias("gh")
+    )
+    assert train_grams.join(eval_grams, "gh").count() == 0
