@@ -79,7 +79,11 @@ def main() -> None:
     from data_mastery_pipeline_spark.dedup import minhash
     from data_mastery_pipeline_spark.session import get_spark
 
-    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    args = sys.argv[1:]
+    if args and args[0] == "--ann":
+        ann_probe([int(a) for a in args[1:]] or [1, 4, 16])
+        return
+    ks = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(app_name="scale_probe")
     # warm JVM + python paths once
     spark.range(10).count()
@@ -115,6 +119,78 @@ def main() -> None:
             ),
             flush=True,
         )
+
+
+
+def amplified_embeddings(spark, k: int):
+    """k× replicas of the embeddings table with a replica-scaled nudge on
+    one rotating dimension — vectors stay distinct, geometry stays
+    realistic, ids offset per replica."""
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
+    n = 10_000_000
+    parts = []
+    for r in range(k):
+        if r == 0:
+            parts.append(emb)
+            continue
+        nudged = F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x + F.when(i % 16 == r % 16, F.lit(0.01 * r)).otherwise(F.lit(0.0))
+            ).cast("float"),
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * n)).alias("vec_id"),
+                nudged.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ann_probe(ks) -> None:
+    """Brute vs IVF top-k latency + IVF recall under k× amplification —
+    the similarity-family twin of the dedup probe. Brute is O(n) per
+    query by design (the recall baseline); IVF probes n_probes/n_cells
+    of the data, so its wall time should grow far slower than brute's."""
+    from data_mastery_pipeline_spark.session import get_spark
+    from data_mastery_pipeline_spark.similarity import brute, ivf
+
+    spark = get_spark(app_name="scale_probe_ann")
+    spark.range(10).count()
+    query = [0.1] * 64
+
+    for k in ks:
+        emb = amplified_embeddings(spark, k).localCheckpoint()
+        n_vecs = emb.count()
+
+        t0 = time.time()
+        exact = [r["vec_id"] for r in brute.cosine_topk(emb, query, k=10).collect()]
+        t_brute = time.time() - t0
+
+        cents = ivf.train_centroids(emb, n_cells=16)
+        out = {"probe": "ann", "k": k, "vectors": n_vecs,
+               "brute_wall_sec": round(t_brute, 2)}
+        # recall is the n_probes knob: report the curve, not one point
+        for n_probes in (4, 8, 12):
+            t1 = time.time()
+            approx = [
+                r["vec_id"]
+                for r in ivf.ivf_topk(
+                    emb, cents, query, k=10, n_probes=n_probes
+                ).collect()
+            ]
+            out[f"ivf_wall_sec_p{n_probes}"] = round(time.time() - t1, 2)
+            out[f"ivf_recall_p{n_probes}"] = len(set(exact) & set(approx)) / 10.0
+
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
