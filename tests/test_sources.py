@@ -379,3 +379,25 @@ def test_stats_only_aggregates_pushes_into_the_scan(spark):
     # session factory itself enables aggregatePushdown; the v1 source
     # list must be back so other scans keep their tested v1 plan shape)
     assert "parquet" in spark.conf.get("spark.sql.sources.useV1SourceList")
+
+
+def test_merge_schema_reads_evolved_partitions(spark, tmp_path):
+    """Schema evolution on disk: a later append adds a column; reading
+    with mergeSchema=true yields the union schema with NULLs for the
+    old files (the write-side twin of union_schema_evolution's
+    unionByName read path)."""
+    out = str(tmp_path / "evolved")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).write.parquet(out)
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 9.5
+    # default read (no mergeSchema) picks ONE footer — may miss the new
+    # column; the option is what makes evolution safe, hence this pin
+    assert merged.count() == 3

@@ -1,0 +1,47 @@
+"""GROUPED_AGG pandas UDF (UDAF surface, SURVEY §2.K): the Arrow-batched
+trimmed mean equals the native percentile+filter+avg computation."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_mastery_pipeline_spark.functions.udafs import trimmed_mean_10
+from data_mastery_pipeline_spark.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+def test_trimmed_mean_udaf_matches_native_two_step(spark):
+    ev = load_table(spark, "events", SF_SMOKE)
+    got = {
+        r["event_type"]: r["tm"]
+        for r in ev.groupBy("event_type")
+        .agg(trimmed_mean_10()("value").alias("tm"))
+        .collect()
+    }
+
+    # native two-step: per-group rank bounds, filter the tails, average
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    n = F.count("*").over(Window.partitionBy("event_type"))
+    rn = F.row_number().over(w)
+    cut = F.floor(n * 0.1)
+    core = ev.withColumn("rn", rn).withColumn("n", n).withColumn("cut", cut).filter(
+        (F.col("rn") > F.col("cut")) & (F.col("rn") <= F.col("n") - F.col("cut"))
+    )
+    want = {
+        r["event_type"]: r["tm"]
+        for r in core.groupBy("event_type").agg(F.avg("value").alias("tm")).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9), k
+    # trimming matters: trimmed mean differs from the plain mean somewhere
+    plain = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type").agg(F.avg("value").alias("m")).collect()
+    }
+    assert any(not math.isclose(got[k], plain[k], rel_tol=1e-9) for k in got)
