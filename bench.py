@@ -155,6 +155,25 @@ def main() -> None:
             # anomaly on the iterative operator is explainable
             detail["near_dup_clusters_rounds"] = list(_cc.LAST_RUN_STATS)
 
+    # end-to-end corpus lifecycle (quality gate → dedups → decontam →
+    # chunk → pack → write): the throughput number a training-data user
+    # actually cares about, timed as one chained job
+    import shutil
+    import tempfile
+
+    from data_mastery_pipeline_spark.corpus_pipeline import run_corpus_pipeline
+
+    tmp = tempfile.mkdtemp(prefix="bench_corpus_")
+    try:
+        t = time.time()
+        res = run_corpus_pipeline(spark, SF_DIR, tmp)
+        detail["corpus_pipeline"] = {
+            "wall_sec": round(time.time() - t, 3),
+            **res.stage_rows,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
