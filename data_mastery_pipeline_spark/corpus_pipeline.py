@@ -1,6 +1,6 @@
 """End-to-end LLM training-corpus pipeline — the flagship composition.
 
-One chained Spark job running the full corpus lifecycle the individual
+One Spark job chain running the full corpus lifecycle the individual
 operators implement piecewise:
 
     raw documents
@@ -11,15 +11,18 @@ operators implement piecewise:
       → decontamination     (drop docs sharing an 8-gram with the
                              held-out eval slice — test-set leakage)
       → chunk               (token windows with overlap)
-      → pack                (concat-and-split into fixed-capacity bins)
+      → pack                (concat-and-split into fixed-capacity bins,
+                             total (doc_id, chunk_idx) order so offsets
+                             are layout-independent)
       → train split written to parquet
 
-Per-stage row counts ride ``observe()`` on the single final write —
-zero extra jobs, zero re-scans (the reference's count()-per-stage
-anti-pattern costs one full pass per stage; SURVEY §3.2). Stage
-boundaries that genuinely need a second pass (dedup's candidate
-generation, the eval-gram index) are the operators' own documented
-shuffles, not bookkeeping.
+Execution/accounting model: each stage boundary is materialized ONCE
+(``truncate_lineage`` — the near-dedup and CC operators need their
+inputs materialized anyway), per-stage counts read those materialized
+blocks (a cached-scan count, never a recompute of the prefix), and the
+final packed count rides ``observe()`` on the one real write. The
+reference's count()-per-stage anti-pattern (SURVEY §3.2) re-executes
+the full prefix per stage; this runs each stage exactly once.
 
 This is SURVEY §3's lifecycle re-expressed for the training-data
 domain: where run_weather_pipeline replaces the reference's 7-task DAG,
@@ -34,6 +37,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .checkpointing import truncate_lineage
 from .dedup import components as dedup_components
 from .dedup import exact as dedup_exact
 from .dedup import minhash as dedup_minhash
@@ -60,14 +64,18 @@ def run_corpus_pipeline(
     overlap: int = 10,
     pack_capacity: int = 256,
     eval_fraction: float = 0.1,
+    checkpoint_dir: str | None = None,
 ) -> CorpusResult:
     """Run the corpus lifecycle over ``documents`` at ``sf_dir``; write
     the packed train split to ``out_dir``/train and return per-stage
-    row counts."""
+    row counts. ``checkpoint_dir``: DFS path for the stage
+    materializations on a real cluster (None = fast local blocks)."""
+    ckpt = lambda df: truncate_lineage(df, checkpoint_dir)  # noqa: E731
+
     docs = load_table(spark, "documents", sf_dir)
     stage_rows: dict[str, int] = {"raw": docs.count()}
 
-    # --- quality gate (narrow, one pass) -------------------------------
+    # --- quality gate (narrow, one pass; materialized once) ------------
     toks = textfn.tokens("text")
     gated = docs.withColumn("n_tokens", F.size(toks)).withColumn(
         "quality", textfn.quality_score("text")
@@ -76,29 +84,33 @@ def run_corpus_pipeline(
     if languages:
         gated = gated.withColumn("lang_pred", textfn.lang_guess("text"))
         cond = cond & F.col("lang_pred").isin(*languages)
-    gated = gated.filter(cond)
+    gated = ckpt(gated.filter(cond))
     stage_rows["quality_gate"] = gated.count()
 
-    # --- exact dedup ----------------------------------------------------
-    fp = dedup_exact.with_fingerprint(gated)
-    keep_exact = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    exact = fp.join(keep_exact, ["fingerprint", "doc_id"], "left_semi").drop(
-        "fingerprint"
-    )
+    # --- exact dedup (dedup_exact owns the keep rule) -------------------
+    exact = ckpt(dedup_exact.exact_dedup(gated))
     stage_rows["exact_dedup"] = exact.count()
 
     # --- near-dedup (LSH + verify + CC, keep canonical) -----------------
     pairs = dedup_minhash.verified_near_dups(
-        exact, k=3, jaccard_threshold=jaccard_threshold
+        exact,
+        k=3,
+        jaccard_threshold=jaccard_threshold,
+        checkpoint_dir=checkpoint_dir,
     ).select("id_a", "id_b")
-    members = dedup_components.connected_components(pairs, id_alias="doc_id")
-    near = dedup_components.canonical_per_component(members, exact, "doc_id")
+    members = dedup_components.connected_components(
+        pairs, id_alias="doc_id", checkpoint_dir=checkpoint_dir
+    )
+    near = ckpt(dedup_components.canonical_per_component(members, exact, "doc_id"))
     stage_rows["near_dedup"] = near.count()
 
     # --- decontamination vs the held-out eval slice ---------------------
     # the eval slice is carved by the deterministic hash gate BEFORE
     # decontamination, then every train doc sharing an 8-gram with eval
-    # is dropped — the leakage direction that actually poisons evals
+    # is dropped — the leakage direction that actually poisons evals.
+    # No broadcast hint on the gram index: it grows with the eval slice
+    # (data-sized at 100 TB) — AQE picks broadcast while it fits and
+    # shuffle-join beyond.
     gate = sampling.affine_gate("doc_id", salt=7)
     eval_docs = near.filter(gate < int(eval_fraction * sampling.GATE_BUCKETS))
     train_docs = near.filter(gate >= int(eval_fraction * sampling.GATE_BUCKETS))
@@ -108,12 +120,12 @@ def run_corpus_pipeline(
     eval_grams = eval_docs.select(gram("text").alias("gh")).distinct()
     train_grams = train_docs.select("doc_id", gram("text").alias("gh"))
     contaminated = (
-        train_grams.join(F.broadcast(eval_grams), "gh").select("doc_id").distinct()
+        train_grams.join(eval_grams, "gh").select("doc_id").distinct()
     )
-    clean = train_docs.join(contaminated, "doc_id", "left_anti")
+    clean = ckpt(train_docs.join(contaminated, "doc_id", "left_anti"))
     stage_rows["decontaminated"] = clean.count()
 
-    # --- chunk + pack ----------------------------------------------------
+    # --- chunk + pack (total order → layout-independent offsets) --------
     chunks = clean.select(
         "doc_id",
         "source",
@@ -126,12 +138,12 @@ def run_corpus_pipeline(
     packed = packing.pack_greedy(
         chunks,
         size_col="n_chunk_tokens",
-        order_col="doc_id",
+        order_col=["doc_id", "chunk_idx"],
         partition_cols=["source"],
         capacity=pack_capacity,
     )
 
-    # --- single write carries the final observation ----------------------
+    # --- the single real write carries the final observation -------------
     from .operators import quality
 
     packed_obs, obs = quality.with_observed_metrics(packed, "corpus_final")

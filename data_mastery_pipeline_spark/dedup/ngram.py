@@ -24,8 +24,15 @@ def jaccard_pairs_blocked(
     length_tolerance: float = 0.2,
     threshold: float = 0.35,
     build: str = "broadcast",
+    set_repr: str = "auto",
 ) -> DataFrame:
     """Exact token-set Jaccard over within-block pairs.
+
+    ``set_repr`` picks the token-set representation: ``"auto"`` probes
+    the corpus vocabulary at plan-construction time (a cheap sampled
+    bail-out first, then a full confirm only when the sample stays
+    small — see _small_vocab), ``"array"`` skips the probe entirely,
+    ``"bitmask"`` asserts a ≤63-token vocabulary and errors otherwise.
 
     Blocks on ``block_cols``; prunes pairs whose token counts differ by
     more than ``length_tolerance`` (a true Jaccard ≥ t implies the sizes
@@ -62,9 +69,19 @@ def jaccard_pairs_blocked(
     #   Jaccard needs, and a 64-bit collision altering a size is
     #   ~1e-11 per document pair).
     #
-    # Both paths produce identical (id_a, id_b, jaccard) — pinned by
-    # tests/test_properties.py and the near_dup_clusters oracle.
-    vocab = _small_vocab(df, text_col, limit=63)
+    # Both paths produce identical (id_a, id_b, jaccard) — pinned
+    # against brute-force ground truth for BOTH branches in
+    # tests/test_ngram_repr.py (the oracle corpora are all small-vocab,
+    # so without the forced-array test the fallback branch would be
+    # unexercised).
+    if set_repr == "array":
+        vocab = None
+    else:
+        vocab = _small_vocab(df, text_col, limit=63)
+        if set_repr == "bitmask" and vocab is None:
+            raise ValueError(
+                "set_repr='bitmask' requires a ≤63-token corpus vocabulary"
+            )
     if vocab is not None:
         vlit = F.array(*[F.lit(v) for v in vocab])
         # bit = 2^(dict position): pow(2, k) is a power of two, exactly
@@ -157,14 +174,28 @@ def _small_vocab(
     df: DataFrame, text_col: str, limit: int = 63
 ) -> list[str] | None:
     """The corpus-wide sorted token vocabulary if it has ≤ ``limit``
-    distinct tokens, else None. The collect is bounded at limit+1 rows
-    (metadata-sized by construction, never data-sized)."""
-    sample = (
-        df.select(F.explode(F.array_distinct(tokens(text_col))).alias("t"))
+    distinct tokens, else None.
+
+    Two-phase so large-vocab corpora (which then take the array path
+    anyway) don't pay a full tokenize pass for the probe: a 200-doc
+    sample usually exceeds the limit immediately and bails; only a
+    sample that stays small triggers the full-corpus confirm — exactly
+    the case where the bitmask encoding will repay it. The dictionary
+    must be COMPLETE (an out-of-dictionary token would silently drop
+    from the mask), hence the confirm pass. Driver transfer is bounded
+    at limit+1 rows in both phases; pass set_repr='array' upstream to
+    skip probing entirely."""
+    probe = (
+        lambda frame: frame.select(
+            F.explode(F.array_distinct(tokens(text_col))).alias("t")
+        )
         .distinct()
         .limit(limit + 1)
         .collect()
     )
+    if len(probe(df.limit(200))) > limit:
+        return None
+    sample = probe(df)
     if len(sample) > limit:
         return None
     return sorted(r["t"] for r in sample)

@@ -17,9 +17,11 @@ from functools import lru_cache
 
 @lru_cache(maxsize=1)
 def trimmed_mean_10():
-    """10%-trimmed mean GROUPED_AGG pandas UDF: drop the lowest and
-    highest decile of the group's values (by rank, floor count), average
-    the rest. NaN-safe; tiny groups fall back to their plain mean.
+    """10%-trimmed mean GROUPED_AGG pandas UDF: over the group's
+    NON-NULL values (nulls are dropped before the trim cut is computed
+    — the contract any native re-implementation must match), drop the
+    lowest and highest decile by rank (floor count) and average the
+    rest. Tiny groups fall back to their plain mean.
 
     A factory (not a module-level decorator) because ``@pandas_udf``
     parses its DDL return type against the ACTIVE session — decorating

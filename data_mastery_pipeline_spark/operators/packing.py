@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 def pack_greedy(
     df: DataFrame,
     size_col: str,
-    order_col: str,
+    order_col: str | Sequence[str],
     partition_cols: Sequence[str],
     capacity: int,
     bin_col: str = "bin_id",
@@ -38,10 +38,15 @@ def pack_greedy(
     """Add (start_offset, bin_id) per row: concat-and-split packing of
     ``size_col`` tokens in ``order_col`` order within each
     ``partition_cols`` group. One window (hash shuffle on the group key +
-    sort), no iteration."""
+    sort), no iteration.
+
+    ``order_col`` must be a TOTAL order within each partition group
+    (pass a list of tie-breaking columns when one isn't): a non-total
+    order makes the running-sum offsets partition-layout-dependent."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = (
         Window.partitionBy(*partition_cols)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum(F.col(size_col)).over(w) - F.col(size_col)

@@ -20,10 +20,10 @@ def test_corpus_pipeline_stage_monotonicity_and_outputs(spark, tmp_path):
     assert r["raw"] >= r["quality_gate"] >= r["exact_dedup"] >= r["near_dedup"]
     assert r["near_dedup"] >= r["decontaminated"]
     assert r["raw"] > 0 and r["decontaminated"] > 0
-    # chunking re-expands: every surviving doc yields ≥1 chunk
-    assert r["train_chunks"] >= r["decontaminated"] - int(
-        0.1 * sampling.GATE_BUCKETS
-    )
+    # chunking re-expands: every surviving doc yields ≥1 chunk, so the
+    # chunk count can never fall below the doc count (tight bound —
+    # 'decontaminated' already counts only post-eval-split train docs)
+    assert r["train_chunks"] >= r["decontaminated"]
 
     out = spark.read.parquet(res.train_path)
     # packing well-formed: offsets non-negative, bins start at 0 per source

@@ -1,0 +1,73 @@
+"""Both Jaccard set representations (int64 bitmask for ≤63-token
+vocabularies, hashed int arrays otherwise) against brute-force ground
+truth — the oracle corpora are all small-vocab, so the array branch
+would otherwise be unexercised."""
+
+from __future__ import annotations
+
+import itertools
+
+from data_mastery_pipeline_spark.dedup import ngram
+
+
+def _brute_pairs(rows, threshold):
+    sets = {i: set(t.split()) for i, t, _ in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            out[(a, b)] = round(j, 6)
+    return out
+
+
+def _corpus(vocab):
+    """Deterministic near-dup corpus over the given vocabulary: base
+    docs plus perturbed copies (one token swapped)."""
+    rows = []
+    for i in range(12):
+        # stride i*14 so 12 docs × 14 tokens sweep the WHOLE vocabulary
+        # (a 120-word vocab must actually appear to force the array path)
+        base = [vocab[(i * 14 + j) % len(vocab)] for j in range(14)]
+        rows.append((i * 2, " ".join(base), "en"))
+        near = list(base)
+        near[0] = vocab[(i * 5 + 7) % len(vocab)]
+        rows.append((i * 2 + 1, " ".join(near), "en"))
+    return rows
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = ngram.jaccard_pairs_blocked(
+        df, length_tolerance=0.5, threshold=0.5, **kw
+    ).collect()
+    return {(r["id_a"], r["id_b"]): round(r["jaccard"], 6) for r in got}
+
+
+def test_bitmask_branch_matches_brute_force(spark):
+    vocab = [f"w{i}" for i in range(40)]  # ≤63 → bitmask path
+    rows = _corpus(vocab)
+    got = _run(spark, rows)
+    assert got == _brute_pairs(rows, 0.5)
+    assert got  # the corpus genuinely contains qualifying pairs
+
+
+def test_array_branch_matches_brute_force_and_bitmask_semantics(spark):
+    vocab = [f"w{i}" for i in range(120)]  # >63 → array path under auto
+    rows = _corpus(vocab)
+    got_auto = _run(spark, rows)
+    assert got_auto == _brute_pairs(rows, 0.5)
+    # forcing the array path on the SMALL-vocab corpus must reproduce
+    # the bitmask branch bit-for-bit
+    small_rows = _corpus([f"w{i}" for i in range(40)])
+    assert _run(spark, small_rows, set_repr="array") == _run(spark, small_rows)
+
+
+def test_bitmask_request_on_large_vocab_is_loud(spark):
+    import pytest
+
+    rows = _corpus([f"w{i}" for i in range(120)])
+    df_rows = rows
+    with pytest.raises(ValueError, match="bitmask"):
+        _run(spark, df_rows, set_repr="bitmask")

@@ -15,6 +15,12 @@ from conftest import SF_SMOKE
 
 def test_trimmed_mean_udaf_matches_native_two_step(spark):
     ev = load_table(spark, "events", SF_SMOKE)
+    # inject null values so the null contract is actually exercised
+    # (the raw corpus has none): both implementations trim over the
+    # NON-NULL values only
+    ev = ev.withColumn(
+        "value", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    )
     got = {
         r["event_type"]: r["tm"]
         for r in ev.groupBy("event_type")
@@ -22,9 +28,11 @@ def test_trimmed_mean_udaf_matches_native_two_step(spark):
         .collect()
     }
 
-    # native two-step: per-group rank bounds, filter the tails, average
+    # native two-step: drop nulls FIRST (matching the UDAF's dropna),
+    # then per-group rank bounds, filter the tails, average
     from pyspark.sql import Window
 
+    ev = ev.filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     n = F.count("*").over(Window.partitionBy("event_type"))
     rn = F.row_number().over(w)
