@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import query, sql_quantize
+from .registry import quantize, query, sql_quantize
 from .sources import rest, runlog, writers
 from .tables import load_table
 
@@ -263,4 +263,98 @@ def pg_serving_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pgserving.read_serving_table(
         spark, table, port=pgserving.LOCAL_PORT, database="serving",
         partition_column="user_id", lower_bound=0, upper_bound=hi, num_partitions=4,
+    )
+
+
+@query(
+    "versioned_snapshot_diff",
+    f"""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '2000-01-01' AND o_orderkey % 101 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'
+    ), diff AS (
+      SELECT CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                  WHEN new.o_orderkey IS NULL THEN 'delete'
+                  WHEN new.o_totalprice <> old.o_totalprice THEN 'update'
+                  ELSE 'unchanged' END AS change_type,
+             COALESCE(new.o_totalprice, 0.0) AS new_price,
+             COALESCE(old.o_totalprice, 0.0) AS old_price
+      FROM old FULL OUTER JOIN new USING (o_orderkey)
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(new_price) * 100 + 0.5) / 100.0 AS sum_new_price,
+           floor(sum(old_price) * 100 + 0.5) / 100.0 AS sum_old_price
+    FROM diff GROUP BY change_type ORDER BY change_type
+    """,
+)
+def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_diff through the REAL versioned storage layer
+    (sources/versioned.py): the two synthetic order snapshots are
+    WRITTEN as table versions 1 and 2, read back via the version
+    pointer + time travel, and diffed — proving write→pointer-swing→
+    time-travel-read end to end, not just the diff algebra.
+
+    Scale: the versioned layer adds no read amplification (a snapshot
+    read is a plain parquet scan of one version dir); the diff itself
+    is snapshot_diff's single keyed full-outer join.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sources import versioned as _versioned
+
+    o = load_table(spark, "orders", sf_dir)
+    old = o.filter(
+        (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderkey") % 101 != 0)
+    ).select("o_orderkey", "o_totalprice")
+    new = o.filter(
+        F.col("o_orderdate") < F.lit("2000-07-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+
+    root = _os.path.join(
+        _tempfile.gettempdir(),
+        f"dmps_versioned_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    _versioned.write_version(spark, root, old)
+    _versioned.write_version(spark, root, new)
+
+    prev = _versioned.read_version(spark, root, 1)  # time travel
+    live = _versioned.read_version(spark, root)  # pointer resolve
+    joined = prev.alias("old").join(
+        live.alias("new"), "o_orderkey", "full_outer"
+    )
+    change = (
+        F.when(F.col("old.o_totalprice").isNull(), "insert")
+        .when(F.col("new.o_totalprice").isNull(), "delete")
+        .when(F.col("new.o_totalprice") != F.col("old.o_totalprice"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            change.alias("change_type"),
+            F.coalesce(F.col("new.o_totalprice"), F.lit(0.0)).alias("np"),
+            F.coalesce(F.col("old.o_totalprice"), F.lit(0.0)).alias("op"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n"),
+            quantize(F.sum("np"), "sum_new_price"),
+            quantize(F.sum("op"), "sum_old_price"),
+        )
+        .orderBy("change_type")
     )
