@@ -116,6 +116,7 @@ _PRIORITY = [
     "embedding_dim_correlations",
     "rolling_7d_active_users",
     "user_value_decile_lift",
+    "versioned_snapshot_diff",
     # remaining batch-1 analytics
     "linestatus_priority_counts",
     "small_quantity_revenue",
