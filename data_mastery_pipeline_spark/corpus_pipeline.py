@@ -64,6 +64,7 @@ def run_corpus_pipeline(
     overlap: int = 10,
     pack_capacity: int = 256,
     eval_fraction: float = 0.1,
+    n_shards: int | None = None,
     checkpoint_dir: str | None = None,
 ) -> CorpusResult:
     """Run the corpus lifecycle over ``documents`` at ``sf_dir``; write
@@ -144,6 +145,12 @@ def run_corpus_pipeline(
     )
 
     # --- the single real write carries the final observation -------------
+    # n_shards: hash-repartition on the pack keys → exactly n output
+    # files with a deterministic row→shard mapping (what a training
+    # dataloader wants; repartitionByRange would sample boundaries
+    # nondeterministically)
+    if n_shards is not None:
+        packed = packed.repartition(n_shards, F.col("source"), F.col("bin_id"))
     from .operators import quality
 
     packed_obs, obs = quality.with_observed_metrics(packed, "corpus_final")
