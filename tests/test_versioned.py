@@ -75,3 +75,51 @@ def test_reader_never_sees_pointer_before_data(spark, root):
     for ver in v:
         # every version listed on disk is fully readable
         assert versioned.read_version(spark, root, ver).count() >= 1
+
+
+def test_stream_to_versioned_table_time_travelable_history(spark, tmp_path):
+    """foreachBatch + versioned tables: each micro-batch commits a NEW
+    cumulative snapshot, so the stream's whole history is time-travelable
+    (what a table-format streaming sink gives you, on plain parquet)."""
+    from data_mastery_pipeline_spark.tables import load_table
+
+    from conftest import SF_SMOKE
+
+    ev = load_table(spark, "events", SF_SMOKE).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = tmp_path / "src"
+    halves = [ev.filter(F.col("event_id") % 2 == i) for i in range(2)]
+    for i, h in enumerate(halves):
+        h.coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    root = str(tmp_path / "vtable")
+
+    def commit_version(batch_df, _bid):
+        try:
+            prev = versioned.read_version(batch_df.sparkSession, root)
+            cumulative = prev.unionByName(batch_df)
+        except FileNotFoundError:
+            cumulative = batch_df
+        versioned.write_version(batch_df.sparkSession, root, cumulative)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+        .writeStream.foreachBatch(commit_version)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    vs = versioned.versions(spark, root)
+    assert len(vs) == 2  # one snapshot per micro-batch
+    # history is monotone and the final snapshot is the full table
+    counts = [versioned.read_version(spark, root, v).count() for v in vs]
+    assert counts == sorted(counts)
+    assert counts[-1] == ev.count()
+    # time travel into the stream's past: version 1 is exactly batch 0
+    assert counts[0] == halves[0].count()
