@@ -311,3 +311,12 @@ def test_minhash_signatures_and_simhash_fingerprints_zero_shuffle(spark):
     for hash_fn in ("xxhash64", "md5_60"):
         fp = simhash.simhash_fingerprints(docs, hash_fn=hash_fn)
         assert plans.exchange_count(fp) == 0, hash_fn
+
+
+def test_per_group_topk_uses_window_group_limit(spark):
+    """rank()<=k filters compile to WindowGroupLimit (Spark's per-group
+    top-k pushdown: each partition keeps k rows BEFORE the sort/window,
+    so a billion-row group never materializes its full sorted run) —
+    the optimization that makes window top-k viable at scale."""
+    df = QUERIES["top_customers_per_segment"](spark, SF_ORACLE)
+    assert "WindowGroupLimit" in plans.formatted_plan(df)
