@@ -117,6 +117,7 @@ _PRIORITY = [
     "rolling_7d_active_users",
     "user_value_decile_lift",
     "versioned_snapshot_diff",
+    "near_dup_cluster_sizes",
     # remaining batch-1 analytics
     "linestatus_priority_counts",
     "small_quantity_revenue",

@@ -1326,3 +1326,34 @@ def semantic_search_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cos", "lang", "source", "n_chars")
         .orderBy(F.desc("cos"), F.col("vec_id"))
     )
+
+
+@query(
+    "near_dup_cluster_sizes",
+    _SQL_NEAR_DUP_CLUSTERS.replace(
+        "SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node",
+        """SELECT CAST(sz AS BIGINT) AS cluster_size,
+              CAST(count(*) AS BIGINT) AS n_clusters
+       FROM (
+         SELECT min(lab) AS cid, CAST(count(DISTINCT node) AS BIGINT) AS sz
+         FROM (SELECT node, min(lab) AS lab FROM reach GROUP BY node)
+         GROUP BY lab
+       ) GROUP BY sz ORDER BY sz""",
+    ),
+)
+def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the near-dup cluster-size histogram — the
+    first thing to look at after any dedup run (a sudden giant cluster
+    means boilerplate or a broken shingle config, long before anyone
+    inspects pairs). Derived from the same CC members as
+    near_dup_clusters; two tiny aggregates over the member relation.
+    """
+    members = _near_dup_members(spark, sf_dir)
+    sizes = members.groupBy("cluster_id").agg(
+        F.countDistinct("doc_id").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

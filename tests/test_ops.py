@@ -281,3 +281,15 @@ def test_decile_lift_weighted_rates_average_to_one(spark):
     wmean = sum(r["lift"] * r["n_users"] for r in rows) / n
     assert math.isclose(wmean, 1.0, abs_tol=0.01)
     assert all(r["rate"] >= 0.0 for r in rows)
+
+
+def test_cluster_size_histogram_accounts_every_clustered_doc(spark, duck):
+    import data_mastery_pipeline_spark.queries_ext  # noqa: F401
+
+    rows = QUERIES["near_dup_cluster_sizes"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["cluster_size"] >= 2 for r in rows)  # singletons aren't clusters
+    # histogram mass equals the clustered-doc count from the member query
+    n_docs = sum(r["cluster_size"] * r["n_clusters"] for r in rows)
+    members = QUERIES["near_dup_clusters"](spark, SF_SMOKE)
+    assert n_docs == members.count()
