@@ -36,89 +36,61 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's verify appears bounded at ~50 queries per round, so the
-# iteration order IS the verification budget. This round's window, in
-# adjudication-value order:
-#   (a) the 8 round-3 FAILURES — the verdict's top item is proving the
-#       footer-driven ts fix re-greened them; a green r04 row is the
-#       only driver-visible proof.
-#   (b) the 6 queries never driver-checked in any round.
-#   (c) the 14 events-reading r01 greens invalidated by the testdata
-#       regen (1 proven broken then; all fixed by the same ts fix).
-#   (d) as many of this round's ~50 NEW queries as fit the window —
-#       TPC-H completion and the highest-novelty operators first; the
-#       rest hold driver-grade local parity (tests/test_oracle_parity
-#       mirrors the driver exactly) and rotate into later rounds.
+# iteration order IS the verification budget. Round 5 spends the ENTIRE
+# window on the verification backlog (VERDICT r04 task 3 — new-query
+# registration is frozen this round):
+#   (a) profile_events — the one red r04 row; its oracle now carries the
+#       CAST(sum(CASE …) AS BIGINT) the repo convention mandates, and
+#       the local mirror is type-faithful (tools/typenorm.py) so it
+#       predicts the driver.
+#   (b) the 6 ex-`no_oracle` queries — oracles exist since r04 but the
+#       driver's last word on each is still the weaker rows-only check.
+#   (c) the 40 queries never driver-checked in any round (r01-r04
+#       union), ordered oldest-registered first.
+#   (d) leftover slots → highest-value standing re-greens.
 _PRIORITY = [
-    # (a) round-3 failures — prove the re-green
-    "stream_tumbling_hourly",
-    "stream_sliding_halfhour",
-    "stream_session_30m",
-    "stream_user_sessions",
-    "stream_interval_join",
-    "gap_fill_ffill",
-    "kafka_roundtrip",
-    "partitioned_roundtrip",
-    # (b) never driver-checked in r01-r03
-    "semantic_search_meta",
-    "rfm_segments",
-    "revenue_concentration",
-    "user_value_runs",
-    "event_path_trigrams",
+    # (a) the red r04 row, fixed
     "profile_events",
-    # (c) events-reading r01 greens invalidated by the regen
-    "asof_join_purchases",
-    "daily_agg",
-    "hourly_agg",
-    "weekly_rollup",
-    "day_night_agg",
-    "dedup_latest",
-    "dup_groups",
-    "derived_columns",
-    "lag_delta",
-    "latest_per_user",
-    "user_sessions_batch",
-    "clicks_near_purchases",
-    "pivot_event_values",
-    "unpivot_daily_measures",
-    # (d) new queries, highest adjudication value first:
-    # TPC-H completion (Q4/Q5/Q6/Q8/Q9/Q11/Q16/Q20 analogs)
-    "late_order_priorities",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    "national_market_share",
-    "product_profit_by_nation",
-    "important_part_values",
-    "supplier_part_variety",
-    "dominant_part_suppliers",
-    # CDC + iterative ML + sketches (round-5 batch 1)
-    "snapshot_diff",
-    "incremental_daily_agg",
-    "kmeans_embeddings",
-    "theta_audience_overlap",
-    "kll_value_quantiles",
-    "temperature_resample",
-    # operational analytics + corpus hygiene (round-5 batch 2)
-    "incremental_minhash_dedup",
-    "shared_substring_spans",
-    "boilerplate_ngram_share",
-    "bm25_search",
-    "pagerank_event_types",
-    "purchase_attribution",
-    "linear_attribution",
-    "weekday_forecast_backtest",
+    # (b) ex-no_oracle — upgrade rows-only to value-hash driver rows
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "ann_ivf_topk",
+    "value_percentiles_approx",
+    "rolling_fingerprints",
+    "distinct_users_approx",
+    # (c) never driver-checked: round-2 stats batch
+    "rich_inactive_customers",
+    "tfidf_top_terms",
+    "length_deciles",
+    "source_mixture",
+    "string_suite",
+    "ship_priority",
+    "returned_revenue_by_customer",
+    "embedding_norms",
+    "modal_value_bucket",
+    "distinct_users_hll_sketch",
+    "daily_revenue_anomalies",
+    "part_cooccurrence",
+    "ewma_user_value",
+    # (c) never driver-checked: round-4 corpus monitors + funnels
+    "lm_bigram_quality",
+    "source_unigram_drift",
+    "funnel_conversion",
+    "cohort_retention",
+    "prefix_edit_near_dups",
+    # (c) never driver-checked: operational analytics
     "events_quarantine",
     "ab_test_conversion",
     "chi2_type_value",
     "path_regex_funnel",
     "weighted_sample_per_source",
-    "rolling_fingerprints",
     "revenue_trend_by_nation",
     "embedding_dim_correlations",
     "rolling_7d_active_users",
     "user_value_decile_lift",
     "versioned_snapshot_diff",
     "near_dup_cluster_sizes",
-    # remaining batch-1 analytics
+    # (c) never driver-checked: batch-1 analytics + drift monitors
     "linestatus_priority_counts",
     "small_quantity_revenue",
     "min_cost_supplier",
@@ -130,18 +102,12 @@ _PRIORITY = [
     "stream_enrich_static",
     "psi_value_drift",
     "user_behavior_entropy",
-    # tightened-oracle + iterative ops — keep near the window edge
-    "minhash_near_dup",
-    "simhash_near_dup",
-    "value_percentiles_approx",
-    "ann_ivf_topk",
+    # (d) leftover slots: highest-value standing re-greens
+    "pricing_summary",
     "near_dup_clusters",
-    "ewma_user_value",
-    "lm_bigram_quality",
-    "funnel_conversion",
-    "cohort_retention",
-    "prefix_edit_near_dups",
-    "source_unigram_drift",
+    "near_dup_canonical",
+    "exact_dedup",
+    "star_revenue",
 ]
 
 

@@ -60,6 +60,13 @@ HEADLINE = [
     "local_supplier_volume",
     "boilerplate_ngram_share",
     "pagerank_event_types",
+    # round 5 batch 3 (VERDICT r04 task 6): heaviest never-benched —
+    # pair generation + per-pair Levenshtein are the likeliest hidden
+    # costs on the new dedup surface
+    "shared_substring_spans",
+    "bm25_search",
+    "incremental_minhash_dedup",
+    "prefix_edit_near_dups",
 ]
 
 

@@ -9,24 +9,33 @@ component via iterative min-label propagation:
     label(n) ← min(label(n), min_{(m,n) ∈ E} label(m))      until fixpoint
 
 Each iteration is one join + one min-aggregate — both plain shuffles on
-the node id. Convergence takes O(graph diameter) rounds, and near-dup
-graphs are shallow (docs similar to a common ancestor), so 3-5 rounds is
-typical. `localCheckpoint` after each round truncates the lineage so the
-plan doesn't grow exponentially across iterations (the classic iterative-
-DataFrame trap: unchecked, round k replays rounds 1..k-1).
+the node id — followed by POINTER DOUBLING TO FIXPOINT (Wyllie '79):
+the round's pointer forest ``lab`` is composed with itself
+(``lab ← lab∘lab``) until idempotent, so a depth-d forest collapses in
+⌈log₂ d⌉ node-sized self-joins and total convergence is O(log diameter)
+ROUNDS — not O(diameter). (Round 5 measured the single-jump variant at
+exactly 2 edges removed per round on a path graph: linear. A chain of
+33 nodes now converges in ONE round, 6 doublings.) Contraction then
+rewrites the edge set in representative space (Kiveris et al., SoCC'14
+style), so dense near-dup cliques vanish after round 1 and later rounds
+shuffle thousands of rows, not the full edge set. `localCheckpoint`
+per materialization truncates lineage (the classic iterative-DataFrame
+trap: unchecked, round k replays rounds 1..k-1; a doubling self-join
+unchecked DOUBLES the plan per jump).
 
-At extreme scale (billions of edges, high-diameter graphs) the
-alternating large-star/small-star algorithm (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) converges in fewer, more
-balanced rounds; min-propagation is the right default for the shallow
-graphs dedup produces.
+Scale shape at 100 TB: per round, one edge-sized shuffle (propagation +
+contraction) plus O(log d) node-sized shuffles (doubling) — against the
+O(d) edge-sized rounds of plain propagation. Near-dup graphs are
+shallow so doubling stops after 1-2 jumps there; the log bound is what
+makes the operator safe on ADVERSARIAL graphs (long chains of
+pairwise-similar docs — exactly what boilerplate families produce).
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..checkpointing import release, truncate_lineage
@@ -99,14 +108,51 @@ def connected_components(
             .withColumn("lab", F.least("id", "lab"))
         )
         prop = ckpt(prop)  # also breaks the self-join plan identity below
-        # Pointer jump (lab ← lab(lab)): collapses the stars the round
-        # just formed; tiny join over the prop checkpoint, recomputed by
-        # each consumer inside the same job — stages, not extra jobs.
-        ptr = prop.select(F.col("id").alias("p_id"), F.col("lab").alias("p_lab"))
-        jumped = (
-            prop.join(ptr, F.col("lab") == F.col("p_id"))
-            .select("id", F.col("p_lab").alias("lab"))
-        )
+        # Pointer doubling to FIXPOINT (lab ← lab∘lab, repeated): each
+        # jump squares the compression, so a depth-d pointer chain fully
+        # collapses in ⌈log₂ d⌉ jumps — a single jump only composes
+        # i→i-1 into i→i-2 and leaves convergence linear in diameter.
+        # Idempotence probe: lab(i) ≤ i always (min-based), so the label
+        # sum strictly decreases iff a jump changed anything; decimal(38)
+        # so int64-hash node ids can't overflow the probe. Each jump is
+        # checkpointed — an unchecked doubling self-join doubles the
+        # PLAN per jump (2^k nodes by jump k).
+        jumped = prop
+        jump_ckpt = None  # checkpointed frame backing `jumped`
+        n_jumps = 0
+        while True:
+            ptr = jumped.select(
+                F.col("id").alias("p_id"), F.col("lab").alias("p_lab")
+            )
+            jump = jumped.join(ptr, F.col("lab") == F.col("p_id")).select(
+                "id",
+                F.col("p_lab").alias("lab"),
+                (F.col("p_lab") != F.col("lab")).alias("moved"),
+            )
+            if checkpoint_dir is None:
+                # observe() piggybacks the idempotence probe on the
+                # checkpoint's own materialization job — zero extra jobs
+                # per jump (localCheckpoint fires the observation;
+                # RDD-level reliable checkpoint() does not, hence the
+                # fallback below)
+                obs = Observation()
+                nxt = ckpt(
+                    jump.observe(
+                        obs, F.sum(F.col("moved").cast("long")).alias("m")
+                    )
+                )
+                n_moved = obs.get["m"] or 0
+            else:
+                nxt = ckpt(jump)
+                # count over just-materialized blocks — cheap, no rejoin
+                n_moved = nxt.filter("moved").count()
+            n_jumps += 1
+            if jump_ckpt is not None:
+                release(jump_ckpt, checkpoint_dir)
+            jump_ckpt = nxt
+            jumped = nxt.drop("moved")
+            if n_moved == 0 or n_jumps >= 40:  # 2^40 depth: unreachable
+                break
         # Compose into the full mapping (original node space).
         new_mapping = (
             mapping.alias("m")
@@ -155,6 +201,8 @@ def connected_components(
         # free superseded checkpoint blocks — an unbounded loop would
         # otherwise accumulate every round's materialization in storage
         release(prop, checkpoint_dir)
+        if jump_ckpt is not None:
+            release(jump_ckpt, checkpoint_dir)
         release(prev_d, checkpoint_dir)
         if prev_combined is not None:
             release(prev_combined, checkpoint_dir)
@@ -164,6 +212,7 @@ def connected_components(
                 "round": _round,
                 "wall_sec": round(time.time() - _t0, 3),
                 "edges_after": n_edges,
+                "jumps": n_jumps,
             }
         )
         if n_edges == 0:

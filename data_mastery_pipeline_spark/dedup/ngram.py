@@ -88,13 +88,36 @@ def jaccard_pairs_blocked(
         # representable in double for k ≤ 62, so the long cast is exact
         # (shiftleft would be the obvious tool but only takes a literal
         # shift amount)
+        # Out-of-dictionary tokens fail LOUDLY: array_position returns 0
+        # for a miss, and without the guard pow(2,-1)=0.5 casts to 0 —
+        # the token would silently encode to NO bit and corrupt every
+        # Jaccard it touches. A miss is only possible if the data drifts
+        # between the plan-time _small_vocab collect and execution
+        # (nondeterministic source, re-executed lineage) — exactly the
+        # case that must not pass silently (ADVICE r04).
+        def _bit(acc, t):
+            pos = F.array_position(vlit, t)
+            checked = F.when(
+                pos == 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "bitmask set_repr: token absent from the "
+                            "probed vocabulary (data changed between "
+                            "planning and execution): "
+                        ),
+                        t,
+                    )
+                ).cast("long"),
+            ).otherwise(pos)
+            return acc.bitwiseOR(
+                F.pow(F.lit(2.0), (checked - 1).cast("double")).cast("long")
+            )
+
         mask = F.aggregate(
             F.array_distinct(tokens(text_col)),
             F.lit(0).cast("long"),
-            lambda acc, t: acc.bitwiseOR(
-                F.pow(F.lit(2.0), (F.array_position(vlit, t) - 1).cast("double"))
-                .cast("long")
-            ),
+            _bit,
         )
         toks_repr = mask.alias("toks")
         n_toks = F.bit_count("toks").cast("int")

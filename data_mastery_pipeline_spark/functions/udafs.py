@@ -36,7 +36,10 @@ def trimmed_mean_10():
         a = np.sort(v.dropna().to_numpy(dtype="float64"))
         n = len(a)
         if n == 0:
-            return float("nan")
+            # NULL, not NaN: native Spark aggregates return NULL for an
+            # all-null group, and NaN diverges from NULL in comparisons,
+            # joins, and groupBy — the parity contract pins this.
+            return None
         cut = int(n * 0.1)
         core = a[cut : n - cut] if n - 2 * cut > 0 else a
         return float(core.mean())

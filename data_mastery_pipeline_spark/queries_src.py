@@ -303,7 +303,7 @@ def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     read is a plain parquet scan of one version dir); the diff itself
     is snapshot_diff's single keyed full-outer join.
     """
-    import os as _os
+    import atexit as _atexit
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -325,11 +325,13 @@ def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_totalprice"),
     )
 
-    root = _os.path.join(
-        _tempfile.gettempdir(),
-        f"dmps_versioned_{_os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    _shutil.rmtree(root, ignore_errors=True)
+    # Per-invocation unique dir: a fixed shared path raced when bench
+    # and the driver verify ran concurrently over the same sf_dir — one
+    # rmtree'd the other's snapshots mid-read (ADVICE r04). The result
+    # DataFrame reads this dir lazily, so cleanup is deferred to process
+    # exit rather than done here.
+    root = _tempfile.mkdtemp(prefix="dmps_versioned_")
+    _atexit.register(_shutil.rmtree, root, ignore_errors=True)
     _versioned.write_version(spark, root, old)
     _versioned.write_version(spark, root, new)
 

@@ -1293,28 +1293,28 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (SELECT * FROM events)
     SELECT * FROM (
       SELECT 'event_id' AS "column", 'bigint' AS dtype, count(*) AS n_rows,
-             sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+             CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
              count(DISTINCT event_id) AS n_distinct,
              min(event_id)::VARCHAR AS min_value, max(event_id)::VARCHAR AS max_value
       FROM s
       UNION ALL
       SELECT 'event_type', 'string', count(*),
-             sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+             CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT event_type),
              min(event_type), max(event_type) FROM s
       UNION ALL
       SELECT 'props', 'string', count(*),
-             sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+             CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT props),
              min(props), max(props) FROM s
       UNION ALL
       SELECT 'ts', 'timestamp', count(*),
-             sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
+             CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT ts),
              min(ts)::VARCHAR, max(ts)::VARCHAR FROM s
       UNION ALL
       SELECT 'user_id', 'bigint', count(*),
-             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT user_id),
              min(user_id)::VARCHAR, max(user_id)::VARCHAR FROM s
     ) ORDER BY "column"

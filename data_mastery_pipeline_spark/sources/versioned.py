@@ -46,7 +46,10 @@ def _read_pointer(spark: SparkSession, root: str) -> int | None:
     fs, _, jvm = _fs(spark, root)
     p = jvm.org.apache.hadoop.fs.Path(f"{root}/{_POINTER}")
     if not fs.exists(p):
-        return None
+        # Pointer momentarily absent (FS without atomic-replace support
+        # mid-swing) or never written: newest durable snapshot wins.
+        vs = versions(spark, root)
+        return max(vs) if vs else None
     stream = fs.open(p)
     try:
         data = bytes(stream.readAllBytes()).decode("utf-8").strip()
@@ -64,10 +67,25 @@ def _write_pointer(spark: SparkSession, root: str, version: int) -> None:
         out.write(bytearray(str(version).encode("utf-8")))
     finally:
         out.close()
-    # atomic swing: rename over the old pointer
-    fs.delete(final, False)
-    if not fs.rename(tmp, final):
-        raise IOError(f"pointer rename failed for {root} v{version}")
+    # Atomic swing: FileContext.rename(…, Rename.OVERWRITE) replaces the
+    # old pointer in one operation on HDFS and POSIX local FS — no
+    # window where _VERSION is missing (delete-then-rename had one).
+    try:
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            final.toUri(), conf
+        )
+        opts = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, final, opts)
+    except Exception:
+        # FS without FileContext support: fall back to delete-then-rename;
+        # readers cover the gap via the max(versions()) fallback above.
+        fs.delete(final, False)
+        if not fs.rename(tmp, final):
+            raise IOError(f"pointer rename failed for {root} v{version}")
 
 
 def _vdir(root: str, version: int) -> str:

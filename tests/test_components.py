@@ -28,6 +28,31 @@ def test_triangle_with_bridge(spark):
     assert got == {2: 2, 5: 2, 6: 2, 7: 2}
 
 
+def test_convergence_rounds_logarithmic_in_diameter(spark):
+    """Structural guard against the round-2/3 49 s regression class
+    (VERDICT r04 task 7): contraction + pointer jumping must converge in
+    ≤ ceil(log2(diameter)) + 1 rounds, not O(diameter). A worst-case
+    path graph of diameter 32 therefore gets at most 6 rounds — plain
+    min-propagation without jumping would need 32 and any silent
+    reintroduction of that behavior fails here, loudly."""
+    import math
+
+    diameter = 32
+    got = _cc(spark, [(i, i + 1) for i in range(diameter)])
+    assert got == {i: 0 for i in range(diameter + 1)}
+    rounds = len(components.LAST_RUN_STATS)
+    bound = math.ceil(math.log2(diameter)) + 1
+    assert rounds <= bound, (
+        f"CC took {rounds} rounds on a diameter-{diameter} path "
+        f"(bound {bound}) — pointer jumping/contraction degraded: "
+        f"{components.LAST_RUN_STATS}"
+    )
+    # and the per-round instrumentation the bench detail relies on exists
+    assert all(
+        {"round", "wall_sec", "edges_after"} <= set(s) for s in components.LAST_RUN_STATS
+    )
+
+
 def test_canonical_keep_drops_non_min_members(spark):
     df = spark.createDataFrame(
         [(i, f"doc{i}") for i in range(6)], "doc_id long, text string"

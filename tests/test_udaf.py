@@ -53,3 +53,26 @@ def test_trimmed_mean_udaf_matches_native_two_step(spark):
         for r in ev.groupBy("event_type").agg(F.avg("value").alias("m")).collect()
     }
     assert any(not math.isclose(got[k], plain[k], rel_tol=1e-9) for k in got)
+
+
+def test_trimmed_mean_udaf_all_null_group_returns_null(spark):
+    """Native-aggregate parity for the empty case: an all-null group
+    yields NULL (as avg/sum would), never NaN — NaN breaks joins,
+    comparisons, and groupBy in ways NULL doesn't (ADVICE r04)."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None)],
+        "grp string, value double",
+    )
+    # (a GROUPED_AGG pandas UDF can't share an agg() with native
+    # aggregates — INVALID_PANDAS_UDF_PLACEMENT — so two passes)
+    udaf = {
+        r["grp"]: r["tm"]
+        for r in df.groupBy("grp").agg(trimmed_mean_10()("value").alias("tm")).collect()
+    }
+    native = {
+        r["grp"]: r["m"]
+        for r in df.groupBy("grp").agg(F.avg("value").alias("m")).collect()
+    }
+    assert udaf["a"] == 2.0
+    assert udaf["b"] is None, "all-null group must be NULL, not NaN"
+    assert native["b"] is None  # the contract being mirrored

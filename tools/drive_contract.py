@@ -1,9 +1,20 @@
-"""Driver-contract emulator: runs __spark_entry__ like the grading driver."""
+"""Driver-contract emulator: runs __spark_entry__ like the grading driver.
+
+Round 5: type-faithful via tools.typenorm — a HUGEINT/DECIMAL oracle
+column or a cross-engine type-class mismatch is a FAIL here even when
+the stringified values agree, because the real driver hashes typed
+values (profile_events, CORRECTNESS_r04)."""
 import sys, time, hashlib
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
 from data_mastery_pipeline_spark.session import get_spark
+from tools.typenorm import (
+    duck_type_class,
+    forbidden_columns,
+    norm_rows,
+    spark_type_class,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
@@ -23,21 +34,8 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'")
 
-def norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if v is None:
-                vals.append("NULL")
-            elif isinstance(v, float):
-                vals.append(f"{round(v, 6)}")
-            else:
-                vals.append(str(v))
-        out.append("|".join(vals))
-    out.sort()
+def hash_norm(normed):
+    out = ["|".join(str(c) for c in row) for row in normed]
     return hashlib.sha256("\n".join(out).encode()).hexdigest()
 
 qs = E.queries()
@@ -48,6 +46,7 @@ for name, fn in qs.items():
     try:
         df = fn(spark, SF_ORACLE)
         cols = df.columns
+        sclasses = [spark_type_class(f.dataType) for f in df.schema.fields]
         srows = [tuple(r) for r in df.collect()]
     except Exception as ex:
         fails.append((name, f"spark-err: {ex}"))
@@ -58,19 +57,35 @@ for name, fn in qs.items():
         print(f"{name}: rows-only {len(srows)} ({time.time()-t0:.1f}s)")
         continue
     try:
-        cur = con.execute(oracles[name])
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
+        rel = con.sql(oracles[name])
+        ocols = list(rel.columns)
+        oclasses = [duck_type_class(t) for t in rel.types]
+        orows = rel.fetchall()
     except Exception as ex:
         fails.append((name, f"duck-err: {ex}"))
         print(f"{name}: DUCK ERROR {str(ex)[:200]}")
         continue
     ok_cols = sorted(cols) == sorted(ocols)
+    bad_types = forbidden_columns(ocols, oclasses) + forbidden_columns(cols, sclasses)
+    sp_by, du_by = dict(zip(cols, sclasses)), dict(zip(ocols, oclasses))
+    class_mism = (
+        {c: (sp_by[c], du_by[c]) for c in sp_by if c in du_by and sp_by[c] != du_by[c]}
+        if ok_cols else {}
+    )
     ok_rows = len(srows) == len(orows)
-    ok_hash = ok_cols and ok_rows and norm(srows, cols) == norm(orows, ocols)
+    ok_hash = (
+        ok_cols and ok_rows and not bad_types and not class_mism
+        and hash_norm(norm_rows(srows, cols, sclasses))
+        == hash_norm(norm_rows(orows, ocols, oclasses))
+    )
     status = "OK" if (ok_cols and ok_rows and ok_hash) else "FAIL"
     if status == "FAIL":
-        fails.append((name, f"cols={ok_cols} rows={len(srows)}vs{len(orows)} hash={ok_hash}"))
+        fails.append((
+            name,
+            f"cols={ok_cols} rows={len(srows)}vs{len(orows)} hash={ok_hash}"
+            + (f" forbidden-types={bad_types}" if bad_types else "")
+            + (f" class-mismatch={class_mism}" if class_mism else ""),
+        ))
     print(f"{name}: {status} ({len(srows)} rows, {time.time()-t0:.1f}s)")
 
 print(f"\n=== {len(qs)} queries: {len(fails)} FAIL, {len(no_oracle)} rows-only ===")
