@@ -44,6 +44,21 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 
+    # The driver-side Python runners for Python Data Sources (the
+    # streaming source planner in particular) are child processes of the
+    # JVM that see neither the driver's sys.path nor addPyFile shipping
+    # — they import from the JVM's inherited PYTHONPATH. Export the
+    # package's parent dir BEFORE the JVM launches so a driver started
+    # from any cwd (pytest in tests/, the grading driver in /tmp) still
+    # resolves the package in those workers. No-op if the JVM is already
+    # up — addPyFile covers executor tasks either way.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -71,3 +71,20 @@ def test_bitmask_request_on_large_vocab_is_loud(spark):
     df_rows = rows
     with pytest.raises(ValueError, match="bitmask"):
         _run(spark, df_rows, set_repr="bitmask")
+
+
+def test_bitmask_out_of_vocab_token_fails_loudly(spark, monkeypatch):
+    """If the data drifts between the plan-time vocabulary probe and
+    execution (nondeterministic source, re-executed lineage), an
+    out-of-dictionary token must RAISE, not silently encode to no bit
+    and corrupt every Jaccard it touches (ADVICE r04). Simulated by
+    pinning the probe to a vocabulary missing one live token."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "en", "aa bb cc"), (2, "en", "aa bb dd")],
+        "doc_id long, lang string, text string",
+    )
+    monkeypatch.setattr(ngram, "_small_vocab", lambda *a, **k: ["aa", "bb", "cc"])
+    with pytest.raises(Exception, match="absent from the probed vocabulary"):
+        ngram.jaccard_pairs_blocked(df, threshold=0.1).collect()
