@@ -83,6 +83,9 @@ def main() -> None:
     if args and args[0] == "--ann":
         ann_probe([int(a) for a in args[1:]] or [1, 4, 16])
         return
+    if args and args[0] == "--cc-diameter":
+        cc_diameter_probe([int(a) for a in args[1:]] or [32, 256, 2048])
+        return
     ks = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(app_name="scale_probe")
     # warm JVM + python paths once
@@ -153,6 +156,46 @@ def amplified_embeddings(spark, k: int):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cc_diameter_probe(diameters) -> None:
+    """Connected-components round/jump growth on the ADVERSARIAL shape:
+    a path graph of diameter d (every near-dup operator's worst case —
+    a chain of pairwise-similar docs with no common ancestor). With
+    pointer doubling to fixpoint a path converges in ONE round and
+    ⌈log₂ d⌉+1 jumps; rounds growing with d instead would mean the
+    linear-convergence regression is back (each round is a full
+    materialization cycle, so rounds are the expensive axis)."""
+    import math
+
+    from data_mastery_pipeline_spark.dedup import components as cc
+    from data_mastery_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe_cc", shuffle_partitions=8)
+    spark.range(10).count()
+
+    for d in diameters:
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(d)], "id_a long, id_b long"
+        ).coalesce(8)
+        t0 = time.time()
+        labels = cc.connected_components(edges)
+        n_comp = labels.select("component").distinct().count()
+        stats = list(cc.LAST_RUN_STATS)
+        print(
+            json.dumps(
+                {
+                    "probe": "cc_diameter",
+                    "diameter": d,
+                    "components": n_comp,
+                    "rounds": len(stats),
+                    "jumps_total": sum(s.get("jumps", 0) for s in stats),
+                    "jump_bound": math.ceil(math.log2(d)) + 1,
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
 
 
 def ann_probe(ks) -> None:
