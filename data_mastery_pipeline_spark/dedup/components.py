@@ -112,11 +112,14 @@ def connected_components(
         # jump squares the compression, so a depth-d pointer chain fully
         # collapses in ⌈log₂ d⌉ jumps — a single jump only composes
         # i→i-1 into i→i-2 and leaves convergence linear in diameter.
-        # Idempotence probe: lab(i) ≤ i always (min-based), so the label
-        # sum strictly decreases iff a jump changed anything; decimal(38)
-        # so int64-hash node ids can't overflow the probe. Each jump is
-        # checkpointed — an unchecked doubling self-join doubles the
-        # PLAN per jump (2^k nodes by jump k).
+        # Idempotence probe: each jump carries a per-row `moved` flag
+        # (did this label change?); a jump with zero moved rows is the
+        # fixpoint. On the local path the moved count is observe()d
+        # during the checkpoint's own materialization job; on the
+        # reliable path (RDD-level checkpoint, which doesn't fire
+        # observations) it is a count over the just-materialized blocks.
+        # Each jump is checkpointed — an unchecked doubling self-join
+        # doubles the PLAN per jump (2^k nodes by jump k).
         jumped = prop
         jump_ckpt = None  # checkpointed frame backing `jumped`
         n_jumps = 0

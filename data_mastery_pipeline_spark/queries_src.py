@@ -21,6 +21,11 @@ from .registry import quantize, query, sql_quantize
 from .sources import rest, runlog, writers
 from .tables import load_table
 
+# versioned_snapshot_diff: last temp snapshot root per sf_dir, so the
+# next in-process invocation can reclaim it (its result is consumed by
+# then) instead of leaking one two-snapshot dir per call.
+_VSD_LAST_DIR: dict[str, str] = {}
+
 
 def _golden_weather_values() -> str:
     """DuckDB VALUES literal for the synthetic REST fetch of the default
@@ -328,9 +333,15 @@ def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-invocation unique dir: a fixed shared path raced when bench
     # and the driver verify ran concurrently over the same sf_dir — one
     # rmtree'd the other's snapshots mid-read (ADVICE r04). The result
-    # DataFrame reads this dir lazily, so cleanup is deferred to process
-    # exit rather than done here.
+    # DataFrame reads this dir lazily, so cleanup of the CURRENT dir is
+    # deferred to process exit; the PREVIOUS invocation's dir (whose
+    # result has been consumed by then) is reclaimed eagerly so repeated
+    # in-process runs don't accumulate snapshots under /tmp.
+    prev = _VSD_LAST_DIR.pop(sf_dir, None)
+    if prev is not None:
+        _shutil.rmtree(prev, ignore_errors=True)
     root = _tempfile.mkdtemp(prefix="dmps_versioned_")
+    _VSD_LAST_DIR[sf_dir] = root
     _atexit.register(_shutil.rmtree, root, ignore_errors=True)
     _versioned.write_version(spark, root, old)
     _versioned.write_version(spark, root, new)

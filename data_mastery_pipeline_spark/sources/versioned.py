@@ -47,8 +47,16 @@ def _read_pointer(spark: SparkSession, root: str) -> int | None:
     p = jvm.org.apache.hadoop.fs.Path(f"{root}/{_POINTER}")
     if not fs.exists(p):
         # Pointer momentarily absent (FS without atomic-replace support
-        # mid-swing) or never written: newest durable snapshot wins.
-        vs = versions(spark, root)
+        # mid-swing) or never written: newest COMMITTED snapshot wins —
+        # only dirs with Spark's _SUCCESS marker qualify, so a mid-write
+        # or crashed-writer dir can never be served as live.
+        vs = [
+            v
+            for v in versions(spark, root)
+            if fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{_vdir(root, v)}/_SUCCESS")
+            )
+        ]
         return max(vs) if vs else None
     stream = fs.open(p)
     try:
@@ -80,9 +88,20 @@ def _write_pointer(spark: SparkSession, root: str, version: int) -> None:
         )
         opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
         fc.rename(tmp, final, opts)
-    except Exception:
-        # FS without FileContext support: fall back to delete-then-rename;
-        # readers cover the gap via the max(versions()) fallback above.
+    except Exception as ex:
+        # Fall back to delete-then-rename ONLY when the FS genuinely
+        # lacks FileContext support (readers then cover the gap via the
+        # committed-snapshot fallback above). A real rename failure —
+        # permissions, quota, missing parent — must stay loud, not be
+        # silently downgraded to the racy path.
+        msg = str(ex)
+        unsupported = (
+            "UnsupportedFileSystem" in msg
+            or "No AbstractFileSystem" in msg
+            or isinstance(ex, (TypeError, AttributeError))  # py4j lookup
+        )
+        if not unsupported:
+            raise
         fs.delete(final, False)
         if not fs.rename(tmp, final):
             raise IOError(f"pointer rename failed for {root} v{version}")

@@ -5,7 +5,7 @@ correctness row for queries reading the changed tables is stale. This
 test makes that loud: it recomputes the per-table fingerprint (rows +
 physical schema + content hash) and diffs it against the committed
 TESTDATA_FPRINT.json. On drift it FAILS naming exactly which tables
-moved — rerun `python tools/fingerprint.py` to re-baseline after
+moved — run `python tools/fingerprint.py --rebaseline` only after
 re-verifying the affected queries.
 """
 
@@ -28,5 +28,5 @@ def test_testdata_matches_committed_fingerprint():
         "greens for queries reading these tables are STALE:\n  "
         + "\n  ".join(drift)
         + "\nre-verify affected queries, then re-baseline with "
-        "`python tools/fingerprint.py`"
+        "`python tools/fingerprint.py --rebaseline`"
     )

@@ -23,12 +23,7 @@ import data_mastery_pipeline_spark.queries_ops  # noqa: F401
 import data_mastery_pipeline_spark.queries_tpch  # noqa: F401
 from data_mastery_pipeline_spark.registry import ORACLE, QUERIES
 
-from tools.typenorm import (
-    duck_type_class,
-    forbidden_columns,
-    norm_rows,
-    spark_type_class,
-)
+from tools.typenorm import compare_results, duck_type_class, spark_type_class
 
 from conftest import SF_ORACLE
 
@@ -36,51 +31,37 @@ from conftest import SF_ORACLE
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_oracle_parity(name, spark, duck):
     sdf = QUERIES[name](spark, SF_ORACLE)
-    spark_cols = sorted(sdf.columns)
     spark_classes = [spark_type_class(f.dataType) for f in sdf.schema.fields]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     rel = duck.sql(ORACLE[name])
-    duck_cols = sorted(rel.columns)
     duck_classes = [duck_type_class(t) for t in rel.types]
     duck_rows = rel.fetchall()
 
-    assert spark_cols == duck_cols, f"{name}: columns {spark_cols} != {duck_cols}"
-
+    res = compare_results(
+        sdf.columns, spark_classes, spark_rows,
+        rel.columns, duck_classes, duck_rows,
+    )
+    assert res["cols_match"], (
+        f"{name}: columns {sorted(sdf.columns)} != {sorted(rel.columns)}"
+    )
     # Hard contract: no HUGEINT/DECIMAL result columns in either engine —
     # the driver's pandas fetch turns them into float64 and the hash
     # diverges even on equal values (profile_events, CORRECTNESS_r04).
-    bad_duck = forbidden_columns(rel.columns, duck_classes)
-    assert not bad_duck, (
-        f"{name}: oracle returns HUGEINT/DECIMAL columns {bad_duck} — "
+    assert not res["forbidden"], (
+        f"{name}: HUGEINT/DECIMAL result columns {res['forbidden']} — "
         f"add CAST(... AS BIGINT/DOUBLE) per the convention at queries.py:12"
     )
-    bad_spark = forbidden_columns(sdf.columns, spark_classes)
-    assert not bad_spark, (
-        f"{name}: Spark result has DecimalType columns {bad_spark} — "
-        f"cast to bigint/double for a driver-hashable result"
+    assert not res["class_mismatch"], (
+        f"{name}: type-class mismatch spark!=duck: {res['class_mismatch']}"
     )
-
-    # Per-column type classes must agree (sorted by column name, same
-    # order the value hash uses).
-    sp_by_col = dict(zip(sdf.columns, spark_classes))
-    du_by_col = dict(zip(rel.columns, duck_classes))
-    mism = {
-        c: (sp_by_col[c], du_by_col[c])
-        for c in spark_cols
-        if sp_by_col[c] != du_by_col[c]
-    }
-    assert not mism, f"{name}: type-class mismatch spark!=duck: {mism}"
-
-    assert len(spark_rows) == len(duck_rows), (
+    assert res["rows_match"], (
         f"{name}: row count {len(spark_rows)} != {len(duck_rows)}"
     )
-    a = norm_rows(spark_rows, sdf.columns, spark_classes)
-    b = norm_rows(duck_rows, rel.columns, duck_classes)
-    if a != b:
-        diff_a = [r for r in a if r not in set(b)][:5]
-        diff_b = [r for r in b if r not in set(a)][:5]
-        raise AssertionError(f"{name}: value mismatch\n spark-only={diff_a}\n duck-only={diff_b}")
+    assert res["values_match"], (
+        f"{name}: value mismatch\n spark-only={res['spark_only']}\n "
+        f"duck-only={res['duck_only']}"
+    )
 
 
 def test_every_query_runs(spark):

@@ -4,17 +4,12 @@ Round 5: type-faithful via tools.typenorm — a HUGEINT/DECIMAL oracle
 column or a cross-engine type-class mismatch is a FAIL here even when
 the stringified values agree, because the real driver hashes typed
 values (profile_events, CORRECTNESS_r04)."""
-import sys, time, hashlib
+import sys, time
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
 from data_mastery_pipeline_spark.session import get_spark
-from tools.typenorm import (
-    duck_type_class,
-    forbidden_columns,
-    norm_rows,
-    spark_type_class,
-)
+from tools.typenorm import compare_results, duck_type_class, spark_type_class
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
@@ -33,10 +28,6 @@ import duckdb
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'")
-
-def hash_norm(normed):
-    out = ["|".join(str(c) for c in row) for row in normed]
-    return hashlib.sha256("\n".join(out).encode()).hexdigest()
 
 qs = E.queries()
 oracles = E.oracle_sql()
@@ -65,26 +56,18 @@ for name, fn in qs.items():
         fails.append((name, f"duck-err: {ex}"))
         print(f"{name}: DUCK ERROR {str(ex)[:200]}")
         continue
-    ok_cols = sorted(cols) == sorted(ocols)
-    bad_types = forbidden_columns(ocols, oclasses) + forbidden_columns(cols, sclasses)
-    sp_by, du_by = dict(zip(cols, sclasses)), dict(zip(ocols, oclasses))
-    class_mism = (
-        {c: (sp_by[c], du_by[c]) for c in sp_by if c in du_by and sp_by[c] != du_by[c]}
-        if ok_cols else {}
-    )
-    ok_rows = len(srows) == len(orows)
-    ok_hash = (
-        ok_cols and ok_rows and not bad_types and not class_mism
-        and hash_norm(norm_rows(srows, cols, sclasses))
-        == hash_norm(norm_rows(orows, ocols, oclasses))
-    )
-    status = "OK" if (ok_cols and ok_rows and ok_hash) else "FAIL"
-    if status == "FAIL":
+    res = compare_results(cols, sclasses, srows, ocols, oclasses, orows)
+    status = "OK" if res["ok"] else "FAIL"
+    if not res["ok"]:
         fails.append((
             name,
-            f"cols={ok_cols} rows={len(srows)}vs{len(orows)} hash={ok_hash}"
-            + (f" forbidden-types={bad_types}" if bad_types else "")
-            + (f" class-mismatch={class_mism}" if class_mism else ""),
+            f"cols={res['cols_match']} rows={len(srows)}vs{len(orows)} "
+            f"values={res['values_match']}"
+            + (f" forbidden-types={res['forbidden']}" if res["forbidden"] else "")
+            + (
+                f" class-mismatch={res['class_mismatch']}"
+                if res["class_mismatch"] else ""
+            ),
         ))
     print(f"{name}: {status} ({len(srows)} rows, {time.time()-t0:.1f}s)")
 

@@ -11,10 +11,12 @@ failure, not by diff.  This tool records, per scale factor and table:
     sha256       content hash of the file bytes (catches value regens
                  that keep schema and row count)
 
-`python tools/fingerprint.py` rewrites TESTDATA_FPRINT.json at the repo
-root; tests/test_fingerprint.py diffs a fresh computation against the
-committed file and fails naming the drifted tables, so the first suite
-run after a regen says exactly which green rows are invalidated.
+`python tools/fingerprint.py` checks the committed TESTDATA_FPRINT.json
+(exit 1 + DRIFT lines on mismatch — it never rewrites the baseline on
+its own); `--rebaseline` rewrites it, to be run only AFTER re-verifying
+the affected queries. tests/test_fingerprint.py runs the same diff so
+the first suite run after a regen says exactly which green rows are
+invalidated.
 """
 
 from __future__ import annotations
@@ -80,12 +82,24 @@ def diff(old: dict, new: dict) -> list[str]:
 
 
 if __name__ == "__main__":
+    import sys
+
+    rebaseline = "--rebaseline" in sys.argv[1:]
     new = fingerprint()
-    if OUT.exists():
+    if OUT.exists() and not rebaseline:
+        # Read-only check: NEVER rewrite the baseline on drift — doing
+        # so would disarm the tripwire before the affected queries were
+        # re-verified. Exit nonzero so this doubles as a CI guard.
         drift = diff(json.loads(OUT.read_text()), new)
         for line in drift:
             print("DRIFT", line)
-        if not drift:
-            print("no drift")
+        if drift:
+            print(
+                "testdata drifted — re-verify affected queries, then "
+                "re-baseline with: python tools/fingerprint.py --rebaseline"
+            )
+            sys.exit(1)
+        print("no drift")
+        sys.exit(0)
     OUT.write_text(json.dumps(new, indent=1, sort_keys=True) + "\n")
     print(f"wrote {OUT}")

@@ -118,3 +118,51 @@ def norm_rows(rows, columns, classes):
     out = [tuple(norm_cell(r[i], classes[i]) for i in order) for r in rows]
     out.sort()
     return out
+
+
+def compare_results(s_cols, s_classes, s_rows, d_cols, d_classes, d_rows):
+    """The full driver-prediction comparison, shared by the local mirror
+    (tests/test_oracle_parity.py) and the emulator (tools/
+    drive_contract.py) so the two can never silently diverge.
+
+    Returns a dict:
+      cols_match       sorted column names equal
+      forbidden        HUGEINT/DECIMAL result columns (either engine)
+      class_mismatch   {col: (spark_class, duck_class)} where they differ
+      rows_match       row counts equal
+      values_match     normalized row sets equal (only meaningful when
+                       everything above is clean)
+      spark_only/duck_only  up to 5 normalized rows unique to each side
+    """
+    res = {
+        "cols_match": sorted(s_cols) == sorted(d_cols),
+        "forbidden": forbidden_columns(d_cols, d_classes)
+        + forbidden_columns(s_cols, s_classes),
+        "rows_match": len(s_rows) == len(d_rows),
+        "class_mismatch": {},
+        "values_match": False,
+        "spark_only": [],
+        "duck_only": [],
+    }
+    if res["cols_match"]:
+        sp_by = dict(zip(s_cols, s_classes))
+        du_by = dict(zip(d_cols, d_classes))
+        res["class_mismatch"] = {
+            c: (sp_by[c], du_by[c]) for c in sp_by if sp_by[c] != du_by[c]
+        }
+    if res["cols_match"] and res["rows_match"]:
+        a = norm_rows(s_rows, s_cols, s_classes)
+        b = norm_rows(d_rows, d_cols, d_classes)
+        res["values_match"] = a == b
+        if not res["values_match"]:
+            bset, aset = set(b), set(a)
+            res["spark_only"] = [r for r in a if r not in bset][:5]
+            res["duck_only"] = [r for r in b if r not in aset][:5]
+    res["ok"] = bool(
+        res["cols_match"]
+        and res["rows_match"]
+        and not res["forbidden"]
+        and not res["class_mismatch"]
+        and res["values_match"]
+    )
+    return res
