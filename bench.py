@@ -67,6 +67,11 @@ HEADLINE = [
     "bm25_search",
     "incremental_minhash_dedup",
     "prefix_edit_near_dups",
+    # round 5 batch 4: format breadth + scan-reduction (late batch)
+    "orc_roundtrip",
+    "csv_quarantine_roundtrip",
+    "bloom_join_prune",
+    "file_pruning_stats",
 ]
 
 

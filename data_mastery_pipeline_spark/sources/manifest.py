@@ -1,0 +1,75 @@
+"""File-level min/max manifest — data skipping for plain parquet.
+
+Table formats (Iceberg/Delta) answer needle queries on 100 TB by
+consulting per-file column statistics in a MANIFEST instead of opening
+files: the planner intersects the predicate's range with each file's
+[min, max] and hands the scan only the overlapping files. Parquet
+footers carry the same stats, but the engine still has to open every
+footer (800k footer reads on a 100 TB table). This module materializes
+the manifest ONCE as a side relation and reuses it across queries —
+the plain-parquet equivalent of Iceberg's manifest files.
+
+  build:  scan (cheap, column-pruned to the stat columns) → groupBy
+          input_file_name() → min/max/count per file. O(files) rows.
+  prune:  predicate [lo, hi] → keep files with max ≥ lo AND min ≤ hi.
+          The file list is a DRIVER-side decision, exactly as in every
+          table format: a manifest is a coordinator artifact, bounded
+          by file count (O(100k) rows at 100 TB), never by data size.
+  scan:   spark.read.parquet(*selected) + the original predicate (the
+          residual filter — pruning is file-granular, not row-exact).
+
+Effectiveness requires range-clustered layout (writers.write_clustered:
+repartitionByRange + sortWithinPartitions) — stats on randomly-placed
+data overlap everything and prune nothing. That coupling (cluster key
+↔ skippable predicate column) is the same contract as Z-ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -> DataFrame:
+    """(file, n_rows, <c>_min, <c>_max …) — one row per physical file."""
+    aggs = [F.count("*").alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"), *stat_cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def pruned_files(manifest: DataFrame, col: str, lo, hi) -> list[str]:
+    """Files whose [min, max] for ``col`` intersects [lo, hi] — the
+    driver-side plan step. Bounded by file count (manifest rows), never
+    data size; a None min/max (all-null file) is kept conservatively."""
+    keep = manifest.filter(
+        (F.col(f"{col}_max").isNull())
+        | ((F.col(f"{col}_max") >= F.lit(lo)) & (F.col(f"{col}_min") <= F.lit(hi)))
+    )
+    return [r.file for r in keep.select("file").collect()]
+
+
+def skipping_scan(
+    spark: SparkSession,
+    manifest: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, dict]:
+    """Range-predicate scan through the manifest: read ONLY overlapping
+    files, re-apply the residual row filter. Returns (df, stats) where
+    stats reports files_total/files_read — the skipping ratio is the
+    headline number at scale."""
+    all_files = [r.file for r in manifest.select("file").collect()]
+    keep = pruned_files(manifest, col, lo, hi)
+    if not keep:  # empty relation with the right schema
+        df = spark.read.parquet(*all_files).filter(F.lit(False))
+    else:
+        df = spark.read.parquet(*keep)
+    df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    return df, {"files_total": len(all_files), "files_read": len(keep)}

@@ -1,0 +1,99 @@
+"""File-skipping manifest (sources/manifest.py) and ORC/CSV format
+breadth (sources/formats.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_mastery_pipeline_spark.sources import formats, manifest, writers
+from data_mastery_pipeline_spark.tables import load_table
+
+from conftest import SF_SMOKE
+
+
+def test_manifest_prunes_and_scan_is_exact(spark, tmp_path):
+    ev = load_table(spark, "events", SF_SMOKE)
+    path = str(tmp_path / "clustered")
+    writers.write_clustered(ev, path, ["user_id"], num_files=8)
+    man = manifest.build_manifest(spark, path, ["user_id"])
+    assert man.count() == 8  # one row per file
+
+    df, stats = manifest.skipping_scan(spark, man, "user_id", 3, 5)
+    assert stats["files_read"] < stats["files_total"] == 8
+    got = df.count()
+    want = ev.filter(F.col("user_id").between(3, 5)).count()
+    assert got == want
+
+
+def test_manifest_empty_range_returns_empty_with_schema(spark, tmp_path):
+    ev = load_table(spark, "events", SF_SMOKE)
+    path = str(tmp_path / "clustered2")
+    writers.write_clustered(ev, path, ["user_id"], num_files=4)
+    man = manifest.build_manifest(spark, path, ["user_id"])
+    df, stats = manifest.skipping_scan(spark, man, "user_id", 10_000, 20_000)
+    assert stats["files_read"] == 0
+    assert df.count() == 0
+    assert "event_type" in df.columns  # schema preserved for downstream
+
+
+def test_orc_roundtrip_bit_exact(spark, tmp_path):
+    ev = load_table(spark, "events", SF_SMOKE)
+    path = str(tmp_path / "orc")
+    formats.write_orc(ev, path)
+    back = formats.read_orc(spark, path)
+    assert back.schema == ev.schema
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_csv_quarantine_splits_streams(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    lines = spark.createDataFrame(
+        [("1,alice,1.5",), ("2,bob,2.5",), ("oops,carol,3.0",), ("4,dan,not_a_num",)],
+        "value string",
+    )
+    path = str(tmp_path / "csv")
+    lines.write.mode("overwrite").text(path)
+    # no cache needed: from_csv-based parsing has no raw-scan
+    # corrupt-column-only restriction (that applies to the CSV file source)
+    parsed = formats.read_csv_quarantined(spark, path, schema)
+    good = parsed.filter(F.col(formats.CORRUPT_COL).isNull())
+    bad = parsed.filter(F.col(formats.CORRUPT_COL).isNotNull())
+    assert good.count() == 2
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    # partial parse preserved on corrupt rows: the bad-id row still
+    # carries its parseable name/score fields alongside the raw line
+    carol = [r for r in bad.collect() if r.name == "carol"]
+    assert carol and carol[0].id is None and carol[0].score == 3.0
+    # the raw malformed line is preserved verbatim for the quarantine sink
+    assert sorted(r[formats.CORRUPT_COL] for r in bad.collect()) == [
+        "4,dan,not_a_num",
+        "oops,carol,3.0",
+    ]
+
+
+def test_csv_short_row_is_padded_not_corrupt(spark, tmp_path):
+    """Pinned engine contract: arity drift pads with nulls (schema
+    guard's job), only type mismatches quarantine."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    lines = spark.createDataFrame([("7,eve",)], "value string")
+    path = str(tmp_path / "csv_short")
+    lines.write.mode("overwrite").text(path)
+    parsed = formats.read_csv_quarantined(spark, path, schema).collect()
+    assert len(parsed) == 1
+    row = parsed[0]
+    assert row.id == 7 and row.name == "eve" and row.score is None
