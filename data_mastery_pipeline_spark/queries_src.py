@@ -21,10 +21,26 @@ from .registry import quantize, query, sql_quantize
 from .sources import rest, runlog, writers
 from .tables import load_table
 
-# versioned_snapshot_diff: last temp snapshot root per sf_dir, so the
-# next in-process invocation can reclaim it (its result is consumed by
-# then) instead of leaking one two-snapshot dir per call.
-_VSD_LAST_DIR: dict[str, str] = {}
+# last temp dir per (tag, sf_dir): the next in-process invocation of
+# the same query reclaims the PREVIOUS dir (its result is consumed by
+# then) instead of leaking one per call; the current dir is deferred to
+# process exit (results read it lazily).
+_LAST_DIR: dict = {}
+
+
+def _fresh_dir(tag: str, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (tag, sf_dir)
+    prev = _LAST_DIR.pop(key, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=f"dmps_{tag}_")
+    _LAST_DIR[key] = d
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _golden_weather_values() -> str:
@@ -308,10 +324,6 @@ def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     read is a plain parquet scan of one version dir); the diff itself
     is snapshot_diff's single keyed full-outer join.
     """
-    import atexit as _atexit
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from .sources import versioned as _versioned
 
     o = load_table(spark, "orders", sf_dir)
@@ -330,19 +342,10 @@ def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_totalprice"),
     )
 
-    # Per-invocation unique dir: a fixed shared path raced when bench
-    # and the driver verify ran concurrently over the same sf_dir — one
-    # rmtree'd the other's snapshots mid-read (ADVICE r04). The result
-    # DataFrame reads this dir lazily, so cleanup of the CURRENT dir is
-    # deferred to process exit; the PREVIOUS invocation's dir (whose
-    # result has been consumed by then) is reclaimed eagerly so repeated
-    # in-process runs don't accumulate snapshots under /tmp.
-    prev = _VSD_LAST_DIR.pop(sf_dir, None)
-    if prev is not None:
-        _shutil.rmtree(prev, ignore_errors=True)
-    root = _tempfile.mkdtemp(prefix="dmps_versioned_")
-    _VSD_LAST_DIR[sf_dir] = root
-    _atexit.register(_shutil.rmtree, root, ignore_errors=True)
+    # Per-invocation unique dir (_fresh_dir): a fixed shared path raced
+    # when bench and the driver verify ran concurrently over the same
+    # sf_dir — one rmtree'd the other's snapshots mid-read (ADVICE r04).
+    root = _fresh_dir("versioned", sf_dir)
     _versioned.write_version(spark, root, old)
     _versioned.write_version(spark, root, new)
 
@@ -378,27 +381,6 @@ def versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entire verification backlog in __spark_entry__._PRIORITY: they consume zero
 # r05 driver slots and form round 6's fresh verification batch.
 # ---------------------------------------------------------------------------
-
-# last temp dir per (tag, sf_dir) — same reclaim pattern as
-# _VSD_LAST_DIR: eager-delete the PREVIOUS invocation's dir (its result
-# is consumed by then), defer the current one to process exit.
-_LAST_DIR: dict = {}
-
-
-def _fresh_dir(tag: str, sf_dir: str) -> str:
-    import atexit
-    import shutil
-    import tempfile
-
-    key = (tag, sf_dir)
-    prev = _LAST_DIR.pop(key, None)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
-    d = tempfile.mkdtemp(prefix=f"dmps_{tag}_")
-    _LAST_DIR[key] = d
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
-
 
 @query(
     "orc_roundtrip",
@@ -456,13 +438,18 @@ def csv_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import formats
 
     ev = load_table(spark, "events", sf_dir)
+    # concat_ws silently DROPS null arguments, which would left-shift
+    # the remaining tokens and corrupt the row's arity; coalesce each
+    # field to '' instead — an empty token round-trips as null, and the
+    # oracle's GROUP BY sees the same null groups
+    tok = lambda c: F.coalesce(c.cast("string"), F.lit(""))  # noqa: E731
     lines = ev.select(
         F.concat_ws(
             ",",
-            F.col("event_id").cast("string"),
-            F.col("user_id").cast("string"),
-            F.col("event_type"),
-            F.col("value").cast("string"),
+            tok(F.col("event_id")),
+            tok(F.col("user_id")),
+            tok(F.col("event_type")),
+            tok(F.col("value")),
         ).alias("value")
     )
     bad = spark.createDataFrame(

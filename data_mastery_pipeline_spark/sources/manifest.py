@@ -43,15 +43,20 @@ def build_manifest(spark: SparkSession, path: str, stat_cols: list[str]) -> Data
     )
 
 
+def _overlaps(mn, mx, lo, hi) -> bool:
+    """[mn, mx] intersects [lo, hi]; a None bound (all-null file) is
+    kept conservatively."""
+    if mx is None or mn is None:
+        return True
+    return mx >= lo and mn <= hi
+
+
 def pruned_files(manifest: DataFrame, col: str, lo, hi) -> list[str]:
     """Files whose [min, max] for ``col`` intersects [lo, hi] — the
     driver-side plan step. Bounded by file count (manifest rows), never
-    data size; a None min/max (all-null file) is kept conservatively."""
-    keep = manifest.filter(
-        (F.col(f"{col}_max").isNull())
-        | ((F.col(f"{col}_max") >= F.lit(lo)) & (F.col(f"{col}_min") <= F.lit(hi)))
-    )
-    return [r.file for r in keep.select("file").collect()]
+    data size."""
+    rows = manifest.select("file", f"{col}_min", f"{col}_max").collect()
+    return [r.file for r in rows if _overlaps(r[f"{col}_min"], r[f"{col}_max"], lo, hi)]
 
 
 def skipping_scan(
@@ -64,9 +69,14 @@ def skipping_scan(
     """Range-predicate scan through the manifest: read ONLY overlapping
     files, re-apply the residual row filter. Returns (df, stats) where
     stats reports files_total/files_read — the skipping ratio is the
-    headline number at scale."""
-    all_files = [r.file for r in manifest.select("file").collect()]
-    keep = pruned_files(manifest, col, lo, hi)
+    headline number at scale.
+
+    ONE collect of the (file, min, max) manifest rows feeds both the
+    total and the pruned list — a second action would re-run the whole
+    manifest aggregation unless the caller cached it."""
+    rows = manifest.select("file", f"{col}_min", f"{col}_max").collect()
+    all_files = [r.file for r in rows]
+    keep = [r.file for r in rows if _overlaps(r[f"{col}_min"], r[f"{col}_max"], lo, hi)]
     if not keep:  # empty relation with the right schema
         df = spark.read.parquet(*all_files).filter(F.lit(False))
     else:

@@ -86,3 +86,15 @@ def test_empty_dim_builds_empty_bloom(spark):
         .count()
     )
     assert passed == 0
+
+
+def test_key_dtype_mismatch_rejected(spark):
+    """xxhash64 is type-sensitive: an int-keyed fact probed against a
+    bigint-built bloom would silently prune TRUE matches. The join must
+    refuse mismatched key dtypes instead."""
+    import pytest as _pytest
+
+    fact = spark.range(10).select(F.col("id").cast("int").alias("k"), F.lit(1).alias("x"))
+    dim = spark.range(10).select(F.col("id").alias("k2"))  # bigint
+    with _pytest.raises(TypeError, match="type-sensitive"):
+        bloomjoin.bloom_pruned_join(fact, dim, "k", "k2")
