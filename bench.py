@@ -72,6 +72,10 @@ HEADLINE = [
     "csv_quarantine_roundtrip",
     "bloom_join_prune",
     "file_pruning_stats",
+    # round 5 batch 5: tokenizer induction, ANN join, containment dedup
+    "bpe_merge_candidates",
+    "knn_graph",
+    "containment_pairs",
 ]
 
 

@@ -24,6 +24,12 @@ Surface grown this round, continuing the widening of rounds 2 and 4:
   to the customer dimension inside a real Structured Streaming query
   (SURVEY §2.J) — the batch oracle is exact because availableNow drains
   the finite source.
+- Late batch 2 (round-6 verification batch): BPE merge-candidate
+  counting (tokenizer induction as one pair-keyed aggregate), the
+  k-NN-graph ANN join (top-k neighbors per probe vector, exact brute
+  baseline with the IVF-cell-blocked scale path), and asymmetric
+  containment dedup (Broder containment ≥ 0.8 — the quote-inclusion
+  duplication mode symmetric Jaccard misses).
 
 Oracle-parity conventions follow queries.py: identical aliases both
 sides, doubles quantized via the engine-agnostic floor form, explicit
@@ -1084,3 +1090,195 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         cert.alias("kll_within_rank_tol"),
     ]
     return per.select(*cols).unionByName(merged.select(*cols))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late batch 2 (round-6 verification batch): tokenizer induction,
+# ANN join, asymmetric-containment dedup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_merge_candidates",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+        FROM toks
+    )
+    SELECT pair, count(*) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, step 1 of BPE training: the top adjacent
+    token-pair counts over the corpus ARE the next merge candidates
+    (Sennrich et al. 2016's core loop body). One narrow map (zip_with
+    of shifted slices — no per-pair shuffle until the count) + one
+    pair-keyed aggregate + TakeOrderedAndProject.
+
+    100 TB: the aggregate shuffles |distinct pairs| (vocab², bounded),
+    not the token stream; partial map-side combine does the heavy
+    lifting. Full BPE training iterates this query against a corpus
+    re-tokenized with the merged vocab — each iteration is this same
+    plan shape."""
+    from .functions import text as textfn
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = textfn.tokens("text")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "knn_graph",
+    """
+    WITH probes AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+        SELECT p.qid, e.vec_id AS nbr_id,
+               floor(list_cosine_similarity(e.embedding::DOUBLE[], p.qv) * 10000 + 0.5)
+                   / 10000.0 AS cos
+        FROM probes p, embeddings e WHERE e.vec_id <> p.qid
+    ),
+    ranked AS (
+        SELECT qid, nbr_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS rnk
+        FROM scored
+    )
+    SELECT qid, nbr_id, rnk, cos FROM ranked WHERE rnk <= 3
+    """,
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN as a JOIN, not a point lookup: top-3 cosine neighbors for
+    every probe vector (vec_id ≡ 0 mod 50) — the k-NN-graph primitive
+    under near-dup clustering, label propagation, and diversity
+    sampling. Exact brute-force baseline: probes broadcast against the
+    corpus scan, per-probe top-k via rank-over-window (WindowGroupLimit
+    pushes the k cut below the sort).
+
+    100 TB: the probe side is the SMALL side by construction — brute
+    force is one corpus scan per probe batch (embarrassingly parallel,
+    no shuffle beyond the grouped top-k). When the probe side is also
+    corpus-sized, switch to the IVF-cell-blocked variant
+    (similarity/ivf.py): both sides partition by cell and only same-cell
+    pairs score — same downstream rank shape. Ordering on the QUANTIZED
+    score so both engines break ties identically."""
+    from .dedup.embedding import cosine
+
+    # the testdata ships single-row-group files → a 1-task scan; fan the
+    # CPU-heavy scoring across cores first (repo pattern, ngram.py:158 —
+    # at scale the scan arrives pre-split and this repartition is dropped)
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nbr_id"),
+            quantize(cosine(F.col("v"), F.col("qv")), "cos", 4),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nbr_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "nbr_id", "rnk", "cos")
+    )
+
+
+@query(
+    "containment_pairs",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)-1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+            FROM toks
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           floor((i * 1.0 / sa.n) * 10000 + 0.5) / 10000.0 AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE i * 1.0 / sa.n >= 0.8
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup (Broder 1997's second resemblance
+    measure): C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ 0.8 —
+    catches "B quotes A verbatim plus extra" where symmetric Jaccard
+    stays low because |B| ≫ |A|. The dominant duplication mode Jaccard
+    dedup misses: boilerplate-wrapped articles, quote-inclusion chains.
+
+    Same plan shape as the n-gram Jaccard join but the divisor is the
+    CONTAINED side's gram count, so each unordered pair yields up to
+    two directed rows. Grams travel as xxhash64 of the (w1,w2,w3)
+    struct (8 B, never the strings — collision odds ~n²/2⁶⁵ are below
+    any curation threshold; the oracle joins the equivalent strings).
+
+    100 TB: ONE gram-keyed shuffle total — the per-doc gram count is
+    computed on the gram ARRAY before the explode and rides each gram
+    row, so there is no separate sizes aggregation; and both self-join
+    sides are the IDENTICAL projection, so Catalyst reuses one exchange
+    (ReusedExchange) instead of shuffling the gram relation twice.
+    Output bounded by pairs sharing ≥1 gram with df below the hot-gram
+    cap — at corpus scale add the max_gram_df guard exactly as in
+    dedup/spans.py."""
+    from .functions import text as textfn
+
+    # single-row-group scan → 1 task; parallelize the gram build (the
+    # measured hot spot: 3.1 of 4.3 s at sf0.1 ran on one core)
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hashes = F.array_distinct(
+        F.transform(textfn.word_ngram_structs("text", 3), lambda s: F.xxhash64(s))
+    )
+    grams = docs.select(F.col("doc_id"), hashes.alias("hs")).select(
+        "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("g")
+    )  # two-step projection: the gram array materializes once per row
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"), "g")  # identical sides → ReusedExchange
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("i"), F.max("a.n").alias("n"))
+    )
+    ratio = F.col("i") / F.col("n")
+    return inter.filter(ratio >= 0.8).select(
+        "id_a", "id_b", quantize(ratio, "containment", 4)
+    )

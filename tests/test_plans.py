@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 
 import data_mastery_pipeline_spark.queries  # noqa: F401
+import data_mastery_pipeline_spark.queries_adv  # noqa: F401
 import data_mastery_pipeline_spark.queries_ext  # noqa: F401
 import data_mastery_pipeline_spark.queries_stats  # noqa: F401
 from data_mastery_pipeline_spark import plans
@@ -320,3 +321,23 @@ def test_per_group_topk_uses_window_group_limit(spark):
     the optimization that makes window top-k viable at scale."""
     df = QUERIES["top_customers_per_segment"](spark, SF_ORACLE)
     assert "WindowGroupLimit" in plans.formatted_plan(df)
+
+
+def test_knn_graph_topk_pushes_group_limit_no_cartesian(q):
+    """The ANN join's rank()<=k compiles to WindowGroupLimit (per-group
+    top-k cut below the sort) and the probe fan-out is a broadcast
+    nested loop over the TINY probe side, never a cartesian of two
+    corpus-sized relations."""
+    df = q["knn_graph"]
+    assert "WindowGroupLimit" in plans.formatted_plan(df)
+    assert plans.cartesian_product_count(df) == 0
+
+
+def test_containment_pairs_bounded_exchanges_no_cartesian(q):
+    """Containment dedup: per-doc gram counts ride the exploded gram
+    rows, so the plan carries NO separate sizes aggregation join — just
+    the gram self-join and the pair aggregate (plus the explicit
+    local-parallelism repartition)."""
+    df = q["containment_pairs"]
+    assert plans.cartesian_product_count(df) == 0
+    assert plans.exchange_count(df) <= 4
