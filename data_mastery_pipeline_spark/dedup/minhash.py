@@ -46,6 +46,7 @@ from pyspark.sql.column import Column
 
 from ..checkpointing import truncate_lineage
 from ..functions.text import tokens
+from ..parallelism import fan_out
 
 _MASK31 = 0x7FFFFFFF
 _P = (1 << 31) - 1  # Mersenne prime 2^31-1
@@ -128,8 +129,12 @@ def signatures_and_sets(
     sh: Column = F.col("__sh")
     if max_set_size is not None:
         sh = F.slice(F.array_sort(sh), 1, max_set_size)
+    # 64 folds per row over the shingle array is the pipeline's heaviest
+    # map — guard against low-split sources (single-row-group files, few
+    # huge gzips) serializing it on a handful of cores
     return (
-        df.select(F.col(id_col), shingle_hashes(text_col, k).alias("__sh"))
+        fan_out(df)
+        .select(F.col(id_col), shingle_hashes(text_col, k).alias("__sh"))
         .select(F.col(id_col), F.expr(arr).alias("minhash"), sh.alias("sh_set"))
     )
 

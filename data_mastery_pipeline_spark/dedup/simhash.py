@@ -70,6 +70,11 @@ def simhash_fingerprints(
     data-sized shuffle (banding shuffles 64-bit fingerprints). The
     sign bit is safe: ``shiftleft(1L, 63)`` wraps to Long.MIN_VALUE and
     is combined with OR, never addition."""
+    from ..parallelism import fan_out
+
+    # the per-row 60/64-bit vote fold is CPU-dominant — guard against
+    # low-split sources serializing it (see parallelism.fan_out)
+    df = fan_out(df)
     hashes, bits = _token_hashes(text_col, hash_fn)
     fp_expr = (
         f"aggregate(sequence(0, {bits - 1}), 0L, "

@@ -39,9 +39,11 @@ def shared_spans(
     verbatim run of ≥ ``min_span`` tokens. ``max_gram_df``: drop anchor
     grams occurring in more than this many documents before the join
     (None = exact, no cap)."""
+    from ..parallelism import fan_out
+
     toks = textfn.tokens(text_col)
     grams = (
-        docs.filter(F.size(toks) >= k)
+        fan_out(docs).filter(F.size(toks) >= k)
         .select(
             F.col(id_col).alias("__id"),
             F.posexplode(

@@ -306,12 +306,24 @@ def test_minhash_signatures_and_simhash_fingerprints_zero_shuffle(spark):
     from data_mastery_pipeline_spark.dedup import minhash, simhash
     from data_mastery_pipeline_spark.tables import load_table
 
+    import re
+
+    def non_fanout_exchanges(df):
+        # the conditional source fan-out (parallelism.fan_out) is a
+        # ROUND-ROBIN repartition — allowed; what this test forbids is a
+        # HASH exchange from an explode + per-doc aggregation regression
+        plan = plans.formatted_plan(df)
+        kinds = re.findall(r"Exchange (\w+)", plan)
+        return [k for k in kinds if not k.startswith("RoundRobin")]
+
     docs = load_table(spark, "documents", SF_ORACLE)
     sigs = minhash.signatures_and_sets(docs, max_set_size=8192)
-    assert plans.exchange_count(sigs) == 0
+    assert non_fanout_exchanges(sigs) == []
+    assert "HashAggregate" not in plans.formatted_plan(sigs)
     for hash_fn in ("xxhash64", "md5_60"):
         fp = simhash.simhash_fingerprints(docs, hash_fn=hash_fn)
-        assert plans.exchange_count(fp) == 0, hash_fn
+        assert non_fanout_exchanges(fp) == [], hash_fn
+        assert "HashAggregate" not in plans.formatted_plan(fp), hash_fn
 
 
 def test_per_group_topk_uses_window_group_limit(spark):

@@ -401,3 +401,20 @@ def test_merge_schema_reads_evolved_partitions(spark, tmp_path):
     # default read (no mergeSchema) picks ONE footer — may miss the new
     # column; the option is what makes evolution safe, hence this pin
     assert merged.count() == 3
+
+
+def test_fan_out_guards_low_split_sources(spark):
+    """parallelism.fan_out: repartitions a below-parallelism source,
+    leaves an already-parallel plan untouched (no-op — no extra
+    exchange on a healthy layout)."""
+    from data_mastery_pipeline_spark.parallelism import fan_out
+    from data_mastery_pipeline_spark.plans import inspect as plans
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame([(i,) for i in range(100)], "x int").coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == target
+
+    wide = spark.range(0, 1000, numPartitions=target * 2)
+    out = fan_out(wide.toDF("x"))
+    assert out.rdd.getNumPartitions() == target * 2  # untouched
+    assert plans.exchange_count(out) == 0
