@@ -6,9 +6,9 @@ from __future__ import annotations
 from data_mastery_pipeline_spark.dedup import components
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, **kw):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = components.connected_components(df)
+    got = components.connected_components(df, **kw)
     return {r["id"]: r["component"] for r in got.collect()}
 
 
@@ -38,7 +38,9 @@ def test_convergence_rounds_logarithmic_in_diameter(spark):
     import math
 
     diameter = 32
-    got = _cc(spark, [(i, i + 1) for i in range(diameter)])
+    # finish_threshold=0 forces the pure distributed path — the bounded
+    # driver finish would otherwise absorb this small graph entirely
+    got = _cc(spark, [(i, i + 1) for i in range(diameter)], finish_threshold=0)
     assert got == {i: 0 for i in range(diameter + 1)}
     rounds = len(components.LAST_RUN_STATS)
     bound = math.ceil(math.log2(diameter)) + 1
@@ -254,3 +256,29 @@ def test_prefix_filter_big_reduction_on_low_density_corpus(spark):
     n_prefix = ngram.prefix_candidates(docs).count()
     n_blocked_pairs = 320 * 319 // 2  # one block, one length bucket
     assert n_prefix * 10 < n_blocked_pairs, (n_prefix, n_blocked_pairs)
+
+
+def test_driver_finish_matches_distributed(spark):
+    """The bounded local finish (union-find + broadcast pointer map)
+    must label exactly like the pure distributed iteration — same
+    random-ish graph, both paths, equal outputs; and the finish is
+    recorded in the run stats."""
+    edges = [(i, (i * 7 + 3) % 40) for i in range(60) if i != (i * 7 + 3) % 40]
+    local = _cc(spark, edges)  # default threshold → driver finish
+    assert any("finish" in s for s in components.LAST_RUN_STATS)
+    dist = _cc(spark, edges, finish_threshold=0)
+    assert local == dist
+
+
+def test_mid_loop_driver_finish(spark):
+    """A graph bigger than the threshold at the start but under it after
+    one contraction exercises the IN-LOOP finish branch."""
+    # 30 dense cliques of 5 (contract to points in round 1) + a chain
+    edges = []
+    for c in range(30):
+        base = 100 * c
+        edges += [(base + i, base + j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(100 * c + 4, 100 * (c + 1)) for c in range(29)]
+    local = _cc(spark, edges, finish_threshold=200)  # 329 edges > 200 at start
+    dist = _cc(spark, edges, finish_threshold=0)
+    assert local == dist
