@@ -96,9 +96,13 @@ def jaccard_pairs_blocked(
         # (nondeterministic source, re-executed lineage) — exactly the
         # case that must not pass silently (ADVICE r04).
         def _bit(acc, t):
-            pos = F.array_position(vlit, t)
-            checked = F.when(
-                pos == 0,
+            # bind array_position's result to a lambda variable so the
+            # O(|vocab|) scan runs ONCE per token — referencing the
+            # expression twice (guard + value) would evaluate it twice,
+            # since subexpression elimination doesn't reach inside
+            # higher-order-function lambdas
+            bit_of = lambda p: F.when(  # noqa: E731
+                p == 0,
                 F.raise_error(
                     F.concat(
                         F.lit(
@@ -109,9 +113,13 @@ def jaccard_pairs_blocked(
                         t,
                     )
                 ).cast("long"),
-            ).otherwise(pos)
+            ).otherwise(
+                F.pow(F.lit(2.0), (p - 1).cast("double")).cast("long")
+            )
             return acc.bitwiseOR(
-                F.pow(F.lit(2.0), (checked - 1).cast("double")).cast("long")
+                F.element_at(
+                    F.transform(F.array(F.array_position(vlit, t)), bit_of), 1
+                )
             )
 
         mask = F.aggregate(

@@ -1182,17 +1182,18 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     score so both engines break ties identically."""
     from .dedup.embedding import cosine
 
-    # the testdata ships single-row-group files → a 1-task scan; fan the
-    # CPU-heavy scoring across cores first (repo pattern, ngram.py:158 —
-    # at scale the scan arrives pre-split and this repartition is dropped)
-    emb = (
-        load_table(spark, "embeddings", sf_dir)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .repartition(spark.sparkContext.defaultParallelism)
+    from .parallelism import fan_out
+
+    base = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+    # probes come off the narrow scan (tiny side — no reason for it to
+    # pay a shuffle); only the CPU-heavy scoring side fans out, and only
+    # when the source arrives under-split (no-op on a healthy layout)
+    probes = base.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
+    emb = fan_out(base)
     scored = (
         emb.join(F.broadcast(probes), F.col("vec_id") != F.col("qid"))
         .select(
@@ -1258,11 +1259,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup/spans.py."""
     from .functions import text as textfn
 
-    # single-row-group scan → 1 task; parallelize the gram build (the
-    # measured hot spot: 3.1 of 4.3 s at sf0.1 ran on one core)
-    docs = load_table(spark, "documents", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    from .parallelism import fan_out
+
+    # adaptive fan-out for the gram build (the measured hot spot: 3.1 of
+    # 4.3 s at sf0.1 ran on one core of the 1-task scan); no-op when the
+    # source already arrives with enough splits
+    docs = fan_out(load_table(spark, "documents", sf_dir))
     hashes = F.array_distinct(
         F.transform(textfn.word_ngram_structs("text", 3), lambda s: F.xxhash64(s))
     )

@@ -179,7 +179,10 @@ def cc_diameter_probe(diameters) -> None:
             [(i, i + 1) for i in range(d)], "id_a long, id_b long"
         ).coalesce(8)
         t0 = time.time()
-        labels = cc.connected_components(edges)
+        # finish_threshold=0: the probe audits the DISTRIBUTED doubling
+        # path — the default bounded driver finish would absorb these
+        # small graphs entirely and hide a convergence regression
+        labels = cc.connected_components(edges, finish_threshold=0)
         n_comp = labels.select("component").distinct().count()
         stats = list(cc.LAST_RUN_STATS)
         print(

@@ -33,7 +33,7 @@ from decimal import Decimal
 
 _DUCK_INT = {
     "TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT",
-    "UTINYINT", "USMALLINT", "UINTEGER",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
 }
 _DUCK_FLOAT = {"FLOAT", "REAL", "DOUBLE"}
 
