@@ -48,10 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (c) the 40 queries never driver-checked in any round (r01-r04
 #       union), ordered oldest-registered first.
 #   (d) leftover slots → highest-value standing re-greens.
-# The round-5 LATE batch (orc_roundtrip, csv_quarantine_roundtrip,
-# bloom_join_prune, file_pruning_stats — queries_src.py) is deliberately
-# NOT in this list: it lands after the full backlog via _ordered(), so it
-# consumes zero r05 slots and forms round 6's fresh verification batch.
+# The round-5 LATE batches are deliberately NOT in this list: they land
+# after the full backlog via _ordered(), consume zero r05 slots, and form
+# ROUND 6's verification batch — next session, put these 11 at the TOP of
+# _PRIORITY: orc_roundtrip, csv_quarantine_roundtrip, bloom_join_prune,
+# file_pruning_stats, bpe_merge_candidates, knn_graph, containment_pairs,
+# triangle_count, scd2_user_values, incremental_join_maintenance,
+# leakage_safe_splits.
 _PRIORITY = [
     # (a) the red r04 row, fixed
     "profile_events",

@@ -76,6 +76,10 @@ HEADLINE = [
     "bpe_merge_candidates",
     "knn_graph",
     "containment_pairs",
+    # round 5 batch 6: graph analytics, SCD2 temporal, join IVM
+    "triangle_count",
+    "scd2_user_values",
+    "incremental_join_maintenance",
 ]
 
 
@@ -201,6 +205,12 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "session_startup_sec": round(session_sec, 3),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+                # host contention, sampled at emit (1/5/15-min averages;
+                # the 5-min window covers the run) — heavy dedup entries
+                # are superlinearly sensitive to it (measured 53 vs 68 s
+                # totals for identical code), so a reader can adjudicate
+                # variance instead of guessing
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
                 **({"detail": detail} if detail else {}),
             }
         )

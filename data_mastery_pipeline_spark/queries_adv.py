@@ -1284,3 +1284,158 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(ratio >= 0.8).select(
         "id_a", "id_b", quantize(ratio, "containment", 4)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late batch 3: advanced warehouse patterns — graph analytics,
+# temporal (SCD2) history, incremental JOIN maintenance.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "triangle_count",
+    """
+    WITH pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT pa, pb FROM pairs WHERE n >= 2)
+    SELECT count(*) AS n_triangles FROM edges e1
+    JOIN edges e2 ON e1.pb = e2.pa
+    JOIN edges e3 ON e1.pa = e3.pa AND e2.pb = e3.pb
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph triangle counting over the part co-purchase graph (parts
+    co-occurring in ≥2 orders) — the clustering-coefficient primitive
+    behind community detection and recommendation quality metrics.
+
+    Edge-iterator formulation with a TOTAL ORDER on endpoints (pa < pb
+    everywhere): each triangle a<b<c is generated exactly once as
+    (a,b)+(b,c) wedge closed by (a,c) — no ×6 overcount, no dedup pass.
+
+    100 TB: the wedge join fans out by Σ degree(v)² — the classic skew
+    bound. The id ordering already halves it; production-scale graphs
+    replace it with DEGREE ordering (orient each edge low→high degree),
+    which bounds wedge fan-out by arboricity (Chiba-Nishizeki) — same
+    plan shape, different sort key. Hot vertices beyond that → the
+    salted-join lever (operators/skew.py)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = edges.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    wedges = e1.join(e2, "y")
+    closed = wedges.join(e3, ["x", "z"])
+    return closed.agg(F.count("*").alias("n_triangles"))
+
+
+@query(
+    "scd2_user_values",
+    """
+    SELECT user_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL THEN TRUE ELSE FALSE END AS is_current
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def scd2_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: each user's purchase-value changes
+    become versioned rows with [valid_from, valid_to) ranges — valid_to
+    is the NEXT change's timestamp (half-open intervals chain with no
+    gaps/overlaps by construction), open (null + is_current) for the
+    latest. The standard warehouse temporal pattern, built in ONE
+    window pass — no self-join.
+
+    100 TB: one shuffle on user_id (the window partition key); an
+    as-of lookup against the result is a range join anchored on the
+    user_id equi key (operators/joins.py as-of form). Incremental
+    maintenance touches only users present in the delta — merge via
+    merge_upsert_partitioned keyed on (user_id, valid_from).
+    Deterministic tie-break: (ts, event_id)."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "incremental_join_maintenance",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                / 100.0 AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the join analog of
+    incremental_daily_agg's aggregate IVM): with each side split into
+    base ∪ delta (orders by o_orderdate, lineitem by l_shipdate —
+    deliberately DIFFERENT cutoffs: the algebra needs disjointness
+    per side, not alignment across sides), the view delta is
+
+        ΔV = base_o⋈Δl  ∪  Δo⋈base_l  ∪  Δo⋈Δl
+
+    and base_o⋈base_l is the standing materialization. The query
+    computes all four terms and re-aggregates; the oracle is the full
+    recompute — equality proves the delta algebra, term for term.
+
+    100 TB: the three delta terms each join a DELTA-sized side, so
+    maintenance cost is O(Δ ⋈-work), not O(view). With both tables
+    bucketed on the key (sources/bucketing.py) every term is
+    shuffle-free; the standing base⋈base term is never re-executed in
+    production — it is only recomputed here to close the equality."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    o_cut = F.lit("1997-01-01").cast("timestamp")
+    l_cut = F.lit("1997-06-01").cast("timestamp")
+    base_o, delta_o = o.filter(F.col("o_orderdate") < o_cut), o.filter(
+        F.col("o_orderdate") >= o_cut
+    )
+    base_l, delta_l = li.filter(F.col("l_shipdate") < l_cut), li.filter(
+        F.col("l_shipdate") >= l_cut
+    )
+
+    def term(os_, ls_):
+        return os_.join(ls_, os_.o_orderkey == ls_.l_orderkey).select(
+            "o_orderpriority",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+
+    view = (
+        term(base_o, base_l)
+        .unionAll(term(base_o, delta_l))
+        .unionAll(term(delta_o, base_l))
+        .unionAll(term(delta_o, delta_l))
+    )
+    return view.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"), quantize(F.sum("rev"), "revenue")
+    )

@@ -1360,3 +1360,62 @@ def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "leakage_safe_splits",
+    f"""
+    WITH RECURSIVE members AS ({_SQL_NEAR_DUP_CLUSTERS}),
+    assigned AS (
+        SELECT d.doc_id, COALESCE(m.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
+    ),
+    labeled AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN ((cluster_id % 99991) * 2654435761 + 7) % 10000 < 8000
+                        THEN 'train'
+                    WHEN ((cluster_id % 99991) * 2654435761 + 7) % 10000 < 9000
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assigned
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters
+    FROM labeled GROUP BY split
+    """,
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split — the leakage guard document-
+    level splitting cannot give: hashing DOC ids scatters near-duplicate
+    documents across splits, so paraphrases of training text leak into
+    eval (the contamination mode Lee et al. 2022 measure). Here the
+    split gate hashes the near-dup CLUSTER id (canonical min doc_id;
+    singletons are their own cluster), so an entire duplicate family
+    lands in one split BY CONSTRUCTION — no cluster can span splits,
+    ever, and the property survives re-runs and corpus growth because
+    the gate is a pure function of the id (operators/sampling.py).
+
+    Scale: cluster detection is the near-dup pipeline (one LSH + CC
+    pass, amortized across every consumer of the clusters); the split
+    itself is a narrow filter over the (doc → cluster) relation.
+    The SQL-portable affine gate keeps the oracle value-checking the
+    whole assignment, not just counts per split."""
+    docs = load_table(spark, "documents", sf_dir)
+    members = _near_dup_members(spark, sf_dir)
+    assigned = (
+        docs.select("doc_id")
+        .join(members.withColumnRenamed("doc_id", "m_id"),
+              F.col("doc_id") == F.col("m_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    g = sampling.affine_gate("cluster_id", salt=7)
+    split = (
+        F.when(g < 8000, "train").when(g < 9000, "val").otherwise("test")
+    )
+    return assigned.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )

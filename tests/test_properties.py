@@ -203,3 +203,82 @@ def test_ewma_matches_reference_recursion(spark, rows, alpha):
         prev[k] = v if k not in prev else alpha * v + (1.0 - alpha) * prev[k]
         assert got[(k, o)] == prev[k], (k, o)
     assert len(got) == len(rows)
+
+
+# ---- bloom semi-join: no false negatives, ever ------------------------------
+
+KEYSETS = st.lists(st.integers(-(2**62), 2**62), min_size=0, max_size=40, unique=True)
+
+
+@given(keys=KEYSETS)
+@SET
+def test_bloom_never_drops_a_true_key(spark, keys):
+    """∀ key sets (including negatives, extremes, empty): every built
+    key passes its own bloom — the property the pruned join's
+    exactness rests on."""
+    from data_mastery_pipeline_spark.operators import bloomjoin
+
+    if not keys:
+        return
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    bloom = bloomjoin.build_bloom(df, "k", num_bits=1 << 12)
+    missed = (
+        df.join(F.broadcast(bloom))
+        .filter(~bloomjoin.might_contain("k", 1 << 12))
+        .count()
+    )
+    assert missed == 0
+
+
+# ---- connected components: driver finish ≡ distributed ≡ brute force --------
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _brute_components(edges):
+    """Reference labeling by repeated relaxation (O(V·E), fine at n≤16)."""
+    nodes = {n for e in edges for n in e}
+    lab = {n: n for n in nodes}
+    for _ in range(len(nodes)):
+        for a, b in edges:
+            m = min(lab[a], lab[b])
+            lab[a] = lab[b] = m
+    # one more sweep to fixpoint
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(lab[a], lab[b])
+            if lab[a] != m or lab[b] != m:
+                lab[a] = lab[b] = m
+                changed = True
+    return lab
+
+
+@given(edges=EDGES)
+@SET
+def test_cc_both_paths_match_brute_force(spark, edges):
+    """∀ random multigraphs (self-loops, duplicates, both orientations):
+    the bounded driver finish and the pure distributed iteration agree
+    with an independent O(V·E) reference labeling."""
+    from data_mastery_pipeline_spark.dedup import components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    want = _brute_components(edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got_local = {
+        r["id"]: r["component"]
+        for r in components.connected_components(df).collect()
+    }
+    assert got_local == want
+    got_dist = {
+        r["id"]: r["component"]
+        for r in components.connected_components(df, finish_threshold=0).collect()
+    }
+    assert got_dist == want
