@@ -50,11 +50,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (d) leftover slots → highest-value standing re-greens.
 # The round-5 LATE batches are deliberately NOT in this list: they land
 # after the full backlog via _ordered(), consume zero r05 slots, and form
-# ROUND 6's verification batch — next session, put these 11 at the TOP of
+# ROUND 6's verification batch — next session, put these 12 at the TOP of
 # _PRIORITY: orc_roundtrip, csv_quarantine_roundtrip, bloom_join_prune,
 # file_pruning_stats, bpe_merge_candidates, knn_graph, containment_pairs,
 # triangle_count, scd2_user_values, incremental_join_maintenance,
-# leakage_safe_splits.
+# leakage_safe_splits, kafka_wire_roundtrip.
 _PRIORITY = [
     # (a) the red r04 row, fixed
     "profile_events",

@@ -545,3 +545,71 @@ def file_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count("*").alias("n_events"), quantize(F.sum("value"), "sum_value")
     )
+
+
+@query(
+    "kafka_wire_roundtrip",
+    """
+    SELECT event_id, ts, user_id, event_type,
+           floor((value) * 10000 + 0.5) / 10000.0 AS value
+    FROM events
+    """,
+)
+def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S4 over the REAL WIRE: events → keyed-JSON Produce to an
+    in-process Kafka-protocol broker over TCP → offset-range-sliced
+    parallel Fetch through the ``kafka_wire`` Python DataSource →
+    parse back to typed rows (streaming/kafkawire.py — from-scratch
+    Metadata/Produce/Fetch/ListOffsets v0, CRC-checked message sets).
+    The oracle is the identity: wire framing + JSON round trip lose
+    nothing. Unlike ``kafka_roundtrip`` (format-level), every byte here
+    crosses a socket; executor tasks each fetch their own offset slice
+    (the connector planning model, S8's offset-bounded read).
+
+    Per-invocation topic: the broker log is append-only, so a fixed
+    topic would double on re-run (the uuid is the Kafka idempotence
+    story in miniature — idempotent SINKS, not idempotent logs)."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from .schemas import EVENTS
+    from .streaming import kafka, kafkawire
+
+    TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # µs precision both ways
+
+    broker = kafkawire.ensure_local_broker()
+    kafkawire.register(spark)
+    topic = f"events_{uuid.uuid4().hex}"
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    fmt = {"timestampFormat": TS_FMT}
+    pair = kafka.to_kafka_records(ev, key_col="user_id", json_options=fmt)
+    (
+        pair.select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+        )
+        .write.format("kafka_wire")
+        .option("port", broker.port)
+        .option("topic", topic)
+        .mode("append")
+        .save()
+    )
+
+    back = (
+        spark.read.format("kafka_wire")
+        .option("port", broker.port)
+        .option("topic", topic)
+        .option("num_partitions", 8)
+        .load()
+    )
+    payload_schema = T.StructType([f for f in EVENTS.fields if f.name != "props"])
+    parsed = back.select(
+        F.from_json(F.col("value").cast("string"), payload_schema, fmt).alias("r")
+    ).select("r.*")
+    return parsed.select(
+        "event_id", "ts", "user_id", "event_type", quantize(F.col("value"), "value", 4)
+    )

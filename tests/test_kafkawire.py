@@ -1,0 +1,122 @@
+"""Kafka wire protocol: broker/client framing, CRC, offset slicing,
+and the Spark DataSource round trip (streaming/kafkawire.py)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_mastery_pipeline_spark.streaming import kafkawire as kw
+
+
+@pytest.fixture(scope="module")
+def broker():
+    b = kw.MiniKafkaBroker().start()
+    yield b
+    b.stop()
+
+
+def test_produce_fetch_roundtrip_with_null_key(broker):
+    with kw.KafkaWireClient(broker.host, broker.port) as c:
+        base = c.produce("t_rt", [(b"k1", b"v1"), (None, b"v2")])
+        assert base == 0
+        assert c.list_offsets("t_rt", -2) == 0
+        assert c.list_offsets("t_rt", -1) == 2
+        hwm, msgs = c.fetch("t_rt", 0)
+        assert hwm == 2
+        assert msgs == [(0, b"k1", b"v1"), (1, None, b"v2")]
+
+
+def test_fetch_pagination_respects_max_bytes(broker):
+    with kw.KafkaWireClient(broker.host, broker.port) as c:
+        c.produce("t_page", [(b"k%d" % i, b"x" * 50) for i in range(10)])
+        got, off = [], 0
+        while off < 10:
+            _hwm, page = c.fetch("t_page", off, max_bytes=150)
+            assert 0 < len(page) < 10  # genuinely paginated
+            got += page
+            off = page[-1][0] + 1
+        assert [o for o, _, _ in got] == list(range(10))
+
+
+def test_crc_corruption_fails_loudly():
+    raw = bytearray(kw.encode_message_set([(0, b"k", b"hello")]))
+    raw[-1] ^= 0xFF  # flip a payload byte → CRC must catch it
+    with pytest.raises(IOError, match="CRC mismatch"):
+        kw.decode_message_set(bytes(raw))
+
+
+def test_partial_trailing_message_dropped():
+    full = kw.encode_message_set([(0, b"k", b"v"), (1, b"k2", b"v2")])
+    # cut into the second message's body: decoder keeps message 0 only
+    cut = full[: len(full) - 3]
+    assert kw.decode_message_set(cut) == [(0, b"k", b"v")]
+
+
+def test_metadata_lists_topic_and_broker(broker):
+    with kw.KafkaWireClient(broker.host, broker.port) as c:
+        c.produce("t_meta", [(None, b"v")])
+        brokers, topics = c.metadata(["t_meta"])
+        assert brokers == [(0, broker.host, broker.port)]
+        err, parts = topics["t_meta"]
+        assert err == 0 and parts == [(0, 0, 0)]
+
+
+def test_reader_offset_slices_cover_range_disjointly(broker):
+    with kw.KafkaWireClient(broker.host, broker.port) as c:
+        c.produce("t_slices", [(None, b"v%d" % i) for i in range(17)])
+    r = kw.KafkaWireReader(
+        {"port": str(broker.port), "topic": "t_slices", "num_partitions": "4"}
+    )
+    parts = r.partitions()
+    spans = [(p.start, p.end) for p in parts]
+    assert spans[0][0] == 0 and spans[-1][1] == 17
+    for (_, e1), (s2, _) in zip(spans, spans[1:]):
+        assert e1 == s2  # contiguous, disjoint
+    assert sum(e - s for s, e in spans) == 17
+
+
+def test_datasource_roundtrip_executor_parallel(spark, broker):
+    kw.register(spark)
+    df = spark.range(100).select(
+        F.col("id").cast("string").cast("binary").alias("key"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string"))
+        .cast("binary")
+        .alias("value"),
+    )
+    (
+        df.write.format("kafka_wire")
+        .option("port", broker.port)
+        .option("topic", "t_spark")
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("kafka_wire")
+        .option("port", broker.port)
+        .option("topic", "t_spark")
+        .option("num_partitions", 8)
+        .load()
+    )
+    rows = back.collect()
+    assert len(rows) == 100
+    assert sorted(r.offset for r in rows) == list(range(100))
+    vals = sorted(bytes(r.value).decode() for r in rows)
+    assert vals == sorted(f"payload-{i}" for i in range(100))
+
+
+def test_writer_rejects_overwrite(spark, broker):
+    kw.register(spark)
+    df = spark.range(1).select(
+        F.lit(b"k").alias("key"), F.lit(b"v").alias("value")
+    )
+    with pytest.raises(Exception, match="append-only"):
+        (
+            df.write.format("kafka_wire")
+            .option("port", broker.port)
+            .option("topic", "t_ow")
+            .mode("overwrite")
+            .save()
+        )
