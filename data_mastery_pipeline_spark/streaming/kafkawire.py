@@ -449,6 +449,7 @@ try:  # Spark >= 4.0
         DataSourceReader,
         DataSourceWriter,
         InputPartition,
+        SimpleDataSourceStreamReader,
         WriterCommitMessage,
     )
 
@@ -508,6 +509,58 @@ if HAVE_DATASOURCE_API:
                         yield (o, k, v)
                         off = o + 1
 
+    class KafkaWireStreamReader(SimpleDataSourceStreamReader):
+        """Streaming consumption with REAL offset tracking (S4+S8): each
+        micro-batch reads [committed, log-end) — the offset pair IS the
+        checkpointed source offset, so `readBetweenOffsets` replays a
+        WAL-recorded batch byte-for-byte after restart (the
+        exactly-once-source half of the reference's consumer loop,
+        kafka_consumer_s3.py:127-135, minus its consumer group: Spark
+        tracks offsets itself, which is why no group coordinator is
+        needed or implemented)."""
+
+        def __init__(self, options):
+            self.host = options.get("host", "127.0.0.1")
+            self.port = int(options["port"])
+            self.topic = options["topic"]
+            self.starting = options.get("startingOffsets", "earliest")
+
+        def initialOffset(self) -> dict:
+            with KafkaWireClient(self.host, self.port) as c:
+                off = c.list_offsets(self.topic, -2 if self.starting == "earliest" else -1)
+            return {"offset": off}
+
+        def _range(self, start: int, end: int) -> list[tuple]:
+            rows, off = [], start
+            if end <= start:
+                return rows
+            with KafkaWireClient(self.host, self.port) as c:
+                while off < end:
+                    _hwm, msgs = c.fetch(self.topic, off)
+                    if not msgs:
+                        raise IOError(
+                            f"kafka_wire stream: empty fetch at {off} < {end}"
+                        )
+                    for o, k, v in msgs:
+                        if o >= end:
+                            return rows
+                        rows.append((o, k, v))
+                        off = o + 1
+            return rows
+
+        def read(self, start: dict):
+            s = int(start["offset"])
+            with KafkaWireClient(self.host, self.port) as c:
+                end = c.list_offsets(self.topic, -1)
+            # MUST be an iterator, not a list: on an idle tick (end ==
+            # start) the prefetch cache probes emptiness with next(it)
+            # (datasource_internal.add_result_to_cache) — a list raises
+            # TypeError there. list_iterator also pickles fine.
+            return iter(self._range(s, end)), {"offset": end}
+
+        def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+            return self._range(int(start["offset"]), int(end["offset"]))
+
     class _Produced(WriterCommitMessage):
         pass
 
@@ -553,6 +606,9 @@ if HAVE_DATASOURCE_API:
 
         def reader(self, schema):
             return KafkaWireReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return KafkaWireStreamReader(self.options)
 
         def writer(self, schema, overwrite: bool):
             if overwrite:

@@ -120,3 +120,64 @@ def test_writer_rejects_overwrite(spark, broker):
             .mode("overwrite")
             .save()
         )
+
+
+def test_streaming_source_consumes_incrementally(spark, broker):
+    """readStream over the wire source: a batch produced BEFORE the
+    stream starts and one produced WHILE it runs both arrive; offsets
+    advance with the log end."""
+    import tempfile
+    import time
+    import uuid
+
+    kw.register(spark)
+    topic = f"t_stream_{uuid.uuid4().hex[:8]}"
+    with kw.KafkaWireClient(broker.host, broker.port) as c:
+        c.produce(topic, [(None, b"early-%d" % i) for i in range(5)])
+
+    name = f"kwire_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("kafka_wire")
+        .option("port", broker.port)
+        .option("topic", topic)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 5:
+            time.sleep(0.2)
+        assert spark.table(name).count() == 5
+        with kw.KafkaWireClient(broker.host, broker.port) as c:
+            c.produce(topic, [(None, b"late-%d" % i) for i in range(3)])
+        while time.time() < deadline and spark.table(name).count() < 8:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert sorted(r.offset for r in rows) == list(range(8))
+    vals = {bytes(r.value).decode() for r in rows}
+    assert {"early-0", "early-4", "late-0", "late-2"} <= vals
+
+
+def test_stream_replay_is_exact(broker):
+    """readBetweenOffsets (the checkpoint-WAL replay path) returns the
+    identical rows for the identical offset pair — S8's guarantee."""
+    import uuid
+
+    topic = f"t_replay_{uuid.uuid4().hex[:8]}"
+    with kw.KafkaWireClient(broker.host, broker.port) as c:
+        c.produce(topic, [(b"k%d" % i, b"v%d" % i) for i in range(10)])
+    r = kw.KafkaWireStreamReader({"port": str(broker.port), "topic": topic})
+    assert r.initialOffset() == {"offset": 0}
+    it, end = r.read({"offset": 0})
+    batch = list(it)  # read() returns an iterator (idle-tick contract)
+    assert end == {"offset": 10} and len(batch) == 10
+    replay = r.readBetweenOffsets({"offset": 3}, {"offset": 7})
+    assert replay == batch[3:7]
+    assert r.readBetweenOffsets({"offset": 7}, {"offset": 7}) == []
