@@ -80,6 +80,8 @@ HEADLINE = [
     "triangle_count",
     "scd2_user_values",
     "incremental_join_maintenance",
+    # round 5 batch 7: the live wire path (S3+S4 over real TCP)
+    "kafka_wire_roundtrip",
 ]
 
 
