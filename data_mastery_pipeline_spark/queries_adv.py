@@ -1296,7 +1296,8 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "triangle_count",
     """
     WITH pairs AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             count(DISTINCT a.l_orderkey) AS n
       FROM lineitem a
       JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
@@ -1329,7 +1330,11 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "ok")
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
-        .agg(F.count("*").alias("n"))
+        # DISTINCT orders, not pair multiplicity: an order listing part
+        # P on two line items would otherwise fabricate a co-purchase
+        # edge from ONE order (review r5 finding — the oracle shared the
+        # bug, so parity alone could not catch it)
+        .agg(F.countDistinct("ok").alias("n"))
         .filter(F.col("n") >= 2)
         .select("pa", "pb")
     )

@@ -580,7 +580,15 @@ def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     broker = kafkawire.ensure_local_broker()
     kafkawire.register(spark)
+    # reclaim the PREVIOUS invocation's topic (its result is consumed by
+    # now — same pattern as _fresh_dir): the broker log is in-memory and
+    # append-only, so without this a long-lived driver re-running the
+    # query would retain every batch ever produced
+    prev = _LAST_DIR.pop(("kw_topic", sf_dir), None)
+    if prev is not None:
+        broker.drop_topic(prev)
     topic = f"events_{uuid.uuid4().hex}"
+    _LAST_DIR[("kw_topic", sf_dir)] = topic
 
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"

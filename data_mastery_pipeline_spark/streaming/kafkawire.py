@@ -120,15 +120,24 @@ def encode_message_set(
     return out.getvalue()
 
 
-def decode_message_set(buf: bytes) -> list[tuple[int, bytes | None, bytes | None]]:
-    """Wire message set → [(offset, key, value)]; CRC-checked; a
-    trailing partial message (legal in Fetch v0 responses) is dropped."""
+def decode_message_set(
+    buf: bytes, strict: bool = False
+) -> list[tuple[int, bytes | None, bytes | None]]:
+    """Wire message set → [(offset, key, value)]; CRC-checked. A
+    trailing partial message is LEGAL in Fetch v0 responses (dropped),
+    but a Produce request must be complete — ``strict=True`` raises on
+    truncation instead of silently acking a half-landed set."""
     cur = _Cursor(buf)
     out: list[tuple[int, bytes | None, bytes | None]] = []
     while cur.remaining() >= 12:
         offset, size = cur.take("qi")
         if cur.remaining() < size:
-            break  # partial trailing message
+            if strict:
+                raise IOError(
+                    f"kafka_wire: truncated message set (need {size} bytes "
+                    f"at offset {offset}, have {cur.remaining()})"
+                )
+            break  # partial trailing message (fetch semantics)
         msg = cur.buf[cur.pos : cur.pos + size]
         cur.pos += size
         crc = struct.unpack_from(">I", msg, 0)[0]
@@ -173,8 +182,12 @@ class _TopicLog:
             return base
 
     def slice(self, start: int, max_bytes: int):
+        # bound the copy under the lock by what max_bytes can possibly
+        # carry (26 B is the minimum wire size per entry) — an
+        # unbounded tail copy per fetch is O(remaining) while producers
+        # block on the lock
         with self.lock:
-            snapshot = self.entries[start:]
+            snapshot = self.entries[start : start + max_bytes // 26 + 1]
         out, size = [], 0
         for i, (k, v) in enumerate(snapshot):
             m = 12 + 4 + 2 + len(k or b"") + 4 + len(v or b"") + 4
@@ -199,14 +212,27 @@ class MiniKafkaBroker:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:
-                try:
-                    while True:
+                while True:
+                    try:
                         size = struct.unpack(">i", _read_exact(self.request, 4))[0]
                         req = _read_exact(self.request, size)
+                    except (ConnectionError, OSError):
+                        return  # client hung up between frames — normal
+                    try:
                         resp = broker._dispatch(req)
+                    except Exception:
+                        # protocol error (bad CRC, unsupported version,
+                        # unknown api): IOError is OSError in py3, so a
+                        # blanket handler would silently eat it as a
+                        # hangup — log loudly, then drop the connection
+                        import traceback
+
+                        traceback.print_exc()
+                        return
+                    try:
                         self.request.sendall(struct.pack(">i", len(resp)) + resp)
-                except (ConnectionError, OSError):
-                    return  # client hung up
+                    except (ConnectionError, OSError):
+                        return
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -229,6 +255,14 @@ class MiniKafkaBroker:
     def _log(self, topic: str) -> _TopicLog:
         with self._tlock:
             return self.topics.setdefault(topic, _TopicLog())
+
+    def drop_topic(self, topic: str) -> None:
+        """Delete a topic's log (admin surface — callers with
+        per-invocation uuid topics reclaim the PREVIOUS one here, or a
+        long-lived in-process broker would retain every batch ever
+        produced)."""
+        with self._tlock:
+            self.topics.pop(topic, None)
 
     # -- request dispatch
 
@@ -277,7 +311,7 @@ class MiniKafkaBroker:
                 pid, set_size = cur.take("ii")
                 raw = cur.buf[cur.pos : cur.pos + set_size]
                 cur.pos += set_size
-                msgs = decode_message_set(raw)
+                msgs = decode_message_set(raw, strict=True)
                 base = self._log(topic).append([(k, v) for _, k, v in msgs])
                 out.write(struct.pack(">ihq", pid, 0, base))
         return out.getvalue()
@@ -530,11 +564,12 @@ if HAVE_DATASOURCE_API:
                 off = c.list_offsets(self.topic, -2 if self.starting == "earliest" else -1)
             return {"offset": off}
 
-        def _range(self, start: int, end: int) -> list[tuple]:
+        def _range(self, start: int, end: int, client=None) -> list[tuple]:
             rows, off = [], start
             if end <= start:
                 return rows
-            with KafkaWireClient(self.host, self.port) as c:
+            c = client or KafkaWireClient(self.host, self.port)
+            try:
                 while off < end:
                     _hwm, msgs = c.fetch(self.topic, off)
                     if not msgs:
@@ -546,17 +581,21 @@ if HAVE_DATASOURCE_API:
                             return rows
                         rows.append((o, k, v))
                         off = o + 1
+            finally:
+                if client is None:
+                    c.close()
             return rows
 
         def read(self, start: dict):
             s = int(start["offset"])
             with KafkaWireClient(self.host, self.port) as c:
                 end = c.list_offsets(self.topic, -1)
+                rows = self._range(s, end, client=c)  # one socket per tick
             # MUST be an iterator, not a list: on an idle tick (end ==
             # start) the prefetch cache probes emptiness with next(it)
             # (datasource_internal.add_result_to_cache) — a list raises
             # TypeError there. list_iterator also pickles fine.
-            return iter(self._range(s, end)), {"offset": end}
+            return iter(rows), {"offset": end}
 
         def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
             return self._range(int(start["offset"]), int(end["offset"]))
@@ -566,13 +605,23 @@ if HAVE_DATASOURCE_API:
 
     class KafkaWireWriter(DataSourceWriter):
         """Keyed producer sink (S3): each Spark partition produces its
-        rows as one message set over its own connection. Rows must be
-        (key binary|string|null, value binary|string)."""
+        rows as one message set over its own connection. The input must
+        CARRY ``key`` and ``value`` columns — bound by NAME from the
+        declared schema, so column order can't silently swap key/value
+        (e.g. writing the source's own (offset, key, value) output
+        back)."""
 
-        def __init__(self, options):
+        def __init__(self, options, schema=None):
             self.host = options.get("host", "127.0.0.1")
             self.port = int(options["port"])
             self.topic = options["topic"]
+            names = [f.name for f in schema.fields] if schema is not None else []
+            if schema is not None and not {"key", "value"} <= set(names):
+                raise ValueError(
+                    f"kafka_wire writer needs key+value columns, got {names}"
+                )
+            self.ki = names.index("key") if names else 0
+            self.vi = names.index("value") if names else 1
 
         @staticmethod
         def _b(x) -> bytes | None:
@@ -581,7 +630,7 @@ if HAVE_DATASOURCE_API:
             return str(x).encode("utf-8")
 
         def write(self, rows) -> _Produced:
-            batch = [(self._b(r[0]), self._b(r[1])) for r in rows]
+            batch = [(self._b(r[self.ki]), self._b(r[self.vi])) for r in rows]
             if batch:
                 with KafkaWireClient(self.host, self.port) as c:
                     c.produce(self.topic, batch)
@@ -613,20 +662,19 @@ if HAVE_DATASOURCE_API:
         def writer(self, schema, overwrite: bool):
             if overwrite:
                 raise ValueError("kafka_wire is an append-only log; no overwrite")
-            return KafkaWireWriter(self.options)
+            return KafkaWireWriter(self.options, schema)
 
 
-_REGISTERED: set[int] = set()
 _BROKER: MiniKafkaBroker | None = None
 _BROKER_LOCK = threading.Lock()
 
 
 def register(spark) -> None:
-    """Register the data source once per session."""
-    key = id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(KafkaWireDataSource)
-        _REGISTERED.add(key)
+    """Register the data source on this session. Registration is an
+    overwrite-by-name (re-registering is harmless), so no caching — an
+    id(spark)-keyed cache would wrongly skip a NEW session allocated at
+    a GC'd session's address."""
+    spark.dataSource.register(KafkaWireDataSource)
 
 
 def ensure_local_broker() -> MiniKafkaBroker:
