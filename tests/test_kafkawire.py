@@ -3,8 +3,6 @@ and the Spark DataSource round trip (streaming/kafkawire.py)."""
 
 from __future__ import annotations
 
-import struct
-
 import pytest
 from pyspark.sql import functions as F
 
