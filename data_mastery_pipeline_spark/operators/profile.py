@@ -36,7 +36,11 @@ def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = True)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            # coalesce: sum over ZERO rows is null, but "no rows" means
+            # zero nulls, not unknown
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0).cast("long")
+            ).alias(f"__null_{c}"),
             distinct(c).alias(f"__dist_{c}"),
             # aggregate on the NATIVE type, cast the result — casting
             # first would make numeric min/max lexicographic ('9' > '14')

@@ -110,3 +110,20 @@ def test_anomaly_zscores_match_flags(spark):
             assert r["is_anomaly"], r
         if abs(r["z"]) < 2.999:
             assert not r["is_anomaly"], r
+
+
+def test_profile_empty_table_reports_zero_nulls(spark):
+    """profile() on an EMPTY table: n_rows/n_null/n_distinct are 0 (not
+    null — 'no rows' means zero nulls, not unknown), min/max null."""
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.operators import profile as prof
+
+    df = spark.range(5).select(
+        F.col("id").alias("a"), F.lit("x").alias("b")
+    ).filter(F.lit(False))
+    rows = {r.column: r for r in prof.profile(df).collect()}
+    assert set(rows) == {"a", "b"}
+    for r in rows.values():
+        assert r.n_rows == 0 and r.n_null == 0 and r.n_distinct == 0
+        assert r.min_value is None and r.max_value is None
