@@ -86,6 +86,9 @@ def main() -> None:
     if args and args[0] == "--cc-diameter":
         cc_diameter_probe([int(a) for a in args[1:]] or [32, 256, 2048])
         return
+    if args and args[0] == "--containment":
+        containment_probe([int(a) for a in args[1:]] or [1, 4, 16])
+        return
     ks = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(app_name="scale_probe")
     # warm JVM + python paths once
@@ -237,6 +240,61 @@ def ann_probe(ks) -> None:
             out[f"ivf_recall_p{n_probes}"] = len(set(exact) & set(approx)) / 10.0
 
         print(json.dumps(out), flush=True)
+
+
+
+
+def containment_probe(ks) -> None:
+    """Containment-dedup amplification: marker-perturbed replicas break
+    3-grams, so a replica never shares grams with its source — every
+    containment pair lives INSIDE one replica generation, and the pair
+    count must scale exactly ×k. Linear wall growth (or better, while
+    fixed job overhead dominates locally) is the evidence that the gram
+    join's cost tracks data volume, not pair volume."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.functions import text as textfn
+    from data_mastery_pipeline_spark.parallelism import fan_out
+    from data_mastery_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="containment_probe")
+    spark.range(10).count()
+    base_pairs = None
+    for k in ks:
+        docs = fan_out(amplified(spark, k)).localCheckpoint()
+        hashes = F.array_distinct(
+            F.transform(textfn.word_ngram_structs("text", 3), lambda st: F.xxhash64(st))
+        )
+        grams = docs.select(F.col("doc_id"), hashes.alias("hs")).select(
+            "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("g")
+        )
+        t0 = _t.time()
+        inter = (
+            grams.alias("a")
+            .join(grams.alias("b"), "g")
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .agg(F.count("*").alias("i"), F.max("a.n").alias("n"))
+        )
+        n_pairs = inter.filter(F.col("i") / F.col("n") >= 0.8).count()
+        wall = _t.time() - t0
+        if base_pairs is None:
+            base_pairs = n_pairs
+        print(
+            json.dumps(
+                {
+                    "probe": "containment",
+                    "k": k,
+                    "docs": docs.count(),
+                    "pairs": n_pairs,
+                    "pairs_over_base": round(n_pairs / max(base_pairs, 1), 3),
+                    "wall_sec": round(wall, 2),
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
