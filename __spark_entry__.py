@@ -36,85 +36,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's verify appears bounded at ~50 queries per round, so the
-# iteration order IS the verification budget. Round 5 spends the ENTIRE
-# window on the verification backlog (VERDICT r04 task 3 — new-query
-# registration is frozen this round):
-#   (a) profile_events — the one red r04 row; its oracle now carries the
-#       CAST(sum(CASE …) AS BIGINT) the repo convention mandates, and
-#       the local mirror is type-faithful (tools/typenorm.py) so it
-#       predicts the driver.
-#   (b) the 6 ex-`no_oracle` queries — oracles exist since r04 but the
-#       driver's last word on each is still the weaker rows-only check.
-#   (c) the 40 queries never driver-checked in any round (r01-r04
-#       union), ordered oldest-registered first.
-#   (d) leftover slots → highest-value standing re-greens.
-# The round-5 LATE batches are deliberately NOT in this list: they land
-# after the full backlog via _ordered(), consume zero r05 slots, and form
-# ROUND 6's verification batch — next session, put these 12 at the TOP of
-# _PRIORITY: orc_roundtrip, csv_quarantine_roundtrip, bloom_join_prune,
-# file_pruning_stats, bpe_merge_candidates, knn_graph, containment_pairs,
-# triangle_count, scd2_user_values, incremental_join_maintenance,
-# leakage_safe_splits, kafka_wire_roundtrip.
+# iteration order IS the verification budget. Round 6 spends its window
+# exactly as VERDICT r05 task 1 directs:
+#   (a) the 12 round-5 late-batch queries, never driver-checked — once
+#       green, every registered query has a green driver row in some
+#       round. containment_pairs and triangle_count carry the VERDICT
+#       r05 scale fixes (max_gram_df hot-gram cap; degree orientation),
+#       applied to BOTH the Spark side and the oracle.
+#   (b) any round-6 additions (kept small — VERDICT r05 item 3: the
+#       unverified tail must never exceed one round's batch).
+#   (c) leftover slots → highest-value standing re-greens, starting
+#       with near_dup_clusters (VERDICT task 4 re-adjudication).
 _PRIORITY = [
-    # (a) the red r04 row, fixed
-    "profile_events",
-    # (b) ex-no_oracle — upgrade rows-only to value-hash driver rows
-    "minhash_near_dup",
-    "simhash_near_dup",
-    "ann_ivf_topk",
-    "value_percentiles_approx",
-    "rolling_fingerprints",
-    "distinct_users_approx",
-    # (c) never driver-checked: round-2 stats batch
-    "rich_inactive_customers",
-    "tfidf_top_terms",
-    "length_deciles",
-    "source_mixture",
-    "string_suite",
-    "ship_priority",
-    "returned_revenue_by_customer",
-    "embedding_norms",
-    "modal_value_bucket",
-    "distinct_users_hll_sketch",
-    "daily_revenue_anomalies",
-    "part_cooccurrence",
-    "ewma_user_value",
-    # (c) never driver-checked: round-4 corpus monitors + funnels
-    "lm_bigram_quality",
-    "source_unigram_drift",
-    "funnel_conversion",
-    "cohort_retention",
-    "prefix_edit_near_dups",
-    # (c) never driver-checked: operational analytics
-    "events_quarantine",
-    "ab_test_conversion",
-    "chi2_type_value",
-    "path_regex_funnel",
-    "weighted_sample_per_source",
-    "revenue_trend_by_nation",
-    "embedding_dim_correlations",
-    "rolling_7d_active_users",
-    "user_value_decile_lift",
-    "versioned_snapshot_diff",
-    "near_dup_cluster_sizes",
-    # (c) never driver-checked: batch-1 analytics + drift monitors
-    "linestatus_priority_counts",
-    "small_quantity_revenue",
-    "min_cost_supplier",
-    "sole_blame_suppliers",
-    "autocorr_daily_revenue",
-    "audience_overlap",
-    "winsorized_value_stats",
-    "reservoir_per_source",
-    "stream_enrich_static",
-    "psi_value_drift",
-    "user_behavior_entropy",
-    # (d) leftover slots: highest-value standing re-greens
-    "pricing_summary",
+    # (a) the round-5 late batch — claims → facts
+    "orc_roundtrip",
+    "csv_quarantine_roundtrip",
+    "bloom_join_prune",
+    "file_pruning_stats",
+    "bpe_merge_candidates",
+    "knn_graph",
+    "containment_pairs",
+    "triangle_count",
+    "scd2_user_values",
+    "incremental_join_maintenance",
+    "leakage_safe_splits",
+    "kafka_wire_roundtrip",
+    # (b) round-6 additions (kept below one round's batch — VERDICT item 3)
+    "kafka_wire_stream_hourly",
+    "zorder_pruning_stats",
+    # (c) standing re-greens: perf-adjudicated + highest-value anchors
     "near_dup_clusters",
     "near_dup_canonical",
+    "pricing_summary",
     "exact_dedup",
     "star_revenue",
+    "minhash_near_dup",
+    "daily_agg",
+    "asof_join_purchases",
+    "profile_events",
+    "stream_tumbling_hourly",
 ]
 
 

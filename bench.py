@@ -82,6 +82,8 @@ HEADLINE = [
     "incremental_join_maintenance",
     # round 5 batch 7: the live wire path (S3+S4 over real TCP)
     "kafka_wire_roundtrip",
+    # round 6: the wire STREAMING path (micro-batch offsets over TCP)
+    "kafka_wire_stream_hourly",
 ]
 
 
@@ -162,20 +164,38 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     detail: dict[str, object] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
+    reruns: dict[str, list[float]] = {}
+
+    def _run_once(name: str) -> float:
         # time construction AND execution: queries with internal actions
         # (streaming drains, write-path roundtrips) do real work before
         # returning the DataFrame
         t = time.time()
         df = QUERIES[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t, 3)
+        return round(time.time() - t, 3)
+
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        timings[name] = _run_once(name)
         if name == "near_dup_clusters" and _cc.LAST_RUN_STATS:
             # per-round attribution (rounds × edges × wall) so a bench
             # anomaly on the iterative operator is explainable
             detail["near_dup_clusters_rounds"] = list(_cc.LAST_RUN_STATS)
+
+    # VERDICT r05 task 4: entries over 2 s are re-timed (min-of-3, all
+    # runs reported) so a loadavg spike can't masquerade as a plan
+    # regression — r05's near_dup_clusters 6.78 s recorded vs 4.9 s warm
+    # was exactly this ambiguity
+    for name, first in list(timings.items()):
+        if first <= 2.0:
+            continue
+        runs = [first] + [_run_once(name) for _ in range(2)]
+        reruns[name] = runs
+        timings[name] = min(runs)
+    if reruns:
+        detail["reruns_min_of_3"] = reruns
 
     # end-to-end corpus lifecycle (quality gate → dedups → decontam →
     # chunk → pack → write): the throughput number a training-data user

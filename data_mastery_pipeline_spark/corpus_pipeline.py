@@ -73,11 +73,10 @@ def run_corpus_pipeline(
     materializations on a real cluster (None = fast local blocks)."""
     ckpt = lambda df: truncate_lineage(df, checkpoint_dir)  # noqa: E731
 
-    from .parallelism import fan_out
-
-    # every stage below is CPU-heavy narrow work over this scan — fan it
-    # out once if the source arrives under-split (no-op otherwise)
-    docs = fan_out(load_table(spark, "documents", sf_dir))
+    # every stage below is CPU-heavy narrow work over this scan —
+    # load_table's CPU_HEAVY_TABLES policy fans it out once if the
+    # source arrives under-split (no-op otherwise)
+    docs = load_table(spark, "documents", sf_dir)
     stage_rows: dict[str, int] = {"raw": docs.count()}
 
     # --- quality gate (narrow, one pass; materialized once) ------------

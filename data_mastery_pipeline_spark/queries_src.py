@@ -621,3 +621,188 @@ def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "event_id", "ts", "user_id", "event_type", quantize(F.col("value"), "value", 4)
     )
+
+
+@query(
+    "kafka_wire_stream_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           floor((sum(value)) * 100 + 0.5) / 100.0 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def kafka_wire_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kafka_wire STREAMING path as a driver row (VERDICT r05 task
+    7): events → keyed-JSON Produce over TCP → ``readStream`` through
+    the wire source's micro-batch offset tracking
+    (kafkawire.KafkaWireStreamReader: each batch reads [committed,
+    log-end), the offset pair is the checkpointed source offset, and
+    readBetweenOffsets replays WAL-recorded batches exactly) → JSON
+    parse → watermarked 1-hour tumbling aggregate in complete mode →
+    memory sink. The oracle is the batch hourly aggregate over the
+    same events: wire transport + streaming execution must lose
+    nothing. The sink is polled until the aggregate accounts for every
+    produced row (complete mode republishes the full state each
+    trigger), then the stream stops — a bounded, deterministic drain
+    of a genuinely unbounded source (availableNow needs source-side
+    support the simple-reader API doesn't offer).
+
+    100 TB: the aggregation state is (hour × event_type)-sized —
+    mergeable, bounded; the transport is offset-sliced per micro-batch
+    exactly like the real connector. Parity with stream_tumbling_hourly
+    (same agg over the file source) isolates the wire leg."""
+    import time as _time
+    import uuid
+
+    from .streaming import kafka, kafkawire
+    from .streaming import core as score
+    from .streaming import windows as swin
+
+    TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    broker = kafkawire.ensure_local_broker()
+    kafkawire.register(spark)
+    prev = _LAST_DIR.pop(("kw_stream_topic", sf_dir), None)
+    if prev is not None:
+        broker.drop_topic(prev)
+    topic = f"events_stream_{uuid.uuid4().hex}"
+    _LAST_DIR[("kw_stream_topic", sf_dir)] = topic
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    expected = ev.count()
+    fmt = {"timestampFormat": TS_FMT}
+    pair = kafka.to_kafka_records(ev, key_col="user_id", json_options=fmt)
+    (
+        pair.select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+        )
+        .write.format("kafka_wire")
+        .option("port", broker.port)
+        .option("topic", topic)
+        .mode("append")
+        .save()
+    )
+
+    from pyspark.sql import types as T
+
+    from .schemas import EVENTS
+
+    payload_schema = T.StructType([f for f in EVENTS.fields if f.name != "props"])
+    stream = (
+        spark.readStream.format("kafka_wire")
+        .option("port", broker.port)
+        .option("topic", topic)
+        .load()
+        .select(
+            F.from_json(F.col("value").cast("string"), payload_schema, fmt).alias("r")
+        )
+        .select("r.ts", "r.event_type", "r.value")
+    )
+    agg = swin.tumbling_value_stats(stream, window="1 hour", watermark="1 hour")
+
+    import tempfile
+
+    name = f"kw_stream_{uuid.uuid4().hex[:12]}"
+    conf_key = "spark.sql.shuffle.partitions"
+    prev_sp = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "8")  # state-store count (see core.run_available_now)
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_kw_stream_"))
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 180
+            while _time.time() < deadline:
+                got = (
+                    spark.table(name)
+                    .agg(F.sum("n_events").alias("n"))
+                    .collect()[0]["n"]
+                )
+                if got == expected:
+                    break
+                _time.sleep(0.3)
+            else:
+                raise TimeoutError(
+                    f"kafka_wire_stream_hourly: sink saw {got}/{expected} rows"
+                )
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        if prev_sp is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_sp)
+    # materialize the final state off the sink table; the copy is a
+    # BOUNDED collect (|hours| x |event types| aggregate rows, never
+    # event-sized data)
+    res = spark.table(name).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        quantize(F.col("sum_value"), "sum_value"),
+    )
+    res = spark.createDataFrame(res.collect(), res.schema)
+    return res
+
+
+@query(
+    "zorder_pruning_stats",
+    f"""
+    SELECT event_type, count(*) AS n_events,
+           {sql_quantize("sum(value)", "sum_value")}
+    FROM events
+    WHERE user_id BETWEEN 20 AND 40 AND value BETWEEN 50.0 AND 120.0
+    GROUP BY event_type
+    """,
+)
+def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered layout (sources/layout.py): events are written
+    range-clustered on the Morton interleave of (user_id, value) into
+    16 files, a two-column manifest is built, and a CONJUNCTIVE 2-D
+    needle reads only files overlapping BOTH ranges
+    (manifest.skipping_scan_multi). The space-filling curve is what
+    makes both dimensions' file stats selective at once — 1-D
+    clustering on user_id would leave the value dimension's stats
+    spanning the full range in every file. The query RAISES unless
+    (a) files were skipped AND (b) the value dimension contributed
+    pruning on its own — so the Z-order claim is enforced, not
+    assumed. Row-level results are exact (residual filter); the oracle
+    is the plain filtered aggregate.
+
+    100 TB: layout cost is one range shuffle at write time (amortized
+    over every future needle); the prune decision is manifest-driven
+    (O(files) driver rows, the Iceberg planning model)."""
+    from .sources import layout, manifest as mf
+
+    ev = load_table(spark, "events", sf_dir)
+    path = _fresh_dir("zorder", sf_dir)
+    layout.write_zordered(ev, path, ["user_id", "value"], num_files=16)
+    man = mf.build_manifest(spark, path, ["user_id", "value"])
+    preds = {"user_id": (20, 40), "value": (50.0, 120.0)}
+    df, stats = mf.skipping_scan_multi(spark, man, preds)
+    if stats["files_read"] >= stats["files_total"]:
+        raise AssertionError(
+            f"z-order pruning ineffective: read {stats['files_read']}"
+            f"/{stats['files_total']} files for a 2-D needle"
+        )
+    # the SECOND dimension must prune by itself — the property 1-D
+    # clustering cannot deliver
+    value_only = len(mf.pruned_files(man, "value", *preds["value"]))
+    if value_only >= stats["files_total"]:
+        raise AssertionError(
+            "z-order layout left the value dimension unselective: "
+            f"{value_only}/{stats['files_total']} files overlap its range"
+        )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), quantize(F.sum("value"), "sum_value")
+    )

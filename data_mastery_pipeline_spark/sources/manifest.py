@@ -76,10 +76,57 @@ def skipping_scan(
     manifest aggregation unless the caller cached it."""
     rows = manifest.select("file", f"{col}_min", f"{col}_max").collect()
     all_files = [r.file for r in rows]
+    if not all_files:
+        # spark.read.parquet() with zero paths raises an opaque
+        # "path not specified" — fail with the actual cause instead.
+        # (No schema travels with the manifest, so an empty DataFrame
+        # can't be synthesized here; callers with a schema in hand can
+        # spark.createDataFrame([], schema) on this error.)
+        raise ValueError(
+            "skipping_scan: manifest lists zero files — build the manifest "
+            "over a non-empty dataset or handle the empty case upstream"
+        )
     keep = [r.file for r in rows if _overlaps(r[f"{col}_min"], r[f"{col}_max"], lo, hi)]
     if not keep:  # empty relation with the right schema
         df = spark.read.parquet(*all_files).filter(F.lit(False))
     else:
         df = spark.read.parquet(*keep)
     df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    return df, {"files_total": len(all_files), "files_read": len(keep)}
+
+
+def skipping_scan_multi(
+    spark: SparkSession,
+    manifest: DataFrame,
+    preds: dict,
+) -> tuple[DataFrame, dict]:
+    """Multi-dimension range scan through the manifest: read only files
+    whose [min, max] overlaps EVERY predicate ``{col: (lo, hi)}``, then
+    re-apply the residual row filter. With a Z-ordered layout
+    (sources/layout.py) every interleaved dimension's stats are
+    partially selective, so conjunctive needles prune on all of them at
+    once — the multi-column generalization of :func:`skipping_scan`."""
+    cols = list(preds)
+    sel = ["file"] + [f"{c}_{t}" for c in cols for t in ("min", "max")]
+    rows = manifest.select(*sel).collect()
+    all_files = [r.file for r in rows]
+    if not all_files:
+        raise ValueError(
+            "skipping_scan_multi: manifest lists zero files — build the "
+            "manifest over a non-empty dataset or handle the empty case upstream"
+        )
+    keep = [
+        r.file
+        for r in rows
+        if all(
+            _overlaps(r[f"{c}_min"], r[f"{c}_max"], lo, hi)
+            for c, (lo, hi) in preds.items()
+        )
+    ]
+    if not keep:  # empty relation with the right schema
+        df = spark.read.parquet(*all_files).filter(F.lit(False))
+    else:
+        df = spark.read.parquet(*keep)
+    for c, (lo, hi) in preds.items():
+        df = df.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
     return df, {"files_total": len(all_files), "files_read": len(keep)}

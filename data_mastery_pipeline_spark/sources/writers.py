@@ -148,6 +148,7 @@ def write_clustered(
     mode: str = "overwrite",
     max_records_per_file: int = 1_000_000,
     num_files: int | None = None,
+    drop_cols: Sequence[str] | None = None,
 ) -> None:
     """Cluster-on-write for data skipping — the plain-parquet analog of
     the reference's serving-side btree indexes (schema.sql:81-86) and of
@@ -170,8 +171,14 @@ def write_clustered(
         if num_files is not None  # pin file count; else AQE sizes it
         else df.repartitionByRange(*cols)
     )
+    clustered = ranged.sortWithinPartitions(*cluster_cols)
+    if drop_cols:
+        # layout-only helper columns (e.g. the Morton value): cluster +
+        # sort on them, keep them OUT of the files — the narrow drop
+        # preserves the partition-local ordering
+        clustered = clustered.drop(*drop_cols)
     (
-        ranged.sortWithinPartitions(*cluster_cols)
+        clustered
         .write.mode(mode)
         .option("maxRecordsPerFile", str(max_records_per_file))
         .parquet(path)

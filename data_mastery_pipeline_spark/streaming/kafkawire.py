@@ -131,6 +131,8 @@ def decode_message_set(
     out: list[tuple[int, bytes | None, bytes | None]] = []
     while cur.remaining() >= 12:
         offset, size = cur.take("qi")
+        if size < 0:
+            raise IOError(f"kafka_wire: negative message size {size}")
         if cur.remaining() < size:
             if strict:
                 raise IOError(
@@ -151,7 +153,20 @@ def decode_message_set(
         key = mcur.bytes_()
         value = mcur.bytes_()
         out.append((offset, key, value))
+    if strict and cur.remaining():
+        # a tail cut INSIDE the 12-byte offset/size header (0 < rem < 12)
+        # would otherwise be silently dropped — produce must be complete
+        raise IOError(
+            f"kafka_wire: truncated message set ({cur.remaining()} trailing "
+            "bytes inside an entry header)"
+        )
     return out
+
+
+# Frame-size sanity cap (broker AND client side): the real broker's
+# socket.request.max.bytes default is 100 MiB; 64 MiB is ample for the
+# message-set sizes this v0 path produces.
+_MAX_FRAME_BYTES = 64 * 1024 * 1024
 
 
 def _read_exact(sock: socket.socket, n: int) -> bytes:
@@ -215,6 +230,12 @@ class MiniKafkaBroker:
                 while True:
                     try:
                         size = struct.unpack(">i", _read_exact(self.request, 4))[0]
+                        # the 4-byte frame size is untrusted input: a
+                        # negative value would make recv() raise deep in
+                        # _read_exact, a huge one would allocate
+                        # unboundedly — validate, then drop the peer
+                        if not 0 <= size <= _MAX_FRAME_BYTES:
+                            return
                         req = _read_exact(self.request, size)
                     except (ConnectionError, OSError):
                         return  # client hung up between frames — normal
@@ -609,7 +630,18 @@ if HAVE_DATASOURCE_API:
         CARRY ``key`` and ``value`` columns — bound by NAME from the
         declared schema, so column order can't silently swap key/value
         (e.g. writing the source's own (offset, key, value) output
-        back)."""
+        back).
+
+        DELIVERY: AT-LEAST-ONCE, exactly like the real Spark Kafka sink
+        (which also produces from the task with non-transactional
+        semantics) — rows land in ``write()``, and ``commit``/``abort``
+        cannot retract an append from the log, so a retried or
+        speculative task double-appends. The v0 protocol has no
+        idempotent producer; consumers needing exactly-once dedupe on
+        read (streaming/dedup.py keyed sink, or group on (key, value)).
+        Staging rows through WriterCommitMessage for a driver-side
+        commit would funnel ALL data through the driver — wrong at any
+        scale."""
 
         def __init__(self, options, schema=None):
             self.host = options.get("host", "127.0.0.1")

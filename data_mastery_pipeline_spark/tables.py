@@ -230,14 +230,40 @@ def apply_plan(df: DataFrame, plan: dict[str, str]) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+# Tables whose downstream work is CPU-heavy NARROW compute (gram
+# explodes, vector math) rather than shuffle-bound relational ops. A
+# small single-row-group parquet file arrives as ONE scan task, and a
+# narrow pipeline inherits that single task end-to-end — the measured
+# local trap (VERDICT r05 task 6: four queries hand-patched fan_out;
+# the next heavy query would forget). load_table now applies the
+# conditional fan-out as POLICY for these tables: a no-op whenever the
+# source already arrives with >= defaultParallelism splits (always, at
+# cluster scale), and Catalyst pushes projections/filters below the
+# round-robin exchange so a cheap `count(*)` shuffles no payload.
+CPU_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+
+
+def load_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    fan_out: bool | None = None,
+) -> DataFrame:
     """Read one testdata table, registry schema enforced, physical form
     footer-adapted (see module docstring). The surfaced schema is always
-    exactly the registry type."""
+    exactly the registry type.
+
+    ``fan_out``: None (default) applies the :data:`CPU_HEAVY_TABLES`
+    policy; True/False force it per call."""
     plan = read_plan(name, sf_dir)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.schema(read_schema_for(name, plan)).parquet(path)
-    return apply_plan(df, plan)
+    df = apply_plan(df, plan)
+    if fan_out if fan_out is not None else name in CPU_HEAVY_TABLES:
+        from .parallelism import fan_out as _fan_out
+
+        df = _fan_out(df)
+    return df
 
 
 def events_ts_kind(sf_dir: str = DEFAULT_SF_DIR) -> str:

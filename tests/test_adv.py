@@ -369,3 +369,67 @@ def test_kll_certificates_and_merge_row(spark):
     )
     # p50 ≤ p90 everywhere
     assert all(r["p50"] <= r["p90"] for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# Graph: triangle orientation invariance + containment hot-gram cap
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_degree_orientation_equals_id_orientation(spark):
+    """VERDICT r05 task 3: the shipped degree-oriented wedge count must
+    equal the simpler id-oriented form — the triangle count is
+    orientation-invariant under ANY strict total order on vertices."""
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.tables import load_table
+
+    n_deg = QUERIES["triangle_count"](spark, SF_SMOKE).collect()[0]["n_triangles"]
+
+    li = load_table(spark, "lineitem", SF_SMOKE).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.countDistinct("ok").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = edges.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    n_id = e1.join(e2, "y").join(e3, ["x", "z"]).count()
+    assert n_deg == n_id and n_deg > 0
+
+
+def test_containment_cap_drops_injected_boilerplate_pairs(spark):
+    """A shared trailing sentence gives every doc the same hot 3-grams;
+    with the cap at (n_docs - 1) those grams are dropped from BOTH the
+    intersection and the denominator, so two otherwise-disjoint docs
+    must NOT pair; uncapped, the boilerplate alone can fake
+    containment. Also pins the n_hot telemetry."""
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.queries_adv import containment_pairs_df
+
+    boiler = "all rights reserved subscribe now terms apply here today"
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta " + boiler),
+        (2, "one two three four five six " + boiler),
+        (3, "alpha beta gamma delta epsilon zeta eta " + boiler),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped, n_hot = containment_pairs_df(docs, max_gram_df=2, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert n_hot > 0  # the boilerplate grams (df=3) were censused
+    # doc 1 is contained in doc 3 on real content; doc 2 shares ZERO
+    # non-boilerplate grams with anyone, so it pairs with nobody at any
+    # threshold once the cap is on
+    assert (1, 3) in got
+    assert not any(2 in p for p in got)
+    uncapped, n0 = containment_pairs_df(docs, max_gram_df=None, threshold=0.4)
+    assert n0 == 0
+    got_raw = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert any(2 in p for p in got_raw)  # boilerplate fakes containment

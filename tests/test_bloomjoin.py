@@ -98,3 +98,14 @@ def test_key_dtype_mismatch_rejected(spark):
     dim = spark.range(10).select(F.col("id").alias("k2"))  # bigint
     with _pytest.raises(TypeError, match="type-sensitive"):
         bloomjoin.bloom_pruned_join(fact, dim, "k", "k2")
+
+
+def test_fact_with_reserved_bloom_column_rejected(spark):
+    # ADVICE r05: a pre-existing column named like the internal bloom
+    # carrier would make the broadcast cross-join ambiguous
+    dim = load_table(spark, "nation", SF_SMOKE)
+    fact = load_table(spark, "customer", SF_SMOKE).withColumn(
+        bloomjoin.BLOOM_COL, F.lit(1)
+    )
+    with pytest.raises(ValueError, match="already has"):
+        bloomjoin.bloom_pruned_join(fact, dim, "c_nationkey", "n_nationkey")

@@ -179,3 +179,40 @@ def test_stream_replay_is_exact(broker):
     replay = r.readBetweenOffsets({"offset": 3}, {"offset": 7})
     assert replay == batch[3:7]
     assert r.readBetweenOffsets({"offset": 7}, {"offset": 7}) == []
+
+
+def test_strict_decode_rejects_tail_inside_entry_header():
+    # ADVICE r05: a produce set cut INSIDE the 12-byte offset/size
+    # header (0 < remaining < 12) must raise in strict mode, not be
+    # silently accepted with the tail dropped
+    full = kw.encode_message_set([(0, b"k", b"v"), (1, b"k2", b"v2")])
+    first_len = len(kw.encode_message_set([(0, b"k", b"v")]))
+    cut = full[: first_len + 5]  # 5 bytes into entry 2's header
+    assert kw.decode_message_set(cut) == [(0, b"k", b"v")]  # fetch: legal
+    with pytest.raises(IOError, match="trailing bytes"):
+        kw.decode_message_set(cut, strict=True)
+
+
+def test_strict_decode_rejects_negative_message_size():
+    import struct as _s
+
+    bad = _s.pack(">qi", 0, -5)
+    with pytest.raises(IOError, match="negative message size"):
+        kw.decode_message_set(bad, strict=True)
+
+
+def test_broker_drops_connection_on_bad_frame_size(broker):
+    # ADVICE r05: the 4-byte frame size is untrusted — a negative or
+    # over-cap value must drop the connection, not crash the handler
+    # or allocate unboundedly. The broker must stay healthy after.
+    import socket as _sk
+    import struct as _s
+
+    for bad in (-1, kw._MAX_FRAME_BYTES + 1):
+        with _sk.create_connection((broker.host, broker.port), timeout=5) as s:
+            s.sendall(_s.pack(">i", bad))
+            assert s.recv(4) == b""  # broker closed on us
+    with kw.KafkaWireClient(broker.host, broker.port) as c:  # still alive
+        c.produce("t_badframe", [(b"k", b"v")])
+        _hwm, msgs = c.fetch("t_badframe", 0)
+        assert msgs == [(0, b"k", b"v")]

@@ -97,3 +97,15 @@ def test_csv_short_row_is_padded_not_corrupt(spark, tmp_path):
     assert len(parsed) == 1
     row = parsed[0]
     assert row.id == 7 and row.name == "eve" and row.score is None
+
+
+def test_skipping_scan_empty_manifest_fails_loudly(spark):
+    # ADVICE r05: zero-file manifest must raise a clear error, not an
+    # opaque "path not specified" from spark.read.parquet(*[])
+    import pytest
+
+    empty = spark.createDataFrame(
+        [], "file string, value_min double, value_max double"
+    )
+    with pytest.raises(ValueError, match="zero files"):
+        manifest.skipping_scan(spark, empty, "value", 0.0, 1.0)

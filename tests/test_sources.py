@@ -418,3 +418,22 @@ def test_fan_out_guards_low_split_sources(spark):
     out = fan_out(wide.toDF("x"))
     assert out.rdd.getNumPartitions() == target * 2  # untouched
     assert plans.exchange_count(out) == 0
+
+
+def test_load_table_policy_fans_out_cpu_heavy_tables(spark):
+    """VERDICT r05 task 6: documents/embeddings fan out at load time
+    (policy), so no individual heavy query can forget; relational
+    tables are untouched; fan_out=False opts out."""
+    from conftest import SF_SMOKE
+
+    from data_mastery_pipeline_spark import tables
+
+    target = spark.sparkContext.defaultParallelism
+    docs = tables.load_table(spark, "documents", SF_SMOKE)
+    assert docs.rdd.getNumPartitions() >= target
+    raw = tables.load_table(spark, "documents", SF_SMOKE, fan_out=False)
+    assert raw.rdd.getNumPartitions() < target  # single small file
+    li = tables.load_table(spark, "lineitem", SF_SMOKE)
+    # relational tables keep their scan layout (no forced exchange)
+    assert "documents" not in tables.CPU_HEAVY_TABLES - {"documents", "embeddings"}
+    assert li.rdd.getNumPartitions() >= 1

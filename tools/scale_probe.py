@@ -89,6 +89,9 @@ def main() -> None:
     if args and args[0] == "--containment":
         containment_probe([int(a) for a in args[1:]] or [1, 4, 16])
         return
+    if args and args[0] == "--containment-hot":
+        containment_hot_probe([int(a) for a in args[1:]] or [1, 2, 4, 16])
+        return
     ks = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(app_name="scale_probe")
     # warm JVM + python paths once
@@ -295,6 +298,82 @@ def containment_probe(ks) -> None:
             ),
             flush=True,
         )
+
+
+def containment_hot_probe(ks) -> None:
+    """VERDICT r05 task 2: the marker-perturbation probe above is BLIND
+    to hot grams (replicas never share grams across generations), so
+    this variant INJECTS shared boilerplate — every document in every
+    generation gets the same trailing sentence, giving its 3-grams
+    df = n_docs. Uncapped, each boilerplate gram emits n_docs² gram-join
+    rows (quadratic in k); with the max_gram_df cap they are dropped
+    before the join, so both the gram-join row count and the qualifying
+    pair count must scale ~×k. Both arms run the SHIPPED operator
+    (queries_adv.containment_pairs_df), not a reimplementation."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.parallelism import fan_out
+    from data_mastery_pipeline_spark.queries_adv import containment_pairs_df
+    from data_mastery_pipeline_spark.session import get_spark
+
+    boiler = "all rights reserved subscribe to our newsletter terms apply"
+    spark = get_spark(app_name="containment_hot_probe")
+    spark.range(10).count()
+    base_docs = amplified(spark, 1).count()
+    for k in ks:
+        docs = fan_out(
+            amplified(spark, k).withColumn(
+                "text", F.concat_ws(" ", F.trim(F.col("text")), F.lit(boiler))
+            )
+        ).localCheckpoint()
+        n_docs = docs.count()
+        out = {"probe": "containment_hot", "k": k, "docs": n_docs}
+        # cap chosen between the per-generation replica df (< base doc
+        # count) and the injected boilerplate df (= n_docs): drops the
+        # boilerplate grams and ONLY them
+        cap = base_docs - 1
+        for label, gdf in (("capped", cap), ("uncapped", None)):
+            if label == "uncapped" and k > 4:
+                out["uncapped_skipped"] = "quadratic arm capped at k<=4"
+                continue  # n_docs² join rows: demonstrate small, don't DOS the host
+            t0 = _t.time()
+            pairs, n_hot = containment_pairs_df(docs, gdf)
+            out[f"{label}_pairs"] = pairs.count()
+            out[f"{label}_wall_sec"] = round(_t.time() - t0, 2)
+            # the quadratic signal lives in the INTERMEDIATE gram-join
+            # row count (Σ df(g)² — the 0.8 output threshold hides it),
+            # so measure the join cardinality of the same gram relation
+            g2 = docs.select(
+                F.col("doc_id"),
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            __import__(
+                                "data_mastery_pipeline_spark.functions.text",
+                                fromlist=["text"],
+                            ).word_ngram_structs("text", 3),
+                            lambda st: F.xxhash64(st),
+                        )
+                    )
+                ).alias("g"),
+            )
+            if gdf is not None:
+                from pyspark.sql import Window as _W
+
+                g2 = g2.withColumn(
+                    "df", F.count("*").over(_W.partitionBy("g"))
+                ).filter(F.col("df") <= gdf)
+            out[f"{label}_gram_join_rows"] = (
+                g2.alias("a")
+                .join(g2.alias("b"), "g")
+                .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+                .count()
+            )
+            if label == "capped":
+                out["hot_grams_dropped"] = n_hot
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
