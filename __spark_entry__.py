@@ -64,6 +64,9 @@ _PRIORITY = [
     # (b) round-6 additions (kept below one round's batch — VERDICT item 3)
     "kafka_wire_stream_hourly",
     "zorder_pruning_stats",
+    "avro_roundtrip",
+    "array_hof_suite",
+    "safe_cast_suite",
     # (c) standing re-greens: perf-adjudicated + highest-value anchors
     "near_dup_clusters",
     "near_dup_canonical",

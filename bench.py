@@ -84,6 +84,8 @@ HEADLINE = [
     "kafka_wire_roundtrip",
     # round 6: the wire STREAMING path (micro-batch offsets over TCP)
     "kafka_wire_stream_hourly",
+    # round 6: from-scratch Avro container round trip
+    "avro_roundtrip",
 ]
 
 

@@ -1419,3 +1419,110 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct("cluster_id").alias("n_clusters"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: expression breadth — array higher-order functions; safe casts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "array_hof_suite",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> len(t) > 0) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_filter(t, x -> len(x) >= 6)) AS n_long,
+           CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum')
+                AS BIGINT) AS total_chars,
+           list_aggregate(list_transform(t, x -> len(x)), 'max') AS max_len,
+           floor((list_aggregate(list_transform(t, x -> len(x)), 'sum')
+                  * 1.0 / len(t)) * 10000 + 0.5) / 10000.0 AS mean_len
+    FROM toks
+    WHERE len(t) > 0
+    ORDER BY doc_id
+    """,
+)
+def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions as one driver row (K-family
+    breadth): TRANSFORM / FILTER / AGGREGATE over the tokenized
+    documents — per-doc token count, long-token count, total/max/mean
+    token length — all lambda expressions evaluated INSIDE codegen
+    (no Python). The DuckDB oracle is the list_transform/list_filter/
+    list_aggregate mirror, which pins Spark's HOF semantics (including
+    the int-widening of aggregate) against an independent engine.
+
+    100 TB: HOFs are the scale answer to per-row collection work —
+    the alternative (explode → groupBy) shuffles |tokens| rows; the
+    lambda pipeline shuffles nothing."""
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    lens = F.transform(F.col("t"), lambda x: F.length(x).cast("bigint"))
+    total = F.aggregate(lens, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.size(F.filter("t", lambda x: F.length(x) >= 6))
+            .cast("bigint")
+            .alias("n_long"),
+            total.alias("total_chars"),
+            F.array_max(lens).alias("max_len"),
+            quantize(total / F.size("t"), "mean_len", 4),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "safe_cast_suite",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS n_k,
+           CAST(coalesce(sum(TRY_CAST(json_extract_string(props, '$.k')
+                AS BIGINT)), 0) AS BIGINT) AS sum_k,
+           count(*) FILTER (WHERE TRY_CAST(event_type AS BIGINT) IS NULL)
+               AS n_unparseable,
+           count(TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT)) AS n_redigit
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def safe_cast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-cast semantics over semi-structured props (F-family
+    breadth): ``try_cast`` turns unparseable strings into NULL instead
+    of an ANSI runtime error or a silent wrong value — the ingestion
+    contract for dirty attributes. Per event type: parseable JSON-k
+    count and sum, rows where a non-numeric string yields NULL (all of
+    them), and a digits-round-trip control that must parse for every
+    row — each pinned against DuckDB's TRY_CAST.
+
+    100 TB: try_cast is pure codegen (no exception machinery on the
+    hot path) and NULL-counting aggregates are partial-aggregated
+    map-side like any other count."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    bad = F.col("event_type").try_cast("bigint")
+    redigit = F.col("event_id").cast("string").try_cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(k).alias("n_k"),
+            F.coalesce(F.sum(k), F.lit(0)).cast("bigint").alias("sum_k"),
+            F.count_if(bad.isNull()).alias("n_unparseable"),
+            F.count(redigit).alias("n_redigit"),
+        )
+        .orderBy("event_type")
+    )

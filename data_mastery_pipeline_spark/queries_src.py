@@ -806,3 +806,46 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count("*").alias("n_events"), quantize(F.sum("value"), "sum_value")
     )
+
+
+@query(
+    "avro_roundtrip",
+    f"""
+    SELECT event_type, count(*) AS n_events,
+           {sql_quantize("sum(value)", "sum_value")},
+           max(ts) AS max_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6-twin on AVRO, from-scratch (sources/avrofmt.py): events →
+    deflate-coded Object Container Files (one per Spark partition,
+    executor-side, tmp-rename atomically) → parallel scan (one input
+    partition per file, per-block sync-verified decode) → aggregate.
+    The container ships no Avro support at all (no spark-avro jar, no
+    avro/fastavro wheel), so the codec is implemented from the public
+    Avro 1.11 spec — the pgwire/kafkawire precedent applied to a file
+    format. Proves zigzag varints, IEEE754 doubles, µs timestamps,
+    null unions, and raw-deflate blocks survive the round trip
+    bit-exactly against the identity-shaped oracle."""
+    from .sources import avrofmt
+
+    avrofmt.register(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = _fresh_dir("avro", sf_dir)
+    (
+        ev.write.format("avro_py")
+        .option("path", path)
+        .option("codec", "deflate")
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("avro_py").option("path", path).load()
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        quantize(F.sum("value"), "sum_value"),
+        F.max("ts").alias("max_ts"),
+    )

@@ -1,0 +1,499 @@
+"""Avro Object Container Files — from-scratch codec + Python DataSource.
+
+The container ships no Avro connector (no spark-avro jar, no
+fastavro/avro wheel), so this module implements the PUBLIC Avro 1.11
+specification directly — the same precedent as the from-scratch
+PostgreSQL wire client (pgwire.py) and Kafka v0 protocol
+(kafkawire.py): stdlib-only, written from the spec, honest about scope.
+
+Spec surface implemented (everything the flat analytic tables need):
+
+- binary encoding: zigzag-varint long/int, IEEE754-LE float/double,
+  1-byte boolean, length-prefixed bytes/string, union-index prefix,
+  records as field concatenation;
+- logical types: timestamp-micros (long), date (int) — matching
+  Spark's µs timestamps and day-epoch dates;
+- object container file: ``Obj\\x01`` magic, metadata map
+  (avro.schema / avro.codec), 16-byte sync marker, independently
+  decodable blocks, ``null`` and ``deflate`` (raw RFC1951) codecs;
+- nullability as the standard ``["null", T]`` union.
+
+Out of scope (raised loudly, never silently wrong): nested
+records/arrays/maps/enums/fixed/decimal, schema resolution between a
+reader and a different writer schema.
+
+Reference parity: the reference lake is parquet-only
+(kafka_consumer_s3.py:146-160); Avro is beyond-reference format
+breadth, the interchange format Kafka ecosystems actually emit.
+
+100 TB notes: one .avro file per Spark partition on write; one input
+partition per file on read (Avro blocks are sync-marker-delimited and
+COULD split within a file — per-file granularity is the honest v1, and
+upstream Avro drops are many-file by construction). Deflate codec
+trades CPU for ~3-5× wire size exactly like parquet's snappy decision;
+blocks decode independently so memory is bounded by block size, never
+file size. The decode is row-oriented Python — the ingest-edge
+pattern (like CSV): first job rewrites to parquet/ORC for the
+resident columnar layout.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+from datetime import date, datetime, timedelta
+
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+_EPOCH_DT = datetime(1970, 1, 1)
+_EPOCH_D = date(1970, 1, 1)
+
+# ------------------------------------------------------------- primitives
+
+
+def zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(out: io.BytesIO, n: int) -> None:
+    z = zigzag_encode(n)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.write(bytes((b | 0x80,)))
+        else:
+            out.write(bytes((b,)))
+            return
+
+
+def write_bytes(out: io.BytesIO, b: bytes) -> None:
+    write_long(out, len(b))
+    out.write(b)
+
+
+def write_str(out: io.BytesIO, s: str) -> None:
+    write_bytes(out, s.encode("utf-8"))
+
+
+class Cursor:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise IOError("avro: truncated input")
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        shift, acc = 0, 0
+        while True:
+            if self.pos >= len(self.buf):
+                raise IOError("avro: truncated varint")
+            b = self.buf[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return zigzag_decode(acc)
+            shift += 7
+            if shift > 70:
+                raise IOError("avro: varint too long")
+
+    def read_bytes(self) -> bytes:
+        n = self.read_long()
+        if n < 0:
+            raise IOError(f"avro: negative byte-length {n}")
+        return self.read(n)
+
+    def read_str(self) -> str:
+        return self.read_bytes().decode("utf-8")
+
+    def remaining(self) -> int:
+        return len(self.buf) - self.pos
+
+
+# ------------------------------------------------- schema translation
+
+_SPARK_TO_AVRO = {
+    "long": "long",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+def _avro_field_type(f: T.StructField):
+    s = f.dataType.typeName()
+    if s == "timestamp":
+        t = {"type": "long", "logicalType": "timestamp-micros"}
+    elif s == "date":
+        t = {"type": "int", "logicalType": "date"}
+    elif s in _SPARK_TO_AVRO:
+        t = _SPARK_TO_AVRO[s]
+    else:
+        raise TypeError(f"avro: unsupported Spark type {s} (field {f.name})")
+    return ["null", t] if f.nullable else t
+
+
+def schema_to_avro_json(schema: T.StructType, name: str = "row") -> str:
+    return json.dumps(
+        {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": f.name, "type": _avro_field_type(f)} for f in schema.fields
+            ],
+        }
+    )
+
+
+def avro_json_to_schema(avro_json: str) -> T.StructType:
+    rec = json.loads(avro_json)
+    if rec.get("type") != "record":
+        raise TypeError("avro: top-level schema must be a record")
+    back = {
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+        "bytes": T.BinaryType(),
+    }
+    fields = []
+    for f in rec["fields"]:
+        t, nullable = f["type"], False
+        if isinstance(t, list):  # ["null", T]
+            if len(t) != 2 or "null" not in t:
+                raise TypeError(f"avro: unsupported union {t}")
+            t = t[0] if t[1] == "null" else t[1]
+            nullable = True
+        if isinstance(t, dict):
+            lt = t.get("logicalType")
+            if lt == "timestamp-micros":
+                st: T.DataType = T.TimestampType()
+            elif lt == "date":
+                st = T.DateType()
+            else:
+                raise TypeError(f"avro: unsupported logical type {t}")
+        elif t in back:
+            st = back[t]
+        else:
+            raise TypeError(f"avro: unsupported type {t}")
+        fields.append(T.StructField(f["name"], st, nullable))
+    return T.StructType(fields)
+
+
+# --------------------------------------------------- row encode/decode
+
+
+def _encoders(schema: T.StructType):
+    """Per-field closures keyed off the DECLARED schema — type dispatch
+    happens once, not per row."""
+    encs = []
+    for f in schema.fields:
+        s = f.dataType.typeName()
+
+        if s in ("long", "integer"):
+            enc = write_long
+        elif s in ("double",):
+            enc = lambda o, v: o.write(struct.pack("<d", v))
+        elif s == "float":
+            enc = lambda o, v: o.write(struct.pack("<f", v))
+        elif s == "string":
+            enc = write_str
+        elif s == "boolean":
+            enc = lambda o, v: o.write(b"\x01" if v else b"\x00")
+        elif s == "binary":
+            enc = lambda o, v: write_bytes(o, bytes(v))
+        elif s == "timestamp":
+            enc = lambda o, v: write_long(
+                o, (v - _EPOCH_DT) // timedelta(microseconds=1)
+            )
+        elif s == "date":
+            enc = lambda o, v: write_long(o, (v - _EPOCH_D).days)
+        else:  # pragma: no cover - schema_to_avro_json already raised
+            raise TypeError(s)
+        encs.append((enc, f.nullable))
+    return encs
+
+
+def encode_rows(schema: T.StructType, rows) -> tuple[bytes, int]:
+    """Rows → concatenated Avro record bytes; returns (buf, count)."""
+    out = io.BytesIO()
+    encs = _encoders(schema)
+    n = 0
+    for row in rows:
+        for v, (enc, nullable) in zip(row, encs):
+            if nullable:
+                if v is None:
+                    write_long(out, 0)  # union branch: null
+                    continue
+                write_long(out, 1)  # union branch: value
+            elif v is None:
+                raise ValueError("avro: null in non-nullable field")
+            enc(out, v)
+        n += 1
+    return out.getvalue(), n
+
+
+def _decoders(schema: T.StructType):
+    decs = []
+    for f in schema.fields:
+        s = f.dataType.typeName()
+        if s in ("long", "integer"):
+            dec = Cursor.read_long
+        elif s == "double":
+            dec = lambda c: struct.unpack("<d", c.read(8))[0]
+        elif s == "float":
+            dec = lambda c: struct.unpack("<f", c.read(4))[0]
+        elif s == "string":
+            dec = Cursor.read_str
+        elif s == "boolean":
+            dec = lambda c: c.read(1) == b"\x01"
+        elif s == "binary":
+            dec = Cursor.read_bytes
+        elif s == "timestamp":
+            dec = lambda c: _EPOCH_DT + timedelta(microseconds=c.read_long())
+        elif s == "date":
+            dec = lambda c: _EPOCH_D + timedelta(days=c.read_long())
+        else:  # pragma: no cover
+            raise TypeError(s)
+        decs.append((dec, f.nullable))
+    return decs
+
+
+def decode_block(schema: T.StructType, buf: bytes, count: int) -> list[tuple]:
+    cur = Cursor(buf)
+    decs = _decoders(schema)
+    rows = []
+    for _ in range(count):
+        vals = []
+        for dec, nullable in decs:
+            if nullable:
+                branch = cur.read_long()
+                if branch == 0:
+                    vals.append(None)
+                    continue
+                if branch != 1:
+                    raise IOError(f"avro: bad union branch {branch}")
+            vals.append(dec(cur))
+        rows.append(tuple(vals))
+    if cur.remaining():
+        raise IOError(f"avro: {cur.remaining()} trailing bytes in block")
+    return rows
+
+
+# ------------------------------------------------------ container file
+
+
+def write_container(
+    path: str,
+    schema: T.StructType,
+    rows,
+    codec: str = "deflate",
+    rows_per_block: int = 10_000,
+) -> int:
+    """Write one Object Container File; returns the row count."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro: unsupported codec {codec}")
+    sync = uuid.uuid4().bytes
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {
+        "avro.schema": schema_to_avro_json(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    write_long(out, len(meta))
+    for k, v in meta.items():
+        write_str(out, k)
+        write_bytes(out, v)
+    write_long(out, 0)  # end of metadata map
+    out.write(sync)
+
+    total = 0
+    it = iter(rows)
+    while True:
+        chunk = []
+        for row in it:
+            chunk.append(row)
+            if len(chunk) >= rows_per_block:
+                break
+        if not chunk:
+            break
+        data, n = encode_rows(schema, chunk)
+        if codec == "deflate":  # raw RFC1951, per spec
+            co = zlib.compressobj(wbits=-15)
+            data = co.compress(data) + co.flush()
+        write_long(out, n)
+        write_long(out, len(data))
+        out.write(data)
+        out.write(sync)
+        total += n
+    with open(path, "wb") as fh:
+        fh.write(out.getvalue())
+    return total
+
+
+def read_header(fh) -> tuple[T.StructType, str, bytes, int]:
+    """Parse magic + metadata; returns (schema, codec, sync, data_start)."""
+    head = fh.read(4)
+    if head != MAGIC:
+        raise IOError(f"avro: bad magic {head!r}")
+    # metadata maps are small; buffer generously and track the cursor
+    buf = fh.read(1 << 20)
+    cur = Cursor(buf)
+    meta: dict[str, bytes] = {}
+    while True:
+        n = cur.read_long()
+        if n == 0:
+            break
+        if n < 0:  # block form: abs(count) then byte size (spec)
+            n = -n
+            cur.read_long()
+        for _ in range(n):
+            # NB: sequence the reads explicitly — `d[k()] = v()`
+            # evaluates the VALUE first in Python
+            key = cur.read_str()
+            meta[key] = cur.read_bytes()
+    sync = cur.read(16)
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise IOError(f"avro: unsupported codec {codec}")
+    schema = avro_json_to_schema(meta["avro.schema"].decode())
+    return schema, codec, sync, 4 + cur.pos
+
+
+def read_container(path: str, declared: T.StructType | None = None):
+    """Yield decoded row tuples; verifies sync markers per block and
+    (when ``declared`` is given) that the file schema matches it."""
+    with open(path, "rb") as fh:
+        schema, codec, sync, start = read_header(fh)
+        if declared is not None and [
+            (f.name, f.dataType) for f in declared.fields
+        ] != [(f.name, f.dataType) for f in schema.fields]:
+            raise IOError(
+                f"avro: file schema {schema.simpleString()} != declared "
+                f"{declared.simpleString()}"
+            )
+        fh.seek(start)
+        rest = fh.read()
+    cur = Cursor(rest)
+    while cur.remaining():
+        count = cur.read_long()
+        size = cur.read_long()
+        data = cur.read(size)
+        if cur.read(16) != sync:
+            raise IOError("avro: sync marker mismatch (corrupt block)")
+        if codec == "deflate":
+            data = zlib.decompress(data, wbits=-15)
+        yield from decode_block(schema, data, count)
+
+
+# ------------------------------------------------------ Spark DataSource
+
+
+def register(spark) -> None:
+    """Register the ``avro_py`` batch source/sink on this session."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    class _FilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class AvroReader(DataSourceReader):
+        def __init__(self, options, schema):
+            self.path = options["path"]
+            self.declared = schema
+
+        def partitions(self):
+            return [_FilePartition(p) for p in _list_avro(self.path)]
+
+        def read(self, part):
+            yield from read_container(part.path, self.declared)
+
+    class _Written(WriterCommitMessage):
+        pass
+
+    class AvroWriter(DataSourceWriter):
+        """One container file per Spark partition. Files are staged
+        with a ``.tmp`` suffix and renamed only after a full successful
+        encode, so a task that dies mid-file leaves a ``.tmp`` the
+        reader skips. A RETRIED task that already renamed produces a
+        duplicate uuid file — at-least-once, same contract as the
+        kafka_wire sink (documented there); exactly-once needs a
+        commit-protocol manifest, which real tables get from their
+        format layer."""
+
+        def __init__(self, options, schema):
+            self.path = options["path"]
+            self.schema = schema
+            self.codec = options.get("codec", "deflate")
+
+        def write(self, rows):
+            os.makedirs(self.path, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.avro"
+            tmp = os.path.join(self.path, name + ".tmp")
+            write_container(tmp, self.schema, (tuple(r) for r in rows), self.codec)
+            os.rename(tmp, os.path.join(self.path, name))
+            return _Written()
+
+        def commit(self, messages):
+            return None
+
+        def abort(self, messages):  # pragma: no cover
+            return None
+
+    class AvroDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "avro_py"
+
+        def schema(self):
+            files = _list_avro(self.options["path"])
+            if not files:
+                raise IOError(f"avro: no .avro files under {self.options['path']}")
+            with open(files[0], "rb") as fh:
+                schema, _, _, _ = read_header(fh)
+            return schema
+
+        def reader(self, schema):
+            return AvroReader(self.options, schema)
+
+        def writer(self, schema, overwrite):
+            if overwrite:
+                raise ValueError("avro_py: append-only sink; no overwrite")
+            return AvroWriter(self.options, schema)
+
+    spark.dataSource.register(AvroDataSource)
+
+
+def _list_avro(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    if not os.path.isdir(path):
+        raise IOError(f"avro: no such path {path}")
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
+    )
