@@ -67,6 +67,7 @@ _PRIORITY = [
     "avro_roundtrip",
     "array_hof_suite",
     "safe_cast_suite",
+    "user_erasure_roundtrip",
     # (c) standing re-greens: perf-adjudicated + highest-value anchors
     "near_dup_clusters",
     "near_dup_canonical",

@@ -849,3 +849,58 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.sum("value"), "sum_value"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@query(
+    "user_erasure_roundtrip",
+    f"""
+    SELECT event_type, count(*) AS n_events,
+           {sql_quantize("sum(value)", "sum_value")}
+    FROM events
+    WHERE user_id % 13 <> 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def user_erasure_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure propagation (writers.erase_keys_partitioned):
+    events land date-partitioned, a deterministic deletion list
+    (user_id ≡ 0 mod 13) is erased IN PLACE with only the containing
+    partitions rewritten (dynamic partition overwrite; fully-emptied
+    partition directories are deleted explicitly — the dynamic-
+    overwrite blind spot), and the surviving table is re-scanned and
+    aggregated. The query RAISES if any target row survives or if the
+    rewrite touched zero partitions — the erasure contract is
+    enforced, not assumed. Oracle = the filtered aggregate over the
+    original events.
+
+    100 TB: discovery is a column-pruned semi-join with the erasure
+    list broadcast; rewrite cost is touched-partition bytes (an
+    erasure batch over k days rewrites k/365ths of a year-partitioned
+    table, never the table)."""
+    from .sources import writers
+
+    ev = load_table(spark, "events", sf_dir).withColumns(
+        {
+            "year": F.year("ts"),
+            "month": F.month("ts"),
+            "day": F.dayofmonth("ts"),
+        }
+    )
+    path = _fresh_dir("erase", sf_dir)
+    ev.write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
+    doomed = ev.filter(F.col("user_id") % 13 == 0).select("user_id").distinct()
+    stats = writers.erase_keys_partitioned(
+        spark, path, doomed, "user_id", ["year", "month", "day"]
+    )
+    back = spark.read.parquet(path)
+    leaked = back.filter(F.col("user_id") % 13 == 0).count()
+    if leaked or stats["touched_partitions"] == 0:
+        raise AssertionError(
+            f"erasure contract violated: {leaked} rows leaked, "
+            f"{stats['touched_partitions']} partitions touched"
+        )
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), quantize(F.sum("value"), "sum_value"))
+        .orderBy("event_type")
+    )

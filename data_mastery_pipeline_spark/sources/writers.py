@@ -270,3 +270,96 @@ def merge_upsert_partitioned(
         "touched_partitions": len(touched),
         "updated_or_inserted": updates.count(),
     }
+
+
+def erase_keys_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    keys: DataFrame,
+    key_col: str,
+    partition_cols: Sequence[str] = DATE_PARTS,
+) -> dict:
+    """Partition-bounded DELETE propagation on plain parquet — the
+    right-to-erasure ("GDPR delete") primitive every lakehouse needs:
+    every row whose ``key_col`` appears in ``keys`` is removed, and
+    ONLY partitions that actually contain such rows are rewritten.
+
+    Mechanics mirror :func:`merge_upsert_partitioned` but the touched-
+    partition discovery comes from the TARGET side: a semi-join of the
+    table against the (broadcastable) key set, aggregated to distinct
+    partition values — a driver list bounded by partition count, never
+    data size. Survivors are the anti-join within those partitions;
+    ``partitionOverwriteMode=dynamic`` swaps only the touched
+    directories. An erasure batch touching k days rewrites k/365ths of
+    a year-partitioned table.
+
+    100 TB: the discovery pass is a column-pruned scan of (key_col +
+    partition cols) with the key set broadcast (erasure lists are
+    small by nature; a giant list becomes a shuffle semi-join — same
+    plan shape). Deletion is VERIFIED: returns rows_erased and the
+    caller can re-scan; table formats add transactionality, not
+    different mechanics. Returns {"touched_partitions", "rows_erased",
+    "rows_remaining_in_touched"}.
+    """
+    target = spark.read.parquet(target_path)
+    missing = [c for c in partition_cols if c not in target.columns]
+    if missing:
+        raise ValueError(
+            f"erase_keys_partitioned: target lacks partition columns {missing}"
+        )
+    hits = target.join(F.broadcast(keys), key_col, "semi")
+    part_vals = hits.select(*partition_cols).distinct().collect()
+    touched = [tuple(r) for r in part_vals]
+    if not touched:
+        return {
+            "touched_partitions": 0,
+            "rows_erased": 0,
+            "rows_remaining_in_touched": 0,
+        }
+    cond = F.lit(False)
+    for vals in touched:
+        match = F.lit(True)
+        for c, v in zip(partition_cols, vals):
+            match = match & (F.col(c) == F.lit(v))
+        cond = cond | match
+    scoped = target.filter(cond)
+    n_before = scoped.count()
+    survivors = scoped.join(F.broadcast(keys), key_col, "left_anti")
+    # materialize BEFORE overwriting the partitions being read
+    # (see merge_upsert_partitioned)
+    merged = survivors.localCheckpoint()
+    n_after = merged.count()
+
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data — a partition whose every row was erased writes nothing and
+    # its old directory (with the very rows being erased!) would
+    # survive. Delete those directories explicitly via the Hadoop FS.
+    alive = {tuple(r) for r in merged.select(*partition_cols).distinct().collect()}
+    emptied = [vals for vals in touched if vals not in alive]
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(target_path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for vals in emptied:
+            seg = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
+            p = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{seg}")
+            p.getFileSystem(hconf).delete(p, True)
+    return {
+        "touched_partitions": len(touched),
+        "rows_erased": n_before - n_after,
+        "rows_remaining_in_touched": n_after,
+        "partitions_emptied": len(emptied),
+    }

@@ -401,6 +401,8 @@ class KafkaWireClient:
         req = hdr + body
         self.sock.sendall(struct.pack(">i", len(req)) + req)
         size = struct.unpack(">i", _read_exact(self.sock, 4))[0]
+        if not 0 <= size <= _MAX_FRAME_BYTES:  # same guard as the broker:
+            raise IOError(f"kafka_wire: bad frame size {size}")  # untrusted input
         resp = _read_exact(self.sock, size)
         cur = _Cursor(resp)
         corr = cur.take("i")

@@ -128,3 +128,84 @@ def test_datasource_roundtrip_parallel_files(spark, tmp_path):
     assert [f.name for f in back.schema.fields] == [
         "event_id", "ts", "user_id", "event_type", "value",
     ]
+
+
+def test_range_splits_cover_exactly_once():
+    """Disjoint byte ranges covering a file decode every block exactly
+    once, at any split granularity (the Hadoop Avro split contract)."""
+    import os
+    import tempfile
+
+    rows = [(i, float(i), f"v{i}" * (i % 7), True, None, None, None)
+            for i in range(8000)]
+    p = tempfile.mktemp(suffix=".avro")
+    A.write_container(p, SCHEMA, rows, codec="deflate", rows_per_block=311)
+    fsize = os.path.getsize(p)
+    for nsplits in (1, 2, 5, 13, 200):
+        step = max(fsize // nsplits, 1)
+        got = []
+        for off in range(0, fsize, step):
+            got.extend(A.read_container_range(p, off, min(off + step, fsize)))
+        assert got == rows, f"{nsplits} splits: {len(got)} rows"
+
+
+def test_range_splits_survive_sync_marker_embedded_in_data():
+    """A record whose payload equals the file's own 16-byte sync marker
+    must not derail the split scan: the false candidate fails
+    first-block verification and is skipped without emitting rows."""
+    import tempfile
+
+    schema_b = T.StructType(
+        [T.StructField("a", T.LongType(), False),
+         T.StructField("s", T.BinaryType(), True)]
+    )
+    p = tempfile.mktemp(suffix=".avro")
+    A.write_container(
+        p, schema_b, [(1, b"A" * 16), (2, b"B" * 16), (3, b"C" * 16)],
+        codec="null", rows_per_block=1,
+    )
+    raw = bytearray(open(p, "rb").read())
+    with open(p, "rb") as fh:
+        _, _, sync, _ = A.read_header(fh)
+    i = raw.find(b"B" * 16)
+    raw[i : i + 16] = sync  # payload now IS the sync marker
+    open(p, "wb").write(bytes(raw))
+    expect = [(1, b"A" * 16), (2, bytes(sync)), (3, b"C" * 16)]
+    assert list(A.read_container(p)) == expect
+    fs = len(raw)
+    for nsplits in (1, 2, 3, 5, 11):
+        step = max(fs // nsplits, 1)
+        got = []
+        for off in range(0, fs, step):
+            got.extend(A.read_container_range(p, off, min(off + step, fs)))
+        assert got == expect, (nsplits, got)
+
+
+def test_datasource_split_bytes_parallelizes_one_big_file(spark, tmp_path):
+    """A single large container read with split_bytes produces multiple
+    input partitions and the identical row set."""
+    from conftest import SF_ORACLE
+
+    A.register(spark)
+    ev = load_table(spark, "events", SF_ORACLE).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )  # sf0.01: ~600 KB uncompressed > several 64 KiB splits
+    path = str(tmp_path / "one_file")
+    (
+        ev.coalesce(1)
+        .write.format("avro_py")
+        .option("path", path)
+        .option("codec", "null")
+        .mode("append")
+        .save()
+    )
+    back = (
+        spark.read.format("avro_py")
+        .option("path", path)
+        .option("split_bytes", 1 << 16)  # clamped floor: 64 KiB
+        .load()
+    )
+    assert back.rdd.getNumPartitions() > 1
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in ev.collect()
+    )

@@ -109,3 +109,13 @@ def test_skipping_scan_empty_manifest_fails_loudly(spark):
     )
     with pytest.raises(ValueError, match="zero files"):
         manifest.skipping_scan(spark, empty, "value", 0.0, 1.0)
+
+
+def test_skipping_scan_multi_empty_manifest_fails_loudly(spark):
+    import pytest
+
+    empty = spark.createDataFrame(
+        [], "file string, a_min double, a_max double, b_min double, b_max double"
+    )
+    with pytest.raises(ValueError, match="zero files"):
+        manifest.skipping_scan_multi(spark, empty, {"a": (0, 1), "b": (0, 1)})

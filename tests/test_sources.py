@@ -437,3 +437,87 @@ def test_load_table_policy_fans_out_cpu_heavy_tables(spark):
     # relational tables keep their scan layout (no forced exchange)
     assert "documents" not in tables.CPU_HEAVY_TABLES - {"documents", "embeddings"}
     assert li.rdd.getNumPartitions() >= 1
+
+
+def test_erase_keys_partitioned_rewrites_only_touched(spark, tmp_path):
+    """GDPR-style delete propagation: erased keys vanish, untouched
+    partitions keep their files byte-identical, and stats report the
+    touched scope."""
+    import os
+
+    from conftest import SF_SMOKE
+
+    from data_mastery_pipeline_spark import tables
+    from data_mastery_pipeline_spark.sources import writers
+    from pyspark.sql import functions as F
+
+    ev = tables.load_table(spark, "events", SF_SMOKE).withColumns(
+        {"year": F.year("ts"), "month": F.month("ts"), "day": F.dayofmonth("ts")}
+    )
+    path = str(tmp_path / "erase_t")
+    ev.write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
+
+    # erase the users present ONLY in one specific day → other days untouched
+    one_day = ev.filter((F.col("month") == 1) & (F.col("day") == 3))
+    doomed = one_day.select("user_id").distinct()
+    n_doomed_rows = ev.join(doomed, "user_id", "semi").count()
+
+    def snapshot(day_not: int):
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet") and f"day={day_not}" not in root:
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    stats = writers.erase_keys_partitioned(
+        spark, path, doomed, "user_id", ["year", "month", "day"]
+    )
+    assert stats["rows_erased"] == n_doomed_rows
+    back = spark.read.parquet(path)
+    assert back.join(doomed, "user_id", "semi").count() == 0
+    assert back.count() == ev.count() - n_doomed_rows
+
+
+def test_erase_keys_partitioned_deletes_fully_emptied_partitions(spark, tmp_path):
+    """The dynamic-overwrite blind spot: a partition whose EVERY row is
+    erased writes no replacement data — its directory must be deleted
+    explicitly or the erased rows survive on disk."""
+    import os
+
+    from data_mastery_pipeline_spark.sources import writers
+    from pyspark.sql import functions as F
+
+    rows = [(1, 2024, 1, 1), (2, 2024, 1, 1), (3, 2024, 1, 2)]
+    df = spark.createDataFrame(rows, "user_id bigint, year int, month int, day int")
+    path = str(tmp_path / "erase_empty")
+    df.write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
+    doomed = spark.createDataFrame([(1,), (2,)], "user_id bigint")
+    stats = writers.erase_keys_partitioned(
+        spark, path, doomed, "user_id", ["year", "month", "day"]
+    )
+    assert stats["partitions_emptied"] == 1
+    assert not os.path.exists(os.path.join(path, "year=2024", "month=1", "day=1"))
+    back = spark.read.parquet(path)
+    assert [tuple(r) for r in back.select("user_id").collect()] == [(3,)]
+
+
+def test_erase_keys_partitioned_noop_on_unknown_keys(spark, tmp_path):
+    from data_mastery_pipeline_spark.sources import writers
+
+    df = spark.createDataFrame(
+        [(1, 2024, 1, 1)], "user_id bigint, year int, month int, day int"
+    )
+    path = str(tmp_path / "erase_noop")
+    df.write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
+    ghost = spark.createDataFrame([(999,)], "user_id bigint")
+    stats = writers.erase_keys_partitioned(
+        spark, path, ghost, "user_id", ["year", "month", "day"]
+    )
+    assert stats == {
+        "touched_partitions": 0,
+        "rows_erased": 0,
+        "rows_remaining_in_touched": 0,
+    }
+    assert spark.read.parquet(path).count() == 1
