@@ -1216,45 +1216,70 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_MAX_GRAM_DF = 1000
 
 
-def containment_pairs_df(
-    docs: DataFrame,
-    max_gram_df: int | None = CONTAINMENT_MAX_GRAM_DF,
-    threshold: float = 0.8,
-) -> tuple[DataFrame, int]:
-    """Directed containment pairs over an arbitrary ``(doc_id, text)``
-    relation; returns ``(pairs_df, n_hot_grams_dropped)``. The query
-    wrapper and tools/scale_probe.py --containment-hot share this exact
-    plan — the probe therefore measures the shipped operator, not a
-    reimplementation. See :func:`containment_pairs` for semantics and
-    the 100 TB analysis."""
-    import logging
-
+def containment_grams(
+    docs: DataFrame, max_gram_df: int | None
+) -> DataFrame:
+    """The capped gram relation ``(doc_id, g)`` shared by the operator
+    and tools/scale_probe.py — one definition, so the probe measures
+    the shipped gram build, never a drifted reimplementation. The df
+    census is a WINDOW over g, not a separate aggregate: the windowed
+    relation is hash-partitioned on g — exactly what the downstream
+    self-join needs — so the gram build + its one data-sized shuffle
+    are computed ONCE and reused (ReusedExchange) by every consumer."""
     from .functions import text as textfn
 
     hashes = F.array_distinct(
         F.transform(textfn.word_ngram_structs("text", 3), lambda s: F.xxhash64(s))
     )
     grams = docs.select(F.col("doc_id"), F.explode(hashes).alias("g"))
-    # the df census is a WINDOW over g, not a separate aggregate: the
-    # windowed relation is hash-partitioned on g — exactly what the
-    # self-join needs — so the gram build + its one data-sized shuffle
-    # are computed ONCE and reused (ReusedExchange) by both join sides
-    # AND the sizes aggregate (whose doc_id shuffle moves only partial
-    # per-doc counts, not gram rows)
+    if max_gram_df is None:
+        return grams
     with_df = grams.withColumn("df", F.count("*").over(Window.partitionBy("g")))
+    return with_df.filter(F.col("df") <= max_gram_df).select("doc_id", "g")
+
+
+def containment_hot_gram_count(docs: DataFrame, max_gram_df: int) -> int:
+    """Heavy-hitter telemetry: how many distinct grams the cap drops.
+    A separate (eager) job — callers that only need the pair plan skip
+    it; the probe and tests use it to pin the cap's effect."""
+    from .functions import text as textfn
+
+    hashes = F.array_distinct(
+        F.transform(textfn.word_ngram_structs("text", 3), lambda s: F.xxhash64(s))
+    )
+    grams = docs.select(F.col("doc_id"), F.explode(hashes).alias("g"))
+    return (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_gram_df)
+        .count()
+    )
+
+
+def containment_pairs_df(
+    docs: DataFrame,
+    max_gram_df: int | None = CONTAINMENT_MAX_GRAM_DF,
+    threshold: float = 0.8,
+    count_dropped: bool = False,
+) -> tuple[DataFrame, int]:
+    """Directed containment pairs over an arbitrary ``(doc_id, text)``
+    relation; returns ``(pairs_df, n_hot_grams_dropped)``. Construction
+    is PURE-PLAN (no job) unless ``count_dropped=True``, which runs the
+    eager heavy-hitter census (review r6: an eager count at build time
+    broke the pure-plan contract and doubled the gram build). The cap
+    itself is never silent: it is a documented module constant mirrored
+    in the oracle SQL, and the probe/tests pin its effect via
+    :func:`containment_hot_gram_count`. See :func:`containment_pairs`
+    for semantics and the 100 TB analysis."""
+    import logging
+
     n_hot = 0
-    if max_gram_df is not None:
-        # eager heavy-hitter telemetry (no silent caps): one census job
-        n_hot = (
-            with_df.filter(F.col("df") > max_gram_df).select("g").distinct().count()
-        )
+    if max_gram_df is not None and count_dropped:
+        n_hot = containment_hot_gram_count(docs, max_gram_df)
         logging.getLogger(__name__).info(
             "containment_pairs: dropped %d hot grams (df > %d)", n_hot, max_gram_df
         )
-        kept = with_df.filter(F.col("df") <= max_gram_df)
-    else:
-        kept = with_df
-    kept = kept.select("doc_id", "g")
+    kept = containment_grams(docs, max_gram_df)
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         kept.alias("a")
@@ -1328,8 +1353,9 @@ def containment_pairs(
     boilerplate gram with df=d would otherwise emit d² join rows. The
     denominator counts only retained grams (containment over
     non-boilerplate content), so the measure stays internally
-    consistent; the oracle applies the identical cap. The dropped-gram
-    count is computed eagerly and logged — no silent caps.
+    consistent; the oracle applies the identical cap — a documented
+    contract constant, not a silent truncation; the probe and tests pin
+    the dropped-gram count via containment_hot_gram_count.
 
     100 TB: the df census is a WINDOW over g, so the gram relation
     pays ONE data-sized shuffle total — the windowed, g-partitioned

@@ -312,44 +312,49 @@ def write_container(
     codec: str = "deflate",
     rows_per_block: int = 10_000,
 ) -> int:
-    """Write one Object Container File; returns the row count."""
+    """Write one Object Container File; returns the row count. Blocks
+    STREAM to the file handle as they are encoded — peak memory is one
+    block, never the file (review r6 finding: the BytesIO accumulator
+    held ~2× file size on multi-GB partitions)."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro: unsupported codec {codec}")
     sync = uuid.uuid4().bytes
-    out = io.BytesIO()
-    out.write(MAGIC)
-    meta = {
-        "avro.schema": schema_to_avro_json(schema).encode(),
-        "avro.codec": codec.encode(),
-    }
-    write_long(out, len(meta))
-    for k, v in meta.items():
-        write_str(out, k)
-        write_bytes(out, v)
-    write_long(out, 0)  # end of metadata map
-    out.write(sync)
-
     total = 0
-    it = iter(rows)
-    while True:
-        chunk = []
-        for row in it:
-            chunk.append(row)
-            if len(chunk) >= rows_per_block:
-                break
-        if not chunk:
-            break
-        data, n = encode_rows(schema, chunk)
-        if codec == "deflate":  # raw RFC1951, per spec
-            co = zlib.compressobj(wbits=-15)
-            data = co.compress(data) + co.flush()
-        write_long(out, n)
-        write_long(out, len(data))
-        out.write(data)
-        out.write(sync)
-        total += n
     with open(path, "wb") as fh:
-        fh.write(out.getvalue())
+        head = io.BytesIO()
+        head.write(MAGIC)
+        meta = {
+            "avro.schema": schema_to_avro_json(schema).encode(),
+            "avro.codec": codec.encode(),
+        }
+        write_long(head, len(meta))
+        for k, v in meta.items():
+            write_str(head, k)
+            write_bytes(head, v)
+        write_long(head, 0)  # end of metadata map
+        head.write(sync)
+        fh.write(head.getvalue())
+
+        it = iter(rows)
+        while True:
+            chunk = []
+            for row in it:
+                chunk.append(row)
+                if len(chunk) >= rows_per_block:
+                    break
+            if not chunk:
+                break
+            data, n = encode_rows(schema, chunk)
+            if codec == "deflate":  # raw RFC1951, per spec
+                co = zlib.compressobj(wbits=-15)
+                data = co.compress(data) + co.flush()
+            blk = io.BytesIO()
+            write_long(blk, n)
+            write_long(blk, len(data))
+            fh.write(blk.getvalue())
+            fh.write(data)
+            fh.write(sync)
+            total += n
     return total
 
 
@@ -382,94 +387,166 @@ def read_header(fh) -> tuple[T.StructType, str, bytes, int]:
     return schema, codec, sync, 4 + cur.pos
 
 
+class _FileCursor:
+    """Streaming block-header cursor over an open file: extends its
+    window on demand and discards the consumed prefix, so memory is
+    bounded by chunk + one block, never file size (review r6 finding).
+    Only the container-level parse uses it — per-block row decode runs
+    on a plain in-memory :class:`Cursor` over the (bounded) block."""
+
+    def __init__(self, fh, start: int, chunk: int = 4 << 20):
+        fh.seek(start)
+        self.fh = fh
+        self.origin = start  # absolute file offset of buf[0] + dropped
+        self.buf = b""
+        self.pos = 0
+        self.dropped = 0
+        self.chunk = chunk
+
+    def abs_pos(self) -> int:
+        return self.origin + self.dropped + self.pos
+
+    def _ensure(self, n: int) -> bool:
+        if self.pos > self.chunk:  # discard consumed prefix
+            self.dropped += self.pos
+            self.buf = self.buf[self.pos :]
+            self.pos = 0
+        while len(self.buf) - self.pos < n:
+            more = self.fh.read(max(self.chunk, n))
+            if not more:
+                return False
+            self.buf += more
+        return True
+
+    def at_eof(self) -> bool:
+        return not self._ensure(1)
+
+    def read(self, n: int) -> bytes:
+        if not self._ensure(n):
+            raise IOError("avro: truncated input")
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        shift, acc = 0, 0
+        while True:
+            b = self.read(1)[0]
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return zigzag_decode(acc)
+            shift += 7
+            if shift > 70:
+                raise IOError("avro: varint too long")
+
+
+def _check_declared(schema: T.StructType, declared: T.StructType | None) -> None:
+    if declared is not None and [
+        (f.name, f.dataType) for f in declared.fields
+    ] != [(f.name, f.dataType) for f in schema.fields]:
+        raise IOError(
+            f"avro: file schema {schema.simpleString()} != declared "
+            f"{declared.simpleString()}"
+        )
+
+
+def _block_frame(cur, sync: bytes) -> tuple[bytes, int]:
+    """Parse one block FRAME (count, size, payload bytes, trailing
+    sync) without decoding the payload. A frame failure means the
+    cursor is not at a real block boundary; a frame SUCCESS pins the
+    boundary (the odds of arbitrary bytes passing count/size bounds AND
+    matching the 16-byte trailing sync are negligible)."""
+    count = cur.read_long()
+    size = cur.read_long()
+    if count < 0 or size < 0:
+        raise IOError("avro: negative block header")
+    data = cur.read(size)
+    if cur.read(16) != sync:
+        raise IOError("avro: sync marker mismatch (corrupt block)")
+    return data, count
+
+
+def _block_rows(
+    schema: T.StructType, codec: str, data: bytes, count: int
+) -> list[tuple]:
+    if codec == "deflate":
+        data = zlib.decompress(data, wbits=-15)
+    return decode_block(schema, data, count)
+
+
 def read_container(path: str, declared: T.StructType | None = None):
     """Yield decoded row tuples; verifies sync markers per block and
-    (when ``declared`` is given) that the file schema matches it."""
+    (when ``declared`` is given) that the file schema matches it.
+    Streams: memory bounded by one block."""
     with open(path, "rb") as fh:
         schema, codec, sync, start = read_header(fh)
-        if declared is not None and [
-            (f.name, f.dataType) for f in declared.fields
-        ] != [(f.name, f.dataType) for f in schema.fields]:
-            raise IOError(
-                f"avro: file schema {schema.simpleString()} != declared "
-                f"{declared.simpleString()}"
-            )
-        fh.seek(start)
-        rest = fh.read()
-    cur = Cursor(rest)
-    while cur.remaining():
-        count = cur.read_long()
-        size = cur.read_long()
-        data = cur.read(size)
-        if cur.read(16) != sync:
-            raise IOError("avro: sync marker mismatch (corrupt block)")
-        if codec == "deflate":
-            data = zlib.decompress(data, wbits=-15)
-        yield from decode_block(schema, data, count)
+        _check_declared(schema, declared)
+        cur = _FileCursor(fh, start)
+        while not cur.at_eof():
+            data, count = _block_frame(cur, sync)
+            yield from _block_rows(schema, codec, data, count)
 
 
-def read_container_range(path: str, start: int, end: int):
+def read_container_range(
+    path: str, start: int, end: int, declared: T.StructType | None = None
+):
     """Decode the blocks OWNED by byte range [start, end) — the
     Hadoop-style Avro split contract: a block belongs to the range that
     contains the end of its preceding sync marker (every block,
     including the first, is preceded by one — the header terminates
     with the same marker). The owning reader finishes its last block
     even past ``end``, so blocks decode exactly once across disjoint
-    covering ranges.
+    covering ranges. IO and memory are bounded by the range size plus
+    the final block, never the file.
 
-    Sync candidates are found by SCANNING for the 16-byte marker; a
-    random collision inside block data is detected by the trailing-sync
-    verification after decode-length arithmetic (the candidate is then
-    skipped, exactly like Hadoop's AvroRecordReader resync)."""
+    Sync candidates are found by SCANNING for the 16-byte marker.
+    Error semantics (review r6): a candidate whose block FRAME fails
+    to parse (bad count/size, trailing sync absent) is a false-positive
+    sync inside record data and is skipped; a candidate whose frame
+    parses but whose PAYLOAD fails to decode is a real, corrupted
+    block and raises — corruption is never silently dropped. The one
+    irreducible ambiguity is corruption inside a real block's own
+    count/size header, which is indistinguishable from random data."""
     with open(path, "rb") as fh:
         schema, codec, sync, data_start = read_header(fh)
+        _check_declared(schema, declared)
         fh.seek(0, 2)
         fsize = fh.tell()
         if start >= fsize:
             return
-        # syncs whose END lies in [max(start, data_start), end)
+        # scan window: syncs whose END lies in [max(start, data_start),
+        # min(end, fsize)) — bounded by the range size, not the file
         lo = max(start, data_start)
         scan_from = lo - 16
         fh.seek(scan_from)
-        buf = fh.read()  # local-file v1; a DFS reader would stream this
-    def one_block(cur: Cursor) -> list[tuple]:
-        count = cur.read_long()
-        size = cur.read_long()
-        if count < 0 or size < 0:
-            raise IOError("avro: negative block header")
-        data = cur.read(size)
-        if cur.read(16) != sync:
-            raise IOError("avro: trailing sync mismatch")
-        if codec == "deflate":
-            data = zlib.decompress(data, wbits=-15)
-        return decode_block(schema, data, count)
+        window = fh.read(max(min(end, fsize) - scan_from, 0))
 
-    pos = 0
-    while True:
-        hit = buf.find(sync, pos)
-        if hit == -1:
+        pos = 0
+        while True:
+            hit = window.find(sync, pos)
+            if hit == -1:
+                return
+            c = scan_from + hit + 16  # candidate block start (file offset)
+            pos = hit + 1
+            if c < lo:
+                continue
+            if c >= end or c >= fsize:
+                return
+            cur = _FileCursor(fh, c)
+            try:
+                # verify the candidate's first block FRAME before
+                # yielding anything — a false-positive sync must not
+                # emit rows (payload decode failures, by contrast,
+                # raise: see docstring)
+                data, count = _block_frame(cur, sync)
+            except IOError:
+                continue
+            yield from _block_rows(schema, codec, data, count)
+            # candidate anchored: subsequent frames are authoritative
+            while cur.abs_pos() < end and not cur.at_eof():
+                data, count = _block_frame(cur, sync)
+                yield from _block_rows(schema, codec, data, count)
             return
-        c = scan_from + hit + 16  # candidate block start (file offset)
-        pos = hit + 1
-        if c < lo:
-            continue
-        if c >= end or c >= fsize:
-            return
-        base = c  # file offset of the cursor's slice origin
-        cur = Cursor(buf[c - scan_from :])
-        try:
-            # verify the candidate on its FIRST block before yielding
-            # anything — a false-positive sync must not emit rows
-            first = one_block(cur)
-        except IOError:
-            continue
-        yield from first
-        c = base + cur.pos
-        # candidate anchored: further decode errors are real corruption
-        while c < end and cur.remaining():
-            yield from one_block(cur)
-            c = base + cur.pos
-        return
 
 
 # ------------------------------------------------------ Spark DataSource
@@ -520,7 +597,9 @@ def register(spark) -> None:
             if part.end is None:
                 yield from read_container(part.path, self.declared)
             else:
-                yield from read_container_range(part.path, part.start, part.end)
+                yield from read_container_range(
+                    part.path, part.start, part.end, self.declared
+                )
 
     class _Written(WriterCommitMessage):
         pass

@@ -73,26 +73,9 @@ def skipping_scan(
 
     ONE collect of the (file, min, max) manifest rows feeds both the
     total and the pruned list — a second action would re-run the whole
-    manifest aggregation unless the caller cached it."""
-    rows = manifest.select("file", f"{col}_min", f"{col}_max").collect()
-    all_files = [r.file for r in rows]
-    if not all_files:
-        # spark.read.parquet() with zero paths raises an opaque
-        # "path not specified" — fail with the actual cause instead.
-        # (No schema travels with the manifest, so an empty DataFrame
-        # can't be synthesized here; callers with a schema in hand can
-        # spark.createDataFrame([], schema) on this error.)
-        raise ValueError(
-            "skipping_scan: manifest lists zero files — build the manifest "
-            "over a non-empty dataset or handle the empty case upstream"
-        )
-    keep = [r.file for r in rows if _overlaps(r[f"{col}_min"], r[f"{col}_max"], lo, hi)]
-    if not keep:  # empty relation with the right schema
-        df = spark.read.parquet(*all_files).filter(F.lit(False))
-    else:
-        df = spark.read.parquet(*keep)
-    df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
-    return df, {"files_total": len(all_files), "files_read": len(keep)}
+    manifest aggregation unless the caller cached it. (Delegates to the
+    multi-column form — one implementation of the scan protocol.)"""
+    return skipping_scan_multi(spark, manifest, {col: (lo, hi)})
 
 
 def skipping_scan_multi(
@@ -111,8 +94,13 @@ def skipping_scan_multi(
     rows = manifest.select(*sel).collect()
     all_files = [r.file for r in rows]
     if not all_files:
+        # spark.read.parquet() with zero paths raises an opaque
+        # "path not specified" — fail with the actual cause instead.
+        # (No schema travels with the manifest, so an empty DataFrame
+        # can't be synthesized here; callers with a schema in hand can
+        # spark.createDataFrame([], schema) on this error.)
         raise ValueError(
-            "skipping_scan_multi: manifest lists zero files — build the "
+            "skipping_scan: manifest lists zero files — build the "
             "manifest over a non-empty dataset or handle the empty case upstream"
         )
     keep = [

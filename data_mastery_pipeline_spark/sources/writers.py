@@ -315,12 +315,18 @@ def erase_keys_partitioned(
             "touched_partitions": 0,
             "rows_erased": 0,
             "rows_remaining_in_touched": 0,
+            "partitions_emptied": 0,
         }
     cond = F.lit(False)
     for vals in touched:
         match = F.lit(True)
         for c, v in zip(partition_cols, vals):
-            match = match & (F.col(c) == F.lit(v))
+            # NULL-SAFE equality: a row with a NULL partition value
+            # (Hive __HIVE_DEFAULT_PARTITION__) must still be located —
+            # `col == lit(None)` is SQL NULL and would silently exclude
+            # the whole partition from the rewrite, leaving the
+            # to-be-erased rows on disk (review r6 finding)
+            match = match & F.col(c).eqNullSafe(F.lit(v))
         cond = cond | match
     scoped = target.filter(cond)
     n_before = scoped.count()
@@ -354,7 +360,11 @@ def erase_keys_partitioned(
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         for vals in emptied:
-            seg = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
+            # NULL partition values live in the Hive default directory
+            seg = "/".join(
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                for c, v in zip(partition_cols, vals)
+            )
             p = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{seg}")
             p.getFileSystem(hconf).delete(p, True)
     return {

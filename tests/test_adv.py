@@ -421,7 +421,7 @@ def test_containment_cap_drops_injected_boilerplate_pairs(spark):
         (3, "alpha beta gamma delta epsilon zeta eta " + boiler),
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
-    capped, n_hot = containment_pairs_df(docs, max_gram_df=2, threshold=0.4)
+    capped, n_hot = containment_pairs_df(docs, max_gram_df=2, threshold=0.4, count_dropped=True)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert n_hot > 0  # the boilerplate grams (df=3) were censused
     # doc 1 is contained in doc 3 on real content; doc 2 shares ZERO

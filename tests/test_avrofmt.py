@@ -209,3 +209,45 @@ def test_datasource_split_bytes_parallelizes_one_big_file(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in ev.collect()
     )
+
+
+def test_range_read_raises_on_corrupt_block_payload():
+    """Review r6 semantics: a block whose FRAME is intact (count/size,
+    trailing sync) but whose payload bytes are corrupted must RAISE in
+    range mode — never be silently resynced past — matching the
+    non-split reader."""
+    import os
+    import tempfile
+
+    rows = [(i, None, "x" * 40, True, None, None, None) for i in range(300)]
+    p = tempfile.mktemp(suffix=".avro")
+    A.write_container(p, SCHEMA, rows, codec="null", rows_per_block=50)
+    with open(p, "rb") as fh:
+        _, _, sync, ds = A.read_header(fh)
+    raw = bytearray(open(p, "rb").read())
+    # corrupt one byte INSIDE the 3rd block's payload (not its header):
+    # find the 3rd sync occurrence after the header, skip count/size
+    i = ds
+    for _ in range(2):
+        i = raw.find(sync, i) + 16
+    raw[i + 8] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+    fs = os.path.getsize(p)
+    # loud in both modes (the specific exception tracks where the
+    # corruption lands in the decode: bad varint -> IOError, bad utf-8
+    # -> UnicodeDecodeError; silence is the only failure)
+    with pytest.raises(Exception):
+        list(A.read_container(p))
+    with pytest.raises(Exception):
+        list(A.read_container_range(p, 0, fs))
+
+
+def test_range_read_checks_declared_schema():
+    import os
+    import tempfile
+
+    p = tempfile.mktemp(suffix=".avro")
+    A.write_container(p, SCHEMA, ROWS)
+    other = T.StructType([T.StructField("a", T.StringType(), False)])
+    with pytest.raises(IOError, match="file schema"):
+        list(A.read_container_range(p, 0, os.path.getsize(p), other))

@@ -339,32 +339,18 @@ def containment_hot_probe(ks) -> None:
                 out["uncapped_skipped"] = "quadratic arm capped at k<=4"
                 continue  # n_docs² join rows: demonstrate small, don't DOS the host
             t0 = _t.time()
-            pairs, n_hot = containment_pairs_df(docs, gdf)
+            pairs, n_hot = containment_pairs_df(
+                docs, gdf, count_dropped=(gdf is not None)
+            )
             out[f"{label}_pairs"] = pairs.count()
             out[f"{label}_wall_sec"] = round(_t.time() - t0, 2)
             # the quadratic signal lives in the INTERMEDIATE gram-join
-            # row count (Σ df(g)² — the 0.8 output threshold hides it),
-            # so measure the join cardinality of the same gram relation
-            g2 = docs.select(
-                F.col("doc_id"),
-                F.explode(
-                    F.array_distinct(
-                        F.transform(
-                            __import__(
-                                "data_mastery_pipeline_spark.functions.text",
-                                fromlist=["text"],
-                            ).word_ngram_structs("text", 3),
-                            lambda st: F.xxhash64(st),
-                        )
-                    )
-                ).alias("g"),
-            )
-            if gdf is not None:
-                from pyspark.sql import Window as _W
+            # row count (Σ df(g)² — the 0.8 output threshold hides it);
+            # containment_grams IS the shipped gram build, so the probe
+            # cannot drift from the operator
+            from data_mastery_pipeline_spark.queries_adv import containment_grams
 
-                g2 = g2.withColumn(
-                    "df", F.count("*").over(_W.partitionBy("g"))
-                ).filter(F.col("df") <= gdf)
+            g2 = containment_grams(docs, gdf)
             out[f"{label}_gram_join_rows"] = (
                 g2.alias("a")
                 .join(g2.alias("b"), "g")
