@@ -68,6 +68,7 @@ _PRIORITY = [
     "array_hof_suite",
     "safe_cast_suite",
     "user_erasure_roundtrip",
+    "kafka_wire_lake_daily",
     # (c) standing re-greens: perf-adjudicated + highest-value anchors
     "near_dup_clusters",
     "near_dup_canonical",

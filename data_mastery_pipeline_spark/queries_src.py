@@ -904,3 +904,116 @@ def user_erasure_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), quantize(F.sum("value"), "sum_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "kafka_wire_lake_daily",
+    f"""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           {sql_quantize("sum(value)", "sum_value")}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def kafka_wire_lake_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE consumer loop as one driver row
+    (kafka_consumer_s3.py analog, S3+S4+S5+S6+S7+S8 composed): events →
+    keyed-JSON Produce over TCP → ``readStream`` through the wire
+    source's micro-batch offsets → ``foreachBatch`` appends each batch
+    to a hive date-partitioned parquet LAKE → checkpoint commits the
+    source offsets AFTER the sink write lands (offsets-after-write:
+    a crash between write and commit replays the batch — at-least-once
+    into an append lake, exactly the reference's guarantee) → the lake
+    is re-read and aggregated. Oracle = the same aggregate over the
+    original events: the wire + stream + lake round trip loses nothing.
+
+    100 TB: each micro-batch writes only its own date partitions;
+    compaction (writers.compact_partitioned) right-sizes the
+    accumulated small files; the lake read prunes by partition."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from .schemas import EVENTS
+    from .streaming import kafka, kafkawire
+
+    TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    broker = kafkawire.ensure_local_broker()
+    kafkawire.register(spark)
+    prev = _LAST_DIR.pop(("kw_lake_topic", sf_dir), None)
+    if prev is not None:
+        broker.drop_topic(prev)
+    topic = f"events_lake_{uuid.uuid4().hex}"
+    _LAST_DIR[("kw_lake_topic", sf_dir)] = topic
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    expected = ev.count()
+    fmt = {"timestampFormat": TS_FMT}
+    pair = kafka.to_kafka_records(ev, key_col="user_id", json_options=fmt)
+    (
+        pair.select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+        )
+        .write.format("kafka_wire")
+        .option("port", broker.port)
+        .option("topic", topic)
+        .mode("append")
+        .save()
+    )
+
+    payload_schema = T.StructType([f for f in EVENTS.fields if f.name != "props"])
+    lake = _fresh_dir("kwlake", sf_dir)
+
+    def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        parsed = batch_df.select(
+            F.from_json(F.col("value").cast("string"), payload_schema, fmt).alias("r")
+        ).select("r.*")
+        (
+            parsed.withColumns(
+                {
+                    "year": F.year("ts"),
+                    "month": F.month("ts"),
+                    "day": F.dayofmonth("ts"),
+                }
+            )
+            .write.mode("append")
+            .partitionBy("year", "month", "day")
+            .parquet(lake)
+        )
+
+    q = (
+        spark.readStream.format("kafka_wire")
+        .option("port", broker.port)
+        .option("topic", topic)
+        .load()
+        .writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_kwlake_"))
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 180
+        got = 0
+        while _time.time() < deadline:
+            try:
+                got = spark.read.parquet(lake).count()
+            except Exception:  # lake dir not created by the first batch yet
+                got = 0
+            if got == expected:
+                break
+            _time.sleep(0.3)
+        else:
+            raise TimeoutError(f"kafka_wire_lake_daily: lake has {got}/{expected}")
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    back = spark.read.parquet(lake)
+    return back.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n_events"), quantize(F.sum("value"), "sum_value"))
