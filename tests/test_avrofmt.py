@@ -251,3 +251,83 @@ def test_range_read_checks_declared_schema():
     other = T.StructType([T.StructField("a", T.StringType(), False)])
     with pytest.raises(IOError, match="file schema"):
         list(A.read_container_range(p, 0, os.path.getsize(p), other))
+
+
+# --------------------------------------------------------- property-based
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSET = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_VALS = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**62), max_value=2**62 - 1),
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, width=64),  # NaN != NaN breaks eq-check
+        ),
+        st.one_of(st.none(), st.text(max_size=40)),
+        st.booleans(),
+        st.one_of(st.none(), st.binary(max_size=40)),
+        st.one_of(
+            st.none(),
+            st.datetimes(
+                min_value=datetime(1900, 1, 1), max_value=datetime(2200, 1, 1)
+            ),
+        ),
+        st.one_of(
+            st.none(),
+            st.dates(min_value=date(1900, 1, 1), max_value=date(2200, 1, 1)),
+        ),
+    ),
+    max_size=60,
+)
+
+
+@_HSET
+@given(rows=_VALS, codec=st.sampled_from(["null", "deflate"]))
+def test_property_container_roundtrip(rows, codec, tmp_path_factory):
+    """Arbitrary values (unicode, ±0.0, extreme ints, µs datetimes)
+    survive the container byte-exactly under both codecs."""
+    import tempfile
+
+    p = tempfile.mktemp(suffix=".avro")
+    A.write_container(p, SCHEMA, rows, codec=codec, rows_per_block=7)
+    assert list(A.read_container(p, SCHEMA)) == rows
+
+
+@_HSET
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-(2**40), 2**40), st.text(max_size=20)),
+        min_size=1,
+        max_size=400,
+    ),
+    cuts=st.lists(st.integers(1, 10_000), min_size=0, max_size=6),
+)
+def test_property_random_split_points_cover_exactly_once(rows, cuts):
+    """ANY set of byte ranges covering the file decodes every row
+    exactly once — split boundaries at arbitrary offsets, including
+    mid-sync, mid-header, and mid-block."""
+    import os
+    import tempfile
+
+    schema2 = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("s", T.StringType(), False),
+        ]
+    )
+    p = tempfile.mktemp(suffix=".avro")
+    A.write_container(p, schema2, rows, codec="null", rows_per_block=13)
+    fsize = os.path.getsize(p)
+    bounds = sorted({0, fsize, *[c % fsize for c in cuts if c % fsize > 0]})
+    got = []
+    for a, b in zip(bounds, bounds[1:]):
+        got.extend(A.read_container_range(p, a, b))
+    assert got == rows
