@@ -69,17 +69,46 @@ _PRIORITY = [
     "safe_cast_suite",
     "user_erasure_roundtrip",
     "kafka_wire_lake_daily",
-    # (c) standing re-greens: perf-adjudicated + highest-value anchors
+    # (c) standing re-greens, ordered by what CHANGED this round: the
+    # load_table CPU_HEAVY_TABLES fan-out policy altered the scan plan
+    # of every documents/embeddings query, so those anchors re-verify
+    # first (all already green in this session's local 186/186 drives);
+    # then the classic cross-family anchors.
     "near_dup_clusters",
     "near_dup_canonical",
-    "pricing_summary",
-    "exact_dedup",
-    "star_revenue",
     "minhash_near_dup",
+    "simhash_near_dup",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "embedding_centroids",
+    "embedding_norms",
+    "kmeans_embeddings",
+    "text_quality",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprints",
+    "tfidf_top_terms",
+    "lm_bigram_quality",
+    "bm25_search",
+    "contamination_check",
+    "shared_substring_spans",
+    "incremental_minhash_dedup",
+    "sequence_packing",
+    "multimodal_meta",
+    "near_dup_cluster_sizes",
+    # cross-family anchors
+    "pricing_summary",
+    "star_revenue",
     "daily_agg",
     "asof_join_purchases",
     "profile_events",
     "stream_tumbling_hourly",
+    "partitioned_roundtrip",
+    "pg_serving_roundtrip",
+    "kafka_roundtrip",
 ]
 
 
