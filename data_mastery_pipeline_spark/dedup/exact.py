@@ -31,11 +31,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def dup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Dedup summary per fingerprint-duplicate group: group size and the
-    kept (min) id. Groups of size 1 are unique documents."""
+    kept (min) id. Groups of size 1 are unique documents. ``id_col``
+    matches the sibling ``exact_dedup`` (review r6: it was hardcoded)."""
     fp = with_fingerprint(df, text_col)
     return fp.groupBy("fingerprint").agg(
         F.count("*").alias("n_copies"),
-        F.min("doc_id").alias("keep_doc_id"),
+        F.min(id_col).alias("keep_doc_id"),
     )

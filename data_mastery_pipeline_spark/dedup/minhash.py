@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
@@ -210,10 +210,20 @@ def lsh_candidate_pairs(
     """
     banded = band_table(sig, id_col, num_hashes, bands)
 
+    # size-gate BEFORE materializing any id list (review r6): a window
+    # count over the bucket key spills to disk, while collect_list on an
+    # unfiltered degenerate bucket (millions of identical/empty docs)
+    # builds the whole array in ONE aggregation buffer — the exact OOM
+    # the cap advertises to prevent. The window leaves the relation
+    # partitioned on (band, bh), so the follow-up aggregate adds no
+    # second shuffle.
+    w = Window.partitionBy("band", "bh")
+    gated = banded.withColumn("n", F.count("*").over(w)).filter(
+        (F.col("n") > 1) & (F.col("n") <= max_bucket)
+    )
     buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.collect_list(id_col).alias("ids"), F.count("*").alias("n"))
-        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        gated.groupBy("band", "bh")
+        .agg(F.collect_list(id_col).alias("ids"))
         .withColumn("ids", F.array_sort("ids"))
     )
     pairs = buckets.select(

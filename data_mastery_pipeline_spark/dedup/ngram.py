@@ -21,7 +21,7 @@ def jaccard_pairs_blocked(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
-    length_tolerance: float = 0.2,
+    length_tolerance: float | None = 0.2,
     threshold: float = 0.35,
     build: str = "broadcast",
     set_repr: str = "auto",
@@ -35,9 +35,16 @@ def jaccard_pairs_blocked(
     ``"bitmask"`` asserts a ≤63-token vocabulary and errors otherwise.
 
     Blocks on ``block_cols``; prunes pairs whose token counts differ by
-    more than ``length_tolerance`` (a true Jaccard ≥ t implies the sizes
-    are within factor 1/t, so moderate tolerances cannot lose qualifying
-    pairs at practical thresholds). Returns (id_a, id_b, jaccard).
+    more than ``length_tolerance`` — a RECALL/COST blocking knob, not a
+    free lunch (review r6): a true Jaccard ≥ t only bounds the sizes
+    within factor 1/t, so losslessness requires tolerance ≥ 1/t − 1
+    (≈1.86 at t=0.35 — far wider than the 0.2 default). The default
+    deliberately trades tail recall (a short doc fully contained in a
+    much longer one) for a ~3× smaller candidate set; pass
+    ``length_tolerance=None`` to use the EXACT Jaccard length bound
+    [n·t, n/t] and provably lose nothing. Containment-style duplication
+    is the asymmetric operator's job (queries_adv.containment_pairs).
+    Returns (id_a, id_b, jaccard).
 
     ``build`` picks the join strategy — both produce identical pairs:
 
@@ -128,20 +135,20 @@ def jaccard_pairs_blocked(
             _bit,
         )
         toks_repr = mask.alias("toks")
-        n_toks = F.bit_count("toks").cast("int")
+        base = df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in block_cols],
+            toks_repr,
+        ).withColumn("n_toks", F.bit_count("toks").cast("int"))
     else:
-        toks_repr = F.transform(
-            F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)
-        ).alias("toks")
-        n_toks = F.size("toks")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in block_cols],
-        toks_repr,
-    ).withColumn("n_toks", n_toks)
+        # the one canonical token-set representation — shared with the
+        # prefix path so the two cannot drift (review r6)
+        base = _hashed_token_base(df, text_col, id_col, block_cols)
 
-    lo = 1.0 - length_tolerance
-    hi = 1.0 + length_tolerance
+    if length_tolerance is None:  # exact lossless Jaccard length bound
+        lo, hi = threshold, 1.0 / threshold
+    else:
+        lo, hi = 1.0 - length_tolerance, 1.0 + length_tolerance
 
     a_cols = [
         F.col("id").alias("id_a"),
@@ -248,8 +255,9 @@ def prefix_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
-    length_tolerance: float = 0.2,
+    length_tolerance: float | None = 0.2,
     threshold: float = 0.35,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """PPJoin-style candidate generation (Xiao et al., "Efficient
     Similarity Joins for Near Duplicate Detection", WWW'08 — the public
@@ -273,9 +281,17 @@ def prefix_candidates(
     Returns distinct (id_a, id_b) candidates — a superset of the
     qualifying pairs under the same block + length predicates as
     ``jaccard_pairs_blocked``; verification stays the caller's job.
+    ``base``: a pre-built (ideally lineage-truncated) token base — the
+    tokenize+hash pass fans out three ways below (df table, rarest-first
+    re-sort, prefix explode), so callers that already hold the base
+    should pass it instead of paying the rebuild (review r6).
     """
-    base = _hashed_token_base(df, text_col, id_col, block_cols)
-    lo, hi = 1.0 - length_tolerance, 1.0 + length_tolerance
+    if base is None:
+        base = _hashed_token_base(df, text_col, id_col, block_cols)
+    if length_tolerance is None:  # exact lossless Jaccard length bound
+        lo, hi = threshold, 1.0 / threshold
+    else:
+        lo, hi = 1.0 - length_tolerance, 1.0 + length_tolerance
 
     tok_df = (
         base.select(F.explode("toks").alias("tok"))
@@ -330,7 +346,7 @@ def jaccard_pairs_prefix(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
-    length_tolerance: float = 0.2,
+    length_tolerance: float | None = 0.2,
     threshold: float = 0.35,
 ) -> DataFrame:
     """Exact Jaccard pairs via prefix-filtered candidates — identical
@@ -338,10 +354,16 @@ def jaccard_pairs_prefix(
     all-pairs-within-block candidate set replaced by the PPJoin prefix
     index. The scale path when blocks are large and near-dup density is
     low: candidate count tracks the number of genuinely-similar pairs,
-    not |block|²."""
-    base = _hashed_token_base(df, text_col, id_col, block_cols)
+    not |block|².
+
+    The tokenize+hash base is built ONCE, lineage-truncated, and shared
+    by the candidate index and the verify join — it previously ran
+    ~4-5× per call (review r6)."""
+    from ..checkpointing import truncate_lineage
+
+    base = truncate_lineage(_hashed_token_base(df, text_col, id_col, block_cols))
     cand = prefix_candidates(
-        df, text_col, id_col, block_cols, length_tolerance, threshold
+        df, text_col, id_col, block_cols, length_tolerance, threshold, base=base
     )
     sets = base.select("id", "toks", "n_toks")
     joined = cand.join(

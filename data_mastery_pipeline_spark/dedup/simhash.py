@@ -14,7 +14,7 @@ on 16-bit keys. No all-pairs product, no per-document folds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
@@ -131,17 +131,21 @@ def simhash_near_dups(
         ).alias("bb"),
     ).select(id_col, "fp", "bb.band", "bb.key")
 
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("fp"))).alias("docs"),
-            F.count("*").alias("n"),
-        )
-        .filter(
-            (F.col("n") > 1)
-            if max_bucket is None
-            else ((F.col("n") > 1) & (F.col("n") <= max_bucket))
-        )
+    # size-gate BEFORE materializing any (id, fp) list (review r6, same
+    # fix as minhash.lsh_candidate_pairs): the window count spills; an
+    # unfiltered collect_list on a degenerate bucket builds the whole
+    # array in one aggregation buffer. With max_bucket=None (exact
+    # recall) the quadratic pair fan-out of a giant bucket remains — the
+    # docstring's documented trade — but the list itself still only
+    # materializes for buckets that pass the n>1 gate.
+    wb = Window.partitionBy("band", "key")
+    gated = banded.withColumn("n", F.count("*").over(wb)).filter(
+        (F.col("n") > 1)
+        if max_bucket is None
+        else ((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    )
+    buckets = gated.groupBy("band", "key").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("fp"))).alias("docs")
     )
     pairs = (
         buckets.select(

@@ -38,7 +38,17 @@ def shared_spans(
     """(id_a, id_b, max_span_tokens, n_spans) for pairs sharing a
     verbatim run of ≥ ``min_span`` tokens. ``max_gram_df``: drop anchor
     grams occurring in more than this many documents before the join
-    (None = exact, no cap)."""
+    (None = exact, no cap).
+
+    ``n_spans`` semantics (review r6 clarification): it counts ALL
+    shared anchor runs of ≥ k tokens on every diagonal offset — the
+    ``min_span`` gate applies only to ``max_span_tokens`` (the pair
+    qualifies iff its LONGEST run reaches min_span). Internally
+    repetitive text therefore multiplies n_spans (one shared repeated
+    region matches on several diagonals); rank pairs by
+    ``max_span_tokens``, and treat ``n_spans`` as a repetitiveness-
+    sensitive match-density signal, not a count of min_span-long
+    runs."""
     from ..parallelism import fan_out
 
     toks = textfn.tokens(text_col)

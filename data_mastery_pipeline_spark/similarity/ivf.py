@@ -33,13 +33,24 @@ def train_centroids(
 ) -> list[list[float]]:
     """k-means centroids on a bounded sample (index-build step; at scale
     train on a sample, never the full table). Returns plain Python
-    vectors so assignment compiles to plan literals."""
+    vectors so assignment compiles to plan literals.
+
+    The sample is hash-ordered, not ``limit()`` scan order (review r6):
+    a bare limit takes the LEADING partitions, so a table laid out by
+    cluster label or ingestion time would train every centroid on one
+    region of embedding space and collapse downstream recall. Ordering
+    by xxhash64 of the vector is deterministic, spreads the draw across
+    the whole table, and compiles to TakeOrderedAndProject (per-
+    partition top-n heap — one scan, no full sort)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    arr = F.col(vec_col).cast("array<double>")
     train = (
-        df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+        df.select(arr.alias("__arr"))
+        .orderBy(F.xxhash64(F.col("__arr")))
         .limit(max_train_rows)
+        .select(array_to_vector(F.col("__arr")).alias("features"))
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
     return [list(map(float, c)) for c in model.clusterCenters()]

@@ -88,3 +88,29 @@ def test_bitmask_out_of_vocab_token_fails_loudly(spark, monkeypatch):
     monkeypatch.setattr(ngram, "_small_vocab", lambda *a, **k: ["aa", "bb", "cc"])
     with pytest.raises(Exception, match="absent from the probed vocabulary"):
         ngram.jaccard_pairs_blocked(df, threshold=0.1).collect()
+
+
+def test_lossless_length_bound_finds_containment_pairs(spark):
+    """Review r6: the default ±20% length tolerance is a recall/cost
+    knob that DROPS a short doc fully contained in a long one;
+    length_tolerance=None (exact Jaccard bound [n·t, n/t]) must find
+    it. Pins both behaviors so the trade stays deliberate."""
+    from data_mastery_pipeline_spark.dedup import ngram
+
+    short = " ".join(f"w{i}" for i in range(40))
+    long_ = " ".join(f"w{i}" for i in range(80))  # J = 40/80 = 0.5
+    docs = spark.createDataFrame(
+        [(1, short, "en"), (2, long_, "en")], "doc_id bigint, text string, lang string"
+    )
+    t = 0.45
+    strict = ngram.jaccard_pairs_blocked(docs, threshold=t).collect()
+    assert strict == []  # 80 vs 40 tokens: outside ±20%
+    loose = ngram.jaccard_pairs_blocked(
+        docs, threshold=t, length_tolerance=None
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in loose] == [(1, 2)]
+    # prefix path agrees under the same bound
+    loose_p = ngram.jaccard_pairs_prefix(
+        docs, threshold=t, length_tolerance=None
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in loose_p] == [(1, 2)]
