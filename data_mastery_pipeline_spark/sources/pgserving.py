@@ -158,7 +158,9 @@ if HAVE_DATASOURCE_API:
             if partition.where:
                 sql += f" WHERE {partition.where}"
             with self.opts.connect() as conn:
-                yield from conn.query(sql).rows
+                # streaming: O(row) executor memory, not O(slice) —
+                # the generator drains fully inside the with-block
+                yield from conn.query_iter(sql)
 
     @dataclass
     class _WriteDone(WriterCommitMessage):
@@ -191,18 +193,30 @@ if HAVE_DATASOURCE_API:
                     else f"ON CONFLICT ({', '.join(self.upsert_keys)}) DO NOTHING"
                 )
                 head = f"INSERT INTO {self.table} ({', '.join(self.columns)}) VALUES "
+                # Postgres rejects ON CONFLICT DO UPDATE when one
+                # statement touches the same key twice ("cannot affect
+                # row a second time", 21000) — exactly the duplicate
+                # replay an at-least-once upstream produces. Dedup each
+                # statement's rows on the upsert keys, LAST occurrence
+                # wins (statement order preserves arrival order), so
+                # the idempotent-load contract holds on the input that
+                # motivates it (review r6).
+                ki = [self.columns.index(k) for k in self.upsert_keys]
                 n = 0
-                batch: list[str] = []
+                batch: dict[tuple, str] = {}
                 for r in rows:
-                    batch.append(
+                    key = tuple(r[i] for i in ki)
+                    rendered = (
                         "(" + ", ".join(pgwire.quote_literal(v) for v in r) + ")"
                     )
+                    batch.pop(key, None)  # re-insert → moves to the end
+                    batch[key] = rendered
                     if len(batch) >= self.batchsize:
-                        conn.execute(head + ", ".join(batch) + " " + conflict)
+                        conn.execute(head + ", ".join(batch.values()) + " " + conflict)
                         n += len(batch)
-                        batch = []
+                        batch = {}
                 if batch:
-                    conn.execute(head + ", ".join(batch) + " " + conflict)
+                    conn.execute(head + ", ".join(batch.values()) + " " + conflict)
                     n += len(batch)
                 return _WriteDone(n)
 

@@ -27,7 +27,7 @@ import socket
 import struct
 from collections.abc import Iterable, Iterator, Sequence
 from dataclasses import dataclass
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 
 # --- PG type OIDs (pg_type.dat — stable public catalog numbers) -----------
 BOOL, INT2, INT4, INT8 = 16, 21, 23, 20
@@ -63,9 +63,15 @@ def _parse_value(text: str | None, typoid: int):
     if typoid == BOOL:
         return text == "t"
     if typoid in (TIMESTAMP, TIMESTAMPTZ):
-        t = text.replace("+00", "")
-        fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in t else "%Y-%m-%d %H:%M:%S"
-        return datetime.strptime(t, fmt)
+        # fromisoformat (py>=3.11) handles every offset form Postgres
+        # renders (+00, -05, +05:30) — the old literal '+00' strip
+        # crashed mid-protocol on any non-UTC server TimeZone (review
+        # r6). TZ-aware values normalize to UTC wall time (the
+        # connection also pins TimeZone=UTC at startup, belt+braces).
+        dt = datetime.fromisoformat(text.replace(" ", "T", 1))
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+        return dt
     if typoid == DATE:
         return date.fromisoformat(text)
     return text
@@ -79,7 +85,13 @@ def quote_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        if v != v:  # NaN: repr() would emit the bare token `nan`
+            return "'NaN'::float8"
+        if v in (float("inf"), float("-inf")):
+            return f"'{'-' if v < 0 else ''}Infinity'::float8"
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, datetime):
         return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
@@ -120,10 +132,17 @@ class PGConnection:
     ):
         self._sock = socket.create_connection((host, port), timeout=connect_timeout)
         self._buf = b""
-        params = f"user\x00{user}\x00database\x00{database}\x00\x00".encode()
+        params = (
+            f"user\x00{user}\x00database\x00{database}\x00"
+            "options\x00-c TimeZone=UTC\x00\x00"
+        ).encode()
         body = struct.pack("!i", 196608) + params  # protocol 3.0
         self._sock.sendall(struct.pack("!i", len(body) + 4) + body)
         self._await_ready(startup=True)
+        # the connect timeout must NOT become the statement timeout: a
+        # >10 s query would raise mid-protocol and desync the
+        # connection (review r6); after the handshake, block
+        self._sock.settimeout(None)
 
     # -- framing -----------------------------------------------------------
     def _recv_exact(self, n: int) -> bytes:
@@ -221,6 +240,55 @@ class PGConnection:
     def query(self, sql: str) -> PGResult:
         """Single-statement convenience: last result."""
         return self.execute(sql)[-1]
+
+    def query_iter(self, sql: str):
+        """Single-SELECT STREAMING variant: yield each DataRow tuple as
+        it is parsed off the socket instead of materializing the whole
+        result list — executor memory stays O(row), not O(slice)
+        (review r6: the DataSource read path buffered entire range
+        slices). The generator MUST be fully consumed (or the
+        connection closed) before the connection is reused: rows are
+        interleaved with the protocol cycle."""
+        body = sql.encode() + b"\x00"
+        self._sock.sendall(b"Q" + struct.pack("!i", len(body) + 4) + body)
+        oids: list[int] = []
+        error: PGError | None = None
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"T":  # RowDescription
+                oids = []
+                (nf,) = struct.unpack("!h", payload[:2])
+                off = 2
+                for _ in range(nf):
+                    end = payload.index(b"\x00", off)
+                    off = end + 1
+                    _tbl, _att, typoid, _len, _mod, _fmt = struct.unpack(
+                        "!ihihih", payload[off : off + 18]
+                    )
+                    oids.append(typoid)
+                    off += 18
+            elif mtype == b"D":  # DataRow
+                (nf,) = struct.unpack("!h", payload[:2])
+                off = 2
+                vals = []
+                for i in range(nf):
+                    (vlen,) = struct.unpack("!i", payload[off : off + 4])
+                    off += 4
+                    if vlen == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(
+                            _parse_value(payload[off : off + vlen].decode(), oids[i])
+                        )
+                        off += vlen
+                yield tuple(vals)
+            elif mtype == b"E":
+                error = PGError(self._error_fields(payload))
+            elif mtype == b"Z":  # ReadyForQuery — cycle done
+                if error is not None:
+                    raise error
+                return
+            # 'C' CommandComplete / 'N' / 'S' / 'I': skip
 
     # -- COPY bulk load ----------------------------------------------------
     def copy_rows(

@@ -113,9 +113,18 @@ def _vdir(root: str, version: int) -> str:
 
 def write_version(spark: SparkSession, root: str, df: DataFrame) -> int:
     """Write ``df`` as the next snapshot of the table at ``root`` and
-    swing the live pointer to it. Returns the new version number."""
+    swing the live pointer to it. Returns the new version number.
+
+    The next version is max(live pointer, newest dir ON DISK) + 1
+    (review r6): a writer that crashed after creating its snapshot dir
+    but before the pointer swing leaves an orphan dir; pointer+1 alone
+    would collide with it forever (``errorifexists``), wedging every
+    future write. Skipping past the orphan keeps the invariant that a
+    version dir, once referenced by the pointer, is complete — the
+    orphan is unreferenced garbage that vacuum() may reap."""
     current = _read_pointer(spark, root) or 0
-    new = current + 1
+    on_disk = versions(spark, root)
+    new = max(current, on_disk[-1] if on_disk else 0) + 1
     df.write.mode("errorifexists").parquet(_vdir(root, new))
     _write_pointer(spark, root, new)
     return new

@@ -119,10 +119,18 @@ def compact_partitioned(
     MERGE/OPTIMIZE add; with plain parquet, swap paths after the write).
     Returns {"files_before", "files_after", "rows"}.
     """
-    import glob
-
     def _count_files(p: str) -> int:
-        return len(glob.glob(f"{p}/**/*.parquet", recursive=True))
+        # Hadoop FS listing, not local glob (review r6): glob silently
+        # returns 0 on hdfs://s3a:// paths, faking a no-op compaction
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(hpath, True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
 
     df = spark.read.parquet(src_path)
     rows = df.count()
@@ -229,7 +237,13 @@ def merge_upsert_partitioned(
     for vals in touched:
         match = F.lit(True)
         for c, v in zip(partition_cols, vals):
-            match = match & (F.col(c) == F.lit(v))
+            # NULL-SAFE (review r6, same hole as erase_keys_partitioned):
+            # a NULL partition value under plain == filters the whole
+            # __HIVE_DEFAULT_PARTITION__ out of `target`, so its
+            # unmatched rows never become survivors — yet dynamic
+            # overwrite still rewrites that directory, silently
+            # DELETING every pre-existing row the update didn't carry
+            match = match & F.col(c).eqNullSafe(F.lit(v))
         cond = cond | match
     try:
         target = spark.read.parquet(target_path).filter(cond)

@@ -156,3 +156,55 @@ def test_quote_literal_roundtrip(pg, s):
     exact original string (quote doubling, no backslash surprises)."""
     got = pg.query(f"SELECT {pgwire.quote_literal(s)}").rows[0][0]
     assert got == s
+
+
+def test_upsert_batch_with_duplicate_keys_keeps_last(spark, pg):
+    """Review r6: duplicate keys within ONE statement would raise
+    Postgres error 21000 ('cannot affect row a second time'); the
+    writer dedups per statement, last occurrence winning — the
+    at-least-once replay case the idempotent load exists for."""
+    pg.execute(
+        "DROP TABLE IF EXISTS dup_batch;"
+        "CREATE TABLE dup_batch (k BIGINT, v DOUBLE PRECISION,"
+        " CONSTRAINT dup_batch_k UNIQUE (k))"
+    )
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (1, 10.0), (1, 100.0)], "k bigint, v double"
+    ).coalesce(1)  # same task → same statement
+    (
+        df.write.format("pg_serving")
+        .option("port", pgserving.LOCAL_PORT)
+        .option("database", "serving")
+        .option("table", "dup_batch")
+        .option("upsert_keys", "k")
+        .mode("append")
+        .save()
+    )
+    got = dict(pg.query("SELECT k, v FROM dup_batch ORDER BY k").rows)
+    assert got == {1: 100.0, 2: 2.0}
+
+
+def test_timestamptz_parse_any_offset_and_nan_literals(pg):
+    """Review r6: non-UTC offsets crashed _parse_value; NaN/Infinity
+    rendered as invalid bare tokens."""
+    r = pg.query("SELECT TIMESTAMPTZ '2024-06-01 12:00:00-05'").rows[0][0]
+    assert r == datetime(2024, 6, 1, 17, 0, 0)  # normalized to UTC
+    row = pg.query(
+        f"SELECT {pgwire.quote_literal(float('nan'))},"
+        f" {pgwire.quote_literal(float('inf'))}"
+    ).rows[0]
+    assert row[0] != row[0] and row[1] == float("inf")
+
+
+def test_query_iter_streams_rows(pg):
+    pg.execute(
+        "DROP TABLE IF EXISTS strm;"
+        "CREATE TABLE strm AS SELECT g AS x FROM generate_series(1, 500) g"
+    )
+    it = pg.query_iter("SELECT x FROM strm ORDER BY x")
+    first = next(it)
+    assert first == (1,)
+    rest = list(it)
+    assert len(rest) == 499 and rest[-1] == (500,)
+    # connection still usable after full drain
+    assert pg.query("SELECT 1").rows == [(1,)]

@@ -559,3 +559,22 @@ def test_erase_keys_partitioned_handles_null_partition_values(spark, tmp_path):
 
     assert not os.path.exists(os.path.join(path, "year=__HIVE_DEFAULT_PARTITION__"))
     assert sorted(r["user_id"] for r in spark.read.parquet(path).collect()) == [1, 4]
+
+
+def test_merge_upsert_preserves_null_partition_rows(spark, tmp_path):
+    """Review r6: same NULL-partition hole as erasure but worse — the
+    non-null-safe filter excluded __HIVE_DEFAULT_PARTITION__ from the
+    survivors while dynamic overwrite still rewrote it, silently
+    DELETING every pre-existing NULL-partition row the update didn't
+    carry."""
+    from data_mastery_pipeline_spark.sources import writers
+
+    rows = [(1, 10.0, 2024), (2, 20.0, None), (3, 30.0, None)]
+    df = spark.createDataFrame(rows, "k bigint, v double, year int")
+    path = str(tmp_path / "merge_null")
+    df.write.mode("overwrite").partitionBy("year").parquet(path)
+    upd = spark.createDataFrame([(2, 200.0, None)], "k bigint, v double, year int")
+    writers.merge_upsert_partitioned(spark, path, upd, ["k"], ["year"])
+    back = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    # k=2 updated; k=3 (same NULL partition, not in the update) SURVIVES
+    assert back == {1: 10.0, 2: 200.0, 3: 30.0}

@@ -123,3 +123,21 @@ def test_stream_to_versioned_table_time_travelable_history(spark, tmp_path):
     assert counts[-1] == ev.count()
     # time travel into the stream's past: version 1 is exactly batch 0
     assert counts[0] == halves[0].count()
+
+
+def test_write_version_skips_orphan_dir_from_crashed_writer(spark, root):
+    """Review r6: a writer that died after creating its snapshot dir
+    but before the pointer swing must not wedge every future write
+    (errorifexists collision with the orphan forever)."""
+    import os
+
+    from data_mastery_pipeline_spark.sources import versioned as V
+
+    df = spark.range(3).toDF("x")
+    v1 = V.write_version(spark, root, df)
+    # simulate the crash: v2's dir exists, pointer still at v1
+    os.makedirs(f"{root}/v={v1 + 1:05d}", exist_ok=True)
+    v_next = V.write_version(spark, root, df.withColumn("x", F.col("x") + 1))
+    assert v_next == v1 + 2  # skipped past the orphan
+    assert V.read_version(spark, root).count() == 3
+    assert sorted(r["x"] for r in V.read_version(spark, root).collect()) == [1, 2, 3]
