@@ -36,9 +36,27 @@ def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFr
 
 
 def release(df: DataFrame, checkpoint_dir: str | None = None) -> None:
-    """Free a superseded checkpoint's storage. Local checkpoints hold
-    executor block memory/disk → unpersist now; reliable checkpoint files
+    """Free a superseded checkpoint's storage NOW. The df must be a
+    frame returned by :func:`truncate_lineage` that no consumer will
+    read again — after release it is unreadable (the blocks are gone;
+    a localCheckpoint has no lineage to recompute from).
+
+    ``DataFrame.unpersist()`` is NOT enough (review r6, verified): it
+    only clears cache-manager entries, while ``localCheckpoint()``
+    persists the plan's internal RDD directly — those blocks survive
+    unpersist and accumulate across an iterative loop (the
+    connected-components pointer-doubling rounds) until driver GC
+    happens to collect the RDD. The actual cached RDD lives on the
+    LogicalRDD plan node; unpersist THAT. Reliable checkpoint files
     are cleaned by ``spark.cleaner.referenceTracking.cleanCheckpoints``
-    (or the job's own dir teardown), and unpersist is a no-op on them."""
-    if checkpoint_dir is None:
-        df.unpersist()
+    (or the job's own dir teardown)."""
+    if checkpoint_dir is not None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+            return
+    except Exception:  # non-checkpoint frame / API drift: fall through
+        pass
+    df.unpersist()

@@ -147,10 +147,17 @@ def portable_rolling_fingerprint(text: str | Column, seed: int = 0) -> Column:
 
 def normalize(text: str | Column) -> Column:
     """Canonical text normalization (the standard pre-dedup transform):
-    lowercase, strip punctuation, collapse whitespace runs, trim."""
+    lowercase, strip punctuation, collapse whitespace runs, trim.
+
+    UNICODE letter/digit classes, not ``\\w`` (review r6, verified):
+    Java's ``\\w`` is ASCII-only, so the old form deleted every CJK
+    and accented character — all Chinese documents normalized to the
+    EMPTY string and would mass-collapse onto one dedup fingerprint.
+    ``\\p{L}\\p{N}`` is supported identically by Java regex and
+    DuckDB's RE2, so the oracle mirrors exactly."""
     t = F.col(text) if isinstance(text, str) else text
     lowered = F.lower(t)
-    no_punct = F.regexp_replace(lowered, r"[^\w\s]", "")
+    no_punct = F.regexp_replace(lowered, r"[^\p{L}\p{N}\s]", "")
     return F.trim(F.regexp_replace(no_punct, r"\s+", " "))
 
 

@@ -62,5 +62,10 @@ def retention_cutoff(days: int) -> Column:
 
 
 def duration_seconds(start: str | Column, end: str | Column) -> Column:
-    """D14 — EXTRACT(EPOCH FROM (end-start)) (gold_loader.py:130,158)."""
-    return F.unix_timestamp(end) - F.unix_timestamp(start)
+    """D14 — EXTRACT(EPOCH FROM (end-start)) (gold_loader.py:130,158).
+
+    Microsecond-exact (review r6, verified): ``unix_timestamp()``
+    TRUNCATES each endpoint to whole seconds before subtracting, so
+    sub-second timestamps were off by up to ±1 s vs the EPOCH semantic
+    — the same pitfall operators/joins.py:171 documents and avoids."""
+    return (F.unix_micros(end) - F.unix_micros(start)) / F.lit(1_000_000.0)

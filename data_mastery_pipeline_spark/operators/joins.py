@@ -85,16 +85,24 @@ def asof_join(
     ``quote_ts <= fact_ts`` for the same key (SURVEY §2.F).
 
     Union+window formulation: tag both sides, union on (key, ts), carry
-    quote values forward with ``last(ignorenulls=True)`` over an
+    the quote ROW forward with ``last(ignorenulls=True)`` over an
     unbounded-preceding frame, keep fact rows. One shuffle on ``key``;
     no range explosion; late/duplicate timestamps resolved by the
     fact-after-quote ordering of the tag.
+
+    The carried value is ONE STRUCT of all quote columns, not one
+    last() per column (review r6, verified): per-column carry would
+    backfill a NULL field in the latest quote from an OLDER quote row,
+    fabricating a combined row that never existed — the struct is
+    non-null exactly on quote rows, so last(ignorenulls) picks the
+    latest quote row ATOMICALLY, NULL fields and all (matching the
+    ASOF JOIN oracle semantics).
     """
     q = quotes.select(
         F.col(key),
         F.col(quote_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in quote_cols],
+        F.struct(*[F.col(c) for c in quote_cols]).alias("__q"),
     )
     fact_cols = [c for c in fact.columns]
     f_side = fact.select(
@@ -105,7 +113,8 @@ def asof_join(
     )
     # align schemas for unionByName
     q = q.withColumns({f"__f_{c}": F.lit(None).cast(fact.schema[c].dataType) for c in fact_cols if c != key})
-    f_side = f_side.withColumns({c: F.lit(None).cast(quotes.schema[c].dataType) for c in quote_cols})
+    q_struct_type = q.schema["__q"].dataType
+    f_side = f_side.withColumn("__q", F.lit(None).cast(q_struct_type))
     unioned = q.unionByName(f_side)
 
     # quote rows (__side=0) sort before fact rows at the same timestamp,
@@ -115,14 +124,14 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumns(
-        {c: F.last(F.col(c), ignorenulls=True).over(w) for c in quote_cols}
+    carried = unioned.withColumn(
+        "__q", F.last(F.col("__q"), ignorenulls=True).over(w)
     )
     out = carried.filter(F.col("__side") == 1).select(
         F.col(key),
         F.col("__ts").alias(fact_ts),
         *[F.col(f"__f_{c}").alias(c) for c in fact_cols if c not in (key, fact_ts)],
-        *[F.col(c) for c in quote_cols],
+        *[F.col("__q")[c].alias(c) for c in quote_cols],
     )
     return out
 

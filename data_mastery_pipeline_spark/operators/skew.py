@@ -51,16 +51,22 @@ def salted_aggregate(
     salt_buckets: int = 32,
 ) -> DataFrame:
     """Two-stage skew-proof aggregate: groupBy(keys + salt) partials,
-    then groupBy(keys) merge. The salt mixes the row hash with
-    monotonically_increasing_id() so a hot key made of IDENTICAL rows
-    (null/default bucket of repeated payloads) still spreads round-robin
-    across buckets — a content-only hash would re-collide them onto one
-    straggler. The id is stable for a fixed input partitioning (same run
-    layout ⇒ same salt), and the salt never affects the result: stage 2
-    merges all buckets of a key regardless of how rows were sprayed."""
+    then groupBy(keys) merge. The salt never affects the result: stage 2
+    merges all buckets of a key regardless of how rows were sprayed.
+
+    The salt is the DETERMINISTIC row-content hash (review r6): the old
+    monotonically_increasing_id() mix changed under partial stage
+    recompute (row order within a re-run map partition differs between
+    attempts), so after a shuffle-fetch failure reducers could combine
+    old-attempt and new-attempt outputs with rows moved between salt
+    buckets — the SPARK-23207 double-count/loss class. Content hashing
+    is attempt-stable. The cost: a hot key of FULLY IDENTICAL rows
+    (no unique column anywhere) re-collides onto one bucket — pre-
+    aggregate exact duplicates first (exact_dedup/dup_groups) or add a
+    genuinely unique column upstream; every table in this repo carries
+    one."""
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns]) + F.monotonically_increasing_id(),
-        F.lit(salt_buckets),
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
     )
     salted = df.withColumn("__salt", salt)
 
@@ -113,9 +119,10 @@ def salted_join(
     build_rep = build.withColumn("__salt", F.explode(buckets))
     probe_salt = probe.withColumn(
         "__salt",
+        # deterministic content hash — attempt-stable under partial
+        # stage recompute (see salted_aggregate, review r6)
         F.pmod(
-            F.xxhash64(*[F.col(c) for c in probe.columns])
-            + F.monotonically_increasing_id(),
+            F.xxhash64(*[F.col(c) for c in probe.columns]),
             F.lit(salt_buckets),
         ),
     )

@@ -51,10 +51,17 @@ def lag_delta(
     ts_col: str,
     value_col: str,
     alias: str = "delta",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """lag-based per-key delta of a measure, ordered by event time
-    (SURVEY §2.E declared capability: delta of value per user_id)."""
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), *[F.col(k) for k in ()])
+    (SURVEY §2.E declared capability: delta of value per user_id).
+    ``tiebreak``: extra ordering columns — without one, equal
+    timestamps make the delta partition-layout-dependent (review r6;
+    the production query lag_delta_q passes event_id for exactly this
+    reason)."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), *[F.col(k) for k in tiebreak]
+    )
     return df.withColumn(alias, F.col(value_col) - F.lag(value_col).over(w))
 
 

@@ -571,9 +571,9 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_normalize",
     """
     SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+           trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'),
                                '\\s+', ' ', 'g')) AS norm_text,
-           md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'),
                                    '\\s+', ' ', 'g'))) AS norm_md5
     FROM documents
     WHERE doc_id < 50

@@ -120,12 +120,19 @@ def _epoch_unit_of(probe: str, col: str) -> str:
         if stats is not None and stats.has_min_max:
             sample = int(stats.max)
             break
-    if sample is None:  # stats suppressed: read one value of one column
-        tbl = meta.read_row_group(0, columns=[col])
-        vals = [v for v in tbl.column(0).to_pylist() if v is not None]
-        if not vals:
-            return "nanos"  # all-null: unit is irrelevant, any works
-        sample = int(vals[0])
+    if sample is None:  # stats suppressed: read values row group by
+        # row group until a non-null appears (review r6: sampling ONLY
+        # group 0 guessed "nanos" when it happened to be all-null, and
+        # later non-null groups of a different unit were then silently
+        # rescaled wrong)
+        for rg in range(meta.metadata.num_row_groups):
+            tbl = meta.read_row_group(rg, columns=[col])
+            vals = [v for v in tbl.column(0).to_pylist() if v is not None]
+            if vals:
+                sample = int(vals[0])
+                break
+        else:
+            return "nanos"  # ENTIRELY null: unit is irrelevant, any works
     mag = abs(sample)
     if 10**17 <= mag < 10**20:
         return "nanos"
@@ -257,9 +264,27 @@ def load_table(
     policy; True/False force it per call."""
     plan = read_plan(name, sf_dir)
     path = f"{sf_dir}/{name}.parquet"
+    # tz-naive parquet timestamps (pyarrow's default) are reinterpreted
+    # in the SESSION timezone by Spark's TimestampType read — under any
+    # non-UTC session every timestamp silently shifts (review r6). The
+    # engine pins UTC (session.py); a foreign session gets a loud error
+    # instead of shifted data.
+    if any(
+        f.dataType.typeName() == "timestamp"
+        for f in schemas.TABLES[name].fields
+    ):
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz.upper() not in ("UTC", "ETC/UTC", "GMT", "Z"):
+            raise schemas.SchemaDriftError(
+                f"load_table({name!r}): session timeZone is {tz!r}; "
+                "timestamp columns are stored tz-naive-as-UTC and would "
+                "silently shift — set spark.sql.session.timeZone=UTC "
+                "(session.get_spark does this)"
+            )
     df = spark.read.schema(read_schema_for(name, plan)).parquet(path)
     df = apply_plan(df, plan)
-    if fan_out if fan_out is not None else name in CPU_HEAVY_TABLES:
+    use_fan_out = fan_out if fan_out is not None else name in CPU_HEAVY_TABLES
+    if use_fan_out:
         from .parallelism import fan_out as _fan_out
 
         df = _fan_out(df)
