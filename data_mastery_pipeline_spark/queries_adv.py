@@ -546,6 +546,30 @@ def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_common_users(ev: DataFrame) -> DataFrame:
+    """Exact per-type-pair shared-user counts ``(type_a, type_b,
+    common_users)``: dedup to (type, user), self-join on user_id with
+    type_a < type_b. ONE definition shared by audience_overlap (which
+    builds Jaccard on top) and theta_audience_overlap (which uses it as
+    the sketch-accuracy verifier) — a tie-break or dedup change cannot
+    diverge between the exact path and the certificate it anchors."""
+    du = ev.select("event_type", "user_id").distinct()
+    a = du.alias("a")
+    b = du.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("common_users"))
+    )
+
+
 @query(
     "audience_overlap",
     """
@@ -580,20 +604,7 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     du = ev.select("event_type", "user_id").distinct()
     sizes = du.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
-    a = du.alias("a")
-    b = du.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
-        .agg(F.count("*").cast("long").alias("common_users"))
-    )
+    pairs = _exact_common_users(ev)
     sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
     return (
@@ -942,21 +953,7 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    du = ev.select("event_type", "user_id").distinct()
-    xa = du.alias("xa")
-    xb = du.alias("xb")
-    exact = (
-        xa.join(
-            xb,
-            (F.col("xa.user_id") == F.col("xb.user_id"))
-            & (F.col("xa.event_type") < F.col("xb.event_type")),
-        )
-        .groupBy(
-            F.col("xa.event_type").alias("type_a"),
-            F.col("xb.event_type").alias("type_b"),
-        )
-        .agg(F.count("*").cast("long").alias("common_users"))
-    )
+    exact = _exact_common_users(ev)
     return exact.join(F.broadcast(est), ["type_a", "type_b"]).select(
         "type_a",
         "type_b",
@@ -1241,15 +1238,13 @@ def containment_grams(
 def containment_hot_gram_count(docs: DataFrame, max_gram_df: int) -> int:
     """Heavy-hitter telemetry: how many distinct grams the cap drops.
     A separate (eager) job — callers that only need the pair plan skip
-    it; the probe and tests use it to pin the cap's effect."""
-    from .functions import text as textfn
-
-    hashes = F.array_distinct(
-        F.transform(textfn.word_ngram_structs("text", 3), lambda s: F.xxhash64(s))
-    )
-    grams = docs.select(F.col("doc_id"), F.explode(hashes).alias("g"))
+    it; the probe and tests use it to pin the cap's effect. Built on
+    the UNCAPPED :func:`containment_grams` relation so the census can
+    never drift from the shipped gram build (same hashing, same
+    tokenization — one definition)."""
     return (
-        grams.groupBy("g")
+        containment_grams(docs, None)
+        .groupBy("g")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > max_gram_df)
         .count()

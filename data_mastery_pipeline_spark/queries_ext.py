@@ -430,10 +430,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes ~1/64 of a bucket-partitioned table)."""
     qv = _query_vec(spark, sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
-    out = sim_lsh.lsh_cosine_topk(emb, qv, k=10, n_bits=6, n_probes=1)
-    return out.select("vec_id", quantize(F.col("cos"), "cos", 4)).orderBy(
-        F.desc("cos"), F.col("vec_id")
-    )
+    # quantize_decimals=4: the oracle ORDER BYs the quantized cos, so the
+    # top-k cut must happen on the quantized value too — cutting raw then
+    # quantizing keeps the wrong row when two scores quantize equal at
+    # the k boundary.
+    out = sim_lsh.lsh_cosine_topk(emb, qv, k=10, n_bits=6, n_probes=1, quantize_decimals=4)
+    return out.orderBy(F.desc("cos"), F.col("vec_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -1241,6 +1243,8 @@ def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang, substr(trim(text), 1, 64) AS head,
                length(substr(trim(text), 1, 64)) AS n
         FROM documents
+        WHERE length(substr(trim(text), 1, 64))
+              = strlen(substr(trim(text), 1, 64))
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
@@ -1265,13 +1269,28 @@ def prefix_edit_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query at sf0.1). With threshold k it returns the EXACT distance
     for every pair at distance ≤ k (verified at the d = k boundary) and
     -1 beyond, so the kept rows are value-identical to the DuckDB
-    oracle's 2-arg + filter form."""
+    oracle's 2-arg + filter form.
+
+    ASCII-head scope: Spark's levenshtein counts CODEPOINTS, DuckDB's
+    counts BYTES (verified: levenshtein('的是在','的是了') = 1 vs 3), so
+    the oracle-checked query gates to heads where char length ==
+    byte length (pure ASCII) on BOTH engines — the only regime where
+    the two metrics coincide. Non-ASCII near-dups are covered by the
+    codepoint-safe token/shingle family (minhash/simhash/ngram), which
+    normalizes with Unicode classes. The banded-levenshtein OPERATOR
+    itself is codepoint-correct for all text; only the cross-engine
+    check needs the gate."""
     docs = load_table(spark, "documents", sf_dir)
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.substring(F.trim(F.col("text")), 1, 64).alias("head"),
-    ).withColumn("n", F.length("head"))
+    base = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.substring(F.trim(F.col("text")), 1, 64).alias("head"),
+        )
+        .withColumn("n", F.length("head"))
+        # ASCII gate: codepoint length == byte length (see docstring)
+        .filter(F.length("head") == F.octet_length("head"))
+    )
     sc = spark.sparkContext
     a = base.select(
         F.col("doc_id").alias("id_a"),
@@ -1460,9 +1479,9 @@ def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: HOFs are the scale answer to per-row collection work —
     the alternative (explode → groupBy) shuffles |tokens| rows; the
     lambda pipeline shuffles nothing."""
-    toks = F.filter(
-        F.split(F.trim(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
-    )
+    # canonical tokenizer (functions.text.tokens) + empty-token filter,
+    # so this suite moves with the repo-wide tokenization convention
+    toks = F.filter(textfn.tokens("text"), lambda t: F.length(t) > 0)
     lens = F.transform(F.col("t"), lambda x: F.length(x).cast("bigint"))
     total = F.aggregate(lens, F.lit(0).cast("bigint"), lambda a, x: a + x)
     return (

@@ -58,17 +58,29 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     n_bits: int = 8,
     n_probes: int = 4,
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's probe buckets.
 
     The bucket filter is a pushable predicate — on a bucket-partitioned
     table it prunes to n_probes/2^n_bits of the data.
+
+    ``quantize_decimals`` quantizes the score BEFORE the top-k cut
+    (floor(x*10^d + 0.5)/10^d, the registry.quantize form). Callers
+    whose oracle orders by a quantized score must cut on the same
+    quantized value — cutting on the raw cosine and quantizing after
+    can keep a different row when two scores quantize equal at the
+    k boundary (raw tie-break vs quantized tie-break).
     """
     probes = _probe_buckets(list(query_vec), n_bits, n_probes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = cosine(F.col(vec_col).cast("array<double>"), q)
+    if quantize_decimals is not None:
+        m = 10**quantize_decimals
+        score = F.floor(score * m + F.lit(0.5)) / float(m)
     scored = (
         with_buckets(df, vec_col, n_bits)
         .filter(F.col("bucket").isin(probes))
-        .select(F.col(id_col), cosine(F.col(vec_col).cast("array<double>"), q).alias("cos"))
+        .select(F.col(id_col), score.alias("cos"))
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)

@@ -57,3 +57,29 @@ def test_ivf_probe_cells_orders_by_distance():
     assert ivf._probe_cells([0.1, 0.1], cents, 2) == [0, 1] or \
            ivf._probe_cells([0.1, 0.1], cents, 2) == [0, 2]
     assert ivf._probe_cells([9.0, 0.0], cents, 1) == [1]
+
+
+def test_lsh_topk_quantized_tie_cut(spark):
+    """Review r6: the top-k cut must happen on the QUANTIZED score when
+    the caller's oracle orders by the quantized value. Two candidates
+    whose raw cosines differ past the 4th decimal but quantize equal at
+    the k boundary: the quantized cut keeps the lower id (the oracle's
+    tie-break); the raw cut would keep the higher-raw-cosine row."""
+    import math
+
+    def unit(c):
+        return [c, math.sqrt(1.0 - c * c)]
+
+    rows = [
+        (0, unit(1.0)),        # the query itself, cos = 1.0
+        (2, unit(0.98758)),    # quantizes to 0.9876 (lower raw)
+        (5, unit(0.98762)),    # quantizes to 0.9876 (higher raw)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = [1.0, 0.0]
+    quantized = lsh.lsh_cosine_topk(
+        df, qv, k=2, n_bits=1, n_probes=1, quantize_decimals=4
+    ).collect()
+    assert {r["vec_id"] for r in quantized} == {0, 2}, quantized
+    raw = lsh.lsh_cosine_topk(df, qv, k=2, n_bits=1, n_probes=1).collect()
+    assert {r["vec_id"] for r in raw} == {0, 5}, raw

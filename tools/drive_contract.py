@@ -15,12 +15,19 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# --only q1,q2,... : restrict to a comma-separated query subset (skips
+# the entry smoke) — for fast re-verification of just-touched queries.
+ONLY: set[str] | None = None
+if "--only" in sys.argv:
+    ONLY = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+
 spark = get_spark(app_name="drive_contract", shuffle_partitions=8)
 
-# 1. entry smoke
-rows = E.entry(spark).collect()
-assert len(rows) >= 0
-print(f"entry: OK ({len(rows)} rows)")
+if ONLY is None:
+    # 1. entry smoke
+    rows = E.entry(spark).collect()
+    assert len(rows) >= 0
+    print(f"entry: OK ({len(rows)} rows)")
 
 # 2. oracle compare
 import duckdb
@@ -31,6 +38,11 @@ for t in TABLES:
 
 qs = E.queries()
 oracles = E.oracle_sql()
+if ONLY is not None:
+    unknown = ONLY - set(qs)
+    if unknown:
+        sys.exit(f"--only names unknown queries: {sorted(unknown)}")
+    qs = {k: v for k, v in qs.items() if k in ONLY}
 fails, no_oracle = [], []
 for name, fn in qs.items():
     t0 = time.time()
