@@ -42,7 +42,7 @@ from .dedup import components as dedup_components
 from .dedup import exact as dedup_exact
 from .dedup import minhash as dedup_minhash
 from .functions import text as textfn
-from .operators import packing, sampling
+from .operators import packing, quality, sampling
 from .tables import load_table
 
 
@@ -77,11 +77,16 @@ def run_corpus_pipeline(
     # load_table's CPU_HEAVY_TABLES policy fans it out once if the
     # source arrives under-split (no-op otherwise)
     docs = load_table(spark, "documents", sf_dir)
-    stage_rows: dict[str, int] = {"raw": docs.count()}
+    stage_rows: dict[str, int] = {}
 
     # --- quality gate (narrow, one pass; materialized once) ------------
+    # the raw count rides an observation BELOW the gate filter — it
+    # fills during the checkpoint job that runs anyway, instead of a
+    # dedicated full pass over the source (review r6: a docs.count()
+    # here contradicted this module's each-stage-exactly-once model)
     toks = textfn.tokens("text")
-    gated = docs.withColumn("n_tokens", F.size(toks)).withColumn(
+    docs_obs, raw_obs = quality.with_observed_metrics(docs, "corpus_raw")
+    gated = docs_obs.withColumn("n_tokens", F.size(toks)).withColumn(
         "quality", textfn.quality_score("text")
     )
     cond = (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
@@ -89,6 +94,7 @@ def run_corpus_pipeline(
         gated = gated.withColumn("lang_pred", textfn.lang_guess("text"))
         cond = cond & F.col("lang_pred").isin(*languages)
     gated = ckpt(gated.filter(cond))
+    stage_rows["raw"] = int(raw_obs.get["n_rows"])
     stage_rows["quality_gate"] = gated.count()
 
     # --- exact dedup (dedup_exact owns the keep rule) -------------------
@@ -115,9 +121,11 @@ def run_corpus_pipeline(
     # No broadcast hint on the gram index: it grows with the eval slice
     # (data-sized at 100 TB) — AQE picks broadcast while it fits and
     # shuffle-join beyond.
+    # the library split (not an inline copy): train_test_split owns the
+    # cut rounding — int(round(...)) vs int(...) differ by one bucket
+    # for some fractions, and every split in the repo must agree
     gate = sampling.affine_gate("doc_id", salt=7)
-    eval_docs = near.filter(gate < int(eval_fraction * sampling.GATE_BUCKETS))
-    train_docs = near.filter(gate >= int(eval_fraction * sampling.GATE_BUCKETS))
+    train_docs, eval_docs = sampling.train_test_split(near, eval_fraction, gate)
     gram = lambda c: F.explode(  # noqa: E731
         F.transform(textfn.word_ngram_structs(c, 8), lambda s: F.xxhash64(s))
     )
@@ -154,8 +162,6 @@ def run_corpus_pipeline(
     # nondeterministically)
     if n_shards is not None:
         packed = packed.repartition(n_shards, F.col("source"), F.col("bin_id"))
-    from .operators import quality
-
     packed_obs, obs = quality.with_observed_metrics(packed, "corpus_final")
     train_path = f"{out_dir}/train"
     packed_obs.write.mode("overwrite").parquet(train_path)

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import checkpointing
 from .functions.timefn import time_parts
 from .operators import cleaning, derive, quality
 from .sources import rest, runlog, writers
@@ -120,7 +121,10 @@ def run_weather_pipeline(
         result, audit = runlog.run_stage(spark, "weather_pipeline", stage, action)
         audits.append(audit)
         if result is None:
-            raise RuntimeError(f"stage {stage} failed; see audit row")
+            # surface the captured failure, not just "see audit row" —
+            # the audit DataFrame is never returned on an aborted run
+            err = audit.select("error").first()["error"]
+            raise RuntimeError(f"stage {stage} failed: {err}")
         return result
 
     bronze = ingest_bronze(spark, cities, start_epoch, n_cycles)
@@ -128,10 +132,19 @@ def run_weather_pipeline(
     # jobs that run anyway, not from the reference's count-per-stage
     # re-executions (silver_processor.py:148,198,326 anti-pattern)
     silver, s_obs = quality.with_observed_metrics(to_silver(bronze), "silver_obs")
+    # Materialize silver ONCE: five downstream actions consume it (the
+    # silver write, check_quality's jobs, both gold writes). Without the
+    # cut, each action re-executes the bronze REST fetch + the whole
+    # clean/derive chain — against a live API the quality gate could
+    # then pass on DIFFERENT data than what was written (review r6).
+    # The observation above still fills on the checkpoint job itself.
+    silver = checkpointing.truncate_lineage(silver)
 
     def write_silver():
+        # to_silver already derived year/month/day via time_parts —
+        # write_partitioned partitions on the existing columns
         writers.write_partitioned(
-            writers.with_date_partitions(silver, "timestamp"),
+            silver,
             os.path.join(out_dir, "weather_cleaned"),
             mode="overwrite",
         )
@@ -160,6 +173,7 @@ def run_weather_pipeline(
 
     staged("gold_daily", write_gold(daily, "daily_weather_summary"))
     staged("gold_hourly", write_gold(hourly, "hourly_weather_summary"))
+    checkpointing.release(silver)  # all five consumers have run
 
     audit = audits[0]
     for a in audits[1:]:

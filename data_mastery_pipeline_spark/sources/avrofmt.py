@@ -359,13 +359,17 @@ def write_container(
 
 
 def read_header(fh) -> tuple[T.StructType, str, bytes, int]:
-    """Parse magic + metadata; returns (schema, codec, sync, data_start)."""
-    head = fh.read(4)
+    """Parse magic + metadata; returns (schema, codec, sync, data_start).
+
+    Reads through the streaming :class:`_FileCursor` (refills on
+    demand), so a well-formed header larger than any fixed buffer —
+    Avro metadata maps legally carry arbitrary entries, e.g. embedded
+    lineage blobs — parses instead of failing as 'truncated input'
+    (review r6: a single fixed 1 MiB read capped the metadata region)."""
+    cur = _FileCursor(fh, 0)
+    head = cur.read(4)
     if head != MAGIC:
         raise IOError(f"avro: bad magic {head!r}")
-    # metadata maps are small; buffer generously and track the cursor
-    buf = fh.read(1 << 20)
-    cur = Cursor(buf)
     meta: dict[str, bytes] = {}
     while True:
         n = cur.read_long()
@@ -384,7 +388,7 @@ def read_header(fh) -> tuple[T.StructType, str, bytes, int]:
     if codec not in ("null", "deflate"):
         raise IOError(f"avro: unsupported codec {codec}")
     schema = avro_json_to_schema(meta["avro.schema"].decode())
-    return schema, codec, sync, 4 + cur.pos
+    return schema, codec, sync, cur.abs_pos()
 
 
 class _FileCursor:
@@ -438,6 +442,15 @@ class _FileCursor:
             shift += 7
             if shift > 70:
                 raise IOError("avro: varint too long")
+
+    def read_bytes(self) -> bytes:
+        n = self.read_long()
+        if n < 0:
+            raise IOError(f"avro: negative byte-length {n}")
+        return self.read(n)
+
+    def read_str(self) -> str:
+        return self.read_bytes().decode("utf-8")
 
 
 def _check_declared(schema: T.StructType, declared: T.StructType | None) -> None:

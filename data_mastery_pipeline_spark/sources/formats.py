@@ -48,7 +48,7 @@ def csv_schema_with_quarantine(schema: T.StructType) -> T.StructType:
 
 
 def read_csv_quarantined(
-    spark: SparkSession, path: str, schema: T.StructType
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = False
 ) -> DataFrame:
     """PERMISSIVE CSV read with FULL-ROW corruption detection: rows the
     parser cannot fully type keep their parseable fields and carry the
@@ -67,14 +67,31 @@ def read_csv_quarantined(
     query. Same JVM univocity parser, splittable text scan, no
     row-at-a-time Python anywhere.
 
+    Record contract (the price of the splittable text scan, review r6):
+    one CSV record per LINE — an RFC-4180 quoted field containing an
+    embedded newline is split into two fragments and BOTH land in
+    quarantine (two bogus entries, the real row lost). Feeds with
+    embedded-newline fields need the multiLine CSV file source — which
+    is non-splittable per file AND projection-relative; there is no
+    splittable + full-row-checked + multiline combination in the
+    engine. ``header=True`` drops lines exactly equal to the schema's
+    comma-joined field names (the header the writer of such a file
+    emits); without it a header line is quarantined as a type-mismatch
+    row.
+
     Engine contract pinned by tests: type-mismatched and extra-token
     rows are corrupt; a row with too FEW tokens is padded with nulls,
     not corrupt — schema-arity drift is the schema guard's job
     (tables.SchemaDriftError), not the parser's.
     """
     full = csv_schema_with_quarantine(schema)
+    lines = spark.read.text(path)
+    if header:
+        lines = lines.filter(
+            F.col("value") != F.lit(",".join(f.name for f in schema.fields))
+        )
     return (
-        spark.read.text(path)
+        lines
         .select(
             F.from_csv(
                 "value",

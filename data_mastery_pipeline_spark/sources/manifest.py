@@ -59,12 +59,28 @@ def pruned_files(manifest: DataFrame, col: str, lo, hi) -> list[str]:
     return [r.file for r in rows if _overlaps(r[f"{col}_min"], r[f"{col}_max"], lo, hi)]
 
 
+def _infer_base_path(files: list[str]) -> str:
+    """Table root for the pruned-file read: common directory of the leaf
+    files, then ascend past any ``key=value`` hive segments so partition
+    discovery re-attaches the partition columns (a read of individual
+    leaf files without basePath silently DROPS partition columns from
+    the schema — review r6)."""
+    import posixpath
+
+    dirs = sorted({posixpath.dirname(f) for f in files})
+    base = dirs[0] if len(dirs) == 1 else posixpath.commonpath(dirs)
+    while "=" in posixpath.basename(base):
+        base = posixpath.dirname(base)
+    return base
+
+
 def skipping_scan(
     spark: SparkSession,
     manifest: DataFrame,
     col: str,
     lo,
     hi,
+    base_path: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Range-predicate scan through the manifest: read ONLY overlapping
     files, re-apply the residual row filter. Returns (df, stats) where
@@ -75,20 +91,27 @@ def skipping_scan(
     total and the pruned list — a second action would re-run the whole
     manifest aggregation unless the caller cached it. (Delegates to the
     multi-column form — one implementation of the scan protocol.)"""
-    return skipping_scan_multi(spark, manifest, {col: (lo, hi)})
+    return skipping_scan_multi(spark, manifest, {col: (lo, hi)}, base_path)
 
 
 def skipping_scan_multi(
     spark: SparkSession,
     manifest: DataFrame,
     preds: dict,
+    base_path: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Multi-dimension range scan through the manifest: read only files
     whose [min, max] overlaps EVERY predicate ``{col: (lo, hi)}``, then
     re-apply the residual row filter. With a Z-ordered layout
     (sources/layout.py) every interleaved dimension's stats are
     partially selective, so conjunctive needles prune on all of them at
-    once — the multi-column generalization of :func:`skipping_scan`."""
+    once — the multi-column generalization of :func:`skipping_scan`.
+
+    ``base_path``: the table root, REQUIRED semantics on a
+    hive-partitioned layout — reading pruned leaf files without it drops
+    the partition columns from the scan schema (and a predicate on one
+    then fails to resolve). Defaults to the inferred common root of the
+    manifest's files (:func:`_infer_base_path`)."""
     cols = list(preds)
     sel = ["file"] + [f"{c}_{t}" for c in cols for t in ("min", "max")]
     rows = manifest.select(*sel).collect()
@@ -111,10 +134,12 @@ def skipping_scan_multi(
             for c, (lo, hi) in preds.items()
         )
     ]
+    base = base_path if base_path is not None else _infer_base_path(all_files)
+    reader = spark.read.option("basePath", base)
     if not keep:  # empty relation with the right schema
-        df = spark.read.parquet(*all_files).filter(F.lit(False))
+        df = reader.parquet(*all_files).filter(F.lit(False))
     else:
-        df = spark.read.parquet(*keep)
+        df = reader.parquet(*keep)
     for c, (lo, hi) in preds.items():
         df = df.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
     return df, {"files_total": len(all_files), "files_read": len(keep)}

@@ -279,17 +279,15 @@ if HAVE_DATASOURCE_API:
             return WeatherRestStreamReader(self.options)
 
 
-_REGISTERED: set[int] = set()
-
-
 def register(spark: SparkSession) -> None:
-    """Register the weather_rest format on this session (idempotent)."""
+    """Register the weather_rest format on this session. Registration is
+    an overwrite-by-name (re-registering is harmless), so no caching —
+    an id(spark)-keyed cache would wrongly skip a NEW session allocated
+    at a GC'd session's address (same fix as kafkawire.register,
+    review r6)."""
     if not HAVE_DATASOURCE_API:
         raise RuntimeError("Python Data Source API requires Spark >= 4.0")
-    key = id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(WeatherRestDataSource)
-        _REGISTERED.add(key)
+    spark.dataSource.register(WeatherRestDataSource)
 
 
 def read_weather(

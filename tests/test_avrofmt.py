@@ -331,3 +331,40 @@ def test_property_random_split_points_cover_exactly_once(rows, cuts):
     for a, b in zip(bounds, bounds[1:]):
         got.extend(A.read_container_range(p, a, b))
     assert got == rows
+
+
+def test_header_larger_than_one_chunk_parses(tmp_path):
+    """Review r6: read_header previously buffered the metadata region
+    with a single fixed 1 MiB read — a well-formed container whose
+    metadata map exceeds it (legal per spec: arbitrary entries) failed
+    as 'truncated input'. The streaming cursor must refill instead."""
+    import io as _io
+    import uuid as _uuid
+
+    path = str(tmp_path / "bigmeta.avro")
+    sync = _uuid.uuid4().bytes
+    blob = b"x" * (5 << 20)  # 5 MiB custom metadata value
+    head = _io.BytesIO()
+    head.write(A.MAGIC)
+    A.write_long(head, 3)  # three metadata entries
+    A.write_str(head, "avro.schema")
+    A.write_bytes(head, A.schema_to_avro_json(SCHEMA).encode())
+    A.write_str(head, "avro.codec")
+    A.write_bytes(head, b"null")
+    A.write_str(head, "lineage.blob")
+    A.write_bytes(head, blob)
+    A.write_long(head, 0)
+    head.write(sync)
+    data, n = A.encode_rows(SCHEMA, ROWS)
+    blk = _io.BytesIO()
+    A.write_long(blk, n)
+    A.write_long(blk, len(data))
+    with open(path, "wb") as fh:
+        fh.write(head.getvalue())
+        fh.write(blk.getvalue())
+        fh.write(data)
+        fh.write(sync)
+
+    got = list(A.read_container(path, declared=SCHEMA))
+    assert len(got) == len(ROWS)
+    assert got[0][0] == ROWS[0][0] and got[2][0] == ROWS[2][0]

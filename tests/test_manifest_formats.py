@@ -119,3 +119,47 @@ def test_skipping_scan_multi_empty_manifest_fails_loudly(spark):
     )
     with pytest.raises(ValueError, match="zero files"):
         manifest.skipping_scan_multi(spark, empty, {"a": (0, 1), "b": (0, 1)})
+
+
+def test_manifest_scan_keeps_hive_partition_columns(spark, tmp_path):
+    """Review r6: reading pruned leaf files WITHOUT basePath drops hive
+    partition columns from the scan schema — a predicate on one then
+    fails to resolve. The manifest scan must behave like the root-path
+    read it replaces."""
+    ev = load_table(spark, "events", SF_SMOKE)
+    path = str(tmp_path / "hive")
+    writers.write_partitioned(
+        writers.with_date_partitions(ev, "ts"), path, mode="overwrite"
+    )
+    man = manifest.build_manifest(spark, path, ["user_id", "month"])
+    # partition-column predicate + data-column predicate together
+    df, stats = manifest.skipping_scan_multi(
+        spark, man, {"month": (1, 2), "user_id": (0, 7)}
+    )
+    assert {"year", "month", "day"} <= set(df.columns)
+    want = ev.filter(
+        (F.month("ts").between(1, 2)) & (F.col("user_id").between(0, 7))
+    ).count()
+    assert df.count() == want
+
+
+def test_csv_header_option_drops_header_line(spark, tmp_path):
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    p = tmp_path / "h.csv"
+    p.write_text("id,v\n1,2.5\n2,3.5\nbad,notanumber,extra\n")
+    with_header = formats.read_csv_quarantined(spark, str(p), sch, header=True)
+    rows = with_header.collect()
+    clean = [r for r in rows if r["_corrupt_record"] is None]
+    dirty = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {(r["id"], r["v"]) for r in clean} == {(1, 2.5), (2, 3.5)}
+    assert len(dirty) == 1  # only the genuinely bad row, not the header
+    # without the option the header line is quarantined as corrupt
+    no_header = formats.read_csv_quarantined(spark, str(p), sch)
+    assert (
+        sum(r["_corrupt_record"] is not None for r in no_header.collect()) == 2
+    )
