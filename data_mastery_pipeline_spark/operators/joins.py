@@ -118,10 +118,16 @@ def asof_join(
     unioned = q.unionByName(f_side)
 
     # quote rows (__side=0) sort before fact rows at the same timestamp,
-    # so a fact at exactly quote_ts sees that quote.
+    # so a fact at exactly quote_ts sees that quote. The quote struct is
+    # the final tie-break: two quotes sharing (key, quote_ts) would
+    # otherwise resolve by partition arrival order — nondeterministic
+    # across runs (review r6; repo convention is deterministic keep
+    # policies). Policy: greatest (quote_cols…) tuple wins. Requires
+    # orderable quote column types (no maps), which ASOF semantics
+    # implies anyway.
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__q"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

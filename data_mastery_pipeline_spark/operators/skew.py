@@ -75,7 +75,10 @@ def salted_aggregate(
     for fn, col, _alias in measures:
         names = []
         for pfn, pcol in _PARTIAL[fn](col):
-            name = f"__p_{pfn}_{pcol}"
+            # "*" (count rows, nulls included — COUNT(*) semantics) needs
+            # a parse-safe partial column name (review r6: count("value")
+            # was substituted for count(*) and silently skipped nulls)
+            name = f"__p_{pfn}_{'star' if pcol == '*' else pcol}"
             partial_aggs.setdefault(name, getattr(F, pfn)(pcol).alias(name))
             names.append(name)
         partial_names[(fn, col)] = names

@@ -636,8 +636,11 @@ def range_join_late_ships(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop explosion."""
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
+    # interval arithmetic, not date_add: date_add TRUNCATES a timestamp
+    # to a date, silently shifting the threshold when order dates carry
+    # time-of-day (the oracle's + INTERVAL preserves it; review r6)
     cond = (li.l_orderkey == orders.o_orderkey) & (
-        li.l_shipdate > F.date_add(orders.o_orderdate, 90)
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
     )
     out = joins.range_join(li, orders, cond, broadcast_right=False)
     return out.groupBy("o_orderpriority").agg(F.count("*").alias("n_late"))
@@ -923,7 +926,7 @@ def salted_agg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", "value"),
         ["event_type"],
         [("sum", "value", "sum_value"), ("avg", "value", "avg_value"),
-         ("count", "value", "n")],
+         ("count", "*", "n")],  # count(*) — the oracle counts rows, not non-null values
     )
     return out.select(
         "event_type", _r2(F.col("sum_value"), "sum_value"),

@@ -94,9 +94,11 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching day's directory is listed/read, decided at runtime). No
     driver-side collect anywhere in the query."""
     ev = load_table(spark, "events", sf_dir)
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"dmps_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    # per-invocation unique dir: a fixed shared path raced concurrent
+    # bench/driver invocations (one's lazy read vs the other's
+    # overwrite) — the ADVICE r04 versioned_snapshot_diff fix, applied
+    # here too (review r6)
+    out_dir = _fresh_dir("roundtrip", sf_dir)
     writers.write_partitioned(
         writers.with_date_partitions(ev), out_dir, mode="overwrite"
     )
@@ -547,6 +549,50 @@ def file_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _produce_events_topic(spark: SparkSession, sf_dir: str, tag: str):
+    """The kafka-wire PRODUCE leg shared by the three wire queries
+    (roundtrip / stream-hourly / lake-daily): broker+datasource setup,
+    previous-invocation topic reclaim (the broker log is in-memory and
+    append-only — same pattern as _fresh_dir), keyed-JSON produce of
+    the events projection over TCP. ONE definition so the produce and
+    parse sides can never disagree on format or protocol (review r6:
+    this ~25-line block existed three times, the µs timestamp format
+    four times). Returns (broker, topic, fmt, payload_schema, ev)."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from .schemas import EVENTS
+    from .streaming import kafka, kafkawire
+
+    broker = kafkawire.ensure_local_broker()
+    kafkawire.register(spark)
+    prev = _LAST_DIR.pop((tag, sf_dir), None)
+    if prev is not None:
+        broker.drop_topic(prev)
+    topic = f"{tag}_{uuid.uuid4().hex}"
+    _LAST_DIR[(tag, sf_dir)] = topic
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    fmt = {"timestampFormat": kafka.TS_FMT_MICROS}  # µs precision both ways
+    pair = kafka.to_kafka_records(ev, key_col="user_id", json_options=fmt)
+    (
+        pair.select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+        )
+        .write.format("kafka_wire")
+        .option("port", broker.port)
+        .option("topic", topic)
+        .mode("append")
+        .save()
+    )
+    payload_schema = T.StructType([f for f in EVENTS.fields if f.name != "props"])
+    return broker, topic, fmt, payload_schema, ev
+
+
 @query(
     "kafka_wire_roundtrip",
     """
@@ -569,42 +615,8 @@ def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-invocation topic: the broker log is append-only, so a fixed
     topic would double on re-run (the uuid is the Kafka idempotence
     story in miniature — idempotent SINKS, not idempotent logs)."""
-    import uuid
-
-    from pyspark.sql import types as T
-
-    from .schemas import EVENTS
-    from .streaming import kafka, kafkawire
-
-    TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # µs precision both ways
-
-    broker = kafkawire.ensure_local_broker()
-    kafkawire.register(spark)
-    # reclaim the PREVIOUS invocation's topic (its result is consumed by
-    # now — same pattern as _fresh_dir): the broker log is in-memory and
-    # append-only, so without this a long-lived driver re-running the
-    # query would retain every batch ever produced
-    prev = _LAST_DIR.pop(("kw_topic", sf_dir), None)
-    if prev is not None:
-        broker.drop_topic(prev)
-    topic = f"events_{uuid.uuid4().hex}"
-    _LAST_DIR[("kw_topic", sf_dir)] = topic
-
-    ev = load_table(spark, "events", sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    fmt = {"timestampFormat": TS_FMT}
-    pair = kafka.to_kafka_records(ev, key_col="user_id", json_options=fmt)
-    (
-        pair.select(
-            F.col("key").cast("binary").alias("key"),
-            F.col("value").cast("binary").alias("value"),
-        )
-        .write.format("kafka_wire")
-        .option("port", broker.port)
-        .option("topic", topic)
-        .mode("append")
-        .save()
+    broker, topic, fmt, payload_schema, _ev = _produce_events_topic(
+        spark, sf_dir, "kw_topic"
     )
 
     back = (
@@ -614,7 +626,6 @@ def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("num_partitions", 8)
         .load()
     )
-    payload_schema = T.StructType([f for f in EVENTS.fields if f.name != "props"])
     parsed = back.select(
         F.from_json(F.col("value").cast("string"), payload_schema, fmt).alias("r")
     ).select("r.*")
@@ -653,45 +664,16 @@ def kafka_wire_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable, bounded; the transport is offset-sliced per micro-batch
     exactly like the real connector. Parity with stream_tumbling_hourly
     (same agg over the file source) isolates the wire leg."""
+    import shutil
     import time as _time
     import uuid
 
-    from .streaming import kafka, kafkawire
-    from .streaming import core as score
     from .streaming import windows as swin
 
-    TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    broker = kafkawire.ensure_local_broker()
-    kafkawire.register(spark)
-    prev = _LAST_DIR.pop(("kw_stream_topic", sf_dir), None)
-    if prev is not None:
-        broker.drop_topic(prev)
-    topic = f"events_stream_{uuid.uuid4().hex}"
-    _LAST_DIR[("kw_stream_topic", sf_dir)] = topic
-
-    ev = load_table(spark, "events", sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    broker, topic, fmt, payload_schema, ev = _produce_events_topic(
+        spark, sf_dir, "kw_stream_topic"
     )
     expected = ev.count()
-    fmt = {"timestampFormat": TS_FMT}
-    pair = kafka.to_kafka_records(ev, key_col="user_id", json_options=fmt)
-    (
-        pair.select(
-            F.col("key").cast("binary").alias("key"),
-            F.col("value").cast("binary").alias("value"),
-        )
-        .write.format("kafka_wire")
-        .option("port", broker.port)
-        .option("topic", topic)
-        .mode("append")
-        .save()
-    )
-
-    from pyspark.sql import types as T
-
-    from .schemas import EVENTS
-
-    payload_schema = T.StructType([f for f in EVENTS.fields if f.name != "props"])
     stream = (
         spark.readStream.format("kafka_wire")
         .option("port", broker.port)
@@ -707,6 +689,7 @@ def kafka_wire_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     name = f"kw_stream_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_kw_stream_")
     conf_key = "spark.sql.shuffle.partitions"
     prev_sp = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "8")  # state-store count (see core.run_available_now)
@@ -715,7 +698,7 @@ def kafka_wire_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_kw_stream_"))
+            .option("checkpointLocation", ckpt)
             .trigger(processingTime="100 milliseconds")
             .start()
         )
@@ -744,7 +727,8 @@ def kafka_wire_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(conf_key, prev_sp)
     # materialize the final state off the sink table; the copy is a
     # BOUNDED collect (|hours| x |event types| aggregate rows, never
-    # event-sized data)
+    # event-sized data) — then reclaim the sink table + checkpoint dir
+    # (review r6: they accumulated per invocation)
     res = spark.table(name).select(
         "window_start",
         "event_type",
@@ -752,6 +736,8 @@ def kafka_wire_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.col("sum_value"), "sum_value"),
     )
     res = spark.createDataFrame(res.collect(), res.schema)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return res
 
 
@@ -930,43 +916,14 @@ def kafka_wire_lake_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: each micro-batch writes only its own date partitions;
     compaction (writers.compact_partitioned) right-sizes the
     accumulated small files; the lake read prunes by partition."""
+    import shutil
     import tempfile
     import time as _time
-    import uuid
 
-    from pyspark.sql import types as T
-
-    from .schemas import EVENTS
-    from .streaming import kafka, kafkawire
-
-    TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    broker = kafkawire.ensure_local_broker()
-    kafkawire.register(spark)
-    prev = _LAST_DIR.pop(("kw_lake_topic", sf_dir), None)
-    if prev is not None:
-        broker.drop_topic(prev)
-    topic = f"events_lake_{uuid.uuid4().hex}"
-    _LAST_DIR[("kw_lake_topic", sf_dir)] = topic
-
-    ev = load_table(spark, "events", sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    broker, topic, fmt, payload_schema, ev = _produce_events_topic(
+        spark, sf_dir, "kw_lake_topic"
     )
     expected = ev.count()
-    fmt = {"timestampFormat": TS_FMT}
-    pair = kafka.to_kafka_records(ev, key_col="user_id", json_options=fmt)
-    (
-        pair.select(
-            F.col("key").cast("binary").alias("key"),
-            F.col("value").cast("binary").alias("value"),
-        )
-        .write.format("kafka_wire")
-        .option("port", broker.port)
-        .option("topic", topic)
-        .mode("append")
-        .save()
-    )
-
-    payload_schema = T.StructType([f for f in EVENTS.fields if f.name != "props"])
     lake = _fresh_dir("kwlake", sf_dir)
 
     def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -986,13 +943,14 @@ def kafka_wire_lake_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(lake)
         )
 
+    ckpt = tempfile.mkdtemp(prefix="ckpt_kwlake_")
     q = (
         spark.readStream.format("kafka_wire")
         .option("port", broker.port)
         .option("topic", topic)
         .load()
         .writeStream.foreachBatch(sink_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_kwlake_"))
+        .option("checkpointLocation", ckpt)
         .trigger(processingTime="100 milliseconds")
         .start()
     )
@@ -1012,6 +970,7 @@ def kafka_wire_lake_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)  # throwaway per-run checkpoint
 
     back = spark.read.parquet(lake)
     return back.groupBy(

@@ -27,8 +27,8 @@ from .streaming import joins as sjoins
 from .tables import load_table
 
 # JSON timestamp format carrying full µs precision for the Kafka
-# round-trip (Spark's default truncates to millis).
-_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+# round-trip (one definition: streaming.kafka.TS_FMT_MICROS).
+_TS_FMT = kafka.TS_FMT_MICROS
 
 
 @query(
@@ -80,7 +80,7 @@ def stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_30m",
     """
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS is_new
@@ -88,8 +88,12 @@ def stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     islands AS (
+        -- same (ts, event_id) order as the flag window: on timestamp
+        -- ties the running sum must see the is_new=1 row FIRST, or a
+        -- same-ts peer lands in the previous island — a session split
+        -- Spark's pure time-range merge can never produce (review r6)
         SELECT user_id, ts, value,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, value
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS island
         FROM flagged
     )
@@ -126,13 +130,16 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over the stream, projected to the
     key columns (whichever copy survives, the key set is deterministic).
     Single-batch input ⇒ equals global DISTINCT; the watermark bound is
-    exercised multi-batch in tests."""
+    exercised multi-batch in tests. NO trailing distinct: the operator
+    under test must produce the unique key set ITSELF — a safety-net
+    distinct here would make the oracle check vacuous (a broken dedup
+    emitting every duplicate would still pass; review r6)."""
     ev = core.stream_events(spark, sf_dir).select("ts", "user_id", "event_type")
     out = sdedup.dedup_within_watermark(
         ev, ["user_id", "event_type"], ts_col="ts", delay="30 days"
     )
     res = core.run_available_now(out, output_mode="append", shuffle_partitions=8)
-    return res.select("user_id", "event_type").distinct()
+    return res.select("user_id", "event_type")
 
 
 @query(

@@ -104,15 +104,26 @@ def run_available_now(
     scale (measured ~2× faster at sf0.1 with 8 vs 32), thousands on a
     100 TB stream. It is pinned into the checkpoint on first run —
     changing it later requires a new checkpoint.
+
+    The drained result is MATERIALIZED (one bounded collect of the
+    finite stream's output — the rows exist to be read; every caller is
+    a contract query whose result the driver collects anyway), so the
+    memory-sink table and the throwaway checkpoint dir are reclaimed
+    HERE instead of accumulating one pinned-in-memory table + one temp
+    dir per invocation for the session's lifetime (review r6: a
+    bench/driver loop re-running streaming queries grew driver memory
+    and catalog size monotonically).
     """
+    import shutil
+
     spark = stream_df.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(conf_key, None) if shuffle_partitions else None
     if shuffle_partitions:
         spark.conf.set(conf_key, str(shuffle_partitions))
+    name = query_name or f"q_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     try:
-        name = query_name or f"q_{uuid.uuid4().hex[:12]}"
-        ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -122,10 +133,15 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
+        tbl = spark.table(name)
+        schema = tbl.schema
+        rows = tbl.collect()
     finally:
         if shuffle_partitions:
             if prev is None:
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, prev)
-    return stream_df.sparkSession.table(name)
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -19,6 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# JSON timestamp format carrying full µs precision for record
+# round-trips (Spark's default truncates to millis). ONE definition —
+# the produce and parse sides must always agree (review r6: the string
+# existed in four places).
+TS_FMT_MICROS = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
 # Shape of rows the Kafka source yields (the contract the parser codes to).
 KAFKA_RECORD = T.StructType(
     [

@@ -663,11 +663,33 @@ if HAVE_DATASOURCE_API:
                 return bytes(x) if x is not None else None
             return str(x).encode("utf-8")
 
+        # produce-batch byte budget: well under the 64 MiB frame guard
+        # (review r6: one frame per Spark partition breaks past ~450k
+        # rows — the broker drops the oversized frame and the client
+        # dies opaquely mid-read), and bounds writer memory to one
+        # chunk instead of the whole partition.
+        _CHUNK_BYTES = 8 * 1024 * 1024
+        _MSG_OVERHEAD = 26  # offset+size+crc+magic+attr+2 length prefixes
+
         def write(self, rows) -> _Produced:
-            batch = [(self._b(r[self.ki]), self._b(r[self.vi])) for r in rows]
-            if batch:
-                with KafkaWireClient(self.host, self.port) as c:
+            batch: list[tuple[bytes | None, bytes | None]] = []
+            size = 0
+            c = None  # lazy: empty partitions open no connection
+            try:
+                for r in rows:
+                    k, v = self._b(r[self.ki]), self._b(r[self.vi])
+                    batch.append((k, v))
+                    size += self._MSG_OVERHEAD + len(k or b"") + len(v or b"")
+                    if size >= self._CHUNK_BYTES:
+                        c = c or KafkaWireClient(self.host, self.port)
+                        c.produce(self.topic, batch)
+                        batch, size = [], 0
+                if batch:
+                    c = c or KafkaWireClient(self.host, self.port)
                     c.produce(self.topic, batch)
+            finally:
+                if c is not None:
+                    c.close()
             return _Produced()
 
         def commit(self, messages) -> None:

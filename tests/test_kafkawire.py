@@ -216,3 +216,28 @@ def test_broker_drops_connection_on_bad_frame_size(broker):
         c.produce("t_badframe", [(b"k", b"v")])
         _hwm, msgs = c.fetch("t_badframe", 0)
         assert msgs == [(0, b"k", b"v")]
+
+
+def test_writer_chunks_large_partitions(broker):
+    """Review r6: one frame per Spark partition breaks past the 64 MiB
+    frame guard — the writer must chunk produces by byte budget. With a
+    tiny budget, 100 rows must land complete and in order across many
+    produce frames (and an empty partition must open no connection)."""
+    w = kw.KafkaWireWriter({"port": broker.port, "topic": "t_chunk"}, schema=None)
+    w._CHUNK_BYTES = 64  # force many chunks
+    rows = [(str(i).encode(), f"payload-{i}".encode()) for i in range(100)]
+    w.write(iter(rows))
+    got: list = []
+    with kw.KafkaWireClient(broker.host, broker.port) as c:
+        end = c.list_offsets("t_chunk", -1)
+        off = 0
+        while off < end:
+            _hwm, msgs = c.fetch("t_chunk", off)
+            assert msgs, "fetch made no progress"
+            got.extend(msgs)
+            off = msgs[-1][0] + 1
+    assert len(got) == 100
+    assert [v for _o, _k, v in got] == [v for _k, v in rows]
+    # empty partition: no produce, no connection needed
+    w2 = kw.KafkaWireWriter({"port": 1, "topic": "t_chunk"}, schema=None)
+    w2.write(iter([]))  # port 1 unreachable — would raise if it connected

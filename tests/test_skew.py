@@ -53,3 +53,40 @@ def test_salt_actually_spreads_hot_key(spark):
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in ev.columns]), F.lit(32))
     n_buckets = ev.withColumn("__salt", salt).select("__salt").distinct().count()
     assert n_buckets == 32
+
+
+def test_salted_count_star_includes_nulls(spark):
+    """Review r6: ("count", "*") must count ROWS (COUNT(*) semantics) —
+    count("value") skipped nulls and silently diverged from a count(*)
+    oracle on any data with null measures."""
+    rows = [("a", 1.0), ("a", None), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = skew.salted_aggregate(
+        df, ["k"], [("count", "*", "n"), ("count", "value", "n_nonnull")]
+    )
+    got = {r["k"]: (r["n"], r["n_nonnull"]) for r in out.collect()}
+    assert got == {"a": (2, 1), "b": (2, 0)}
+
+
+def test_asof_join_tie_break_is_deterministic(spark):
+    """Review r6: two quotes sharing (key, quote_ts) must resolve by a
+    deterministic policy (greatest quote tuple), not partition arrival
+    order — repo convention: deterministic keep-policies everywhere."""
+    from data_mastery_pipeline_spark.operators import joins
+
+    quotes = spark.createDataFrame(
+        [(1, 100, 5.0), (1, 100, 9.0), (1, 100, 7.0)],
+        "uid long, qts long, qval double",
+    )
+    fact = spark.createDataFrame([(1, 100), (1, 150)], "uid long, fts long")
+    for attempt in range(3):  # repeated runs must agree
+        out = joins.asof_join(
+            fact.repartition(4 + attempt),  # vary physical layout too
+            quotes.repartition(3 + attempt),
+            key="uid",
+            fact_ts="fts",
+            quote_ts="qts",
+            quote_cols=["qts", "qval"],
+        )
+        got = sorted((r["fts"], r["qval"]) for r in out.collect())
+        assert got == [(100, 9.0), (150, 9.0)], got
