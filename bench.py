@@ -86,6 +86,9 @@ HEADLINE = [
     "kafka_wire_stream_hourly",
     # round 6: from-scratch Avro container round trip
     "avro_roundtrip",
+    # round 6: the full architecture over real transports
+    # (TCP kafka-wire -> gold agg -> live PG upsert -> sliced read)
+    "wire_to_serving_daily",
 ]
 
 

@@ -275,12 +275,17 @@ def connected_components(
         # the convergence probe AND the per-round attribution record
         n_edges = d.count()
         # free superseded checkpoint blocks — an unbounded loop would
-        # otherwise accumulate every round's materialization in storage
+        # otherwise accumulate every round's materialization in storage.
+        # prev_d is only its OWN checkpoint on round 0 (the caller's
+        # initial edge materialization); from round 1 it is a filter
+        # view over prev_combined, whose blocks release() below frees —
+        # releasing the view would be a silent no-op (review r6)
         release(prop, checkpoint_dir)
         if jump_ckpt is not None:
             release(jump_ckpt, checkpoint_dir)
-        release(prev_d, checkpoint_dir)
-        if prev_combined is not None:
+        if prev_combined is None:
+            release(prev_d, checkpoint_dir)
+        else:
             release(prev_combined, checkpoint_dir)
         prev_combined = combined
         LAST_RUN_STATS.append(

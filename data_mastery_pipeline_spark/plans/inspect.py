@@ -35,14 +35,41 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return [m.group(1).strip() for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan)]
 
 
+def _split_top_level(body: str) -> list[str]:
+    """Split a struct body on commas at nesting depth 0 only — a naive
+    split breaks on the first nested type (array<…>/map<…>/struct<…>)."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Column names each parquet scan actually reads (ReadSchema) — the
-    column-pruning gauge: a 2-column projection must not read 16."""
+    column-pruning gauge: a 2-column projection must not read 16.
+
+    Greedy to the line's LAST '>' plus a depth-aware field split: the
+    old non-greedy ``struct<(.*?)>`` stopped at the first '>', so every
+    column after a nested-typed column silently vanished from the
+    report and the pruning assertions went blind there (review r6)."""
     plan = formatted_plan(df)
     out: list[list[str]] = []
-    for m in re.finditer(r"ReadSchema: struct<(.*?)>", plan):
-        body = m.group(1)
-        out.append([f.split(":")[0].strip() for f in body.split(",") if f.strip()])
+    for m in re.finditer(r"ReadSchema: struct<(.*)>", plan):
+        fields = _split_top_level(m.group(1))
+        # a truncated render ("... N more fields") has no ':' — skip it
+        out.append([f.split(":")[0].strip() for f in fields if ":" in f])
     return out
 
 

@@ -976,3 +976,87 @@ def kafka_wire_lake_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(
         F.to_date("ts").alias("day"), "event_type"
     ).agg(F.count("*").alias("n_events"), quantize(F.sum("value"), "sum_value"))
+
+
+@query(
+    "wire_to_serving_daily",
+    f"""
+    SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INTEGER)
+               AS epoch_day,
+           event_type,
+           count(*) AS n_events,
+           {sql_quantize("sum(value)", "sum_value")}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def wire_to_serving_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE architecture end-to-end over REAL
+    transports (weather_pipeline_dag.py's ingest→consume→gold→load
+    chain): events → keyed-JSON Produce to the in-process Kafka-protocol
+    broker over TCP (S3) → offset-sliced parallel Fetch back through the
+    kafka_wire DataSource (S4) → JSON parse (S2) → daily gold aggregate
+    (A1) → idempotent upsert into LIVE PostgreSQL keyed on
+    (epoch_day, event_type) (S12, INSERT..ON CONFLICT — gold_loader's
+    contract) → range-sliced parallel read back through the pg_serving
+    wire-protocol source (S13). The oracle is the same daily aggregate
+    over the source events: every leg (wire framing, JSON, aggregation,
+    serving store, sliced re-read) must lose nothing.
+
+    The slicing column is epoch_day (days since 1970 — the partitioned
+    connector needs an integer bound column; Spark's own JDBC reader has
+    the same contract). 100 TB: the gold relation is (days × types)-
+    sized — the only data-sized work is the wire transport and the one
+    aggregate shuffle; the serving write/read is bounded by the gold
+    row count and connection-capped (num_partitions)."""
+    from .sources import pgserving, pgwire
+
+    broker, topic, fmt, payload_schema, _ev = _produce_events_topic(
+        spark, sf_dir, "kw_serve_topic"
+    )
+    back = (
+        spark.read.format("kafka_wire")
+        .option("port", broker.port)
+        .option("topic", topic)
+        .option("num_partitions", 8)
+        .load()
+    )
+    parsed = back.select(
+        F.from_json(F.col("value").cast("string"), payload_schema, fmt).alias("r")
+    ).select("r.*")
+    gold = (
+        parsed.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"), quantize(F.sum("value"), "sum_value"))
+        .select(
+            F.datediff("day", F.lit("1970-01-01").cast("date")).alias("epoch_day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        # tiny (days x types); the write, the slice bounds, and the
+        # final read-back comparison all consume it
+        .localCheckpoint()
+    )
+
+    if not pgserving.ensure_local_server():
+        raise RuntimeError("local PostgreSQL unavailable for wire_to_serving_daily")
+    pgserving.register(spark)
+    table = f"gold_daily_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    with pgwire.PGConnection(port=pgserving.LOCAL_PORT, database="serving") as conn:
+        conn.execute(f"DROP TABLE IF EXISTS {table}")
+        pgserving.ensure_serving_table(
+            conn, table, gold.schema, key_cols=["epoch_day", "event_type"]
+        )
+    pgserving.write_serving_table(
+        gold, table, port=pgserving.LOCAL_PORT, database="serving",
+        upsert_keys=["epoch_day", "event_type"], num_partitions=4,
+    )
+    bounds = gold.agg(
+        F.min("epoch_day").alias("lo"), F.max("epoch_day").alias("hi")
+    ).collect()[0]
+    return pgserving.read_serving_table(
+        spark, table, port=pgserving.LOCAL_PORT, database="serving",
+        partition_column="epoch_day",
+        lower_bound=int(bounds["lo"] or 0),
+        upper_bound=int(bounds["hi"] or 0) + 1,
+        num_partitions=4,
+    ).select("epoch_day", "event_type", "n_events", "sum_value")

@@ -93,7 +93,7 @@ def get_spark(
     return spark
 
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -105,9 +105,16 @@ def _ship_package(spark: SparkSession) -> None:
     regardless of the driver process's cwd/sys.path. On a real cluster
     this is mandatory; in local mode it also protects against drivers
     launched outside the repo directory.
+
+    Dedup key is ``applicationId`` (unique per context), NOT ``id(sc)``:
+    CPython recycles object addresses after GC, so a stop()/recreate
+    cycle could land the new context on a cached id and silently skip
+    the ship — every worker-side import then dies with
+    ModuleNotFoundError (review r6; same class as the kafkawire/rest
+    register caches).
     """
     sc = spark.sparkContext
-    key = id(sc)
+    key = sc.applicationId
     if key in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))

@@ -114,9 +114,21 @@ def _epoch_unit_of(probe: str, col: str) -> str:
 
     sample: int | None = None
     meta = pq.ParquetFile(probe)
-    idx = meta.schema_arrow.get_field_index(col)
+    # row-group column chunks are indexed by LEAF (physical) column
+    # order, which diverges from the arrow top-level field index as
+    # soon as a multi-leaf nested column precedes this one (review r6):
+    # resolve the leaf index by path instead. A raw-int epoch column is
+    # always a single top-level leaf, so its path IS the field name.
+    pqs = meta.metadata.schema
+    leaf_idx = next(
+        (i for i in range(len(pqs)) if pqs.column(i).path == col), None
+    )
+    if leaf_idx is None:
+        raise schemas.SchemaDriftError(
+            f"column {col!r} @ {probe}: not a top-level leaf column"
+        )
     for rg in range(meta.metadata.num_row_groups):
-        stats = meta.metadata.row_group(rg).column(idx).statistics
+        stats = meta.metadata.row_group(rg).column(leaf_idx).statistics
         if stats is not None and stats.has_min_max:
             sample = int(stats.max)
             break
@@ -292,10 +304,19 @@ def load_table(
 
 
 def events_ts_kind(sf_dir: str = DEFAULT_SF_DIR) -> str:
-    """Physical form of ``events.ts``: ``"timestamp"`` (parquet
-    TIMESTAMP µs/ms — direct read) or ``"nanos-long"`` (TIMESTAMP(NANOS)
-    / int64 epoch-nanos — long read + div 1000). Streaming reads key off
-    this; any third form raises loudly via :func:`read_plan`."""
+    """Physical form of ``events.ts`` as :func:`read_plan` classifies
+    it: ``"timestamp"`` (parquet TIMESTAMP µs/ms — direct read) or one
+    of ``"nanos-long"`` / ``"micros-long"`` / ``"millis-long"`` /
+    ``"seconds-long"`` (raw int64 epoch, unit classified from footer
+    stats, read + exact rescale). The testdata has only ever shipped
+    the first two; the epoch-unit generality is read_plan's, and this
+    probe passes it through rather than narrowing it (review r6: the
+    old docstring claimed a two-value contract with "any third form
+    raises" — FALSE for other epoch units; consumers must switch on
+    the value, not assume binary). What DOES raise loudly
+    (SchemaDriftError): an incompatible type or an int64 outside every
+    epoch magnitude band. Streaming reads key off the full plan
+    (streaming/core.stream_events uses read_plan directly)."""
     return read_plan("events", sf_dir).get("ts", "timestamp")
 
 

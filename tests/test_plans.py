@@ -369,3 +369,24 @@ def test_containment_pairs_single_gram_build_no_cartesian(q, spark):
     finally:
         spark.conf.unset("spark.sql.adaptive.enabled")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_read_schema_columns_handles_nested_types(spark):
+    """Review r6 (8th pass): the old non-greedy regex stopped at the
+    first '>' of a nested type, silently dropping every column after an
+    array/struct column — the pruning gauge went blind there."""
+    from data_mastery_pipeline_spark.plans.inspect import _split_top_level
+    from data_mastery_pipeline_spark.tables import load_table
+
+    assert _split_top_level("a:bigint,b:array<float>,c:string") == [
+        "a:bigint", "b:array<float>", "c:string"
+    ]
+    assert _split_top_level(
+        "m:map<string,struct<x:int,y:int>>,z:bigint"
+    ) == ["m:map<string,struct<x:int,y:int>>", "z:bigint"]
+
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    cols_per_scan = plans.read_schema_columns(emb.select("embedding", "label"))
+    assert any(
+        {"embedding", "label"} <= set(cols) for cols in cols_per_scan
+    ), cols_per_scan

@@ -69,3 +69,25 @@ def test_cjk_levenshtein_divergence_is_real():
 def test_spark_levenshtein_counts_codepoints(spark):
     row = spark.sql("select levenshtein('的是在','的是了') as d").first()
     assert row["d"] == 1
+
+
+def test_exact_dedup_null_text_docs_all_survive(spark):
+    """Review r6 (8th pass): NULL-text docs share a NULL fingerprint —
+    window partitioning groups NULL keys like GROUP BY, so without the
+    guard all-but-one DISTINCT no-text documents were silently deleted."""
+    from data_mastery_pipeline_spark.dedup import exact as dedup_exact
+
+    rows = [
+        (1, "same text here", "en", "web", 14),
+        (2, "same text here", "en", "web", 14),   # true duplicate of 1
+        (3, None, "en", "web", 0),
+        (4, None, "en", "web", 0),                 # NOT a duplicate of 3
+        (5, None, "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_exact.exact_dedup(df).collect())
+    assert kept == [1, 3, 4, 5]
+    stats = dedup_exact.dup_stats(df).collect()
+    assert len(stats) == 1 and stats[0]["n_copies"] == 2  # only the real group

@@ -13,13 +13,19 @@ from tools.typenorm import compare_results, duck_type_class, spark_type_class
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+# ONE table list — the package registry's (review r6: a hand-maintained
+# copy here would silently lack any newly-registered table, turning its
+# oracles into duck-errs instead of real comparisons)
+from data_mastery_pipeline_spark.tables import TABLE_NAMES as TABLES
 
 # --only q1,q2,... : restrict to a comma-separated query subset (skips
 # the entry smoke) — for fast re-verification of just-touched queries.
 ONLY: set[str] | None = None
 if "--only" in sys.argv:
-    ONLY = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    i = sys.argv.index("--only")
+    if i + 1 >= len(sys.argv) or not sys.argv[i + 1].strip():
+        sys.exit("usage: drive_contract.py [--only q1,q2,...]")
+    ONLY = set(sys.argv[i + 1].split(","))
 
 spark = get_spark(app_name="drive_contract", shuffle_partitions=8)
 

@@ -30,10 +30,12 @@ import pyarrow.parquet as pq
 REPO = Path(__file__).resolve().parent.parent
 OUT = REPO / "TESTDATA_FPRINT.json"
 TESTDATA = Path("/root/testdata")
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+import sys
+
+sys.path.insert(0, str(REPO))
+# ONE table list — the package registry's (review r6: drift channel)
+from data_mastery_pipeline_spark.tables import TABLE_NAMES as TABLES
+
 SFS = ("sf0.001", "sf0.01", "sf0.1")
 
 

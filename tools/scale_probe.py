@@ -256,10 +256,8 @@ def containment_probe(ks) -> None:
     join's cost tracks data volume, not pair volume."""
     import time as _t
 
-    from pyspark.sql import functions as F
-
-    from data_mastery_pipeline_spark.functions import text as textfn
     from data_mastery_pipeline_spark.parallelism import fan_out
+    from data_mastery_pipeline_spark.queries_adv import containment_pairs_df
     from data_mastery_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="containment_probe")
@@ -267,21 +265,12 @@ def containment_probe(ks) -> None:
     base_pairs = None
     for k in ks:
         docs = fan_out(amplified(spark, k)).localCheckpoint()
-        hashes = F.array_distinct(
-            F.transform(textfn.word_ngram_structs("text", 3), lambda st: F.xxhash64(st))
-        )
-        grams = docs.select(F.col("doc_id"), hashes.alias("hs")).select(
-            "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("g")
-        )
+        # the SHIPPED operator, uncapped (same rule as the hot probe:
+        # measure the real gram build + scoring, never a parallel
+        # reimplementation that can drift — review r6)
         t0 = _t.time()
-        inter = (
-            grams.alias("a")
-            .join(grams.alias("b"), "g")
-            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-            .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-            .agg(F.count("*").alias("i"), F.max("a.n").alias("n"))
-        )
-        n_pairs = inter.filter(F.col("i") / F.col("n") >= 0.8).count()
+        pairs, _ = containment_pairs_df(docs, max_gram_df=None, threshold=0.8)
+        n_pairs = pairs.count()
         wall = _t.time() - t0
         if base_pairs is None:
             base_pairs = n_pairs
