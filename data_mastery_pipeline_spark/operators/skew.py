@@ -44,6 +44,15 @@ _MERGE = {
 }
 
 
+def content_salt(df: DataFrame, salt_buckets: int) -> Column:
+    """THE salt expression salted_aggregate sprays with — exposed so the
+    spreading test exercises the operator's own salt rather than an
+    inline copy that can't regress with it (review r6). Content-hash of
+    every column: attempt-stable under partial stage recompute (see
+    salted_aggregate's docstring for the SPARK-23207 rationale)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
@@ -65,10 +74,7 @@ def salted_aggregate(
     aggregate exact duplicates first (exact_dedup/dup_groups) or add a
     genuinely unique column upstream; every table in this repo carries
     one."""
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
-    )
-    salted = df.withColumn("__salt", salt)
+    salted = df.withColumn("__salt", content_salt(df, salt_buckets))
 
     partial_aggs: dict[str, Column] = {}  # name -> agg expr (deduped)
     partial_names: dict[tuple[str, str], list[str]] = {}

@@ -820,6 +820,20 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     ref = ev.filter(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"))
     cur = ev.filter(F.col("ts") >= F.lit(_PSI_SPLIT).cast("timestamp"))
+    return psi_between(ref, cur, types=ev.select("event_type").distinct())
+
+
+def psi_between(
+    ref: DataFrame, cur: DataFrame, types: DataFrame | None = None
+) -> DataFrame:
+    """(event_type, psi) between two windows — the PRODUCTION PSI
+    computation, factored out so property tests can drive it with
+    constructed windows (identical ⇒ 0, shifted ⇒ > 0) instead of
+    re-implementing the formula inline, which proved nothing (review
+    r6: the old identical-windows test computed (p−p)·ln(p/p) — zero by
+    algebra for ANY implementation). ``types`` optionally supplies the
+    type grid from an already-loaded relation; defaults to ref∪cur."""
+    spark = ref.sparkSession
     edges = ref.groupBy("event_type").agg(
         F.expr(
             "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
@@ -841,10 +855,12 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rc = bucket_counts(ref, "rn")
     cc = bucket_counts(cur, "cn")
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("b")))
+    if types is None:
+        types = (
+            ref.select("event_type").unionByName(cur.select("event_type")).distinct()
+        )
+    grid = types.crossJoin(
+        spark.range(10).select(F.col("id").cast("int").alias("b"))
     )
     tot = (
         grid.join(rc, ["event_type", "b"], "left")

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 import data_mastery_pipeline_spark.queries_adv  # noqa: F401
 from data_mastery_pipeline_spark.plans import inspect as plans
 from data_mastery_pipeline_spark.registry import QUERIES
@@ -209,10 +211,23 @@ def test_winsorized_std_never_exceeds_raw_std(spark):
 
 
 def test_reservoir_draws_exactly_k_per_source(spark):
+    """EXACTLY k where the source has ≥ k docs (review r6, 9th pass:
+    '<= 10' alone passed an under-sampling regression — the 'exactly k'
+    in this test's name was untested)."""
+    from data_mastery_pipeline_spark.tables import load_table
+
+    per_source = {
+        r["source"]: r["n"]
+        for r in load_table(spark, "documents", SF_SMOKE)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
     rows = QUERIES["reservoir_per_source"](spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
-        assert r["n_sampled"] <= 10
+        want = min(10, per_source[r["source"]])
+        assert r["n_sampled"] == want, (r, want)
         assert r["sampled_chars"] > 0
 
 
@@ -251,38 +266,22 @@ def test_stream_enrich_static_matches_batch_join(spark):
 
 
 def test_psi_zero_for_identical_windows_property(spark):
-    """PSI of two identical distributions is ~0: the ref window compared
-    to itself must produce |psi| below the smoothing floor."""
+    """PSI of two identical distributions is ~0, and a genuinely shifted
+    window scores clearly positive — both through the PRODUCTION
+    psi_between (review r6: the old test inlined (p−p)·ln(p/p), which
+    is zero by algebra for any implementation and exercised nothing)."""
     from pyspark.sql import functions as F
 
+    from data_mastery_pipeline_spark.queries_adv import psi_between
     from data_mastery_pipeline_spark.tables import load_table
 
     ev = load_table(spark, "events", SF_SMOKE)
     ref = ev.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
-    edges = ref.groupBy("event_type").agg(
-        F.expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").alias("es")
-    )
-    bucket = F.aggregate(
-        "es", F.lit(0), lambda acc, x: acc + F.when(F.col("value") > x, 1).otherwise(0)
-    )
-    b = (
-        ref.join(F.broadcast(edges), "event_type")
-        .select("event_type", bucket.alias("b"))
-        .groupBy("event_type", "b")
-        .agg(F.count("*").cast("double").alias("n"))
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("event_type")
-    p = (F.col("n") + 0.5) / (F.sum("n").over(w) + 5.0)
-    psi = (
-        b.select("event_type", ((p - p) * F.log(p / p)).alias("term"))
-        .groupBy("event_type")
-        .agg(F.sum("term").alias("psi"))
-        .collect()
-    )
-    for r in psi:
-        assert abs(r["psi"]) < 1e-12
+    for r in psi_between(ref, ref).collect():
+        assert abs(r["psi"]) < 1e-9, r
+    shifted = ref.withColumn("value", F.col("value") * 3 + 100.0)
+    drifted = {r["event_type"]: r["psi"] for r in psi_between(ref, shifted).collect()}
+    assert drifted and all(v > 0.25 for v in drifted.values()), drifted
 
 
 def test_psi_real_windows_small_on_stationary_data(spark):
@@ -328,6 +327,16 @@ def test_theta_overlap_certificate_all_true(spark):
 
 
 def test_theta_overlap_agrees_with_exact_self_join(spark):
+    """Both overlap queries' common_users against an INDEPENDENT
+    formulation (per-user type sets → pair explode), not against each
+    other: since the r6 _exact_common_users refactor both queries share
+    one helper, so exact-vs-theta equality alone can no longer catch a
+    counting bug — it would appear identically on both sides (review
+    r6, 9th pass)."""
+    from itertools import combinations
+
+    from data_mastery_pipeline_spark.tables import load_table
+
     exact = {
         (r["type_a"], r["type_b"]): r["common_users"]
         for r in QUERIES["audience_overlap"](spark, SF_SMOKE).collect()
@@ -337,6 +346,20 @@ def test_theta_overlap_agrees_with_exact_self_join(spark):
         for r in QUERIES["theta_audience_overlap"](spark, SF_SMOKE).collect()
     }
     assert exact == theta  # both carry the exact count column
+
+    # independent recount: per-user sorted type set, all C(n,2) pairs
+    ev = load_table(spark, "events", SF_SMOKE)
+    per_user = (
+        ev.select("user_id", "event_type").distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .collect()
+    )
+    want: dict = {}
+    for r in per_user:
+        for a, b in combinations(r["types"], 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert exact == want
 
 
 def test_temperature_resample_rates_and_counts(spark):

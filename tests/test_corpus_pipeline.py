@@ -67,8 +67,13 @@ def test_sharded_output_has_exactly_n_files_and_same_rows(spark, tmp_path):
     a = spark.read.parquet(res.train_path)
     b = spark.read.parquet(res2.train_path)
     key = ["doc_id", "chunk_idx"]
-    assert a.count() == b.count()
-    assert a.join(b, key, "left_anti").count() == 0
+    # FULL-ROW equality, not just key membership: sharding happens AFTER
+    # packing, so every value column (chunk_text, n_chunk_tokens, bin_id,
+    # offsets) must be identical too — key-only comparison would pass a
+    # regression where sharding alters packed values (review r6, 9th pass)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
     # deterministic row→shard mapping: re-running shards identically
     res3 = run_corpus_pipeline(spark, SF_SMOKE, str(tmp_path / "c"), n_shards=4)
     c = spark.read.parquet(res3.train_path)

@@ -267,7 +267,9 @@ def test_cc_both_paths_match_brute_force(spark, edges):
     with an independent O(V·E) reference labeling."""
     from data_mastery_pipeline_spark.dedup import components
 
-    edges = [(a, b) for a, b in edges if a != b]
+    # self-loops stay IN (review r6, 9th pass: they were stripped before
+    # the operator ran, so the docstring's self-loop claim was untested —
+    # a lone (x, x) edge must yield the singleton component {x: x})
     if not edges:
         return
     want = _brute_components(edges)

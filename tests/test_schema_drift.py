@@ -176,16 +176,20 @@ def test_raw_int_epoch_units_classified_by_magnitude(spark, tmp_path):
         "millis-long": [m // 1000 for m in micros],
         "seconds-long": [m // 1_000_000 for m in micros],
     }
-    expected = None
+    decoded: dict[str, list] = {}
     for action, vals in cases.items():
         d = _write_events(tmp_path / action, pa.array(vals, pa.int64()))
         assert tables.read_plan("events", d)["ts"] == action
         rows = [r["ts"] for r in tables.load_table(spark, "events", d).orderBy("event_id").collect()]
         assert rows[0].year == 2024
-        if action == "seconds-long":
-            continue  # truncated to the second; compare year only
-        if expected is None and action == "micros-long":
-            expected = rows
+        decoded[action] = rows
+    # the millis band decodes to EXACTLY the micros values truncated to
+    # the millisecond (review r6: a dead `expected` accumulator implied
+    # this comparison without performing it); seconds band: year only
+    assert decoded["millis-long"] == [
+        t.replace(microsecond=t.microsecond // 1000 * 1000)
+        for t in decoded["micros-long"]
+    ]
     # micros and nanos forms agree exactly (ns floor-divides to µs)
     d_us = str(tmp_path / "micros-long")
     d_ns = str(tmp_path / "nanos-long")

@@ -48,9 +48,14 @@ def test_salted_join_matches_plain(spark):
 
 def test_salt_actually_spreads_hot_key(spark):
     # one key for every row — unsalted groupBy puts it all on one task;
-    # the salted partial stage must produce multiple buckets.
+    # the salted partial stage must produce multiple buckets. Uses the
+    # OPERATOR'S OWN salt (skew.content_salt — the expression
+    # salted_aggregate sprays with), not an inline copy: a regression
+    # to e.g. lit(0) inside the operator is invisible to the semantic
+    # equality tests (salt never affects results) and must fail HERE
+    # (review r6).
     ev = load_table(spark, "events", SF_ORACLE).withColumn("k", F.lit("hot"))
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in ev.columns]), F.lit(32))
+    salt = skew.content_salt(ev, 32)
     n_buckets = ev.withColumn("__salt", salt).select("__salt").distinct().count()
     assert n_buckets == 32
 

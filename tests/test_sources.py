@@ -488,6 +488,52 @@ def test_erase_keys_partitioned_rewrites_only_touched(spark, tmp_path):
     after = snapshot(3)
     untouched = {p: t for p, t in before.items() if p in after}
     assert all(after[p] == t for p, t in untouched.items())
+    # NOTE: at this SF the doomed users span every day, so `untouched`
+    # may legitimately be empty here — the falsifiable partition-bounded
+    # check lives in test_erase_keys_partitioned_blast_radius below,
+    # whose fixture GUARANTEES an untouched partition (review r6: this
+    # check alone passed vacuously even for a full-table rewrite).
+
+
+def test_erase_keys_partitioned_blast_radius(spark, tmp_path):
+    """Partition-boundedness, falsifiably: a partition containing NONE
+    of the erased keys must keep its exact files (paths + mtimes). The
+    fixture guarantees such a partition exists, so a regression to a
+    full-table rewrite FAILS here (review r6: the SF-based test's
+    untouched set could be empty, making its all() vacuous)."""
+    import os
+
+    from data_mastery_pipeline_spark.sources import writers
+
+    rows = [
+        (1, 2024, 1, 1), (2, 2024, 1, 1),      # day 1: users 1, 2
+        (99, 2024, 1, 2), (98, 2024, 1, 2),    # day 2: users 98, 99
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, year int, month int, day int")
+    path = str(tmp_path / "erase_blast")
+    df.write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
+
+    day1 = os.path.join(path, "year=2024", "month=1", "day=1")
+    before = {
+        f: os.path.getmtime(os.path.join(day1, f))
+        for f in os.listdir(day1)
+        if f.endswith(".parquet")
+    }
+    assert before  # fixture sanity: the untouched partition has files
+
+    doomed = spark.createDataFrame([(99,)], "user_id bigint")
+    stats = writers.erase_keys_partitioned(
+        spark, path, doomed, "user_id", ["year", "month", "day"]
+    )
+    assert stats["rows_erased"] == 1
+    after = {
+        f: os.path.getmtime(os.path.join(day1, f))
+        for f in os.listdir(day1)
+        if f.endswith(".parquet")
+    }
+    assert after == before  # same files, same mtimes — partition untouched
+    back = spark.read.parquet(path)
+    assert sorted(r["user_id"] for r in back.collect()) == [1, 2, 98]
 
 
 def test_erase_keys_partitioned_deletes_fully_emptied_partitions(spark, tmp_path):

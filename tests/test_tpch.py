@@ -17,15 +17,23 @@ from conftest import SF_SMOKE
 
 def test_q4_semi_join_no_fanout(spark, duck):
     """Each qualifying order contributes exactly once regardless of how
-    many late lineitems it has (the EXISTS is a semi join, not inner)."""
+    many late lineitems it has (the EXISTS is a semi join, not inner).
+    Asserted as EQUALITY against the count of DISTINCT qualifying
+    orders (review r6, 9th pass: the old `<= all in-window orders`
+    bound passed a semi→inner fan-out whenever qualifying orders were
+    a small fraction of the window)."""
     rows = QUERIES["late_order_priorities"](spark, SF_SMOKE).collect()
     assert rows
-    n_orders = duck.sql(
-        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/orders.parquet') "
-        "WHERE o_orderdate >= TIMESTAMP '1997-07-01' "
-        "AND o_orderdate < TIMESTAMP '1997-10-01'"
+    n_qualifying = duck.sql(
+        f"SELECT count(DISTINCT o.o_orderkey) "
+        f"FROM read_parquet('{SF_SMOKE}/orders.parquet') o "
+        f"JOIN read_parquet('{SF_SMOKE}/lineitem.parquet') l "
+        "  ON l.l_orderkey = o.o_orderkey "
+        " AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY "
+        "WHERE o.o_orderdate >= TIMESTAMP '1997-07-01' "
+        "  AND o.o_orderdate < TIMESTAMP '1997-10-01'"
     ).fetchone()[0]
-    assert 0 < sum(r["order_count"] for r in rows) <= n_orders
+    assert sum(r["order_count"] for r in rows) == n_qualifying > 0
 
 
 def test_q5_one_key_shuffle_rest_broadcast(spark):

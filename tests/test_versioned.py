@@ -67,12 +67,28 @@ def test_snapshot_dirs_are_immutable(spark, root):
         )
 
 
-def test_reader_never_sees_pointer_before_data(spark, root):
-    """The pointer is written AFTER the snapshot dir: a pointer that
-    resolves always points at durable data."""
+def test_reader_never_sees_pointer_before_data(spark, root, monkeypatch):
+    """The pointer is written AFTER the snapshot dir. Pinned by a SPY on
+    _write_pointer that checks the snapshot is already complete
+    (_SUCCESS on disk) at the MOMENT the pointer swings — a swapped
+    write order fails here, which the old read-after-return test could
+    never see (both artifacts exist by then; review r6, 9th pass)."""
+    import os
+
+    real = versioned._write_pointer
+    seen: list[int] = []
+
+    def spy(spark_, root_, version):
+        assert os.path.exists(
+            os.path.join(root_, f"v={version:05d}", "_SUCCESS")
+        ), "pointer swung before the snapshot dir was complete"
+        seen.append(version)
+        return real(spark_, root_, version)
+
+    monkeypatch.setattr(versioned, "_write_pointer", spy)
     versioned.write_version(spark, root, _df(spark, (1, "a")))
-    v = versioned.versions(spark, root)
-    for ver in v:
+    assert seen == [1]  # the spy actually gated the swing
+    for ver in versioned.versions(spark, root):
         # every version listed on disk is fully readable
         assert versioned.read_version(spark, root, ver).count() >= 1
 
