@@ -18,10 +18,16 @@ from functools import lru_cache
 @lru_cache(maxsize=1)
 def trimmed_mean_10():
     """10%-trimmed mean GROUPED_AGG pandas UDF: over the group's
-    NON-NULL values (nulls are dropped before the trim cut is computed
-    — the contract any native re-implementation must match), drop the
-    lowest and highest decile by rank (floor count) and average the
-    rest. Tiny groups fall back to their plain mean.
+    non-null AND non-NaN values, drop the lowest and highest decile by
+    rank (floor count) and average the rest. Tiny groups fall back to
+    their plain mean.
+
+    NaN contract (review r6, 10th pass): Arrow maps Spark NULL to NaN
+    in a float64 Series, so the two are INDISTINGUISHABLE here —
+    ``dropna`` necessarily removes both. A native re-implementation
+    must therefore filter ``isNotNull AND NOT isnan`` to match; a
+    twin filtering nulls only would propagate a data NaN into its mean
+    and diverge. (Pinned by test_trimmed_mean_udaf_drops_nan_values.)
 
     A factory (not a module-level decorator) because ``@pandas_udf``
     parses its DDL return type against the ACTIVE session — decorating

@@ -112,9 +112,16 @@ def duplicate_groups(df: DataFrame, keys: Sequence[str]) -> DataFrame:
 def null_counts(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """A6/A8/Q3 — per-column null counts in one pass
     (weather_pipeline_dag.py:205-210): sum(isnull::int) per column, single
-    aggregate, no N scans."""
+    aggregate, no N scans. Coalesced to 0 on empty input — sum over
+    zero rows is NULL, and "no rows" must read as "no nulls", not
+    unknown (review r6; same fix as operators/profile.py)."""
     return df.agg(
-        *[F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}") for c in columns],
+        *[
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("bigint")), F.lit(0)
+            ).alias(f"nulls_{c}")
+            for c in columns
+        ],
         F.count("*").alias("n_rows"),
     )
 

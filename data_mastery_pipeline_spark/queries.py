@@ -306,9 +306,9 @@ def dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "null_counts",
     """
-    SELECT CAST(sum(CASE WHEN CASE WHEN value < 50 THEN NULL ELSE value END IS NULL
-                    THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value_opt,
-           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+    SELECT CAST(COALESCE(sum(CASE WHEN CASE WHEN value < 50 THEN NULL ELSE value END IS NULL
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS nulls_value_opt,
+           CAST(COALESCE(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nulls_user_id,
            count(*) AS n_rows
     FROM events
     """,

@@ -51,7 +51,9 @@ _SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
            floor(var * 10000 + 0.5) / 10000.0 AS var_qty,
            floor(co * 10000 + 0.5) / 10000.0 AS corr_qty_price,
            floor(cv * 100 + 0.5) / 100.0 AS covar_qty_price,
-           floor(((m3 - 3*m1*m2 + 2*m1*m1*m1) / ((m2 - m1*m1) ^ 1.5)) * 10000 + 0.5) / 10000.0
+           floor((CASE WHEN m2 - m1*m1 > 0
+                  THEN (m3 - 3*m1*m2 + 2*m1*m1*m1) / ((m2 - m1*m1) ^ 1.5)
+                  END) * 10000 + 0.5) / 10000.0
              AS skew_qty
     FROM m
     """,
@@ -69,18 +71,31 @@ def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, "lineitem", sf_dir)
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    # corr composed as covar_samp/(sd·sd) — algebraically identical to
+    # F.corr ((n−1) cancels) but NULL-safe on a zero-variance group:
+    # under Spark 4's default ANSI mode the builtin corr CRASHES with
+    # DIVIDE_BY_ZERO there (reproduced), while DuckDB's corr returns
+    # NULL — try_divide matches the oracle's NULL (review r6, 10th pass)
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.stddev_samp(q).alias("sd"),
         F.var_samp(q).alias("var"),
-        F.corr(q, p).alias("co"),
+        F.stddev_samp(p).alias("sd_p"),
         F.covar_samp(q, p).alias("cv"),
         F.avg(q).alias("m1"),
         F.avg(q * q).alias("m2"),
         F.avg(q * q * q).alias("m3"),
     )
+    m = m.withColumn("co", F.try_divide(F.col("cv"), F.col("sd") * F.col("sd_p")))
     m1, m2, m3 = F.col("m1"), F.col("m2"), F.col("m3")
-    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(m2 - m1 * m1, 1.5)
+    # zero/negative variance ⇒ NULL (guarded on BOTH engines): under
+    # ANSI 0/0 crashes, and a rounding-negative variance would yield
+    # pow(neg, 1.5) = NaN on Spark vs NaN-with-different-floor on DuckDB
+    var_term = m2 - m1 * m1
+    skew = F.when(
+        var_term > 0,
+        (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var_term, 1.5),
+    )
     return m.select(
         "l_returnflag",
         "n",
@@ -535,7 +550,7 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string_suite",
     """
     SELECT p_partkey,
-           CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INT) AS brand_num,
+           TRY_CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INT) AS brand_num,
            upper(p_name)                 AS name_upper,
            lpad(p_name, 16, '*')         AS name_padded,
            reverse(p_name)               AS name_rev,
@@ -559,7 +574,9 @@ def string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = F.col("p_name")
     return part.select(
         "p_partkey",
-        F.regexp_extract(F.col("p_brand"), r"(\d+)", 1).cast("int").alias("brand_num"),
+        # try_cast (both engines): a digitless brand extracts '' and a plain
+        # ANSI cast CRASHES the whole projection (review r6, 10th pass)
+        F.regexp_extract(F.col("p_brand"), r"(\d+)", 1).try_cast("int").alias("brand_num"),
         F.upper(name).alias("name_upper"),
         F.lpad(name, 16, "*").alias("name_padded"),
         F.reverse(name).alias("name_rev"),
@@ -706,12 +723,17 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     abs_arr = F.transform("embedding", lambda x: F.abs(xd(x)))
     total = F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + xd(x))
+    # empty-array guard (review r6, 10th pass): the oracle's scalar
+    # subqueries sum over ZERO unnested rows → NULL, while the folds
+    # init from 0.0 → 0.0, and mean_v's /size(=0) CRASHES under ANSI.
+    # CASE branches evaluate lazily, so the division never runs empty.
+    nonempty = F.size("embedding") > 0
     return emb.select(
         "vec_id",
         F.size("embedding").cast("int").alias("n_dims"),
-        quantize(F.sqrt(sq_sum), "l2_norm", 4),
-        quantize(F.array_max(abs_arr), "max_abs", 4),
-        quantize(total / F.size("embedding"), "mean_v", 4),
+        quantize(F.when(nonempty, F.sqrt(sq_sum)), "l2_norm", 4),
+        quantize(F.when(nonempty, F.array_max(abs_arr)), "max_abs", 4),
+        quantize(F.when(nonempty, total / F.size("embedding")), "mean_v", 4),
     )
 
 
@@ -725,7 +747,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
                CAST(count(*) AS BIGINT) AS n
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         GROUP BY 1, 2
       )
     ) WHERE rn = 1
@@ -740,8 +762,12 @@ def modal_value_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking window sees only aggregated rows).
     """
     ev = load_table(spark, "events", sf_dir)
+    # NaN gate on BOTH engines (review r6, 10th pass): NaN is NOT NULL,
+    # so it passes the null filter; Spark's floor(NaN).cast silently
+    # buckets it as 0 while DuckDB's CAST(floor(nan) AS BIGINT) ERRORS —
+    # a silent-wrong vs hard-crash split the filter removes
     counts = (
-        ev.filter(F.col("value").isNotNull())
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .groupBy("event_type", F.floor(F.col("value") / 10).cast("bigint").alias("bucket"))
         .agg(F.count("*").alias("n"))
     )
@@ -793,15 +819,21 @@ def distinct_users_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     overall_exact = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    # empty-input guard (review r6, 10th pass): a union over ZERO
+    # per-type sketches is NULL, whose estimate is NULL and whose
+    # tolerance check is NULL — the oracle's 'ALL' row says TRUE with
+    # n_users 0. An absent sketch estimates 0 distinct, which is within
+    # any tolerance of the exact 0.
     overall = (
         per_type.agg(F.hll_union_agg("sk").alias("sk"))
         .crossJoin(overall_exact)
         .select(
             F.lit("ALL").alias("event_type"),
             "n_users",
-            tol_ok(F.hll_sketch_estimate("sk"), F.col("n_users")).alias(
-                "sketch_within_5pct"
-            ),
+            tol_ok(
+                F.coalesce(F.hll_sketch_estimate("sk"), F.lit(0).cast("long")),
+                F.col("n_users"),
+            ).alias("sketch_within_5pct"),
         )
     )
     return per_type_row.unionByName(overall)
@@ -1194,7 +1226,7 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH buck AS (
       SELECT user_id, ts, event_id,
              CAST(floor(value / 100.0) AS BIGINT) AS vb
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     ), flagged AS (
       SELECT user_id, ts, event_id, vb,
              CASE WHEN vb = lag(vb) OVER w THEN 0 ELSE 1 END AS is_start
@@ -1223,7 +1255,11 @@ def user_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, aggregate key by runs. Value bucketing (floor/100) keeps
     runs non-trivial on continuous data — real CDC compares natural
     attribute values."""
-    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    # NaN gate on both engines — same split as modal_value_bucket
+    # (silent bucket-0 on Spark vs cast error on DuckDB; review r6)
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     buck = ev.select(
         "user_id",
         "ts",

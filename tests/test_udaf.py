@@ -76,3 +76,20 @@ def test_trimmed_mean_udaf_all_null_group_returns_null(spark):
     assert udaf["a"] == 2.0
     assert udaf["b"] is None, "all-null group must be NULL, not NaN"
     assert native["b"] is None  # the contract being mirrored
+
+
+def test_trimmed_mean_udaf_drops_nan_values(spark):
+    """NaN contract (review r6, 10th pass): Arrow maps Spark NULL to
+    NaN in the float64 Series, so dropna removes BOTH — a data NaN is
+    dropped like a null, never propagated into the mean. The docstring
+    states this; this test pins it."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", float("nan")), ("a", 3.0), ("b", float("nan"))],
+        "grp string, value double",
+    )
+    got = {
+        r["grp"]: r["tm"]
+        for r in df.groupBy("grp").agg(trimmed_mean_10()("value").alias("tm")).collect()
+    }
+    assert got["a"] == 2.0          # mean(1, 3) — the NaN is dropped
+    assert got["b"] is None         # all-NaN group → NULL, like all-null
