@@ -28,7 +28,16 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either vector has zero norm.
+
+    try_divide, not ``/`` (review r6, 10th pass): under Spark 4's
+    default ANSI mode a zero-norm (all-zero or empty) vector CRASHES
+    every consumer — all ANN top-k queries, embedding near-dup, k-means
+    — with DIVIDE_BY_ZERO. NULL is the honest "undefined" value; note
+    DuckDB's list_cosine_similarity returns -1.0 for a zero vector
+    instead, so on such edge rows the engines differ in VALUE but agree
+    in ranking (both sort last under cos DESC with NULLS LAST)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_near_dups(

@@ -43,6 +43,21 @@ AGG_FNS = {
 }
 
 
+def safe_corr(x: Column | str, y: Column | str) -> Column:
+    """Pearson correlation, NULL-safe on zero-variance input: composed
+    as covar_samp/(sd·sd) — algebraically identical to ``F.corr`` (the
+    (n−1) factors cancel) but via try_divide, because under Spark 4's
+    default ANSI mode the BUILTIN corr crashes with DIVIDE_BY_ZERO on
+    any constant-valued group (reproduced, review r6 10th pass) while
+    DuckDB's corr returns NULL. ONE definition for every corr in the
+    repo (stat_moments, autocorr, dim correlations)."""
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    return F.try_divide(
+        F.covar_samp(xc, yc), F.stddev_samp(xc) * F.stddev_samp(yc)
+    )
+
+
 def grain_aggregate(
     df: DataFrame,
     ts_col: str,

@@ -539,10 +539,14 @@ def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("rev", 1).over(w).alias("rev_lag1"),
         F.lag("rev", 7).over(w).alias("rev_lag7"),
     )
+    from .operators.aggregates import safe_corr
+
+    # safe_corr, not F.corr: constant daily revenue (one-day or flat
+    # series) crashes the builtin under ANSI (review r6, 10th pass)
     return lagged.agg(
         F.count("*").cast("long").alias("n_days"),
-        quantize(F.corr("rev", "rev_lag1"), "autocorr_lag1", 4),
-        quantize(F.corr("rev", "rev_lag7"), "autocorr_lag7", 4),
+        quantize(safe_corr("rev", "rev_lag1"), "autocorr_lag1", 4),
+        quantize(safe_corr("rev", "rev_lag7"), "autocorr_lag7", 4),
     )
 
 

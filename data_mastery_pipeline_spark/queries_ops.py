@@ -1012,9 +1012,13 @@ def embedding_dim_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = [
         (i, j) for i in range(1, _CORR_DIMS + 1) for j in range(i + 1, _CORR_DIMS + 1)
     ]
+    from .operators.aggregates import safe_corr
+
+    # safe_corr: a constant dimension would crash the builtin corr
+    # under ANSI (review r6, 10th pass)
     aggs = [
         quantize(
-            F.corr(
+            safe_corr(
                 F.element_at("embedding", i).cast("double"),
                 F.element_at("embedding", j).cast("double"),
             ),

@@ -69,24 +69,23 @@ def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one partial+final hash agg on a 3-value key — all moment
     accumulators combine map-side, a single O(groups) shuffle.
     """
+    from .operators.aggregates import safe_corr
+
     li = load_table(spark, "lineitem", sf_dir)
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
-    # corr composed as covar_samp/(sd·sd) — algebraically identical to
-    # F.corr ((n−1) cancels) but NULL-safe on a zero-variance group:
-    # under Spark 4's default ANSI mode the builtin corr CRASHES with
-    # DIVIDE_BY_ZERO there (reproduced), while DuckDB's corr returns
-    # NULL — try_divide matches the oracle's NULL (review r6, 10th pass)
+    # safe_corr, not the builtin: NULL on a zero-variance group like
+    # DuckDB's corr, instead of the ANSI DIVIDE_BY_ZERO crash
+    # (review r6, 10th pass)
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.stddev_samp(q).alias("sd"),
         F.var_samp(q).alias("var"),
-        F.stddev_samp(p).alias("sd_p"),
+        safe_corr(q, p).alias("co"),
         F.covar_samp(q, p).alias("cv"),
         F.avg(q).alias("m1"),
         F.avg(q * q).alias("m2"),
         F.avg(q * q * q).alias("m3"),
     )
-    m = m.withColumn("co", F.try_divide(F.col("cv"), F.col("sd") * F.col("sd_p")))
     m1, m2, m3 = F.col("m1"), F.col("m2"), F.col("m3")
     # zero/negative variance ⇒ NULL (guarded on BOTH engines): under
     # ANSI 0/0 crashes, and a rounding-negative variance would yield

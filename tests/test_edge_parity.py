@@ -149,3 +149,28 @@ def test_null_counts_empty_input_reports_zero(spark, tmp_path):
     empty = spark.createDataFrame([], "a double, b string")
     row = aggregates.null_counts(empty, ["a", "b"]).first()
     assert (row["nulls_a"], row["nulls_b"], row["n_rows"]) == (0, 0, 0)
+
+
+def test_safe_corr_null_on_zero_variance(spark):
+    from data_mastery_pipeline_spark.operators.aggregates import safe_corr
+
+    const = spark.createDataFrame(
+        [(5.0, 1.0), (5.0, 2.0), (5.0, 3.0)], "x double, y double"
+    )
+    assert const.agg(safe_corr("x", "y")).first()[0] is None  # no ANSI crash
+    healthy = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "x double, y double"
+    )
+    assert healthy.agg(safe_corr("x", "y")).first()[0] == pytest.approx(1.0)
+
+
+def test_cosine_null_on_zero_norm_vector(spark):
+    from data_mastery_pipeline_spark.dedup.embedding import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([3.0, 4.0], [3.0, 4.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert got[0] is None  # zero-norm → NULL, not an ANSI crash
+    assert got[1] == pytest.approx(1.0)
