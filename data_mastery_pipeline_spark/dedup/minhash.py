@@ -151,12 +151,16 @@ def kmv_jaccard(
         F.col(set_b) if isinstance(set_b, str) else set_b
     )
     union = F.array_union(a, b)
+    # try_divide: two empty shingle sets give |union| = 0, and under
+    # ANSI a plain division would crash the whole near-dup job on one
+    # degenerate doc pair; NULL (undefined similarity) fails the
+    # J >= threshold filter on both engines (DuckDB 0/0 is NULL too)
     if max_set_size is None:
         inter = F.size(F.array_intersect(a, b)).cast("double")
-        return inter / F.size(union).cast("double")
+        return F.try_divide(inter, F.size(union).cast("double"))
     m = F.slice(F.array_sort(union), 1, max_set_size)
     inter = F.size(F.array_intersect(F.array_intersect(m, a), b))
-    return inter.cast("double") / F.size(m).cast("double")
+    return F.try_divide(inter.cast("double"), F.size(m).cast("double"))
 
 
 def minhash_signatures(
