@@ -28,7 +28,8 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; NULL when either vector has zero norm.
+    """Cosine similarity; NULL when either vector has zero norm OR a
+    NaN component.
 
     try_divide, not ``/`` (review r6, 10th pass): under Spark 4's
     default ANSI mode a zero-norm (all-zero or empty) vector CRASHES
@@ -36,8 +37,17 @@ def cosine(a: Column, b: Column) -> Column:
     — with DIVIDE_BY_ZERO. NULL is the honest "undefined" value; note
     DuckDB's list_cosine_similarity returns -1.0 for a zero vector
     instead, so on such edge rows the engines differ in VALUE but agree
-    in ranking (both sort last under cos DESC with NULLS LAST)."""
-    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+    in ranking (both sort last under cos DESC with NULLS LAST).
+
+    NaN → NULL via nanvl (review r6, 11th pass): Spark ORDERS NaN above
+    every double, so one corrupt vector (a NaN component) would
+    otherwise occupy the top of EVERY cosine top-k and pass every
+    ``cos >= threshold`` near-dup filter (NaN >= x is true in Spark's
+    ordering semantics). NULL ranks last and fails thresholds — corrupt
+    vectors drop out instead of poisoning results; the quality gates
+    are where such rows should be quarantined upstream."""
+    raw = F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+    return F.nanvl(raw, F.lit(None).cast("double"))
 
 
 def cosine_near_dups(

@@ -178,6 +178,18 @@ def jaccard_pairs_blocked(
         # most 1 — the probe side fans out to bucket±1 and the join is a
         # plain equi-join on (blocks…, bucket). (Base hi alone is WRONG:
         # log_hi(1/lo) > 1 when lo < 1/hi, silently dropping pairs.)
+        if lo <= 0:
+            # review r6, 11th pass: length_tolerance >= 1 makes the low
+            # ratio unbounded — lo = 0 divides by zero here, and
+            # lo < 0 silently picked base hi and DROPPED qualifying
+            # pairs the broadcast build returns. No ±1 bucket fan-out
+            # can cover an unbounded ratio; fail with the alternatives.
+            raise ValueError(
+                "jaccard_pairs_blocked(build='shuffle'): "
+                f"length_tolerance={length_tolerance} leaves the length "
+                "ratio unbounded below (lo <= 0) — use build='broadcast' "
+                "or length_tolerance=None (the exact Jaccard bound)"
+            )
         base_b = max(hi, 1.0 / lo)
         bucket = F.floor(
             F.log(F.greatest(F.col("n_toks"), F.lit(1)).cast("double"))

@@ -82,8 +82,15 @@ def simhash_fingerprints(
         "2 * size(filter(__h, h -> (h >> i) & 1 = 1)) > size(__h), "
         "shiftleft(1L, i), 0L))"
     )
-    return df.select(F.col(id_col), hashes.alias("__h")).select(
-        F.col(id_col), F.expr(fp_expr).alias("fp")
+    # NULL-text docs are EXCLUDED (review r6, 11th pass): tokens(NULL)
+    # is NULL, and under ANSI the vote IF() then takes the 0L branch on
+    # every bit — all null-text docs would share fp=0, band together,
+    # and be reported as hamming-0 "duplicates" of each other. No text
+    # ⇒ no fingerprint ⇒ no pair (the exact_dedup null rule).
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), hashes.alias("__h"))
+        .select(F.col(id_col), F.expr(fp_expr).alias("fp"))
     )
 
 

@@ -289,8 +289,10 @@ def _sql_simhash_pairs(radius: int) -> str:
     fp = " + ".join(f"(CASE WHEN c{i}*2 > n THEN {1 << i} ELSE 0 END)" for i in range(60))
     return rf"""
     WITH tok AS (
+      -- null-text docs excluded, mirroring the Spark fingerprint
+      -- builder (no text => no fingerprint => no pair)
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), h AS (
       SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
     ), cnt AS (

@@ -47,11 +47,20 @@ def train_centroids(
 
     arr = F.col(vec_col).cast("array<double>")
     train = (
-        df.select(arr.alias("__arr"))
+        # null embeddings excluded (review r6, 11th pass): one NULL row
+        # sampled into the training set dies deep inside KMeans.fit
+        # with an unrelated-looking error instead of naming the fix
+        df.filter(F.col(vec_col).isNotNull())
+        .select(arr.alias("__arr"))
         .orderBy(F.xxhash64(F.col("__arr")))
         .limit(max_train_rows)
         .select(array_to_vector(F.col("__arr")).alias("features"))
     )
+    if not train.head(1):
+        raise ValueError(
+            f"train_centroids: no non-null {vec_col!r} rows to train on "
+            f"(empty table or all-null embedding column)"
+        )
     model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
     return [list(map(float, c)) for c in model.clusterCenters()]
 

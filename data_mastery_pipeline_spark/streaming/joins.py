@@ -61,7 +61,12 @@ def check_interval_fanout(
     if not n:
         return 0.0
     span_sec = max((mx - mn).total_seconds(), 1.0)
-    expected = (n / span_sec) * 2.0 * float(tolerance_seconds)
+    # density uses n−1 intervals over the span, and the estimate is
+    # capped at n: one right row can match at most once per probe row,
+    # so a 1-row (or tiny clustered) batch must never trip the
+    # degeneracy error (review r6, 11th pass: n=1 with tolerance 60s
+    # read as "120 expected matches" and aborted a healthy pipeline)
+    expected = min(float(n), ((n - 1) / span_sec) * 2.0 * float(tolerance_seconds))
     if expected > max_expected_matches_per_row:
         raise IntervalJoinFanoutError(
             f"interval join fan-out check: {n} rows over {span_sec:.0f}s "
@@ -100,6 +105,13 @@ def interval_join_streams(
     watermark passes its eviction bound.
     """
     tol_us = int(tolerance_seconds) * 1_000_000
+    if tol_us <= 0:
+        # div 0 crashes every row under ANSI (and null-buckets silently
+        # empty the join without it) — review r6, 11th pass
+        raise ValueError(
+            "interval_join_streams: tolerance_seconds must be > 0 "
+            "(exact-timestamp matching is an equi-join on the timestamp)"
+        )
     bucket = lambda c: F.expr(f"unix_micros({c}) div {tol_us}")  # noqa: E731
     l = left.withWatermark(left_ts, watermark).withColumn(
         "__bucket", bucket(left_ts)

@@ -29,12 +29,27 @@ def idempotent_append_batch(
     of the anti-join is broadcast-sized by the trigger's back-pressure
     knob, so the probe never shuffles the target.
     """
+    from pyspark.sql import functions as F
+
     spark = batch_df.sparkSession
+    # WITHIN-batch dedup first (review r6, 11th pass): an at-least-once
+    # replay can deliver both copies of a key in ONE micro-batch —
+    # neither is in the target yet, so the anti-join alone keeps both.
+    # Which copy survives is arbitrary (any one satisfies idempotence).
+    batch = batch_df.dropDuplicates(list(keys))
     existing = _read_target_keys(spark, target_path, keys)
     if existing is not None:
-        fresh = batch_df.join(existing, on=list(keys), how="left_anti")
+        # NULL-SAFE anti join: a plain on=keys join uses '=', which
+        # never matches NULL keys — a null-keyed row would re-append on
+        # every replay (review r6, 11th pass)
+        b, e = batch.alias("__b"), existing.alias("__e")
+        cond = None
+        for k in keys:
+            c = F.col(f"__b.{k}").eqNullSafe(F.col(f"__e.{k}"))
+            cond = c if cond is None else cond & c
+        fresh = b.join(e, cond, "left_anti")
     else:
-        fresh = batch_df
+        fresh = batch
     fresh.write.mode("append").parquet(target_path)
 
 
@@ -46,12 +61,16 @@ def _read_target_keys(spark, path: str, keys: Sequence[str]) -> DataFrame | None
     where a local isdir() check would always say "empty" and silently
     break the effectively-once contract. A missing or still-empty target
     raises AnalysisException (PATH_NOT_FOUND / unable to infer schema),
-    which is exactly the "nothing to dedup against" case.
+    which is exactly the "nothing to dedup against" case. ONLY the read
+    sits in the try (review r6, 11th pass): a missing/misnamed KEY
+    column must fail loudly — swallowing it would silently disable
+    dedup forever.
     """
     try:
-        return spark.read.parquet(path).select(*keys)
+        tgt = spark.read.parquet(path)
     except AnalysisException:
         return None
+    return tgt.select(*keys)
 
 
 def write_stream_idempotent(

@@ -75,8 +75,15 @@ def _make_sessionize(state_ttl_ms: int | None):
         )
         ts_all = []
         for pdf in pdfs:
+            # Drop null timestamps BEFORE the int cast (review r6, 11th
+            # pass — verified on pandas 2.2.2): NaT.astype('int64')
+            # silently yields the int64 MIN sentinel, which would count
+            # a phantom session at t≈−9.2e18 µs AND make the next real
+            # event open yet another session. A null event time carries
+            # no session information; it contributes nothing.
+            col = pdf["ts"].dropna()
             # ns→µs ints: avoids float rounding for comparisons below.
-            ts_all.append(pdf["ts"].astype("int64") // 1000)
+            ts_all.append(col.astype("int64") // 1000)
         ts = (
             pd.concat(ts_all).sort_values()
             if ts_all
@@ -84,6 +91,18 @@ def _make_sessionize(state_ttl_ms: int | None):
         )
         for t in ts:
             t = int(t)
+            if last_ts is not None and t < last_ts:
+                # LATE event (older than state): arrival order crossed
+                # micro-batches (review r6, 11th pass). Folding it
+                # forward would regress last_ts and merge sessions a
+                # true event-time order separates; with no watermarked
+                # buffer in this operator the principled cheap choice is
+                # count-the-event, keep-the-frontier: n_events stays
+                # exact, n_sessions is a LOWER bound under disorder
+                # (the documented contract; session_window with a
+                # watermark is the exact-under-lateness operator).
+                n_events += 1
+                continue
             if last_ts is None or t - last_ts > GAP_US:
                 n_sessions += 1
             last_ts = t
@@ -105,6 +124,15 @@ def sessionize_users(
 
     Update-mode semantics: one row per (user, micro-batch) carrying the
     state as of that batch; the final batch's row per user is the total.
+
+    Ordering contract: events are sorted WITHIN each batch; ACROSS
+    batches the fold keeps a monotone frontier — an event older than
+    the stored last_ts (a replay / out-of-order delivery) is counted in
+    n_events but cannot regress the frontier or open a session, so
+    n_events is exact and n_sessions is a lower bound under disorder.
+    Null event times are dropped (they carry no session information).
+    For exact session semantics under late data use the engine's
+    watermarked ``session_window`` (streaming/windows.py) instead.
 
     ``state_ttl_ms`` bounds state on an unbounded user-id stream: idle
     keys are evicted by a processing-time timer (their final totals

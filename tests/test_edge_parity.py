@@ -174,3 +174,30 @@ def test_cosine_null_on_zero_norm_vector(spark):
     got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
     assert got[0] is None  # zero-norm → NULL, not an ANSI crash
     assert got[1] == pytest.approx(1.0)
+
+
+def test_cosine_nan_component_is_null(spark):
+    """Review r6, 11th pass: Spark orders NaN ABOVE every double, so a
+    corrupt vector would top every cosine top-k and pass every
+    threshold; cosine must yield NULL instead."""
+    from data_mastery_pipeline_spark.dedup.embedding import cosine
+    from data_mastery_pipeline_spark.similarity import brute
+
+    df = spark.createDataFrame(
+        [
+            (0, [float("nan"), 1.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r[1]
+        for r in df.select(
+            "vec_id", cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0)))
+        ).collect()
+    }
+    assert got[0] is None and got[1] == pytest.approx(1.0)
+    # the corrupt row must NOT occupy the top of a top-k
+    top = brute.cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]

@@ -653,3 +653,116 @@ def test_streaming_listener_reports_input_rows(spark, staged_events):
         spark.streams.removeListener(listener)
     assert sum(captured) == ev.count()
     assert len([n for n in captured if n > 0]) >= 4  # one per staged file
+
+
+def test_idempotent_sink_dedups_within_batch_and_null_keys(spark, tmp_path):
+    """Review r6, 11th pass: (a) both copies of a key arriving in ONE
+    micro-batch must not both land (the anti-join alone sees neither in
+    the target); (b) a NULL-keyed row must not re-append on every
+    replay (plain '=' anti-join never matches NULL)."""
+    from data_mastery_pipeline_spark.streaming import sinks
+
+    target = str(tmp_path / "tgt")
+    batch = spark.createDataFrame(
+        [(1, "a"), (1, "a-dup"), (None, "nullkey")], "k long, v string"
+    )
+    sinks.idempotent_append_batch(batch, target, keys=["k"])
+    first = spark.read.parquet(target)
+    assert first.count() == 2  # one copy of k=1, one null-key row
+    # replay the same batch: nothing new lands, including the null key
+    sinks.idempotent_append_batch(batch, target, keys=["k"])
+    assert spark.read.parquet(target).count() == 2
+
+
+def test_idempotent_sink_missing_key_column_fails_loudly(spark, tmp_path):
+    """A misnamed key column must raise, not silently disable dedup
+    forever (review r6, 11th pass: the select lived inside the
+    existence-probe try)."""
+    import pytest as _pytest
+
+    from data_mastery_pipeline_spark.streaming import sinks
+
+    target = str(tmp_path / "tgt2")
+    batch = spark.createDataFrame([(1, "a")], "k long, v string")
+    sinks.idempotent_append_batch(batch, target, keys=["k"])
+    with _pytest.raises(Exception, match="wrong_key|UNRESOLVED"):
+        sinks.idempotent_append_batch(batch, target, keys=["wrong_key"])
+
+
+def test_sessionize_fold_handles_late_and_null_timestamps():
+    """Review r6, 11th pass: a null ts must not become the int64
+    sentinel (phantom session), and a late event older than state must
+    count in n_events without regressing the session frontier."""
+    import pandas as pd
+
+    from data_mastery_pipeline_spark.streaming import stateful
+
+    fold = stateful._make_sessionize(None)
+
+    class _FakeState:
+        hasTimedOut = False
+
+        def __init__(self, value=None):
+            self._v = value
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def setTimeoutDuration(self, ms):  # pragma: no cover
+            pass
+
+    us = 1_000_000
+    hour = 3600 * us
+
+    def run_batch(state, ts_list):
+        pdf = pd.DataFrame({"ts": pd.to_datetime([t * 1000 for t in ts_list])})
+        return list(fold((7,), iter([pdf]), state))[-1]
+
+    # batch 1: one event at t = 12h
+    st = _FakeState()
+    run_batch(st, [12 * hour])
+    assert st.get == (12 * hour, 1, 1)
+    # batch 2: a LATE event at t = 9h — counted, frontier not regressed,
+    # no session merge/split
+    run_batch(st, [9 * hour])
+    assert st.get == (12 * hour, 1, 2)
+    # batch 3: null ts contributes nothing
+    st2 = _FakeState((12 * hour, 1, 1))
+    pdf = pd.DataFrame({"ts": pd.to_datetime([None])})
+    list(fold((7,), iter([pdf]), st2))
+    assert st2.get == (12 * hour, 1, 1)
+
+
+def test_interval_join_rejects_zero_tolerance(spark):
+    import pytest as _pytest
+
+    from data_mastery_pipeline_spark.streaming import joins as sjoins
+
+    ev = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="tolerance_seconds"):
+        sjoins.interval_join_streams(
+            ev, ev.withColumnRenamed("value", "v2"), "timestamp", "timestamp",
+            tolerance_seconds=0,
+        )
+
+
+def test_fanout_guard_single_row_batch_is_healthy(spark):
+    """Review r6, 11th pass: n=1 with a wide tolerance must not trip
+    the degeneracy error (one right row matches at most once)."""
+    from data_mastery_pipeline_spark.streaming import joins as sjoins
+
+    one = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "id long, ts string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    est = sjoins.check_interval_fanout(
+        one, "ts", tolerance_seconds=60, max_expected_matches_per_row=64
+    )
+    assert est <= 1.0
