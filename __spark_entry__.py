@@ -70,6 +70,7 @@ _PRIORITY = [
     "user_erasure_roundtrip",
     "kafka_wire_lake_daily",
     "wire_to_serving_daily",
+    "txlog_acid_roundtrip",
     # (c) standing re-greens, ordered by what CHANGED this round: the
     # load_table CPU_HEAVY_TABLES fan-out policy altered the scan plan
     # of every documents/embeddings query, so those anchors re-verify

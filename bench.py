@@ -89,6 +89,8 @@ HEADLINE = [
     # round 6: the full architecture over real transports
     # (TCP kafka-wire -> gold agg -> live PG upsert -> sliced read)
     "wire_to_serving_daily",
+    # round 6: transaction-log table format (ACID commits, stats pruning)
+    "txlog_acid_roundtrip",
 ]
 
 

@@ -1060,3 +1060,102 @@ def wire_to_serving_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper_bound=int(bounds["hi"] or 0) + 1,
         num_partitions=4,
     ).select("epoch_day", "event_type", "n_events", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 session 3: transaction-log table format (sources/txlog.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "txlog_acid_roundtrip",
+    """
+    WITH base AS (
+      SELECT * FROM events WHERE event_id % 3 IN (0, 1)
+    ), after_delete AS (
+      SELECT * FROM base
+      WHERE NOT coalesce(value BETWEEN 10.0 AND 20.0, FALSE)
+    ), updates AS (
+      SELECT event_id, ts, user_id, event_type, value * 2 AS value, props
+      FROM events WHERE event_id % 5 = 0
+    ), merged AS (
+      SELECT * FROM after_delete
+      WHERE event_id NOT IN (SELECT event_id FROM updates)
+      UNION ALL
+      SELECT * FROM updates
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM merged GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txlog_acid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transaction-log table format (sources/txlog.py) end to end:
+    create → append → predicate DELETE → keyed MERGE → OPTIMIZE
+    (value-clustered compaction), every commit an atomic put-if-absent
+    log entry with footer-harvested file stats, then the final state
+    aggregated per event type against the equivalent relational oracle.
+
+    Self-asserting (the zorder_pruning_stats discipline — facts are
+    enforced, not assumed): raises unless (a) OPTIMIZE preserved the
+    exact row count AT THE LOG-METADATA level (no scan — num_records
+    is additive across rewrites), (b) time travel to the pre-delete
+    version still reproduces the create+append row count, and (c) a
+    narrow value-range scan PRUNES files via the log's stats after the
+    value-clustered compaction (files_read < files_total).
+
+    Scale: this is the O(changed-files) storage layer — an append to a
+    100 TB table commits one log entry over its own files; the delete
+    rewrites only stat-overlapping files; the merge rewrites only the
+    files whose key range intersects the updates; optimize compacts
+    without blocking readers (snapshot isolation) and a concurrent
+    writer is either serializable (retry) or told so (ConflictError) —
+    the conflict matrix is pinned in tests/test_txlog.py.
+    """
+    from .sources import txlog as _txlog
+
+    ev = load_table(spark, "events", sf_dir)
+    root = os.path.join(_fresh_dir("txlog", sf_dir), "tbl")
+    t = _txlog.TxTable.create(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 3 == 0),
+        stat_cols=["event_id", "user_id", "value"],
+    )
+    t.append(ev.filter(F.col("event_id") % 3 == 1))
+    n_before_delete = t.read().count()
+    t.delete_where("value", 10.0, 20.0)
+    updates = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    t.merge_upsert(updates, "event_id")
+
+    adds = t.snapshot_adds()
+    recs_before = sum(a["num_records"] for a in adds)
+    total_bytes = sum(a["size"] for a in adds)
+    t.optimize(
+        small_file_bytes=total_bytes + 1,  # compact everything …
+        target_file_bytes=max(1, total_bytes // 4),  # … into ~4 files
+        cluster_by="value",
+    )
+    after = t.snapshot_adds()
+    if sum(a["num_records"] for a in after) != recs_before:
+        raise ValueError("txlog OPTIMIZE changed the row count")
+    if t.read(version=1).count() != n_before_delete:
+        raise ValueError("txlog time travel lost the pre-delete snapshot")
+    _, st = t.scan({"value": (5.0, 6.0)})
+    if st["files_read"] >= st["files_total"]:
+        raise ValueError(
+            f"txlog stats pruning ineffective: read {st['files_read']}/"
+            f"{st['files_total']} files after value-clustered OPTIMIZE"
+        )
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            quantize(F.sum("value"), "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,744 @@
+"""Transactional table format — an append-only JSON action log with
+put-if-absent commits, optimistic concurrency, file-level statistics,
+snapshot isolation, and time travel, built from the PUBLIC Delta Lake
+protocol design (Armbrust et al., "Delta Lake: High-Performance ACID
+Table Storage over Cloud Object Stores", VLDB 2020) the way
+``pgwire``/``kafkawire``/``avrofmt`` were built from their public specs.
+
+Why this exists next to :mod:`versioned` and :mod:`manifest`:
+
+- ``versioned.py`` snapshots the WHOLE table per version — a 100 TB
+  table cannot be rewritten to append one day of data. Here a commit is
+  O(changed files): an append adds files, a delete rewrites only the
+  files whose statistics overlap the predicate.
+- ``versioned.py`` is single-writer (last pointer swing wins). Here
+  concurrent writers are safe: the committer that loses the
+  put-if-absent race re-reads the interleaved commits and either
+  retries (blind append — always serializable) or raises
+  :class:`ConflictError` (its read snapshot was invalidated).
+- ``manifest.py`` rebuilds its stats relation by re-scanning data.
+  Here every commit carries per-file min/max/null-count harvested from
+  the parquet FOOTERS of exactly the files it wrote — the statistics
+  ride the log, so a needle query prunes files without any data scan.
+
+Layout::
+
+    root/
+      _txlog/00000000000000000000.json        one file per commit version
+      _txlog/00000000000000000012.ckpt.json   log checkpoint (full state)
+      data/<txn-uuid>/part-*.parquet          immutable data files
+
+Actions are JSON objects, one per line of a commit file:
+
+    {"meta":   {"schema_json": …, "stat_cols": […]}}
+    {"add":    {"path": "data/…/part-….parquet", "size": …,
+                "num_records": …, "stats": {col: [min, max, n_null]}}}
+    {"remove": {"path": …}}
+    {"commit": {"op": "create|append|delete|merge|optimize",
+                "read_version": …, "predicate": {col: [lo, hi]} | null,
+                "txn": "<uuid>"}}
+
+Commit protocol (the crux): data files are staged under a fresh
+``data/<txn-uuid>/`` dir first (invisible — readers only see files the
+log references), then the commit file is published with PUT-IF-ABSENT
+on ``_txlog/<version>.json``. On a POSIX filesystem that primitive is
+``os.link`` (hard-link creation fails atomically with EEXIST — no
+TOCTOU window, unlike exists-then-rename). On HDFS it would be
+``create(overwrite=false)`` (atomic namenode op), and on S3 a
+coordination service (Delta's own LogStore requirement — S3 PUT has no
+if-absent); this module implements the local/POSIX store and keeps the
+primitive isolated in :meth:`TxTable._put_if_absent` so a DFS port
+swaps one method, mirroring Delta's pluggable LogStore.
+
+Conflict rules (optimistic concurrency, checked by the loser of the
+race, over the commits interleaved since its snapshot):
+
+- ``append``/``create`` never conflict — a blind add commutes with
+  anything; the committer silently retries at the next version.
+- ``delete``/``merge`` conflict when an interleaved commit (a) removed
+  a file this txn also removes (write-write on the same rows), or (b)
+  added a file whose stats overlap this txn's predicate (the rewrite
+  was computed against a snapshot that no longer covers the predicate).
+- ``optimize`` conflicts only on rule (a): concurrent appends are fine
+  (compaction of old files commutes with new data), concurrent removal
+  of a compaction input is not.
+
+No hive partition dirs: file-level statistics subsume partition pruning
+(a predicate on ANY stat column skips files, not just the one blessed
+partition key) — the direction the public table formats themselves are
+taking (Delta liquid clustering / Iceberg hidden partitioning). Use
+:func:`TxTable.optimize` with ``cluster_by`` to keep stats selective.
+
+Reference parity: the reference has no transactional storage at all —
+its silver overwrite (silver_processor.py:144-146) is destructive and
+single-writer. This module is extension surface (SURVEY §2.A "beyond
+parity"), the storage-layer capstone of versioned/manifest/layout.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOG_DIR = "_txlog"
+_DATA_DIR = "data"
+_VERSION_RE = re.compile(r"^(\d{20})\.json$")
+_CKPT_RE = re.compile(r"^(\d{20})\.ckpt\.json$")
+
+
+class ConflictError(RuntimeError):
+    """A concurrent commit invalidated this transaction's snapshot."""
+
+
+class VersionExpiredError(LookupError):
+    """The requested version's log entries were expired (log truncation
+    past the newest checkpoint ≤ that version)."""
+
+
+def _stat_value(v):
+    """Footer stat → JSON-safe scalar. Only int/float/str columns carry
+    stats (timestamps/binary/nested are skipped at harvest — their
+    files read as 'no stats' and are never pruned, conservatively)."""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _file_stats(abspath: str, stat_cols: list[str]) -> tuple[int, dict]:
+    """(num_records, {col: [min, max, n_null]}) from the parquet FOOTER
+    only — metadata read, no data scan. A column missing min/max stats
+    in ANY row group is omitted (conservative: the file then overlaps
+    every predicate). Leaf chunks are resolved by PATH, not top-level
+    field index (the tables.py lesson: chunk order is leaf order).
+    String stats may be writer-TRUNCATED; both Spark's and Arrow's
+    parquet writers keep truncated values VALID bounds (max is padded
+    upward), so pruning on them stays sound — the same assumption every
+    stats-reading planner makes of conforming writers."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(abspath).metadata
+    pqs = meta.schema
+    out: dict[str, list] = {}
+    leaf_of = {pqs.column(i).path: i for i in range(len(pqs))}
+    for col in stat_cols:
+        idx = leaf_of.get(col)
+        if idx is None:
+            continue
+        mn = mx = None
+        nulls = 0
+        ok = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            if isinstance(lo, (int, float, str)) is False:
+                ok = False  # non-orderable-in-JSON type (timestamps etc.)
+                break
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+            nulls += st.null_count or 0
+        if ok and mn is not None:
+            out[col] = [mn, mx, nulls]
+    return meta.num_rows, out
+
+
+def _overlaps(stats: dict, col: str, lo, hi) -> bool:
+    """File-vs-predicate overlap; missing stats are kept conservatively
+    (same contract as manifest._overlaps)."""
+    s = stats.get(col)
+    if s is None:
+        return True
+    mn, mx, _ = s
+    return mx >= lo and mn <= hi
+
+
+class TxTable:
+    """Handle on a transaction-logged table. One handle per logical
+    writer; every read/write resolves the CURRENT log state (handles
+    hold no snapshot cache, so two handles on one root model two
+    concurrent writers faithfully — the unit tests do exactly that)."""
+
+    CHECKPOINT_INTERVAL = 10
+    MAX_COMMIT_RETRIES = 50
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        if not os.path.isdir(self._log_root()):
+            raise FileNotFoundError(
+                f"no transaction log at {root!r} — TxTable.create() first"
+            )
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        stat_cols: list[str] | None = None,
+    ) -> "TxTable":
+        """Version 0: schema + initial data in one atomic commit.
+        ``stat_cols`` picks the columns whose footer min/max travel in
+        the log (int/float/string only — the pruning index)."""
+        os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
+        self = object.__new__(cls)
+        self.spark, self.root = spark, root
+        if self._latest_version() >= 0:
+            raise ConflictError(f"table already exists at {root!r}")
+        stat_cols = list(
+            stat_cols
+            if stat_cols is not None
+            else [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.typeName()
+                in ("integer", "long", "double", "float", "string")
+            ]
+        )
+        meta = {
+            "schema_json": df.schema.json(),
+            "stat_cols": stat_cols,
+        }
+        adds = self._write_stage(df, stat_cols)
+        self._commit("create", adds, [], None, read_version=-1, meta=meta)
+        return self
+
+    # -- paths / log store ------------------------------------------------
+
+    def _log_root(self) -> str:
+        return os.path.join(self.root, _LOG_DIR)
+
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self._log_root(), f"{version:020d}.json")
+
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self._log_root(), f"{version:020d}.ckpt.json")
+
+    def _list_log(self) -> tuple[list[int], list[int]]:
+        """(commit versions, checkpoint versions), each ascending."""
+        vs, cs = [], []
+        for name in os.listdir(self._log_root()):
+            m = _VERSION_RE.match(name)
+            if m:
+                vs.append(int(m.group(1)))
+                continue
+            m = _CKPT_RE.match(name)
+            if m:
+                cs.append(int(m.group(1)))
+        return sorted(vs), sorted(cs)
+
+    def _latest_version(self) -> int:
+        vs, cs = self._list_log()
+        candidates = vs + cs
+        return max(candidates) if candidates else -1
+
+    def _put_if_absent(self, payload: str, final: str) -> bool:
+        """POSIX put-if-absent: write a temp file, then hard-link it to
+        the final name — ``os.link`` fails with EEXIST atomically in the
+        kernel, so exactly ONE concurrent committer wins a version (no
+        exists()-then-rename TOCTOU). The DFS ports live here: HDFS →
+        ``FileSystem.create(path, overwrite=false)``; S3 → an external
+        coordination store (public Delta LogStore requirement)."""
+        tmp = os.path.join(self._log_root(), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    # -- log replay -------------------------------------------------------
+
+    def _parse_commit(self, version: int) -> list[dict]:
+        path = self._log_path(version)
+        with open(path, encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _state_at(self, version: int) -> tuple[dict, dict]:
+        """Replay → (meta, {rel_path: add_entry}) at ``version``. Starts
+        from the newest checkpoint ≤ version when one exists; raises
+        :class:`VersionExpiredError` if the needed commit files were
+        expired past the available checkpoints."""
+        vs, cs = self._list_log()
+        base = max((c for c in cs if c <= version), default=None)
+        meta: dict = {}
+        live: dict[str, dict] = {}
+        start = 0
+        if base is not None:
+            with open(self._ckpt_path(base), encoding="utf-8") as f:
+                ck = json.load(f)
+            meta = ck["meta"]
+            live = {a["path"]: a for a in ck["adds"]}
+            start = base + 1
+        have = set(vs)
+        for v in range(start, version + 1):
+            if v not in have:
+                raise VersionExpiredError(
+                    f"version {v} of {self.root!r} has been expired "
+                    f"(newest usable checkpoint: {base})"
+                )
+            for action in self._parse_commit(v):
+                if "meta" in action:
+                    meta = action["meta"]
+                elif "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+        if not meta:
+            raise VersionExpiredError(f"no metadata replayable at v{version}")
+        return meta, live
+
+    def version(self) -> int:
+        v = self._latest_version()
+        if v < 0:
+            raise FileNotFoundError(f"empty transaction log at {self.root!r}")
+        return v
+
+    def schema(self) -> T.StructType:
+        meta, _ = self._state_at(self.version())
+        return T.StructType.fromJson(json.loads(meta["schema_json"]))
+
+    def snapshot_adds(self, version: int | None = None) -> list[dict]:
+        """The live file entries (path/size/num_records/stats) at a
+        version — the log-as-manifest view, O(files), no data scan."""
+        v = self.version() if version is None else version
+        _, live = self._state_at(v)
+        return sorted(live.values(), key=lambda a: a["path"])
+
+    def history(self) -> list[dict]:
+        """Per-commit audit rows (version, op, n_adds, n_removes, txn);
+        expired versions are omitted."""
+        vs, _ = self._list_log()
+        out = []
+        for v in vs:
+            ops = [a["commit"] for a in self._parse_commit(v) if "commit" in a]
+            n_add = sum(1 for a in self._parse_commit(v) if "add" in a)
+            n_rm = sum(1 for a in self._parse_commit(v) if "remove" in a)
+            info = ops[0] if ops else {}
+            out.append(
+                {
+                    "version": v,
+                    "op": info.get("op", "?"),
+                    "n_adds": n_add,
+                    "n_removes": n_rm,
+                    "txn": info.get("txn", ""),
+                }
+            )
+        return out
+
+    # -- reads ------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot-isolated read: the file list is fixed by the log at
+        resolve time, so a concurrent commit (or even a vacuum of
+        now-unreferenced files) cannot change what this scan sees.
+        ``version`` → time travel."""
+        meta, live = self._state_at(
+            self.version() if version is None else version
+        )
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        if not live:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, rel) for rel in sorted(live)]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def scan(self, preds: dict) -> tuple[DataFrame, dict]:
+        """Stats-pruned read: ``{col: (lo, hi)}`` conjunctive ranges.
+        Files whose log-carried [min, max] miss any range are never
+        opened — the planner is O(files) driver work on log metadata
+        (the same coordinator-artifact contract as manifest.py, minus
+        its build scan). Residual row filters are re-applied; the
+        result is exact, pruning is only a file-count optimization."""
+        meta, live = self._state_at(self.version())
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        keep = [
+            a
+            for a in live.values()
+            if all(_overlaps(a["stats"], c, lo, hi) for c, (lo, hi) in preds.items())
+        ]
+        stats = {"files_total": len(live), "files_read": len(keep)}
+        if not keep:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, a["path"]) for a in keep]
+            )
+        for c, (lo, hi) in preds.items():
+            df = df.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
+        return df, stats
+
+    # -- write path -------------------------------------------------------
+
+    def _write_stage(self, df: DataFrame, stat_cols: list[str]) -> list[dict]:
+        """Stage ``df`` as immutable parquet under data/<txn>/ and
+        harvest add-entries (size + footer stats). Staged files are
+        invisible until a commit references them; a crashed writer
+        leaves an unreferenced dir that vacuum() reaps."""
+        txn = uuid.uuid4().hex
+        rel_dir = os.path.join(_DATA_DIR, txn)
+        out_dir = os.path.join(self.root, rel_dir)
+        df.write.mode("errorifexists").parquet(out_dir)
+        adds = []
+        for name in sorted(os.listdir(out_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            abspath = os.path.join(out_dir, name)
+            num, stats = _file_stats(abspath, stat_cols)
+            if num == 0:
+                continue  # zero-record part file: never referenced,
+                # vacuum reaps it with the rest of an orphaned stage
+            adds.append(
+                {
+                    "path": os.path.join(rel_dir, name),
+                    "size": os.path.getsize(abspath),
+                    "num_records": num,
+                    "stats": stats,
+                }
+            )
+        return adds
+
+    def _check_conflicts(
+        self,
+        op: str,
+        removes: list[str],
+        predicate: dict | None,
+        read_version: int,
+        latest: int,
+    ) -> None:
+        our_removes = set(removes)
+        for v in range(read_version + 1, latest + 1):
+            actions = self._parse_commit(v)
+            their_op = next(
+                (a["commit"].get("op") for a in actions if "commit" in a), "?"
+            )
+            for a in actions:
+                if "remove" in a and a["remove"]["path"] in our_removes:
+                    raise ConflictError(
+                        f"v{v} ({their_op}) removed {a['remove']['path']!r}, "
+                        f"which this {op} transaction also rewrites"
+                    )
+                if "add" in a and op in ("delete", "merge"):
+                    if predicate is None or any(
+                        _overlaps(a["add"].get("stats", {}), c, lo, hi)
+                        for c, (lo, hi) in predicate.items()
+                    ):
+                        raise ConflictError(
+                            f"v{v} ({their_op}) added {a['add']['path']!r} "
+                            f"overlapping this {op}'s predicate — the "
+                            "rewrite was computed against a stale snapshot"
+                        )
+
+    def _commit(
+        self,
+        op: str,
+        adds: list[dict],
+        removes: list[str],
+        predicate: dict | None,
+        read_version: int,
+        meta: dict | None = None,
+    ) -> int:
+        """Optimistic-concurrency commit loop: conflict-check against
+        everything committed since ``read_version``, then put-if-absent
+        the next version; a lost race re-checks and retries (see module
+        docstring for the per-op rules)."""
+        lines = []
+        if meta is not None:
+            lines.append(json.dumps({"meta": meta}))
+        for rel in removes:
+            lines.append(json.dumps({"remove": {"path": rel}}))
+        for a in adds:
+            lines.append(json.dumps({"add": a}))
+        lines.append(
+            json.dumps(
+                {
+                    "commit": {
+                        "op": op,
+                        "read_version": read_version,
+                        "predicate": {
+                            c: [lo, hi] for c, (lo, hi) in predicate.items()
+                        }
+                        if predicate
+                        else None,
+                        "txn": uuid.uuid4().hex,
+                    }
+                }
+            )
+        )
+        payload = "\n".join(lines) + "\n"
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            latest = self._latest_version()
+            if latest > read_version:
+                if op == "create":
+                    # a create must own version 0 outright — any visible
+                    # commit means another creator won
+                    raise ConflictError(
+                        f"concurrent create at {self.root!r} (version 0 taken)"
+                    )
+                self._check_conflicts(op, removes, predicate, read_version, latest)
+            v = latest + 1
+            if self._put_if_absent(payload, self._log_path(v)):
+                if v > 0 and v % self.CHECKPOINT_INTERVAL == 0:
+                    self._write_checkpoint(v)
+                return v
+        raise ConflictError(
+            f"commit contention: lost {self.MAX_COMMIT_RETRIES} races at "
+            f"{self.root!r}"
+        )
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Full-state checkpoint so replay is O(commits since last
+        checkpoint), not O(table age). Readers prefer the newest
+        checkpoint ≤ their target. JSON here (file count is O(10³) in
+        this deployment); at O(10⁵)+ files the same state goes in a
+        parquet checkpoint, as the public formats do. Failure-safe:
+        best-effort (a missing checkpoint only slows replay), but an
+        EXISTING one is never half-visible (tmp + atomic rename)."""
+        meta, live = self._state_at(version)
+        payload = json.dumps(
+            {"version": version, "meta": meta, "adds": sorted(
+                live.values(), key=lambda a: a["path"]
+            )}
+        )
+        tmp = os.path.join(self._log_root(), f".ckpt-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(payload)
+        os.replace(tmp, self._ckpt_path(version))
+
+    # -- transactions -----------------------------------------------------
+
+    def append(self, df: DataFrame) -> int:
+        """Blind append: never conflicts, retries through any number of
+        interleaved commits. O(new files) — the whole point vs
+        versioned.py's whole-table snapshots."""
+        meta, _ = self._state_at(self.version())
+        adds = self._write_stage(self._conform(df, meta), meta["stat_cols"])
+        return self._commit("append", adds, [], None, read_version=self.version())
+
+    def delete_where(self, col: str, lo, hi) -> int:
+        """Delete rows with ``col BETWEEN lo AND hi`` (NULLs never
+        match, both here and in ANSI SQL — the keep-filter coalesces
+        the NULL predicate to keep). Only files whose stats overlap the
+        range are rewritten: the blast radius is O(matching files), and
+        untouched files are not even opened (the erasure-module
+        discipline, now transactional)."""
+        rv = self.version()
+        meta, live = self._state_at(rv)
+        hit = [a for a in live.values() if _overlaps(a["stats"], col, lo, hi)]
+        if not hit:
+            return rv
+        src = self.spark.read.schema(
+            T.StructType.fromJson(json.loads(meta["schema_json"]))
+        ).parquet(*[os.path.join(self.root, a["path"]) for a in hit])
+        matched = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        keep = src.filter(~F.coalesce(matched, F.lit(False)))
+        adds = self._write_stage(keep, meta["stat_cols"])
+        return self._commit(
+            "delete",
+            adds,
+            [a["path"] for a in hit],
+            {col: (lo, hi)},
+            read_version=rv,
+        )
+
+    def merge_upsert(self, updates: DataFrame, key: str) -> int:
+        """Keyed upsert: rows of ``updates`` replace same-key rows and
+        insert otherwise. ``key`` must be a stat column: the updates'
+        [min, max] key range prunes the candidate files, so only files
+        that could hold a matched key are rewritten — a merge into a
+        100 TB table touches O(files overlapping the update key range).
+
+        Preconditions enforced loudly: unique, non-null UPDATE keys
+        (at-least-once upstreams dedupe first — the idempotent-append
+        contract; a NULL update key can never match anything and would
+        silently re-insert on every replay). NULL keys already IN the
+        table follow standard SQL MERGE semantics: never matched,
+        preserved verbatim through any rewrite (the anti-join keeps
+        them — pinned by test)."""
+        rv = self.version()
+        meta, live = self._state_at(rv)
+        if key not in meta["stat_cols"]:
+            raise ValueError(
+                f"merge key {key!r} is not a stat column {meta['stat_cols']} "
+                "— keyed merges need the key range index"
+            )
+        updates = self._conform(updates, meta)
+        bounds = updates.agg(
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            F.count("*").alias("n"),
+            F.count(key).alias("n_key"),
+            F.countDistinct(key).alias("n_distinct"),
+        ).collect()[0]
+        if bounds["n"] == 0:
+            return rv
+        if bounds["n_key"] != bounds["n"]:
+            raise ValueError("merge_upsert: NULL update keys")
+        if bounds["n_distinct"] != bounds["n"]:
+            raise ValueError(
+                "merge_upsert: duplicate update keys — dedupe (e.g. "
+                "operators.cleaning.dedup_latest) before merging"
+            )
+        lo, hi = bounds["lo"], bounds["hi"]
+        # a file with NO key stats (e.g. all-NULL key column — parquet
+        # writes no min/max) cannot be proven disjoint; rewriting it is
+        # CORRECT either way (the anti-join only replaces matched keys),
+        # the stats merely bound the IO — so it joins the rewrite set
+        # conservatively, same contract as _overlaps
+        hit = [a for a in live.values() if _overlaps(a["stats"], key, lo, hi)]
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        if hit:
+            src = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, a["path"]) for a in hit]
+            )
+            survivors = src.join(
+                F.broadcast(updates.select(key)), key, "left_anti"
+            )
+            new_data = survivors.unionByName(updates)
+        else:
+            new_data = updates
+        adds = self._write_stage(new_data, meta["stat_cols"])
+        return self._commit(
+            "merge",
+            adds,
+            [a["path"] for a in hit],
+            {key: (lo, hi)},
+            read_version=rv,
+        )
+
+    def optimize(
+        self,
+        small_file_bytes: int = 64 * 1024 * 1024,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        cluster_by: str | None = None,
+    ) -> int:
+        """Compact files smaller than ``small_file_bytes`` into
+        ~``target_file_bytes`` outputs; ``cluster_by`` range-partitions
+        + sorts the rewrite so the new files' stats are tight on that
+        column (1-D OPTIMIZE-cluster; sources/layout.py is the
+        multi-dimension Z-order form). Pure rewrite: the commit removes
+        the inputs and adds their compaction, so a concurrent append is
+        untouched and a concurrent remove of an input conflicts."""
+        rv = self.version()
+        meta, live = self._state_at(rv)
+        small = [a for a in live.values() if a["size"] < small_file_bytes]
+        if len(small) < 2:
+            return rv
+        src = self.spark.read.schema(
+            T.StructType.fromJson(json.loads(meta["schema_json"]))
+        ).parquet(*[os.path.join(self.root, a["path"]) for a in small])
+        n_out = max(1, math.ceil(sum(a["size"] for a in small) / target_file_bytes))
+        if cluster_by is not None:
+            src = src.repartitionByRange(n_out, cluster_by).sortWithinPartitions(
+                cluster_by
+            )
+        else:
+            src = src.coalesce(n_out)
+        adds = self._write_stage(src, meta["stat_cols"])
+        return self._commit(
+            "optimize", adds, [a["path"] for a in small], None, read_version=rv
+        )
+
+    # -- maintenance ------------------------------------------------------
+
+    def vacuum(self, retention_sec: float = 3600.0) -> list[str]:
+        """Delete data files referenced by NO replayable log version
+        (crashed-writer stages, files whose every referencing version
+        was expired) once older than ``retention_sec`` — the age gate
+        keeps an IN-FLIGHT writer's staged-but-not-yet-committed files
+        safe, exactly Delta's vacuum contract. Never touches anything
+        any surviving log version references, so time travel over the
+        retained history stays intact. Returns removed rel paths."""
+        vs, cs = self._list_log()
+        referenced: set[str] = set()
+        for c in cs:
+            with open(self._ckpt_path(c), encoding="utf-8") as f:
+                referenced.update(a["path"] for a in json.load(f)["adds"])
+        for v in vs:
+            for a in self._parse_commit(v):
+                if "add" in a:
+                    referenced.add(a["add"]["path"])
+        removed = []
+        data_root = os.path.join(self.root, _DATA_DIR)
+        now = time.time()
+        for dirpath, _dirs, files in os.walk(data_root):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue  # _SUCCESS etc. ride with their txn dir below
+                abspath = os.path.join(dirpath, name)
+                rel = os.path.relpath(abspath, self.root)
+                if rel in referenced:
+                    continue
+                if now - os.path.getmtime(abspath) < retention_sec:
+                    continue
+                os.unlink(abspath)
+                removed.append(rel)
+        # a txn dir left with no parquet files (fully-vacuumed orphan
+        # stage) goes entirely, marker files included
+        import shutil
+
+        if os.path.isdir(data_root):
+            for name in os.listdir(data_root):
+                d = os.path.join(data_root, name)
+                if os.path.isdir(d) and not any(
+                    f.endswith(".parquet")
+                    for _, _, fs in os.walk(d)
+                    for f in fs
+                ):
+                    shutil.rmtree(d)
+        return sorted(removed)
+
+    def expire(self, keep_last: int) -> list[int]:
+        """Truncate log history: checkpoint the current version, then
+        drop commit files older than the newest ``keep_last`` versions.
+        Time travel to an expired version raises
+        :class:`VersionExpiredError`; the expired versions' exclusive
+        files become vacuum-eligible. Returns expired versions."""
+        latest = self.version()
+        if not os.path.exists(self._ckpt_path(latest)):
+            self._write_checkpoint(latest)
+        cutoff = latest - keep_last + 1
+        vs, _ = self._list_log()
+        dropped = [v for v in vs if v < cutoff]
+        for v in dropped:
+            os.unlink(self._log_path(v))
+        return dropped
+
+    # -- helpers ----------------------------------------------------------
+
+    def _conform(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Align an incoming frame to the table schema: same column SET
+        required (loud on drift — the schemas.py discipline), order
+        normalized, exact-type equality enforced (no silent casts: a
+        double arriving for a long column is drift, not data)."""
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        want = {f.name: f.dataType for f in schema.fields}
+        have = {f.name: f.dataType for f in df.schema.fields}
+        if set(want) != set(have):
+            raise ValueError(
+                f"schema drift: table columns {sorted(want)} vs incoming "
+                f"{sorted(have)}"
+            )
+        for name, dt in want.items():
+            if have[name] != dt:
+                raise ValueError(
+                    f"schema drift on {name!r}: table {dt.simpleString()} "
+                    f"vs incoming {have[name].simpleString()}"
+                )
+        return df.select(*[f.name for f in schema.fields])

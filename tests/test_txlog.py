@@ -1,0 +1,288 @@
+"""Transaction-log table format (sources/txlog.py): ACID commit
+protocol, optimistic concurrency, stats pruning, time travel, vacuum.
+
+The two-writers tests use two TxTable handles on one root — handles
+hold no snapshot cache, so interleaving their calls models two real
+concurrent committers up to the put-if-absent race itself, which is
+exercised directly via _put_if_absent."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_mastery_pipeline_spark.sources.txlog import (
+    ConflictError,
+    TxTable,
+    VersionExpiredError,
+)
+
+DDL = "k long, grp string, v double"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, DDL)
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_create_append_read_roundtrip(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t.append(_df(spark, [(3, "a", 3.0)]))
+    assert _rows(t.read()) == [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]
+    # a second handle (fresh reader) sees the same committed state
+    assert _rows(TxTable(spark, root).read()) == _rows(t.read())
+
+
+def test_create_twice_conflicts(spark, root):
+    TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    with pytest.raises(ConflictError):
+        TxTable.create(spark, root, _df(spark, [(9, "z", 9.0)]))
+
+
+def test_time_travel_and_history(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t.append(_df(spark, [(2, "b", 2.0)]))
+    t.delete_where("k", 1, 1)
+    assert _rows(t.read(version=0)) == [(1, "a", 1.0)]
+    assert _rows(t.read(version=1)) == [(1, "a", 1.0), (2, "b", 2.0)]
+    assert _rows(t.read()) == [(2, "b", 2.0)]
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["create", "append", "delete"]
+
+
+def test_delete_where_blast_radius_and_null_semantics(spark, root):
+    """Only stat-overlapping files are rewritten; untouched files stay
+    BYTE-IDENTICAL on disk, and NULL predicate values never match."""
+    t = TxTable.create(spark, root, _df(spark, [(1, "lo", 5.0), (2, "lo", None)]))
+    t.append(_df(spark, [(3, "hi", 100.0)]))  # disjoint v-range file
+    before = {
+        a["path"]: (a["size"], os.path.getmtime(os.path.join(root, a["path"])))
+        for a in t.snapshot_adds()
+    }
+    hi_files = {p for p in before if p not in {a["path"] for a in t.snapshot_adds(0)}}
+    t.delete_where("v", 0.0, 10.0)
+    after_paths = {a["path"] for a in t.snapshot_adds()}
+    # the hi-range file survived untouched (same path, same bytes)
+    assert hi_files <= after_paths
+    for p in hi_files:
+        assert os.path.getmtime(os.path.join(root, p)) == before[p][1]
+    # NULL v row survives the delete (BETWEEN never matches NULL)
+    assert _rows(t.read()) == [(2, "lo", None), (3, "hi", 100.0)]
+
+
+def test_delete_no_overlap_is_metadata_noop(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    v = t.version()
+    assert t.delete_where("v", 500.0, 600.0) == v  # no commit, no rewrite
+    assert t.version() == v
+
+
+def test_merge_upsert_update_insert_and_null_key_preserved(spark, root):
+    t = TxTable.create(
+        spark, root, _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (None, "n", 0.5)])
+    )
+    t.merge_upsert(_df(spark, [(2, "b", 20.0), (4, "d", 4.0)]), "k")
+    assert _rows(t.read()) == [
+        (1, "a", 1.0),
+        (2, "b", 20.0),  # updated
+        (4, "d", 4.0),  # inserted
+        (None, "n", 0.5),  # NULL key: never matched, preserved (sorts last)
+    ]
+
+
+def test_merge_upsert_prunes_by_key_range(spark, root):
+    """Files whose key stats are disjoint from the updates' range are
+    not rewritten (same paths before and after)."""
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t.append(_df(spark, [(1000, "z", 9.0)]))
+    low_file = {a["path"] for a in t.snapshot_adds() if a["stats"]["k"][1] < 100}
+    t.merge_upsert(_df(spark, [(1000, "z", 10.0)]), "k")
+    assert low_file <= {a["path"] for a in t.snapshot_adds()}
+
+
+def test_merge_upsert_guards(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge_upsert(_df(spark, [(7, "x", 1.0), (7, "y", 2.0)]), "k")
+    with pytest.raises(ValueError, match="NULL"):
+        t.merge_upsert(_df(spark, [(None, "x", 1.0)]), "k")
+    with pytest.raises(ValueError, match="stat column"):
+        t.merge_upsert(_df(spark, [(7, "x", 1.0)]), "grp2")
+    # empty updates: metadata no-op
+    assert t.merge_upsert(_df(spark, []), "k") == t.version()
+
+
+def test_optimize_compacts_preserves_rows_and_stats_metadata(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    for i in range(2, 6):
+        t.append(_df(spark, [(i, "a", float(i))]))
+    adds_before = t.snapshot_adds()
+    rows_before = sum(a["num_records"] for a in adds_before)
+    t.optimize(small_file_bytes=10 * 1024 * 1024, cluster_by="k")
+    adds_after = t.snapshot_adds()
+    assert len(adds_after) < len(adds_before)
+    assert sum(a["num_records"] for a in adds_after) == rows_before  # metadata-level
+    assert _rows(t.read()) == [(i, "a", float(i)) for i in range(1, 6)]
+    assert [h["op"] for h in t.history()][-1] == "optimize"
+
+
+def test_concurrent_append_append_retries_transparently(spark, root):
+    """Two writers race on the same version: the loser's blind append
+    retries at the next version — both rows land, no error."""
+    t1 = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t2 = TxTable(spark, root)
+    # t2 commits BETWEEN t1's snapshot resolve and t1's commit: simulate
+    # by pre-claiming t1's target version with t2's real append
+    t2.append(_df(spark, [(2, "b", 2.0)]))
+    t1.append(_df(spark, [(3, "c", 3.0)]))  # lost race → retried
+    assert _rows(t1.read()) == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+
+
+def test_concurrent_overlapping_append_vs_delete_conflicts(spark, root):
+    """A delete computed against a snapshot that a concurrent append
+    then invalidated (new file overlaps the predicate) must raise."""
+    t1 = TxTable.create(spark, root, _df(spark, [(1, "a", 5.0)]))
+    t2 = TxTable(spark, root)
+    rv = t1.version()
+    meta, live = t1._state_at(rv)
+    hit = [a for a in live.values()]
+    # t2's append lands first, with v inside t1's delete range
+    t2.append(_df(spark, [(2, "b", 7.0)]))
+    with pytest.raises(ConflictError, match="stale snapshot"):
+        t1._commit("delete", [], [a["path"] for a in hit], {"v": (0.0, 10.0)}, rv)
+
+
+def test_concurrent_disjoint_append_vs_delete_is_serializable(spark, root):
+    """A concurrent append whose file stats are DISJOINT from the
+    delete predicate does not conflict — the delete retries and
+    commits; both effects land."""
+    t1 = TxTable.create(spark, root, _df(spark, [(1, "a", 5.0), (2, "a", 6.0)]))
+    t2 = TxTable(spark, root)
+    rv = t1.version()
+    meta, live = t1._state_at(rv)
+    # t1 prepares its delete rewrite (v in [0, 10] hits the only file)
+    src = t1.read(version=rv).filter(
+        ~F.coalesce((F.col("v") >= 0.0) & (F.col("v") <= 10.0), F.lit(False))
+    )
+    adds = t1._write_stage(src, meta["stat_cols"])
+    # t2 appends far outside the predicate range
+    t2.append(_df(spark, [(3, "z", 1000.0)]))
+    v = t1._commit("delete", adds, [a["path"] for a in live.values()],
+                   {"v": (0.0, 10.0)}, rv)
+    assert v == t1.version()
+    assert _rows(t1.read()) == [(3, "z", 1000.0)]
+
+
+def test_concurrent_remove_remove_conflicts(spark, root):
+    """Two transactions rewriting the same file: the loser must raise,
+    whatever its op (here: two optimizes)."""
+    t1 = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t1.append(_df(spark, [(2, "a", 2.0)]))
+    t2 = TxTable(spark, root)
+    rv = t1.version()
+    _, live = t1._state_at(rv)
+    removes = [a["path"] for a in live.values()]
+    t2.optimize(small_file_bytes=10 * 1024 * 1024)  # t2 wins
+    with pytest.raises(ConflictError, match="also rewrites"):
+        t1._commit("optimize", [], removes, None, rv)
+
+
+def test_crash_orphan_invisible_then_vacuumed(spark, root):
+    """A writer that staged data but never committed leaves files that
+    (a) no read ever sees, (b) vacuum deletes after the retention age,
+    while every referenced file survives."""
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    meta, _ = t._state_at(t.version())
+    orphans = t._write_stage(_df(spark, [(99, "x", 9.0)]), meta["stat_cols"])
+    assert _rows(t.read()) == [(1, "a", 1.0)]  # invisible
+    assert t.vacuum(retention_sec=3600.0) == []  # too young: kept
+    removed = t.vacuum(retention_sec=0.0)
+    referenced = {a["path"] for a in t.snapshot_adds()}
+    assert {a["path"] for a in orphans} <= set(removed)
+    assert not referenced & set(removed)
+    assert not os.path.isdir(
+        os.path.join(root, os.path.dirname(orphans[0]["path"]))
+    )  # the whole orphan stage dir is gone
+    assert _rows(t.read()) == [(1, "a", 1.0)]  # referenced data intact
+
+
+def test_checkpoint_replay_equivalence_and_expire(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(0, "a", 0.0)]))
+    for i in range(1, 13):  # crosses the interval-10 checkpoint
+        t.append(_df(spark, [(i, "a", float(i))]))
+    ckpts = [n for n in os.listdir(os.path.join(root, "_txlog")) if "ckpt" in n]
+    assert ckpts, "interval checkpoint was not written"
+    expected = [(i, "a", float(i)) for i in range(13)]
+    # a FRESH handle replays through the checkpoint path
+    assert _rows(TxTable(spark, root).read()) == expected
+    # expire everything but the last 2 versions
+    dropped = t.expire(keep_last=2)
+    assert dropped and max(dropped) == t.version() - 2
+    assert _rows(t.read()) == expected  # live read unaffected
+    with pytest.raises(VersionExpiredError):
+        t.read(version=min(dropped) - 1 if min(dropped) > 0 else 0)
+
+
+def test_scan_prunes_files_by_log_stats(spark, root):
+    """Range-clustered appends → a needle scan opens a strict subset of
+    files and returns exactly the full-scan-filtered rows."""
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    for lo in (10, 20, 30):
+        t.append(_df(spark, [(lo + j, "a", float(lo + j)) for j in range(5)]))
+    df, stats = t.scan({"v": (20.0, 24.0)})
+    assert stats["files_read"] < stats["files_total"]
+    expect = _rows(t.read().filter((F.col("v") >= 20.0) & (F.col("v") <= 24.0)))
+    assert _rows(df) == expect
+
+
+def test_schema_drift_raises_loudly(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    with pytest.raises(ValueError, match="schema drift"):
+        t.append(spark.createDataFrame([(2, "b")], "k long, grp string"))
+    with pytest.raises(ValueError, match="schema drift on"):
+        t.append(spark.createDataFrame([(2, "b", 2)], "k long, grp string, v long"))
+
+
+def test_put_if_absent_is_exclusive(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    target = os.path.join(root, "_txlog", "claim.json")
+    assert t._put_if_absent("x", target) is True
+    assert t._put_if_absent("y", target) is False
+    with open(target) as f:
+        assert f.read() == "x"  # the winner's payload, untouched
+    os.unlink(target)
+
+
+def test_empty_table_after_full_delete(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t.delete_where("k", 0, 100)
+    df = t.read()
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "grp", "v"]
+    # and the table accepts appends again
+    t.append(_df(spark, [(5, "e", 5.0)]))
+    assert _rows(t.read()) == [(5, "e", 5.0)]
+
+
+def test_log_payload_shape(spark, root):
+    """The commit file is line-JSON with remove-before-add and a
+    trailing commit info — the replay contract."""
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t.delete_where("k", 1, 1)
+    path = os.path.join(root, "_txlog", f"{t.version():020d}.json")
+    kinds = [next(iter(json.loads(line))) for line in open(path) if line.strip()]
+    assert kinds[0] == "remove" and kinds[-1] == "commit"
