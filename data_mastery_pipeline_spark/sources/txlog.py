@@ -103,6 +103,12 @@ class VersionExpiredError(LookupError):
     past the newest checkpoint ≤ that version)."""
 
 
+class _AlreadyCommitted(Exception):
+    """Internal: a stream batch's txn watermark was found already
+    committed — the replayed attempt must become a no-op, not an
+    error (caught by append_stream_batch)."""
+
+
 def _stat_value(v):
     """Footer stat → JSON-safe scalar. Only int/float/str columns carry
     stats (timestamps/binary/nested are skipped at harvest — their
@@ -271,21 +277,25 @@ class TxTable:
         with open(path, encoding="utf-8") as f:
             return [json.loads(line) for line in f if line.strip()]
 
-    def _state_at(self, version: int) -> tuple[dict, dict]:
-        """Replay → (meta, {rel_path: add_entry}) at ``version``. Starts
-        from the newest checkpoint ≤ version when one exists; raises
-        :class:`VersionExpiredError` if the needed commit files were
-        expired past the available checkpoints."""
+    def _state_at(self, version: int) -> tuple[dict, dict, dict]:
+        """Replay → (meta, {rel_path: add_entry}, {app_id: last_batch})
+        at ``version``. Starts from the newest checkpoint ≤ version when
+        one exists; raises :class:`VersionExpiredError` if the needed
+        commit files were expired past the available checkpoints. The
+        third element is the streaming-writer watermark map (``txn``
+        actions — see :meth:`append_stream_batch`)."""
         vs, cs = self._list_log()
         base = max((c for c in cs if c <= version), default=None)
         meta: dict = {}
         live: dict[str, dict] = {}
+        txns: dict[str, int] = {}
         start = 0
         if base is not None:
             with open(self._ckpt_path(base), encoding="utf-8") as f:
                 ck = json.load(f)
             meta = ck["meta"]
             live = {a["path"]: a for a in ck["adds"]}
+            txns = dict(ck.get("txns", {}))
             start = base + 1
         have = set(vs)
         for v in range(start, version + 1):
@@ -301,9 +311,14 @@ class TxTable:
                     live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
+                elif "txn" in action:
+                    t = action["txn"]
+                    txns[t["app_id"]] = max(
+                        t["batch_id"], txns.get(t["app_id"], -1)
+                    )
         if not meta:
             raise VersionExpiredError(f"no metadata replayable at v{version}")
-        return meta, live
+        return meta, live, txns
 
     def version(self) -> int:
         v = self._latest_version()
@@ -312,14 +327,14 @@ class TxTable:
         return v
 
     def schema(self) -> T.StructType:
-        meta, _ = self._state_at(self.version())
+        meta, _, _ = self._state_at(self.version())
         return T.StructType.fromJson(json.loads(meta["schema_json"]))
 
     def snapshot_adds(self, version: int | None = None) -> list[dict]:
         """The live file entries (path/size/num_records/stats) at a
         version — the log-as-manifest view, O(files), no data scan."""
         v = self.version() if version is None else version
-        _, live = self._state_at(v)
+        _, live, _ = self._state_at(v)
         return sorted(live.values(), key=lambda a: a["path"])
 
     def history(self) -> list[dict]:
@@ -350,7 +365,7 @@ class TxTable:
         resolve time, so a concurrent commit (or even a vacuum of
         now-unreferenced files) cannot change what this scan sees.
         ``version`` → time travel."""
-        meta, live = self._state_at(
+        meta, live, _ = self._state_at(
             self.version() if version is None else version
         )
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
@@ -366,7 +381,7 @@ class TxTable:
         (the same coordinator-artifact contract as manifest.py, minus
         its build scan). Residual row filters are re-applied; the
         result is exact, pruning is only a file-count optimization."""
-        meta, live = self._state_at(self.version())
+        meta, live, _ = self._state_at(self.version())
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         keep = [
             a
@@ -453,11 +468,18 @@ class TxTable:
         predicate: dict | None,
         read_version: int,
         meta: dict | None = None,
+        stream_txn: tuple[str, int] | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop: conflict-check against
         everything committed since ``read_version``, then put-if-absent
         the next version; a lost race re-checks and retries (see module
-        docstring for the per-op rules)."""
+        docstring for the per-op rules). ``stream_txn=(app_id,
+        batch_id)`` rides a ``txn`` watermark action with the commit and
+        aborts with :class:`_AlreadyCommitted` if an interleaved commit
+        carries the same app at an equal-or-newer batch — the
+        put-if-absent race is what serializes two replays of one
+        micro-batch, so the check INSIDE the loop is the guarantee, not
+        the caller's pre-check."""
         lines = []
         if meta is not None:
             lines.append(json.dumps({"meta": meta}))
@@ -465,6 +487,12 @@ class TxTable:
             lines.append(json.dumps({"remove": {"path": rel}}))
         for a in adds:
             lines.append(json.dumps({"add": a}))
+        if stream_txn is not None:
+            lines.append(
+                json.dumps(
+                    {"txn": {"app_id": stream_txn[0], "batch_id": stream_txn[1]}}
+                )
+            )
         lines.append(
             json.dumps(
                 {
@@ -491,6 +519,16 @@ class TxTable:
                     raise ConflictError(
                         f"concurrent create at {self.root!r} (version 0 taken)"
                     )
+                if stream_txn is not None:
+                    app_id, batch_id = stream_txn
+                    for v in range(read_version + 1, latest + 1):
+                        for a in self._parse_commit(v):
+                            if (
+                                "txn" in a
+                                and a["txn"]["app_id"] == app_id
+                                and a["txn"]["batch_id"] >= batch_id
+                            ):
+                                raise _AlreadyCommitted(app_id, batch_id, v)
                 self._check_conflicts(op, removes, predicate, read_version, latest)
             v = latest + 1
             if self._put_if_absent(payload, self._log_path(v)):
@@ -510,11 +548,14 @@ class TxTable:
         parquet checkpoint, as the public formats do. Failure-safe:
         best-effort (a missing checkpoint only slows replay), but an
         EXISTING one is never half-visible (tmp + atomic rename)."""
-        meta, live = self._state_at(version)
+        meta, live, txns = self._state_at(version)
         payload = json.dumps(
-            {"version": version, "meta": meta, "adds": sorted(
-                live.values(), key=lambda a: a["path"]
-            )}
+            {
+                "version": version,
+                "meta": meta,
+                "adds": sorted(live.values(), key=lambda a: a["path"]),
+                "txns": txns,
+            }
         )
         tmp = os.path.join(self._log_root(), f".ckpt-{uuid.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as f:
@@ -527,9 +568,62 @@ class TxTable:
         """Blind append: never conflicts, retries through any number of
         interleaved commits. O(new files) — the whole point vs
         versioned.py's whole-table snapshots."""
-        meta, _ = self._state_at(self.version())
+        meta, _, _ = self._state_at(self.version())
         adds = self._write_stage(self._conform(df, meta), meta["stat_cols"])
         return self._commit("append", adds, [], None, read_version=self.version())
+
+    def last_stream_batch(self, app_id: str) -> int | None:
+        """Highest batch_id this streaming app has committed (its txn
+        watermark), or None — resumes read it to skip replayed work."""
+        _, _, txns = self._state_at(self.version())
+        return txns.get(app_id)
+
+    def append_stream_batch(
+        self, df: DataFrame, app_id: str, batch_id: int
+    ) -> int | None:
+        """EXACTLY-ONCE streaming append for a ``foreachBatch`` sink:
+        the commit carries a ``txn`` watermark ``(app_id, batch_id)``,
+        and a REPLAYED batch (Structured Streaming re-runs the last
+        batch after any restart — its delivery to foreachBatch is
+        at-least-once) becomes a no-op instead of a duplicate. Returns
+        the committed version, or None if this batch was already in.
+
+        The guarantee does not rest on the cheap pre-check here: two
+        concurrent attempts of one batch both pass it, but the log's
+        put-if-absent serializes them and the loser's in-loop watermark
+        re-check (see :meth:`_commit`) aborts — the same
+        reader-invisible staged files a crashed writer leaves, reaped
+        by vacuum. This is the public Delta idempotent-sink design
+        (txn/SetTransaction actions) composed with the repo's
+        offsets-after-write discipline (S8): the sink dedupes on
+        batch_id, so the WAL replay after a crash-before-checkpoint
+        cannot double-append."""
+        last = self.last_stream_batch(app_id)
+        if last is not None and batch_id <= last:
+            return None
+        rv = self.version()
+        meta, _, _ = self._state_at(rv)
+        adds = self._write_stage(self._conform(df, meta), meta["stat_cols"])
+        try:
+            return self._commit(
+                "append",
+                adds,
+                [],
+                None,
+                read_version=rv,
+                stream_txn=(app_id, batch_id),
+            )
+        except _AlreadyCommitted:
+            return None
+
+    def foreach_batch_sink(self, app_id: str):
+        """``writeStream.foreachBatch(table.foreach_batch_sink("app"))``
+        — binds :meth:`append_stream_batch` to the sink signature."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.append_stream_batch(batch_df, app_id, batch_id)
+
+        return _sink
 
     def delete_where(self, col: str, lo, hi) -> int:
         """Delete rows with ``col BETWEEN lo AND hi`` (NULLs never
@@ -539,7 +633,7 @@ class TxTable:
         untouched files are not even opened (the erasure-module
         discipline, now transactional)."""
         rv = self.version()
-        meta, live = self._state_at(rv)
+        meta, live, _ = self._state_at(rv)
         hit = [a for a in live.values() if _overlaps(a["stats"], col, lo, hi)]
         if not hit:
             return rv
@@ -572,7 +666,7 @@ class TxTable:
         preserved verbatim through any rewrite (the anti-join keeps
         them — pinned by test)."""
         rv = self.version()
-        meta, live = self._state_at(rv)
+        meta, live, _ = self._state_at(rv)
         if key not in meta["stat_cols"]:
             raise ValueError(
                 f"merge key {key!r} is not a stat column {meta['stat_cols']} "
@@ -636,7 +730,7 @@ class TxTable:
         the inputs and adds their compaction, so a concurrent append is
         untouched and a concurrent remove of an input conflicts."""
         rv = self.version()
-        meta, live = self._state_at(rv)
+        meta, live, _ = self._state_at(rv)
         small = [a for a in live.values() if a["size"] < small_file_bytes]
         if len(small) < 2:
             return rv

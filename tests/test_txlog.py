@@ -158,7 +158,7 @@ def test_concurrent_overlapping_append_vs_delete_conflicts(spark, root):
     t1 = TxTable.create(spark, root, _df(spark, [(1, "a", 5.0)]))
     t2 = TxTable(spark, root)
     rv = t1.version()
-    meta, live = t1._state_at(rv)
+    meta, live, _ = t1._state_at(rv)
     hit = [a for a in live.values()]
     # t2's append lands first, with v inside t1's delete range
     t2.append(_df(spark, [(2, "b", 7.0)]))
@@ -173,7 +173,7 @@ def test_concurrent_disjoint_append_vs_delete_is_serializable(spark, root):
     t1 = TxTable.create(spark, root, _df(spark, [(1, "a", 5.0), (2, "a", 6.0)]))
     t2 = TxTable(spark, root)
     rv = t1.version()
-    meta, live = t1._state_at(rv)
+    meta, live, _ = t1._state_at(rv)
     # t1 prepares its delete rewrite (v in [0, 10] hits the only file)
     src = t1.read(version=rv).filter(
         ~F.coalesce((F.col("v") >= 0.0) & (F.col("v") <= 10.0), F.lit(False))
@@ -194,7 +194,7 @@ def test_concurrent_remove_remove_conflicts(spark, root):
     t1.append(_df(spark, [(2, "a", 2.0)]))
     t2 = TxTable(spark, root)
     rv = t1.version()
-    _, live = t1._state_at(rv)
+    _, live, _ = t1._state_at(rv)
     removes = [a["path"] for a in live.values()]
     t2.optimize(small_file_bytes=10 * 1024 * 1024)  # t2 wins
     with pytest.raises(ConflictError, match="also rewrites"):
@@ -206,7 +206,7 @@ def test_crash_orphan_invisible_then_vacuumed(spark, root):
     (a) no read ever sees, (b) vacuum deletes after the retention age,
     while every referenced file survives."""
     t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
-    meta, _ = t._state_at(t.version())
+    meta, _, _ = t._state_at(t.version())
     orphans = t._write_stage(_df(spark, [(99, "x", 9.0)]), meta["stat_cols"])
     assert _rows(t.read()) == [(1, "a", 1.0)]  # invisible
     assert t.vacuum(retention_sec=3600.0) == []  # too young: kept
@@ -286,3 +286,119 @@ def test_log_payload_shape(spark, root):
     path = os.path.join(root, "_txlog", f"{t.version():020d}.json")
     kinds = [next(iter(json.loads(line))) for line in open(path) if line.strip()]
     assert kinds[0] == "remove" and kinds[-1] == "commit"
+
+
+# -- streaming sink (txn watermark) and real concurrency ------------------
+
+
+def test_stream_batch_idempotent_replay(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(0, "a", 0.0)]))
+    v = t.append_stream_batch(_df(spark, [(1, "b", 1.0)]), "app1", 0)
+    assert v is not None
+    assert t.append_stream_batch(_df(spark, [(1, "b", 1.0)]), "app1", 0) is None
+    assert t.append_stream_batch(_df(spark, [(2, "c", 2.0)]), "app1", 1) is not None
+    # a LATE replay of an old batch after newer ones is still a no-op
+    assert t.append_stream_batch(_df(spark, [(1, "b", 1.0)]), "app1", 0) is None
+    assert t.last_stream_batch("app1") == 1
+    assert t.last_stream_batch("other") is None
+    # another app's batch 0 is independent
+    assert t.append_stream_batch(_df(spark, [(3, "d", 3.0)]), "app2", 0) is not None
+    assert _rows(t.read()) == [
+        (0, "a", 0.0), (1, "b", 1.0), (2, "c", 2.0), (3, "d", 3.0)
+    ]
+
+
+def test_stream_batch_race_loser_aborts_in_commit_loop(spark, root):
+    """Two concurrent attempts of ONE batch both pass the pre-check;
+    the put-if-absent loser must abort via the in-loop watermark
+    re-check, not double-append."""
+    from data_mastery_pipeline_spark.sources.txlog import _AlreadyCommitted
+
+    t1 = TxTable.create(spark, root, _df(spark, [(0, "a", 0.0)]))
+    t2 = TxTable(spark, root)
+    rv = t2.version()
+    meta, _, _ = t2._state_at(rv)
+    # t2 stages its copy of batch 7 (pre-check passed, not yet committed)
+    adds = t2._write_stage(_df(spark, [(1, "b", 1.0)]), meta["stat_cols"])
+    # t1's attempt of the SAME batch wins the log race
+    assert t1.append_stream_batch(_df(spark, [(1, "b", 1.0)]), "app", 7) is not None
+    with pytest.raises(_AlreadyCommitted):
+        t2._commit("append", adds, [], None, read_version=rv,
+                   stream_txn=("app", 7))
+    assert _rows(t1.read()) == [(0, "a", 0.0), (1, "b", 1.0)]  # once, not twice
+
+
+def test_stream_watermark_survives_checkpoint_and_fresh_handle(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(0, "a", 0.0)]))
+    for b in range(12):  # crosses the interval-10 log checkpoint
+        t.append_stream_batch(_df(spark, [(100 + b, "s", float(b))]), "app", b)
+    fresh = TxTable(spark, root)
+    assert fresh.last_stream_batch("app") == 11
+    assert fresh.append_stream_batch(_df(spark, [(999, "x", 9.0)]), "app", 11) is None
+
+
+def test_foreach_batch_sink_full_redelivery_is_noop(spark, root, tmp_path):
+    """A real Structured Streaming drain into the txlog sink, then the
+    ENTIRE stream re-delivered (fresh stream checkpoint, same batch
+    ids): the second drain must change nothing — exactly-once at the
+    table despite at-least-once delivery to foreachBatch."""
+    src = tmp_path / "src"
+    for i in range(3):
+        _df(spark, [(i, "s", float(i))]).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    t = TxTable.create(spark, root, _df(spark, []))
+    ddl = DDL
+
+    def drain(ckpt: str):
+        q = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+            .writeStream.foreachBatch(t.foreach_batch_sink("ingest"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain(str(tmp_path / "ckpt1"))
+    after_first = _rows(t.read())
+    assert after_first == [(0, "s", 0.0), (1, "s", 1.0), (2, "s", 2.0)]
+    v_first = t.version()
+    drain(str(tmp_path / "ckpt2"))  # fresh ckpt → batches 0..2 re-delivered
+    assert _rows(t.read()) == after_first
+    assert t.version() == v_first  # not even empty commits
+
+
+def test_threaded_concurrent_appends_all_land(spark, root):
+    """REAL races: 4 writer threads, 2 appends each, one shared log.
+    Every append must land exactly once, versions must be contiguous."""
+    import threading
+
+    t0 = TxTable.create(spark, root, _df(spark, [(0, "z", 0.0)]))
+    errs = []
+
+    def writer(wid: int):
+        try:
+            h = TxTable(spark, root)
+            for j in range(2):
+                k = 10 * (wid + 1) + j
+                h.append(_df(spark, [(k, f"w{wid}", float(k))]))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errs
+    assert t0.version() == 8  # create + 8 appends, contiguous
+    got = _rows(t0.read())
+    want = sorted(
+        [(0, "z", 0.0)]
+        + [(10 * (w + 1) + j, f"w{w}", float(10 * (w + 1) + j))
+           for w in range(4) for j in range(2)]
+    )
+    assert got == want
