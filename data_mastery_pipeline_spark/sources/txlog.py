@@ -274,8 +274,17 @@ class TxTable:
 
     def _parse_commit(self, version: int) -> list[dict]:
         path = self._log_path(version)
-        with open(path, encoding="utf-8") as f:
-            return [json.loads(line) for line in f if line.strip()]
+        try:
+            with open(path, encoding="utf-8") as f:
+                return [json.loads(line) for line in f if line.strip()]
+        except FileNotFoundError:
+            # listed a moment ago, gone now: a concurrent expire()
+            # truncated history under this replay — same contract as
+            # arriving after the truncation
+            raise VersionExpiredError(
+                f"version {version} of {self.root!r} was expired while "
+                "being read"
+            ) from None
 
     def _state_at(self, version: int) -> tuple[dict, dict, dict]:
         """Replay → (meta, {rel_path: add_entry}, {app_id: last_batch})
@@ -672,42 +681,51 @@ class TxTable:
                 f"merge key {key!r} is not a stat column {meta['stat_cols']} "
                 "— keyed merges need the key range index"
             )
-        updates = self._conform(updates, meta)
-        bounds = updates.agg(
-            F.min(key).alias("lo"),
-            F.max(key).alias("hi"),
-            F.count("*").alias("n"),
-            F.count(key).alias("n_key"),
-            F.countDistinct(key).alias("n_distinct"),
-        ).collect()[0]
-        if bounds["n"] == 0:
-            return rv
-        if bounds["n_key"] != bounds["n"]:
-            raise ValueError("merge_upsert: NULL update keys")
-        if bounds["n_distinct"] != bounds["n"]:
-            raise ValueError(
-                "merge_upsert: duplicate update keys — dedupe (e.g. "
-                "operators.cleaning.dedup_latest) before merging"
-            )
-        lo, hi = bounds["lo"], bounds["hi"]
-        # a file with NO key stats (e.g. all-NULL key column — parquet
-        # writes no min/max) cannot be proven disjoint; rewriting it is
-        # CORRECT either way (the anti-join only replaces matched keys),
-        # the stats merely bound the IO — so it joins the rewrite set
-        # conservatively, same contract as _overlaps
-        hit = [a for a in live.values() if _overlaps(a["stats"], key, lo, hi)]
-        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
-        if hit:
-            src = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, a["path"]) for a in hit]
-            )
-            survivors = src.join(
-                F.broadcast(updates.select(key)), key, "left_anti"
-            )
-            new_data = survivors.unionByName(updates)
-        else:
-            new_data = updates
-        adds = self._write_stage(new_data, meta["stat_cols"])
+        # ONE evaluation of the (possibly expensive) updates pipeline —
+        # it feeds three consumers (bounds probe, anti-join build, the
+        # rewrite union); without the cut each would re-execute it
+        from ..checkpointing import release, truncate_lineage
+
+        updates = truncate_lineage(self._conform(updates, meta))
+        try:
+            bounds = updates.agg(
+                F.min(key).alias("lo"),
+                F.max(key).alias("hi"),
+                F.count("*").alias("n"),
+                F.count(key).alias("n_key"),
+                F.countDistinct(key).alias("n_distinct"),
+            ).collect()[0]
+            if bounds["n"] == 0:
+                return rv
+            if bounds["n_key"] != bounds["n"]:
+                raise ValueError("merge_upsert: NULL update keys")
+            if bounds["n_distinct"] != bounds["n"]:
+                raise ValueError(
+                    "merge_upsert: duplicate update keys — dedupe (e.g. "
+                    "operators.cleaning.dedup_latest) before merging"
+                )
+            lo, hi = bounds["lo"], bounds["hi"]
+            # a file with NO key stats (e.g. all-NULL key column —
+            # parquet writes no min/max) cannot be proven disjoint;
+            # rewriting it is CORRECT either way (the anti-join only
+            # replaces matched keys), the stats merely bound the IO —
+            # so it joins the rewrite set conservatively, same contract
+            # as _overlaps
+            hit = [a for a in live.values() if _overlaps(a["stats"], key, lo, hi)]
+            schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+            if hit:
+                src = self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self.root, a["path"]) for a in hit]
+                )
+                survivors = src.join(
+                    F.broadcast(updates.select(key)), key, "left_anti"
+                )
+                new_data = survivors.unionByName(updates)
+            else:
+                new_data = updates
+            adds = self._write_stage(new_data, meta["stat_cols"])
+        finally:
+            release(updates)  # staged parquet is durable; free the blocks
         return self._commit(
             "merge",
             adds,
