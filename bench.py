@@ -91,7 +91,25 @@ HEADLINE = [
     "wire_to_serving_daily",
     # round 6: transaction-log table format (ACID commits, stats pruning)
     "txlog_acid_roundtrip",
+    # round 6: expression-breadth suites (codegen lambdas / try_cast)
+    "array_hof_suite",
+    "safe_cast_suite",
 ]
+# Deliberately NOT benched (documented, not silent — each is a
+# composition whose costly legs are already timed by other entries):
+#   leakage_safe_splits      re-runs the near-dup pipeline that
+#                            near_dup_clusters times (r6 session 1)
+#   zorder_pruning_stats     9.6 s: 16-file z-ordered rewrite of events
+#                            + pruning probes; the write path is
+#                            partitioned_roundtrip's, the curve math is
+#                            a narrow projection
+#   user_erasure_roundtrip   7.2 s: hive-partitioned write + dynamic
+#                            partition overwrite — both legs inside
+#                            partitioned_roundtrip / merge paths
+#   kafka_wire_lake_daily    12.8 s: wire produce + readStream +
+#                            foreachBatch lake appends; the transport
+#                            and streaming legs are kafka_wire_roundtrip
+#                            + kafka_wire_stream_hourly's entries
 
 
 def _warm_python_datasource(spark) -> None:

@@ -53,8 +53,9 @@ swaps one method, mirroring Delta's pluggable LogStore.
 Conflict rules (optimistic concurrency, checked by the loser of the
 race, over the commits interleaved since its snapshot):
 
-- ``append``/``create`` never conflict — a blind add commutes with
-  anything; the committer silently retries at the next version.
+- ``append``/``create`` never conflict with DATA commits — a blind add
+  commutes with anything; the committer silently retries at the next
+  version.
 - ``delete``/``merge`` conflict when an interleaved commit (a) removed
   a file this txn also removes (write-write on the same rows), or (b)
   added a file whose stats overlap this txn's predicate (the rewrite
@@ -62,6 +63,10 @@ race, over the commits interleaved since its snapshot):
 - ``optimize`` conflicts only on rule (a): concurrent appends are fine
   (compaction of old files commutes with new data), concurrent removal
   of a compaction input is not.
+- METADATA commits (``alter_add_column``) serialize against
+  everything: any txn that planned under the old schema — appends
+  included — fails with ConflictError and must re-plan, and two
+  concurrent alters collide (the public formats' metadata-update rule).
 
 No hive partition dirs: file-level statistics subsume partition pruning
 (a predicate on ANY stat column skips files, not just the one blessed
@@ -453,6 +458,17 @@ class TxTable:
                 (a["commit"].get("op") for a in actions if "commit" in a), "?"
             )
             for a in actions:
+                if "meta" in a:
+                    # metadata serializes against EVERYTHING: any txn
+                    # that planned (staged files, computed a rewrite)
+                    # under the old schema must not commit over the new
+                    # one — re-plan against the current snapshot (the
+                    # public formats' rule for metadata updates)
+                    raise ConflictError(
+                        f"v{v} ({their_op}) changed table metadata under "
+                        f"this {op} transaction — re-run against the new "
+                        "schema"
+                    )
                 if "remove" in a and a["remove"]["path"] in our_removes:
                     raise ConflictError(
                         f"v{v} ({their_op}) removed {a['remove']['path']!r}, "
@@ -574,9 +590,11 @@ class TxTable:
     # -- transactions -----------------------------------------------------
 
     def append(self, df: DataFrame) -> int:
-        """Blind append: never conflicts, retries through any number of
-        interleaved commits. O(new files) — the whole point vs
-        versioned.py's whole-table snapshots."""
+        """Blind append: retries through any number of interleaved DATA
+        commits (an interleaved metadata change — alter_add_column —
+        raises instead: the staged files carry the old schema).
+        O(new files) — the whole point vs versioned.py's whole-table
+        snapshots."""
         meta, _, _ = self._state_at(self.version())
         adds = self._write_stage(self._conform(df, meta), meta["stat_cols"])
         return self._commit("append", adds, [], None, read_version=self.version())
@@ -765,6 +783,40 @@ class TxTable:
         adds = self._write_stage(src, meta["stat_cols"])
         return self._commit(
             "optimize", adds, [a["path"] for a in small], None, read_version=rv
+        )
+
+    def alter_add_column(self, name: str, ddl_type: str) -> int:
+        """Schema evolution as a metadata transaction: append a NULLABLE
+        column (``ddl_type`` e.g. ``"double"``). Existing files are NOT
+        rewritten — an enforced-schema read fills the missing column
+        with NULL for pre-alter files, the same trick Delta/Iceberg use
+        for add-column. The commit carries only a new ``meta`` action,
+        and metadata serializes against EVERYTHING: any concurrent txn
+        that planned under the old schema gets a ConflictError (see
+        :meth:`_check_conflicts`), and two concurrent alters conflict
+        with each other. If the new column's type is stats-eligible it
+        joins ``stat_cols`` — old files simply have no stats for it and
+        overlap every predicate (conservative, correct).
+
+        Only ADD COLUMN is offered: dropping or retyping a column would
+        make already-committed files unreadable under the enforced
+        schema — those are rewrite operations, not metadata ones, and
+        belong to a migration job, not a one-line alter."""
+        rv = self.version()
+        meta, _, _ = self._state_at(rv)
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        dt = T.StructType.fromDDL(f"`{name}` {ddl_type}").fields[0].dataType
+        new_schema = T.StructType(
+            list(schema.fields) + [T.StructField(name, dt, True)]
+        )
+        stat_cols = list(meta["stat_cols"])
+        if dt.typeName() in ("integer", "long", "double", "float", "string"):
+            stat_cols.append(name)
+        new_meta = {"schema_json": new_schema.json(), "stat_cols": stat_cols}
+        return self._commit(
+            "alter", [], [], None, read_version=rv, meta=new_meta
         )
 
     # -- maintenance ------------------------------------------------------

@@ -402,3 +402,69 @@ def test_threaded_concurrent_appends_all_land(spark, root):
            for w in range(4) for j in range(2)]
     )
     assert got == want
+
+
+# -- schema evolution (metadata transactions) -----------------------------
+
+
+def test_alter_add_column_nulls_old_files_types_new_appends(spark, root):
+    """ADD COLUMN rewrites nothing: pre-alter files read the new column
+    as NULL; post-alter appends carry real values and the new column
+    joins the stats index (prunable)."""
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t.alter_add_column("score", "double")
+    assert [f.name for f in t.schema().fields] == ["k", "grp", "v", "score"]
+    # old-schema appends are now drift (the table moved on)
+    with pytest.raises(ValueError, match="schema drift"):
+        t.append(_df(spark, [(2, "b", 2.0)]))
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 2.0, 0.9)], "k long, grp string, v double, score double"
+        )
+    )
+    got = _rows(t.read().select("k", "score"))
+    assert got == [(1, None), (2, 0.9)]  # pre-alter row: NULL-filled
+    # the new column is stats-indexed on new files → prunable
+    new_file = [a for a in t.snapshot_adds() if "score" in a["stats"]]
+    assert len(new_file) == 1 and new_file[0]["stats"]["score"][:2] == [0.9, 0.9]
+    # and scan() on it prunes the old (stats-less) file conservatively
+    df, st = t.scan({"score": (0.5, 1.0)})
+    assert st["files_total"] == 2 and _rows(df.select("k")) == [(2,)]
+
+
+def test_alter_conflicts_with_concurrent_writer_and_vice_versa(spark, root):
+    """Metadata serializes against everything: a txn planned under the
+    old schema cannot commit over an interleaved alter, and two
+    concurrent alters collide."""
+    t1 = TxTable.create(spark, root, _df(spark, [(1, "a", 5.0)]))
+    t2 = TxTable(spark, root)
+    rv = t1.version()
+    meta, live, _ = t1._state_at(rv)
+    removes = [a["path"] for a in live.values()]
+    t2.alter_add_column("extra", "long")  # lands first
+    with pytest.raises(ConflictError, match="changed table metadata"):
+        t1._commit("delete", [], removes, {"v": (0.0, 10.0)}, rv)
+    # two alters racing: the loser conflicts (not silently doubled)
+    rv2 = t1.version()
+    t2.alter_add_column("m1", "double")
+    with pytest.raises(ConflictError, match="changed table metadata"):
+        t1._commit("alter", [], [], None, read_version=rv2,
+                   meta={"schema_json": t1.schema().json(),
+                         "stat_cols": ["k", "v"]})
+    with pytest.raises(ValueError, match="already exists"):
+        t1.alter_add_column("m1", "double")
+
+
+def test_alter_survives_checkpoint_replay(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(0, "a", 0.0)]))
+    t.alter_add_column("score", "double")
+    for i in range(1, 12):  # cross the interval-10 checkpoint
+        t.append(
+            spark.createDataFrame(
+                [(i, "a", float(i), i / 10.0)],
+                "k long, grp string, v double, score double",
+            )
+        )
+    fresh = TxTable(spark, root)
+    assert "score" in [f.name for f in fresh.schema().fields]
+    assert fresh.read().where(F.col("score").isNull()).count() == 1  # v0 row
