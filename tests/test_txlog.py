@@ -468,3 +468,22 @@ def test_alter_survives_checkpoint_replay(spark, root):
     fresh = TxTable(spark, root)
     assert "score" in [f.name for f in fresh.schema().fields]
     assert fresh.read().where(F.col("score").isNull()).count() == 1  # v0 row
+
+
+def test_txlog_read_keeps_plan_discipline(spark, root):
+    """The txlog read path is a plain enforced-schema parquet scan:
+    column pruning and filter pushdown reach the files (the repo's
+    plan-discipline contract applies to the new storage layer too)."""
+    from data_mastery_pipeline_spark.plans import (
+        pushed_filters,
+        read_schema_columns,
+    )
+
+    t = TxTable.create(spark, root, _df(spark, [(i, "a", float(i)) for i in range(50)]))
+    q = t.read().filter(F.col("v") > 10.0).select("k")
+    cols = read_schema_columns(q)
+    assert cols and all(set(c) <= {"k", "v"} for c in cols)  # grp pruned
+    assert any("v" in pf for pf in pushed_filters(q))  # filter pushed
+    # scan() composes the same way: residual filter is pushable too
+    df, _ = t.scan({"v": (5.0, 20.0)})
+    assert any("v" in pf for pf in pushed_filters(df.select("k", "v")))

@@ -92,6 +92,9 @@ def main() -> None:
     if args and args[0] == "--containment-hot":
         containment_hot_probe([int(a) for a in args[1:]] or [1, 2, 4, 16])
         return
+    if args and args[0] == "--txlog":
+        txlog_probe([int(a) for a in args[1:]] or [1, 2, 4])
+        return
     ks = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(app_name="scale_probe")
     # warm JVM + python paths once
@@ -349,6 +352,73 @@ def containment_hot_probe(ks) -> None:
             if label == "capped":
                 out["hot_grams_dropped"] = n_hot
         print(json.dumps(out), flush=True)
+
+
+
+
+def txlog_probe(ks) -> None:
+    """Blast-radius amplification probe for the transaction log
+    (sources/txlog.py): grow the TABLE k× with appends whose value
+    ranges are DISJOINT from a fixed delete predicate, then measure the
+    delete. The scale claim under test: rewritten files / rewritten
+    rows are a function of the MATCHING data only — constant as the
+    table grows — while a snapshot-rewrite store (versioned.py) pays
+    O(table). Also prints the stats-pruned scan ratio at each k (reads
+    a constant file count from a growing table)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.session import get_spark
+    from data_mastery_pipeline_spark.sources.txlog import TxTable
+
+    spark = get_spark(app_name="scale_probe_txlog")
+    spark.range(10).count()
+    n_rows_per_file = 5_000
+
+    def batch(lo_val: float, tag: int):
+        return (
+            spark.range(n_rows_per_file)
+            .select(
+                (F.col("id") + tag * n_rows_per_file).alias("k"),
+                F.lit(f"t{tag}").alias("grp"),
+                (F.col("id") % 100 + F.lit(lo_val)).alias("v"),
+            )
+            .coalesce(1)
+        )
+
+    for k in ks:
+        root = tempfile.mkdtemp(prefix="txlog_probe_") + "/tbl"
+        try:
+            # one file inside the predicate range [0, 100) ...
+            t = TxTable.create(spark, root, batch(0.0, 0))
+            # ... and 4*k files far outside it (the growing table)
+            tag = 1
+            for _ in range(4 * k):
+                t.append(batch(1_000.0 + 200.0 * tag, tag))
+                tag += 1
+            files_before = len(t.snapshot_adds())
+            _, scan_stats = t.scan({"v": (0.0, 99.0)})
+            t0 = time.time()
+            t.delete_where("v", 0.0, 99.0)
+            wall = time.time() - t0
+            hist = t.history()[-1]
+            print(
+                json.dumps(
+                    {
+                        "k": k,
+                        "table_files": files_before,
+                        "table_rows": (4 * k + 1) * n_rows_per_file,
+                        "scan_files_read": scan_stats["files_read"],
+                        "delete_files_rewritten": hist["n_removes"],
+                        "delete_wall_sec": round(wall, 2),
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
 
 if __name__ == "__main__":
