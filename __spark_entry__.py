@@ -71,6 +71,7 @@ _PRIORITY = [
     "kafka_wire_lake_daily",
     "wire_to_serving_daily",
     "txlog_acid_roundtrip",
+    "epoch_shuffle",
     # (c) standing re-greens, ordered by what CHANGED this round: the
     # load_table CPU_HEAVY_TABLES fan-out policy altered the scan plan
     # of every documents/embeddings query, so those anchors re-verify

@@ -94,6 +94,8 @@ HEADLINE = [
     # round 6: expression-breadth suites (codegen lambdas / try_cast)
     "array_hof_suite",
     "safe_cast_suite",
+    # round 6: deterministic epoch shuffle (two-phase global positions)
+    "epoch_shuffle",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -84,15 +84,26 @@ def train_test_split(
 
 
 def deterministic_shuffle(
-    df: DataFrame, id_col: str, seed: int = 0, num_partitions: int | None = None
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    num_partitions: int | None = None,
+    key: Column | None = None,
 ) -> DataFrame:
     """Reproducible global shuffle for training-example order: order by
     a salted hash of the id. Same seed → identical order on every run
     and cluster layout; different seed → a fresh permutation. One
     range exchange (it IS a global sort on the hash), which also yields
-    evenly sized output partitions regardless of input skew."""
-    key = F.xxhash64(F.col(id_col), F.lit(seed))
-    out = df.repartitionByRange(
-        *( [num_partitions] if num_partitions is not None else [] ), key
-    )
-    return out.sortWithinPartitions(key)
+    evenly sized output partitions regardless of input skew.
+
+    ``key`` overrides the order key (default engine-native
+    ``xxhash64(id, seed)``; pass the md5-prefix fold from
+    functions.text for an oracle-portable permutation). The id rides
+    both the range partitioner and the sort as a TIEBREAK, so the
+    global order is total even under hash collisions — without it a
+    collision split across a range boundary would make the permutation
+    layout-dependent."""
+    key = key if key is not None else F.xxhash64(F.col(id_col), F.lit(seed))
+    parts = [num_partitions] if num_partitions is not None else []
+    out = df.repartitionByRange(*parts, key, F.col(id_col))
+    return out.sortWithinPartitions(key, F.col(id_col))

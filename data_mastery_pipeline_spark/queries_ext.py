@@ -1547,3 +1547,87 @@ def safe_cast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "epoch_shuffle",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS shuffle_key
+      FROM documents
+    )
+    SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS position,
+           doc_id, shuffle_key
+    FROM keyed ORDER BY position
+    """,
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE for training-example order
+    (operators/sampling.deterministic_shuffle): every document gets a
+    global position under a seeded permutation that is identical across
+    runs, cluster layouts, and partition counts — the property
+    `.orderBy(rand())` cannot give and epoch reproducibility needs.
+
+    The permutation key here is the md5-prefix fold (portable — the
+    oracle recomputes it exactly; production uses the operator's
+    default engine-native xxhash64, same plan). Global positions are
+    assigned with the scalable two-phase pattern, not a single-
+    partition window: ONE range exchange orders the data (that is the
+    shuffle itself), each partition numbers its rows locally, and the
+    per-partition offsets — O(num_partitions) driver data — lift local
+    ranks to global positions. The shuffled frame is materialized once
+    (localCheckpoint) so the offset probe and the final projection see
+    the SAME range boundaries (repartitionByRange samples per job —
+    two separate executions could split ties differently); at scale
+    that materialization IS the epoch export (shuffle once per epoch,
+    write, train from the artifact).
+
+    100 TB: range exchange shuffles each row once; the offset collect
+    is bounded by partition count; the rank window runs per partition
+    with no global sort node. The id tiebreak in BOTH the partitioner
+    and the sort keeps the permutation total even under key collisions.
+    """
+    from pyspark.sql import Window
+
+    from .checkpointing import release, truncate_lineage
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    key = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(7), F.col("doc_id"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.withColumn("shuffle_key", key)
+    shuffled = sampling.deterministic_shuffle(
+        keyed, "doc_id", key=F.col("shuffle_key")
+    )
+    base = truncate_lineage(shuffled.withColumn("pid", F.spark_partition_id()))
+    counts = base.groupBy("pid").count().collect()  # O(partitions) rows
+    sizes = {r["pid"]: r["count"] for r in counts}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("pid").orderBy("shuffle_key", "doc_id")
+    out = (
+        base.withColumn("local", F.row_number().over(w))
+        .select(
+            (omap[F.col("pid")] + F.col("local")).cast("bigint").alias("position"),
+            "doc_id",
+            "shuffle_key",
+        )
+        .orderBy("position")
+    )
+    # the result plan reads base's blocks; defer the release to the
+    # next invocation (same pattern as _fresh_dir's deferred reclaim)
+    prev = getattr(epoch_shuffle, "_last_base", None)
+    if prev is not None:
+        release(prev)
+    epoch_shuffle._last_base = base
+    return out

@@ -120,6 +120,12 @@ def test_deterministic_shuffle_reproducible_permutation(spark):
     assert a != c                      # new seed → new permutation
     assert sorted(a) == sorted(c)      # same multiset
     assert a != sorted(a)              # actually shuffled
+    # LAYOUT-independence: the permutation survives a different
+    # partition count and a different input layout — the property
+    # orderBy(rand()) cannot give and epoch reproducibility needs
+    d = [r["doc_id"] for r in sampling.deterministic_shuffle(
+        docs.repartition(13), "doc_id", seed=1, num_partitions=7).collect()]
+    assert a == d
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
