@@ -72,6 +72,8 @@ _PRIORITY = [
     "wire_to_serving_daily",
     "txlog_acid_roundtrip",
     "epoch_shuffle",
+    "txlog_change_feed",
+    "txlog_stream_feed",
     # (c) standing re-greens, ordered by what CHANGED this round: the
     # load_table CPU_HEAVY_TABLES fan-out policy altered the scan plan
     # of every documents/embeddings query, so those anchors re-verify

@@ -96,6 +96,9 @@ HEADLINE = [
     "safe_cast_suite",
     # round 6: deterministic epoch shuffle (two-phase global positions)
     "epoch_shuffle",
+    # round 6: txlog incremental reads (CDF replay; version-offset stream)
+    "txlog_change_feed",
+    "txlog_stream_feed",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

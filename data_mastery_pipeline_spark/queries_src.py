@@ -1159,3 +1159,165 @@ def txlog_acid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "txlog_change_feed",
+    """
+    WITH base AS (
+      SELECT * FROM events WHERE event_id % 4 IN (0, 1)
+    ), after_delete AS (
+      SELECT * FROM base
+      WHERE NOT coalesce(value BETWEEN 25.0 AND 45.0, FALSE)
+    ), updates AS (
+      SELECT event_id, ts, user_id, event_type, value * 3 AS value, props
+      FROM events WHERE event_id % 7 = 0
+    ), merged AS (
+      SELECT * FROM after_delete
+      WHERE event_id NOT IN (SELECT event_id FROM updates)
+      UNION ALL
+      SELECT * FROM updates
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM merged GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the transaction log (TxTable.changes): the
+    incremental-read half of the table format. A create → append →
+    predicate DELETE → keyed MERGE → OPTIMIZE history is read back as a
+    retraction feed (insert/delete rows stamped with their commit
+    version), and the feed is REPLAYED from empty as signed multisets
+    (+insert, −delete) to reconstruct the final snapshot — the exact
+    contract an incremental consumer (IVM, downstream sync) builds on.
+    The driver-checked observable is the reconstructed state's per-type
+    aggregate vs the relational oracle, which is layout-INDEPENDENT
+    even though the raw feed is file-granular (a rewrite's surviving
+    rows appear as delete+insert pairs that cancel in the replay).
+
+    Self-asserting (the acid_roundtrip discipline): raises unless
+    (a) the OPTIMIZE version is absent from the feed (dataChange=false
+    — compaction must not re-deliver rows), (b) every replayed row
+    nets to exactly 0 or 1 copies (events are key-unique; any other
+    net is a feed defect), and (c) the reconstruction's row count
+    equals the table's final count.
+
+    100 TB: the feed reads O(changed files) per commit in range — an
+    incremental consumer of a day's commits never touches the other
+    99.9 TB; the replay is one hash aggregate over feed rows keyed by
+    row content. tests/test_txlog.py pins replay invariance across
+    EVERY version pair, expired-history errors, and schema evolution
+    inside one feed."""
+    from .sources import txlog as _txlog
+
+    ev = load_table(spark, "events", sf_dir)
+    root = os.path.join(_fresh_dir("txlog_cdf", sf_dir), "tbl")
+    t = _txlog.TxTable.create(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 4 == 0),
+        stat_cols=["event_id", "user_id", "value"],
+    )
+    t.append(ev.filter(F.col("event_id") % 4 == 1))
+    t.delete_where("value", 25.0, 45.0)
+    t.merge_upsert(
+        ev.filter(F.col("event_id") % 7 == 0).withColumn(
+            "value", F.col("value") * 3
+        ),
+        "event_id",
+    )
+    v_opt = t.optimize(
+        small_file_bytes=1 << 30, target_file_bytes=1 << 22, cluster_by="value"
+    )
+
+    feed = t.changes(-1)
+    if feed.filter(F.col("_commit_version") == v_opt).limit(1).count() > 0:
+        raise ValueError("txlog feed delivered an OPTIMIZE rewrite")
+    cols = [f.name for f in t.schema().fields]
+    net = (
+        feed.groupBy(*cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("n")
+        )
+    )
+    bad = net.filter(~F.col("n").isin(0, 1)).limit(1).count()
+    if bad:
+        raise ValueError("txlog feed replay produced a net copy-count ∉ {0,1}")
+    recon = net.filter(F.col("n") == 1).drop("n")
+    if recon.count() != t.read().count():
+        raise ValueError("txlog feed replay diverged from the final snapshot")
+    return (
+        recon.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            quantize(F.sum("value"), "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "txlog_stream_feed",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us
+    FROM events WHERE event_id % 6 IN (2, 3, 4)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txlog_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING read of a transaction-logged table ("stream the lake"):
+    ``readStream.format("txlog_feed")`` plans micro-batches from log
+    versions (offset = version, checkpointed by Spark — S8), each batch
+    the files that version committed. A three-commit history (create +
+    two appends) is drained with availableNow through the memory sink
+    and aggregated per event type; the oracle is the same aggregate
+    over the source slices, so the wire is: parquet → txlog commits →
+    version-offset micro-batches → Arrow batches (executor-side,
+    schema-conformed) → streaming sink, losing nothing — timestamps
+    included (min epoch-µs rides the comparison).
+
+    Append-only contract: a delete/merge commit fails the stream by
+    default (a consumer cannot retract emitted rows); `on_change=
+    'skip'|'redeliver'` opt outs, OPTIMIZE always skipped
+    (dataChange=false), restart-resume and the exactly-once
+    feed→txlog-sink composition are pinned in tests/test_txlog.py.
+
+    100 TB: each micro-batch is O(files committed since the last
+    trigger) — one input partition per file, read as Arrow batches on
+    executors; the log replay planning the batch is O(commits) driver
+    metadata work, and no batch ever rescans table history."""
+    from .sources import txlog as _txlog
+    from .streaming import core as _score
+
+    ev = load_table(spark, "events", sf_dir)
+    root = os.path.join(_fresh_dir("txlog_stream", sf_dir), "tbl")
+    t = _txlog.TxTable.create(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 6 == 2),
+        stat_cols=["event_id", "user_id", "value"],
+    )
+    t.append(ev.filter(F.col("event_id") % 6 == 3))
+    t.append(ev.filter(F.col("event_id") % 6 == 4))
+
+    _txlog.register(spark)
+    drained = _score.run_available_now(
+        spark.readStream.format("txlog_feed").option("root", root).load(),
+        output_mode="append",
+    )
+    return (
+        drained.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            quantize(F.sum("value"), "sum_value"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+        )
+        .orderBy("event_type")
+    )

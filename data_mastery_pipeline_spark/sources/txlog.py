@@ -226,6 +226,21 @@ class TxTable:
         self._commit("create", adds, [], None, read_version=-1, meta=meta)
         return self
 
+    @classmethod
+    def _headless(cls, root: str) -> "TxTable":
+        """Log-only handle (no SparkSession): replay and metadata
+        methods work; DataFrame reads/writes do not. The streaming
+        source uses this — its DataSource object must resolve schema
+        and plan micro-batches from the log alone, on the driver,
+        before any session-bound DataFrame exists."""
+        self = object.__new__(cls)
+        self.spark, self.root = None, root
+        if not os.path.isdir(self._log_root()):
+            raise FileNotFoundError(
+                f"no transaction log at {root!r} — TxTable.create() first"
+            )
+        return self
+
     # -- paths / log store ------------------------------------------------
 
     def _log_root(self) -> str:
@@ -412,6 +427,91 @@ class TxTable:
         for c, (lo, hi) in preds.items():
             df = df.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
         return df, stats
+
+    def changes(
+        self, start_version: int = -1, end_version: int | None = None
+    ) -> DataFrame:
+        """CHANGE DATA FEED over the half-open version range
+        ``(start_version, end_version]`` — the incremental-read half of
+        the format (the exactly-once sink is the other). Every row a
+        commit in range ADDED arrives with ``_change_type='insert'``,
+        every row it REMOVED with ``_change_type='delete'``, each
+        stamped ``_commit_version``; ``start_version=-1`` feeds from
+        the table's creation.
+
+        Semantics are a RETRACTION FEED at file granularity (the
+        public Delta CDF fallback when no cdc files were written —
+        "compute changes from add/remove actions"): a delete/merge
+        rewrite emits the rewritten files' rows as deletes plus the
+        surviving rows as inserts, so an update is delete+insert of the
+        same key. The contract consumers rely on (pinned in tests):
+        applying the feed to snapshot(start) as signed multisets —
+        +insert, −delete — reproduces snapshot(end) EXACTLY.
+        ``optimize`` commits are excluded (pure reorganization: their
+        removes and adds carry identical row multisets — the
+        dataChange=false rule).
+
+        Readability window: the feed needs the commit files (expired
+        history raises :class:`VersionExpiredError`) AND the removed
+        data files (a vacuum past its retention after an expire()
+        surfaces as a loud read error — the same CDF-retention caveat
+        the public formats document).
+
+        100 TB: the feed reads O(changed files) in range — never the
+        table; the plan unions one pruned scan per (commit, side), so a
+        feed over a bounded commit window is bounded work. Rows are
+        read under the END schema (pre-alter files NULL-fill added
+        columns, the add-column trick), so one feed spans schema
+        evolution."""
+        end = self.version() if end_version is None else end_version
+        if end_version is not None and end_version > self.version():
+            raise ValueError(
+                f"end_version {end_version} beyond latest {self.version()}"
+            )
+        if start_version > end:
+            raise ValueError(f"empty range: ({start_version}, {end}]")
+        meta, _, _ = self._state_at(end)
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        groups: list[tuple[int, str, list[str]]] = []
+        for v in range(start_version + 1, end + 1):
+            actions = self._parse_commit(v)
+            op = next(
+                (a["commit"]["op"] for a in actions if "commit" in a), "?"
+            )
+            if op == "optimize":
+                continue
+            adds = [a["add"]["path"] for a in actions if "add" in a]
+            removes = [a["remove"]["path"] for a in actions if "remove" in a]
+            # deletes first: within one version the retraction applies
+            # before the re-insert (ordering is cosmetic — multiset
+            # replay is order-free — but keeps the feed readable)
+            if removes:
+                groups.append((v, "delete", removes))
+            if adds:
+                groups.append((v, "insert", adds))
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.LongType(), False),
+            ]
+        )
+        if not groups:
+            return self.spark.createDataFrame([], out_schema)
+        parts = []
+        for v, ctype, rels in groups:
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, r) for r in sorted(rels)]
+            )
+            parts.append(
+                df.withColumn("_change_type", F.lit(ctype)).withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- write path -------------------------------------------------------
 
@@ -906,3 +1006,149 @@ class TxTable:
                     f"vs incoming {have[name].simpleString()}"
                 )
         return df.select(*[f.name for f in schema.fields])
+
+
+# ------------------------------------------------------- streaming source
+
+try:  # Spark >= 4.0 Python DataSource API
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    HAVE_DATASOURCE_API = True
+except ImportError:  # pragma: no cover
+    HAVE_DATASOURCE_API = False
+
+
+if HAVE_DATASOURCE_API:
+
+    class _FeedSlice(InputPartition):
+        """One committed data file of one log version — the streaming
+        input-partition unit. The executor task needs only the path
+        (no log access): the driver already resolved version → files.
+        At 100 TB file-granularity is the right unit for a CHANGE
+        stream (commits add many bounded files); an avrofmt-style
+        row-group split would only help pathological one-huge-file
+        commits."""
+
+        def __init__(self, path: str, version: int):
+            self.path, self.version = path, version
+
+    class TxLogStreamReader(DataSourceStreamReader):
+        """Streaming read of a transaction-logged table: micro-batch
+        offsets ARE log versions (`{"version": v}`), each batch the
+        files committed in ``(start, end]`` — the public "streaming
+        from a Delta table" design. Offsets live in Spark's checkpoint
+        (offsets-after-write, S8), so restart resumes exactly after
+        the last committed version, and composing with
+        ``TxTable.foreach_batch_sink`` gives exactly-once
+        table-to-table pipelines (dedup on the sink's txn watermark).
+
+        Append-only contract: a delete/merge commit in range raises by
+        default — a consumer that has already emitted rows cannot
+        retract them (``on_change='fail'``). Opt-outs mirror the
+        public source options: ``'skip'`` ignores rewrite commits
+        wholesale (Delta ``ignoreDeletes``-shaped), ``'redeliver'``
+        re-emits the rewrite's ADDED files (Delta ``ignoreChanges``:
+        at-least-once re-delivery of surviving rows; downstream must
+        key-dedupe). ``optimize`` commits are always skipped
+        (dataChange=false). ``starting_version`` (default -1 = table
+        creation) bounds the first batch."""
+
+        def __init__(self, root: str, options):
+            self.root = root
+            self.on_change = options.get("on_change", "fail")
+            if self.on_change not in ("fail", "skip", "redeliver"):
+                raise ValueError(
+                    f"on_change must be fail|skip|redeliver, got "
+                    f"{self.on_change!r}"
+                )
+            self.starting = int(options.get("starting_version", "-1"))
+
+        def initialOffset(self) -> dict:
+            return {"version": self.starting}
+
+        def latestOffset(self) -> dict:
+            t = TxTable._headless(self.root)
+            return {"version": max(t._latest_version(), self.starting)}
+
+        def partitions(self, start: dict, end: dict):
+            t = TxTable._headless(self.root)
+            out: list[_FeedSlice] = []
+            for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+                actions = t._parse_commit(v)
+                op = next(
+                    (a["commit"]["op"] for a in actions if "commit" in a), "?"
+                )
+                if op == "optimize":
+                    continue
+                if any("remove" in a for a in actions):
+                    if self.on_change == "fail":
+                        raise ValueError(
+                            f"txlog stream: non-append commit "
+                            f"(op={op!r}) at version {v} — set "
+                            "on_change='skip' or 'redeliver' to proceed"
+                        )
+                    if self.on_change == "skip":
+                        continue
+                out.extend(
+                    _FeedSlice(os.path.join(self.root, a["add"]["path"]), v)
+                    for a in actions
+                    if "add" in a
+                )
+            return out
+
+        def read(self, partition: _FeedSlice):
+            # Executor-side: one parquet file → Arrow batches, conformed
+            # to the ENFORCED stream schema (pre-alter files NULL-fill
+            # added columns — the add-column trick, Arrow edition).
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            target: pa.Schema = self._arrow_schema
+            tbl = pq.read_table(partition.path)
+            cols = []
+            for field in target:
+                if field.name in tbl.column_names:
+                    cols.append(tbl.column(field.name).cast(field.type))
+                else:
+                    cols.append(pa.nulls(tbl.num_rows, field.type))
+            yield from pa.table(
+                cols, schema=target
+            ).to_batches(max_chunksize=1 << 16)
+
+        def commit(self, end: dict) -> None:
+            return None
+
+    class TxLogFeedDataSource(DataSource):
+        """``spark.readStream.format("txlog_feed").option("root", …)``
+        — schema is resolved from the log at planning time (latest
+        metadata; mid-stream ALTERs keep working because files are
+        conformed to the planned schema, and a RESTARTED stream picks
+        the widened schema up)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "txlog_feed"
+
+        def schema(self):
+            t = TxTable._headless(self.options["root"])
+            meta, _, _ = t._state_at(t.version())
+            return T.StructType.fromJson(json.loads(meta["schema_json"]))
+
+        def streamReader(self, schema):
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            r = TxLogStreamReader(self.options["root"], self.options)
+            # resolved ONCE on the driver; the executor-side read()
+            # conforms every file to exactly this Arrow schema
+            r._arrow_schema = to_arrow_schema(schema)
+            return r
+
+
+def register(spark) -> None:
+    """Register ``txlog_feed`` on this session (overwrite-by-name —
+    re-registering is harmless, same contract as kafkawire.register)."""
+    spark.dataSource.register(TxLogFeedDataSource)

@@ -487,3 +487,250 @@ def test_txlog_read_keeps_plan_discipline(spark, root):
     # scan() composes the same way: residual filter is pushable too
     df, _ = t.scan({"v": (5.0, 20.0)})
     assert any("v" in pf for pf in pushed_filters(df.select("k", "v")))
+
+
+# ---------------------------------------------------------- change feed
+
+
+def _replay(base_df, feed_df, cols):
+    """Signed-multiset replay: base + feed(+insert/−delete) → net rows.
+    Returns (rows_with_net_1, offending) where offending is any row
+    whose net copy-count is not in {0, 1} — the tests' data is
+    key-unique, so a correct feed can never produce net>1 or net<0."""
+    signed = feed_df.select(
+        *cols,
+        F.when(F.col("_change_type") == "insert", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("w"),
+    )
+    base = base_df.select(*cols).withColumn("w", F.lit(1))
+    net = (
+        base.unionByName(signed)
+        .groupBy(*cols)
+        .agg(F.sum("w").alias("n"))
+    )
+    bad = net.filter(~F.col("n").isin(0, 1)).collect()
+    rows = sorted(
+        tuple(r)[:-1] for r in net.filter(F.col("n") == 1).collect()
+    )
+    return rows, bad
+
+
+def test_changes_replay_reproduces_every_snapshot(spark, root):
+    t = TxTable.create(
+        spark, root, _df(spark, [(1, "a", 1.0), (2, "b", 12.0), (3, "a", 3.0)])
+    )
+    t.append(_df(spark, [(4, "b", 15.0), (5, "a", 5.0)]))
+    t.delete_where("v", 10.0, 20.0)  # drops k=2 and k=4
+    t.merge_upsert(
+        _df(spark, [(3, "a", 30.0), (6, "c", 6.0)]), "k"
+    )  # update k=3, insert k=6
+    v_opt = t.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 20)
+    cols = ["k", "grp", "v"]
+    empty = spark.createDataFrame([], DDL)
+
+    # full-history feed from empty reproduces the final snapshot
+    feed = t.changes(-1)
+    rows, bad = _replay(empty, feed, cols)
+    assert not bad
+    assert rows == _rows(t.read())
+
+    # every intermediate range (a, b] applied to snapshot(a) gives
+    # snapshot(b) — the contract consumers build incremental views on
+    latest = t.version()
+    for a in range(-1, latest):
+        for b in range(a + 1, latest + 1):
+            rows, bad = _replay(
+                t.read(version=a) if a >= 0 else empty,
+                t.changes(a, b),
+                cols,
+            )
+            assert not bad, (a, b, bad)
+            assert rows == _rows(t.read(version=b)), (a, b)
+
+    # optimize is dataChange=false: its version never appears
+    assert v_opt not in {
+        r["_commit_version"]
+        for r in feed.select("_commit_version").distinct().collect()
+    }
+
+
+def test_changes_shape_and_validation(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t.append(_df(spark, [(2, "b", 2.0)]))
+    t.delete_where("k", 1, 1)
+    feed = t.changes(-1)
+    assert feed.columns == ["k", "grp", "v", "_change_type", "_commit_version"]
+    got = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in feed.collect()
+    }
+    assert got == {(1, "insert", 0), (2, "insert", 1), (1, "delete", 2)}
+    # an empty range is a contract error; beyond-latest too
+    with pytest.raises(ValueError):
+        t.changes(3, 2)
+    with pytest.raises(ValueError):
+        t.changes(0, 99)
+    # (start, start] of an existing version: empty frame, full schema
+    assert t.changes(1, 1).count() == 0
+
+
+def test_changes_expired_history_raises(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    for k in range(2, 6):
+        t.append(_df(spark, [(k, "b", float(k))]))
+    t.expire(keep_last=2)
+    with pytest.raises(VersionExpiredError):
+        t.changes(-1).collect()
+    # the retained window still feeds
+    assert t.changes(t.version() - 1).count() == 1
+
+
+def test_changes_spans_alter_with_null_fill(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t.alter_add_column("score", "double")
+    t2 = TxTable(spark, root)
+    t2.append(
+        spark.createDataFrame([(2, "b", 2.0, 0.5)], DDL + ", score double")
+    )
+    feed = t.changes(-1)
+    assert feed.columns == [
+        "k", "grp", "v", "score", "_change_type", "_commit_version",
+    ]
+    by_k = {r["k"]: r["score"] for r in feed.collect()}
+    assert by_k == {1: None, 2: 0.5}  # pre-alter file NULL-fills
+
+
+# ------------------------------------------------------ streaming source
+
+
+def _feed_stream(spark, root, **opts):
+    from data_mastery_pipeline_spark.sources import txlog as _m
+
+    _m.register(spark)
+    r = spark.readStream.format("txlog_feed").option("root", root)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_stream_feed_drains_appends_and_resumes(spark, root, tmp_path):
+    from data_mastery_pipeline_spark.streaming import core
+
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t.append(_df(spark, [(2, "b", 2.0)]))
+    out = core.run_available_now(
+        _feed_stream(spark, root), output_mode="append"
+    )
+    assert _rows(out) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+    # restart from a pinned checkpoint: only NEW commits are delivered
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    for _ in range(2):  # second run: no new commits → no new rows
+        q = (
+            _feed_stream(spark, root)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert _rows(spark.read.parquet(sink)) == [(1, "a", 1.0), (2, "b", 2.0)]
+    t.append(_df(spark, [(3, "c", 3.0)]))
+    q = (
+        _feed_stream(spark, root)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _rows(spark.read.parquet(sink)) == [
+        (1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0),
+    ]
+
+
+def test_stream_feed_on_change_modes(spark, root):
+    from data_mastery_pipeline_spark.streaming import core
+
+    # ONE create file (coalesce) so the delete's rewrite provably
+    # touches the k=1 survivor — redeliver's re-emission is then exact,
+    # not layout-dependent
+    t = TxTable.create(
+        spark, root, _df(spark, [(1, "a", 1.0), (2, "b", 12.0)]).coalesce(1)
+    )
+    t.delete_where("v", 10.0, 20.0)  # non-append commit
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="non-append"):
+        core.run_available_now(
+            _feed_stream(spark, root), output_mode="append"
+        )
+
+    # skip: the rewrite commit is ignored wholesale — the stream shows
+    # the ORIGINAL create rows only (Delta ignoreDeletes shape)
+    out = core.run_available_now(
+        _feed_stream(spark, root, on_change="skip"), output_mode="append"
+    )
+    assert _rows(out) == [(1, "a", 1.0), (2, "b", 12.0)]
+
+    # redeliver: the rewrite's added files re-emit survivors
+    # (at-least-once; duplicates by design — Delta ignoreChanges shape)
+    out = core.run_available_now(
+        _feed_stream(spark, root, on_change="redeliver"),
+        output_mode="append",
+    )
+    assert _rows(out) == [(1, "a", 1.0), (1, "a", 1.0), (2, "b", 12.0)]
+
+
+def test_stream_feed_starting_version_and_optimize_skipped(spark, root):
+    from data_mastery_pipeline_spark.streaming import core
+
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t.append(_df(spark, [(2, "b", 2.0)]))
+    t.append(_df(spark, [(3, "c", 3.0)]))
+    t.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 20)
+    # start after version 1: only the second append arrives; the
+    # optimize rewrite (dataChange=false) is never delivered
+    out = core.run_available_now(
+        _feed_stream(spark, root, starting_version="1"),
+        output_mode="append",
+    )
+    assert _rows(out) == [(3, "c", 3.0)]
+
+
+def test_stream_feed_into_txlog_sink_exactly_once(spark, root, tmp_path):
+    """Source + sink compose into a table-to-table incremental pipeline:
+    the feed drains into a SECOND txlog table through the exactly-once
+    foreachBatch sink; a full fresh-checkpoint re-delivery commits
+    nothing new (txn watermarks dedupe the replay)."""
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t.append(_df(spark, [(2, "b", 2.0)]))
+    dst_root = str(tmp_path / "dst")
+    dst = TxTable.create(
+        spark, dst_root, spark.createDataFrame([], DDL)
+    )
+
+    def run(ckpt):
+        q = (
+            _feed_stream(spark, root)
+            .select("k", "grp", "v")
+            .writeStream.foreachBatch(dst.foreach_batch_sink("cdc_copy"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "c1"))
+    assert _rows(dst.read()) == [(1, "a", 1.0), (2, "b", 2.0)]
+    v = dst.version()
+    run(str(tmp_path / "c2"))  # fresh checkpoint: full re-delivery
+    assert dst.version() == v  # zero new commits
+    assert _rows(dst.read()) == [(1, "a", 1.0), (2, "b", 2.0)]
