@@ -74,6 +74,10 @@ _PRIORITY = [
     "epoch_shuffle",
     "txlog_change_feed",
     "txlog_stream_feed",
+    "txlog_deletion_vectors",
+    "txlog_merge_on_read_update",
+    "txlog_stream_cdf",
+    "txlog_constraints_asof",
     # (c) standing re-greens, ordered by what CHANGED this round: the
     # load_table CPU_HEAVY_TABLES fan-out policy altered the scan plan
     # of every documents/embeddings query, so those anchors re-verify

@@ -99,6 +99,13 @@ HEADLINE = [
     # round 6: txlog incremental reads (CDF replay; version-offset stream)
     "txlog_change_feed",
     "txlog_stream_feed",
+    # round 6: merge-on-read deletes/updates (deletion vectors)
+    "txlog_deletion_vectors",
+    "txlog_merge_on_read_update",
+    # round 6: streaming CDC over the transaction log
+    "txlog_stream_cdf",
+    # round 6: CHECK constraints + timestamp time travel
+    "txlog_constraints_asof",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -1321,3 +1321,338 @@ def txlog_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "txlog_deletion_vectors",
+    """
+    WITH base AS (
+      SELECT * FROM events WHERE event_id % 5 IN (0, 1)
+    ), after_del AS (
+      SELECT * FROM base
+      WHERE NOT coalesce(value BETWEEN 25.0 AND 60.0, FALSE)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM after_del GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txlog_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes via DELETION VECTORS (the public
+    Delta/Iceberg v2 design): ``delete_where(mode="dv")`` commits the
+    matched rows' (file, row_index) pairs as a small sidecar instead of
+    rewriting data files — the delete costs O(matched rows), and the
+    snapshot read anti-joins the (broadcast-small) DV relation on
+    Spark's ``_metadata.file_path``/``row_index`` hidden columns. Two
+    overlapping range deletes exercise vector accumulation and the
+    already-deleted-position subtraction; OPTIMIZE then compacts with
+    vectors applied, retiring them (the read-amplification debt is paid
+    once, by compaction, not per delete).
+
+    Self-asserting: raises unless (a) the DV commits rewrote NO data
+    file (live file set identical before/after — the whole point),
+    (b) visible rows + vector cardinality == raw rows (exact
+    accounting), (c) OPTIMIZE leaves zero live vectors and an unchanged
+    visible row count (materialization is invisible).
+
+    100 TB: a predicate delete touching 1% of rows across 10k files
+    writes kilobytes of positions instead of rewriting terabytes;
+    readers pay one broadcast anti-join probe per row until the next
+    compaction. tests/test_txlog.py pins rewrite-free deletes, CDF
+    replay across dv+rewrite mixes, conflict rules, vacuum safety."""
+    from .sources import txlog as _txlog
+
+    ev = load_table(spark, "events", sf_dir)
+    root = os.path.join(_fresh_dir("txlog_dv", sf_dir), "tbl")
+    # 4 data files so the vectors land on several files AND the final
+    # optimize has ≥2 compaction inputs at every sf (a 1-file table
+    # makes optimize a documented no-op, which would leave vectors live)
+    t = _txlog.TxTable.create(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 5 < 2).repartition(4, "event_id"),
+        stat_cols=["event_id", "user_id", "value"],
+    )
+    raw = t.read().count()
+    files0 = sorted(a["path"] for a in t.snapshot_adds())
+    t.delete_where("value", 25.0, 45.0, mode="dv")
+    t.delete_where("value", 40.0, 60.0, mode="dv")
+    if sorted(a["path"] for a in t.snapshot_adds()) != files0:
+        raise ValueError("deletion-vector delete rewrote a data file")
+    visible = t.read().count()
+    n_dv = sum(t.dv_stats().values())
+    if visible + n_dv != raw:
+        raise ValueError(
+            f"DV accounting broke: {visible} visible + {n_dv} deleted "
+            f"!= {raw} raw"
+        )
+    t.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 22)
+    if t.dv_stats():
+        raise ValueError("optimize left live deletion vectors behind")
+    if t.read().count() != visible:
+        raise ValueError("optimize changed the visible row count")
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            quantize(F.sum("value"), "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "txlog_merge_on_read_update",
+    """
+    WITH base AS (
+      SELECT * FROM events WHERE event_id % 3 = 0
+    ), updated AS (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN coalesce(value BETWEEN 20.0 AND 50.0, FALSE)
+                  THEN value * 2.0 + 1.0 ELSE value END AS value,
+             props
+      FROM base
+    ), after_delete AS (
+      SELECT * FROM updated
+      WHERE NOT coalesce(value BETWEEN 95.0 AND 101.0, FALSE)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM after_delete GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txlog_merge_on_read_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPDATE (``update_where(mode="dv")``) stacked with a
+    merge-on-read DELETE on the same files: the UPDATE commits ONE
+    transaction carrying a deletion vector (the matched rows' old
+    positions) plus new data files (their updated values) — updating k
+    rows scattered across 10k files writes O(k) rows and rewrites
+    nothing; the DELETE then vectors away a band of the UPDATED values,
+    which live in the new files (vectors stack across file
+    generations). Every assignment reads the OLD row (single-projection
+    semantics — the ANSI UPDATE rule, pinned by test against the
+    sequential-withColumn trap where assignment k+1 would see
+    assignment k's output).
+
+    Self-asserting: raises unless (a) neither MOR commit removed a data
+    file (the create's files all stay live), (b) vector cardinality
+    equals exactly (updated + deleted) row counts, (c) the table's
+    visible count dropped by exactly the delete's matched count.
+
+    100 TB: same anti-join read path as txlog_deletion_vectors — the
+    DV relation stays broadcast-small and compaction retires it;
+    tests/test_txlog.py pins CDF replay equality across update_dv
+    commits (old values emitted as deletes, new as inserts, one
+    version) and the no-commit-on-failure contract."""
+    from .sources import txlog as _txlog
+
+    ev = load_table(spark, "events", sf_dir)
+    root = os.path.join(_fresh_dir("txlog_mor", sf_dir), "tbl")
+    base = ev.filter(F.col("event_id") % 3 == 0)
+    t = _txlog.TxTable.create(
+        spark,
+        root,
+        base.repartition(4, "event_id"),
+        stat_cols=["event_id", "user_id", "value"],
+    )
+    raw = t.read().count()
+    files0 = set(a["path"] for a in t.snapshot_adds())
+    n_upd = base.filter(F.col("value").between(20.0, 50.0)).count()
+    t.update_where(
+        "value", 20.0, 50.0, {"value": F.col("value") * 2.0 + 1.0}, mode="dv"
+    )
+    n_del = t.read().filter(F.col("value").between(95.0, 101.0)).count()
+    t.delete_where("value", 95.0, 101.0, mode="dv")
+    if not files0 <= set(a["path"] for a in t.snapshot_adds()):
+        raise ValueError("a merge-on-read commit removed a data file")
+    if sum(t.dv_stats().values()) != n_upd + n_del:
+        raise ValueError(
+            f"vector cardinality {sum(t.dv_stats().values())} != "
+            f"{n_upd} updated + {n_del} deleted"
+        )
+    if t.read().count() != raw - n_del:
+        raise ValueError("visible count diverged from the delete's matches")
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            quantize(F.sum("value"), "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "txlog_stream_cdf",
+    """
+    WITH base AS (
+      SELECT * FROM events WHERE event_id % 8 IN (0, 1)
+    ), updated AS (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN coalesce(value BETWEEN 10.0 AND 30.0, FALSE)
+                  THEN value + 100.0 ELSE value END AS value,
+             props
+      FROM base
+    ), after_delete AS (
+      SELECT * FROM updated
+      WHERE NOT coalesce(value BETWEEN 60.0 AND 80.0, FALSE)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM after_delete GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txlog_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC — ``readStream.format("txlog_feed").option("mode",
+    "cdf")``: micro-batches carry insert AND delete rows (change type +
+    commit version), the batch CDF's exact retraction semantics pushed
+    through the streaming wire. The driver plans each batch from log
+    metadata only, walking the deletion-vector state forward so a
+    rewrite's delete side is what was VISIBLE before it; each input
+    partition ships its file plus the sidecar paths its executor task
+    consults (position-select in Arrow — pyarrow row order IS
+    _metadata.row_index). A create → MOR update → rewrite-delete
+    history is drained with availableNow and REPLAYED from empty
+    (signed multisets) into the final state; the per-type aggregate is
+    the driver-checked observable.
+
+    Self-asserting: raises unless every replayed row nets to exactly
+    0 or 1 copies and the reconstruction matches the table's count —
+    the same contract the batch feed pins, now for the stream (their
+    row-level equality is pinned in tests/test_txlog.py, plus
+    checkpoint-resume delivering only new changes).
+
+    100 TB: a downstream incremental consumer (IVM, replica sync,
+    search indexer) tails the table with O(changed files) per trigger
+    and NEVER rescans history — this is the lakehouse CDC pattern the
+    public formats ship as readChangeFeed."""
+    from .sources import txlog as _txlog
+    from .streaming import core as _score
+
+    ev = load_table(spark, "events", sf_dir)
+    root = os.path.join(_fresh_dir("txlog_scdf", sf_dir), "tbl")
+    t = _txlog.TxTable.create(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 8 < 2).repartition(4, "event_id"),
+        stat_cols=["event_id", "user_id", "value"],
+    )
+    t.update_where(
+        "value", 10.0, 30.0, {"value": F.col("value") + 100.0}, mode="dv"
+    )
+    t.delete_where("value", 60.0, 80.0)  # copy-on-write over DV'd files
+
+    _txlog.register(spark)
+    feed = _score.run_available_now(
+        spark.readStream.format("txlog_feed")
+        .option("root", root)
+        .option("mode", "cdf")
+        .load(),
+        output_mode="append",
+    )
+    cols = [f.name for f in t.schema().fields]
+    net = feed.groupBy(*cols).agg(
+        F.sum(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        ).alias("n")
+    )
+    if net.filter(~F.col("n").isin(0, 1)).limit(1).count():
+        raise ValueError("streamed CDC replay produced a net count ∉ {0,1}")
+    recon = net.filter(F.col("n") == 1).drop("n")
+    if recon.count() != t.read().count():
+        raise ValueError("streamed CDC replay diverged from the snapshot")
+    return (
+        recon.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            quantize(F.sum("value"), "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "txlog_constraints_asof",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE event_id % 9 = 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txlog_constraints_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints + timestamp time travel (the table-format
+    governance pair): ``add_constraint`` validates existing data then
+    commits metadata (serializing against in-flight writers — they
+    re-plan under the constraint); every subsequent write path enforces
+    the predicate ROW-WISE inside the staging job via a conditional
+    raise_error riding the first output column — zero extra scans, and
+    a violating batch fails before anything commits. ``read(as_of=ts)``
+    resolves a wall-clock timestamp to the latest commit at-or-before
+    it through the in-log commit times (durable where file-mtime
+    fallbacks are not) and time-travels there.
+
+    Self-asserting: raises unless (a) a deliberately violating append
+    is rejected AND leaves the version unchanged, (b) the as-of read
+    excludes the post-timestamp append. The driver-checked observable
+    is the as-of snapshot's aggregate — equal to the FIRST slice only,
+    which is what proves the timestamp resolution.
+
+    100 TB: constraint enforcement adds one codegen'd projection to
+    writes (no validation pass); as-of resolution is O(commits) driver
+    metadata. tests/test_txlog.py pins ANSI NULL-passes semantics,
+    enforcement on append/merge/update, checkpoint survival, and the
+    metadata serialization rule."""
+    import time as _time
+
+    from .sources import txlog as _txlog
+
+    ev = load_table(spark, "events", sf_dir)
+    root = os.path.join(_fresh_dir("txlog_gov", sf_dir), "tbl")
+    t = _txlog.TxTable.create(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 9 == 0),
+        stat_cols=["event_id", "user_id", "value"],
+    )
+    t.add_constraint(
+        "value_bounds", "value IS NULL OR value BETWEEN -1e6 AND 1e6"
+    )
+    ts_mid = _time.time()
+    _time.sleep(0.01)
+    t.append(ev.filter(F.col("event_id") % 9 == 1))
+    v = t.version()
+    try:
+        t.append(
+            ev.filter(F.col("event_id") % 9 == 0)
+            .limit(1)
+            .withColumn("value", F.lit(-2e6))
+        )
+        raise ValueError("constraint accepted a violating append")
+    except ValueError:
+        raise
+    except Exception:
+        pass  # the expected enforcement failure
+    if t.version() != v:
+        raise ValueError("a rejected append still committed something")
+    snap = t.read(as_of=ts_mid)
+    if t.version_at_timestamp(ts_mid) != 1:
+        raise ValueError("as-of resolved to the wrong version")
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            quantize(F.sum("value"), "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -306,18 +306,54 @@ class TxTable:
                 "being read"
             ) from None
 
-    def _state_at(self, version: int) -> tuple[dict, dict, dict]:
-        """Replay → (meta, {rel_path: add_entry}, {app_id: last_batch})
+    @staticmethod
+    def _apply_action(
+        action: dict, meta: dict, live: dict, txns: dict, dvs: dict
+    ) -> dict:
+        """One log action applied to replay state (shared by
+        :meth:`_state_at` and the CDF's forward walk). Returns the
+        (possibly replaced) ``meta``. A ``remove`` also retires the
+        removed file's deletion-vector entries — the rewrite read the
+        file WITH its DVs applied, so the deletions are materialized in
+        the replacement files and the vectors are dead state."""
+        if "meta" in action:
+            return action["meta"]
+        if "add" in action:
+            live[action["add"]["path"]] = action["add"]
+        elif "remove" in action:
+            gone = action["remove"]["path"]
+            live.pop(gone, None)
+            for dv_key in list(dvs):
+                files = dvs[dv_key]["files"]
+                files.pop(gone, None)
+                if not files:
+                    del dvs[dv_key]
+        elif "dv" in action:
+            d = action["dv"]
+            dvs[d["paths"][0]] = {
+                "paths": list(d["paths"]),
+                "files": dict(d["files"]),
+            }
+        elif "txn" in action:
+            t = action["txn"]
+            txns[t["app_id"]] = max(t["batch_id"], txns.get(t["app_id"], -1))
+        return meta
+
+    def _state_at(self, version: int) -> tuple[dict, dict, dict, dict]:
+        """Replay → (meta, {rel_path: add_entry}, {app_id: last_batch},
+        {dv_key: {"paths": [...], "files": {rel_path: n_deleted}}})
         at ``version``. Starts from the newest checkpoint ≤ version when
         one exists; raises :class:`VersionExpiredError` if the needed
         commit files were expired past the available checkpoints. The
         third element is the streaming-writer watermark map (``txn``
-        actions — see :meth:`append_stream_batch`)."""
+        actions — see :meth:`append_stream_batch`); the fourth the live
+        deletion vectors (see :meth:`delete_where` ``mode="dv"``)."""
         vs, cs = self._list_log()
         base = max((c for c in cs if c <= version), default=None)
         meta: dict = {}
         live: dict[str, dict] = {}
         txns: dict[str, int] = {}
+        dvs: dict[str, dict] = {}
         start = 0
         if base is not None:
             with open(self._ckpt_path(base), encoding="utf-8") as f:
@@ -325,6 +361,10 @@ class TxTable:
             meta = ck["meta"]
             live = {a["path"]: a for a in ck["adds"]}
             txns = dict(ck.get("txns", {}))
+            dvs = {
+                k: {"paths": list(e["paths"]), "files": dict(e["files"])}
+                for k, e in ck.get("dvs", {}).items()
+            }
             start = base + 1
         have = set(vs)
         for v in range(start, version + 1):
@@ -334,20 +374,10 @@ class TxTable:
                     f"(newest usable checkpoint: {base})"
                 )
             for action in self._parse_commit(v):
-                if "meta" in action:
-                    meta = action["meta"]
-                elif "add" in action:
-                    live[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
-                elif "txn" in action:
-                    t = action["txn"]
-                    txns[t["app_id"]] = max(
-                        t["batch_id"], txns.get(t["app_id"], -1)
-                    )
+                meta = self._apply_action(action, meta, live, txns, dvs)
         if not meta:
             raise VersionExpiredError(f"no metadata replayable at v{version}")
-        return meta, live, txns
+        return meta, live, txns, dvs
 
     def version(self) -> int:
         v = self._latest_version()
@@ -356,14 +386,14 @@ class TxTable:
         return v
 
     def schema(self) -> T.StructType:
-        meta, _, _ = self._state_at(self.version())
+        meta, _, _, _ = self._state_at(self.version())
         return T.StructType.fromJson(json.loads(meta["schema_json"]))
 
     def snapshot_adds(self, version: int | None = None) -> list[dict]:
         """The live file entries (path/size/num_records/stats) at a
         version — the log-as-manifest view, O(files), no data scan."""
         v = self.version() if version is None else version
-        _, live, _ = self._state_at(v)
+        _, live, _, _ = self._state_at(v)
         return sorted(live.values(), key=lambda a: a["path"])
 
     def history(self) -> list[dict]:
@@ -387,21 +417,117 @@ class TxTable:
             )
         return out
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """Latest version whose commit time is ≤ ``ts`` (unix seconds or
+        a datetime) — the timestamp→version half of time travel. Commit
+        times come from the in-log ``ts`` field, with the log file's
+        mtime as the fallback for pre-field commits (the public
+        formats' own fallback). Raises if ``ts`` precedes the oldest
+        replayable commit."""
+        if hasattr(ts, "timestamp"):
+            ts = ts.timestamp()
+        vs, _ = self._list_log()
+        best = None
+        for v in vs:
+            actions = self._parse_commit(v)
+            ct = next(
+                (
+                    a["commit"].get("ts")
+                    for a in actions
+                    if "commit" in a and a["commit"].get("ts") is not None
+                ),
+                None,
+            )
+            if ct is None:
+                ct = os.path.getmtime(self._log_path(v))
+            if ct <= ts:
+                best = v
+            else:
+                break  # commit times are monotone along versions
+        if best is None:
+            raise VersionExpiredError(
+                f"no commit of {self.root!r} at or before timestamp {ts}"
+            )
+        return best
+
     # -- reads ------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    _DV_SCHEMA = "path string, pos bigint"
+
+    def _rel_path_col(self):
+        """Expression turning ``_metadata.file_path`` (``file:`` +
+        abspath) into the log-relative path — a fixed-offset substring,
+        computed per row JVM-side (no UDF). The offset is exact because
+        every scanned file lives under ``self.root``."""
+        prefix = "file:" + os.path.abspath(self.root) + "/"
+        return F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})")
+
+    def _dv_frame(self, dvs: dict, restrict: set[str] | None = None):
+        """The live deletion-vector relation ``(path, pos)`` — one scan
+        over every live DV sidecar, optionally restricted to a file
+        subset (rows for other files are correct but dead weight when
+        the caller only reads ``restrict``). None when no DVs exist."""
+        paths = sorted(p for e in dvs.values() for p in e["paths"])
+        if not paths:
+            return None
+        df = self.spark.read.schema(self._DV_SCHEMA).parquet(
+            *[os.path.join(self.root, p) for p in paths]
+        )
+        if restrict is not None:
+            df = df.filter(F.col("path").isin(sorted(restrict)))
+        return df
+
+    def _read_files(
+        self, schema: T.StructType, rels: list[str], dvs: dict
+    ) -> DataFrame:
+        """Scan ``rels`` under the enforced schema with deletion vectors
+        applied: rows whose ``(file, row_index)`` appear in a live DV
+        are anti-joined away. The DV side is tiny relative to the scan
+        (deleted rows only), so Catalyst/AQE plans a broadcast anti-join
+        — the merge-on-read cost is one broadcast probe per row, no
+        shuffle of the table side."""
+        if not rels:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, r) for r in sorted(rels)]
+        )
+        dv = self._dv_frame(dvs, restrict=set(rels))
+        if dv is None:
+            return df
+        cols = [f.name for f in schema.fields]
+        return (
+            df.withColumn("__rel", self._rel_path_col())
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .join(
+                dv.select(
+                    F.col("path").alias("__rel"), F.col("pos").alias("__pos")
+                ),
+                ["__rel", "__pos"],
+                "left_anti",
+            )
+            .select(*cols)
+        )
+
+    def read(
+        self, version: int | None = None, as_of=None
+    ) -> DataFrame:
         """Snapshot-isolated read: the file list is fixed by the log at
         resolve time, so a concurrent commit (or even a vacuum of
         now-unreferenced files) cannot change what this scan sees.
-        ``version`` → time travel."""
-        meta, live, _ = self._state_at(
+        ``version`` → time travel by version; ``as_of`` (unix seconds
+        or datetime) → time travel by timestamp, resolved through
+        :meth:`version_at_timestamp`. Deletion vectors live at the
+        target version are applied (merge-on-read: see
+        :meth:`delete_where` ``mode="dv"``)."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_at_timestamp(as_of)
+        meta, live, _, dvs = self._state_at(
             self.version() if version is None else version
         )
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
-        if not live:
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, rel) for rel in sorted(live)]
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._read_files(schema, sorted(live), dvs)
 
     def scan(self, preds: dict) -> tuple[DataFrame, dict]:
         """Stats-pruned read: ``{col: (lo, hi)}`` conjunctive ranges.
@@ -410,7 +536,7 @@ class TxTable:
         (the same coordinator-artifact contract as manifest.py, minus
         its build scan). Residual row filters are re-applied; the
         result is exact, pruning is only a file-count optimization."""
-        meta, live, _ = self._state_at(self.version())
+        meta, live, _, dvs = self._state_at(self.version())
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         keep = [
             a
@@ -418,12 +544,7 @@ class TxTable:
             if all(_overlaps(a["stats"], c, lo, hi) for c, (lo, hi) in preds.items())
         ]
         stats = {"files_total": len(live), "files_read": len(keep)}
-        if not keep:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, a["path"]) for a in keep]
-            )
+        df = self._read_files(schema, [a["path"] for a in keep], dvs)
         for c, (lo, hi) in preds.items():
             df = df.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
         return df, stats
@@ -457,6 +578,13 @@ class TxTable:
         surfaces as a loud read error — the same CDF-retention caveat
         the public formats document).
 
+        Deletion vectors: a ``delete_dv`` commit emits exactly its
+        newly-deleted rows (the referenced files semi-joined with that
+        commit's DV sidecar) as deletes; a rewrite commit's delete side
+        is the removed files AS VISIBLE at the prior version (raw rows
+        minus the DV state before the commit) — so replay equality
+        holds across any mix of copy-on-write and merge-on-read.
+
         100 TB: the feed reads O(changed files) in range — never the
         table; the plan unions one pruned scan per (commit, side), so a
         feed over a bounded commit window is bounded work. Rows are
@@ -470,44 +598,102 @@ class TxTable:
             )
         if start_version > end:
             raise ValueError(f"empty range: ({start_version}, {end}]")
-        meta, _, _ = self._state_at(end)
+        meta, _, _, _ = self._state_at(end)
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
-        groups: list[tuple[int, str, list[str]]] = []
+        cols = [f.name for f in schema.fields]
+        commits = {
+            v: self._parse_commit(v) for v in range(start_version + 1, end + 1)
+        }  # raises VersionExpiredError if the range itself is gone
+        # DV state walks forward with the feed: a rewrite's delete side
+        # must subtract the vectors visible just BEFORE it (see
+        # docstring). live/txns ride along only to feed _apply_action.
+        # The start state is needed ONLY when the range rewrites files —
+        # an append/dv-only range feeds even after the history BEFORE
+        # start_version was expired (each dv commit is self-contained).
+        live, txns, dvs = {}, {}, {}
+        if start_version >= 0:
+            try:
+                _m, live, txns, dvs = self._state_at(start_version)
+            except VersionExpiredError:
+                for v, actions in commits.items():
+                    op = next(
+                        (a["commit"]["op"] for a in actions if "commit" in a),
+                        "?",
+                    )
+                    if op != "optimize" and any("remove" in a for a in actions):
+                        raise VersionExpiredError(
+                            f"feed over ({start_version}, {end}] contains a "
+                            f"rewrite at v{v} whose delete side needs the "
+                            f"deletion-vector state at v{start_version}, "
+                            "which has been expired"
+                        ) from None
+        parts: list[DataFrame] = []
+
+        def _stamp(df: DataFrame, ctype: str, v: int) -> None:
+            parts.append(
+                df.select(*cols)
+                .withColumn("_change_type", F.lit(ctype))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+
         for v in range(start_version + 1, end + 1):
-            actions = self._parse_commit(v)
+            actions = commits[v]
             op = next(
                 (a["commit"]["op"] for a in actions if "commit" in a), "?"
             )
-            if op == "optimize":
-                continue
             adds = [a["add"]["path"] for a in actions if "add" in a]
             removes = [a["remove"]["path"] for a in actions if "remove" in a]
-            # deletes first: within one version the retraction applies
-            # before the re-insert (ordering is cosmetic — multiset
-            # replay is order-free — but keeps the feed readable)
-            if removes:
-                groups.append((v, "delete", removes))
-            if adds:
-                groups.append((v, "insert", adds))
-        out_schema = T.StructType(
-            list(schema.fields)
-            + [
-                T.StructField("_change_type", T.StringType(), False),
-                T.StructField("_commit_version", T.LongType(), False),
-            ]
-        )
-        if not groups:
+            dv_acts = [a["dv"] for a in actions if "dv" in a]
+            if op != "optimize":
+                # deletes first: within one version the retraction
+                # applies before the re-insert (ordering is cosmetic —
+                # multiset replay is order-free — but keeps the feed
+                # readable)
+                if removes:
+                    _stamp(self._read_files(schema, removes, dvs), "delete", v)
+                for d in dv_acts:
+                    dvrel = self.spark.read.schema(self._DV_SCHEMA).parquet(
+                        *[os.path.join(self.root, p) for p in d["paths"]]
+                    )
+                    hit = (
+                        self.spark.read.schema(schema)
+                        .parquet(
+                            *[
+                                os.path.join(self.root, f)
+                                for f in sorted(d["files"])
+                            ]
+                        )
+                        .withColumn("__rel", self._rel_path_col())
+                        .withColumn("__pos", F.col("_metadata.row_index"))
+                        .join(
+                            dvrel.select(
+                                F.col("path").alias("__rel"),
+                                F.col("pos").alias("__pos"),
+                            ),
+                            ["__rel", "__pos"],
+                            "left_semi",
+                        )
+                    )
+                    _stamp(hit, "delete", v)
+                if adds:
+                    _stamp(
+                        self.spark.read.schema(schema).parquet(
+                            *[os.path.join(self.root, r) for r in sorted(adds)]
+                        ),
+                        "insert",
+                        v,
+                    )
+            for action in actions:
+                self._apply_action(action, {}, live, txns, dvs)
+        if not parts:
+            out_schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_commit_version", T.LongType(), False),
+                ]
+            )
             return self.spark.createDataFrame([], out_schema)
-        parts = []
-        for v, ctype, rels in groups:
-            df = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, r) for r in sorted(rels)]
-            )
-            parts.append(
-                df.withColumn("_change_type", F.lit(ctype)).withColumn(
-                    "_commit_version", F.lit(v).cast("long")
-                )
-            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -550,8 +736,18 @@ class TxTable:
         predicate: dict | None,
         read_version: int,
         latest: int,
+        dv_targets: tuple | list = (),
     ) -> None:
+        """``dv_targets``: files this txn logically deletes rows from
+        via a deletion vector. They guard like removes — an interleaved
+        remove of one means our positions reference a dead file (the
+        delete would be silently lost), and an interleaved rewrite that
+        read the file WITHOUT our (uncommitted) vectors would resurrect
+        the rows. Symmetrically, an interleaved ``dv`` on a file this
+        txn removes or also DV-deletes conflicts: our rewrite was
+        computed without their deletions / double-delete accounting."""
         our_removes = set(removes)
+        guarded = our_removes | set(dv_targets)
         for v in range(read_version + 1, latest + 1):
             actions = self._parse_commit(v)
             their_op = next(
@@ -569,12 +765,25 @@ class TxTable:
                         f"this {op} transaction — re-run against the new "
                         "schema"
                     )
-                if "remove" in a and a["remove"]["path"] in our_removes:
+                if "remove" in a and a["remove"]["path"] in guarded:
                     raise ConflictError(
                         f"v{v} ({their_op}) removed {a['remove']['path']!r}, "
                         f"which this {op} transaction also rewrites"
                     )
-                if "add" in a and op in ("delete", "merge"):
+                if "dv" in a and guarded & set(a["dv"]["files"]):
+                    clash = sorted(guarded & set(a["dv"]["files"]))
+                    raise ConflictError(
+                        f"v{v} ({their_op}) committed deletion vectors on "
+                        f"{clash!r}, which this {op} transaction also "
+                        "rewrites or deletes from"
+                    )
+                if "add" in a and op in (
+                    "delete",
+                    "delete_dv",
+                    "merge",
+                    "update",
+                    "update_dv",
+                ):
                     if predicate is None or any(
                         _overlaps(a["add"].get("stats", {}), c, lo, hi)
                         for c, (lo, hi) in predicate.items()
@@ -594,6 +803,8 @@ class TxTable:
         read_version: int,
         meta: dict | None = None,
         stream_txn: tuple[str, int] | None = None,
+        dv: dict | None = None,
+        dv_targets: tuple | list = (),
     ) -> int:
         """Optimistic-concurrency commit loop: conflict-check against
         everything committed since ``read_version``, then put-if-absent
@@ -612,6 +823,8 @@ class TxTable:
             lines.append(json.dumps({"remove": {"path": rel}}))
         for a in adds:
             lines.append(json.dumps({"add": a}))
+        if dv is not None:
+            lines.append(json.dumps({"dv": dv}))
         if stream_txn is not None:
             lines.append(
                 json.dumps(
@@ -630,6 +843,11 @@ class TxTable:
                         if predicate
                         else None,
                         "txn": uuid.uuid4().hex,
+                        # commit wall time: read(as_of=...) resolves
+                        # timestamps to versions through this (in-log,
+                        # so expire/copy can't skew it the way file
+                        # mtime — the public formats' fallback — can)
+                        "ts": time.time(),
                     }
                 }
             )
@@ -654,7 +872,9 @@ class TxTable:
                                 and a["txn"]["batch_id"] >= batch_id
                             ):
                                 raise _AlreadyCommitted(app_id, batch_id, v)
-                self._check_conflicts(op, removes, predicate, read_version, latest)
+                self._check_conflicts(
+                    op, removes, predicate, read_version, latest, dv_targets
+                )
             v = latest + 1
             if self._put_if_absent(payload, self._log_path(v)):
                 if v > 0 and v % self.CHECKPOINT_INTERVAL == 0:
@@ -673,13 +893,14 @@ class TxTable:
         parquet checkpoint, as the public formats do. Failure-safe:
         best-effort (a missing checkpoint only slows replay), but an
         EXISTING one is never half-visible (tmp + atomic rename)."""
-        meta, live, txns = self._state_at(version)
+        meta, live, txns, dvs = self._state_at(version)
         payload = json.dumps(
             {
                 "version": version,
                 "meta": meta,
                 "adds": sorted(live.values(), key=lambda a: a["path"]),
                 "txns": txns,
+                "dvs": dvs,
             }
         )
         tmp = os.path.join(self._log_root(), f".ckpt-{uuid.uuid4().hex}")
@@ -695,14 +916,14 @@ class TxTable:
         raises instead: the staged files carry the old schema).
         O(new files) — the whole point vs versioned.py's whole-table
         snapshots."""
-        meta, _, _ = self._state_at(self.version())
+        meta, _, _, _ = self._state_at(self.version())
         adds = self._write_stage(self._conform(df, meta), meta["stat_cols"])
         return self._commit("append", adds, [], None, read_version=self.version())
 
     def last_stream_batch(self, app_id: str) -> int | None:
         """Highest batch_id this streaming app has committed (its txn
         watermark), or None — resumes read it to skip replayed work."""
-        _, _, txns = self._state_at(self.version())
+        _, _, txns, _ = self._state_at(self.version())
         return txns.get(app_id)
 
     def append_stream_batch(
@@ -729,7 +950,7 @@ class TxTable:
         if last is not None and batch_id <= last:
             return None
         rv = self.version()
-        meta, _, _ = self._state_at(rv)
+        meta, _, _, _ = self._state_at(rv)
         adds = self._write_stage(self._conform(df, meta), meta["stat_cols"])
         try:
             return self._commit(
@@ -752,31 +973,248 @@ class TxTable:
 
         return _sink
 
-    def delete_where(self, col: str, lo, hi) -> int:
+    def delete_where(self, col: str, lo, hi, mode: str = "rewrite") -> int:
         """Delete rows with ``col BETWEEN lo AND hi`` (NULLs never
         match, both here and in ANSI SQL — the keep-filter coalesces
         the NULL predicate to keep). Only files whose stats overlap the
-        range are rewritten: the blast radius is O(matching files), and
+        range are touched: the blast radius is O(matching files), and
         untouched files are not even opened (the erasure-module
-        discipline, now transactional)."""
+        discipline, now transactional).
+
+        ``mode="rewrite"`` (copy-on-write): matching files are rewritten
+        without the matched rows — reads stay pure scans, but deleting
+        one row from a 1 GB file costs a 1 GB rewrite.
+
+        ``mode="dv"`` (merge-on-read, the public Delta/Iceberg deletion
+        -vector design): the matched rows' ``(file, row_index)`` pairs
+        are written as a small DV sidecar and committed as a ``dv``
+        action — no data file is rewritten, so the delete costs
+        O(matched rows), not O(touched file bytes). Readers anti-join
+        the (broadcast-small) DV relation; a later rewrite of a DV'd
+        file (optimize / rewrite-delete / merge) reads it with DVs
+        applied and retires them, materializing the deletions — the
+        read-amplification debt is paid once, by compaction. Either
+        mode: already-deleted rows never double-count (the DV path
+        subtracts live DVs before staging), and GDPR-style erasure
+        wants ``rewrite`` (DVs leave the bytes in place)."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"mode must be rewrite|dv, got {mode!r}")
         rv = self.version()
-        meta, live, _ = self._state_at(rv)
+        meta, live, _, dvs = self._state_at(rv)
         hit = [a for a in live.values() if _overlaps(a["stats"], col, lo, hi)]
         if not hit:
             return rv
-        src = self.spark.read.schema(
-            T.StructType.fromJson(json.loads(meta["schema_json"]))
-        ).parquet(*[os.path.join(self.root, a["path"]) for a in hit])
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        hit_rels = [a["path"] for a in hit]
         matched = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-        keep = src.filter(~F.coalesce(matched, F.lit(False)))
+        predicate = {col: (lo, hi)}
+        if mode == "dv":
+            return self._delete_dv(
+                rv, schema, hit_rels, dvs, matched, predicate
+            )
+        keep = self._read_files(schema, hit_rels, dvs).filter(
+            ~F.coalesce(matched, F.lit(False))
+        )
         adds = self._write_stage(keep, meta["stat_cols"])
         return self._commit(
             "delete",
             adds,
-            [a["path"] for a in hit],
-            {col: (lo, hi)},
+            hit_rels,
+            predicate,
             read_version=rv,
         )
+
+    def _delete_dv(
+        self,
+        rv: int,
+        schema: T.StructType,
+        hit_rels: list[str],
+        dvs: dict,
+        matched,
+        predicate: dict,
+    ) -> int:
+        """Stage the matched ``(path, pos)`` pairs and commit them as a
+        ``dv`` action. Positions already covered by a live DV are
+        subtracted first — re-deleting the same range is a no-op (no
+        commit), and per-file ``n_deleted`` accounting stays exact."""
+        pos = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.root, r) for r in sorted(hit_rels)])
+            .filter(F.coalesce(matched, F.lit(False)))
+            .select(
+                self._rel_path_col().alias("path"),
+                F.col("_metadata.row_index").cast("bigint").alias("pos"),
+            )
+        )
+        existing = self._dv_frame(dvs, restrict=set(hit_rels))
+        if existing is not None:
+            pos = pos.join(existing, ["path", "pos"], "left_anti")
+        entries = self._write_stage(pos, [])
+        if not entries:
+            return rv  # nothing newly deleted; orphan stage → vacuum
+        dv_paths = sorted(e["path"] for e in entries)
+        counts = (
+            self.spark.read.schema(self._DV_SCHEMA)
+            .parquet(*[os.path.join(self.root, p) for p in dv_paths])
+            .groupBy("path")
+            .count()
+            .collect()
+        )  # bounded: one row per touched FILE (driver metadata, like adds)
+        files = {r["path"]: r["count"] for r in counts}
+        return self._commit(
+            "delete_dv",
+            [],
+            [],
+            predicate,
+            read_version=rv,
+            dv={
+                "paths": dv_paths,
+                "files": files,
+                "num_deleted": sum(files.values()),
+            },
+            dv_targets=sorted(files),
+        )
+
+    def update_where(
+        self,
+        col: str,
+        lo,
+        hi,
+        assignments: dict,
+        mode: str = "rewrite",
+    ) -> int:
+        """UPDATE rows with ``col BETWEEN lo AND hi``: each assignment
+        ``{column: Column-expression | SQL string}`` is applied to the
+        matched rows (NULL predicate values never match — ANSI UPDATE
+        semantics). Completes the DML triangle next to
+        :meth:`delete_where` and :meth:`merge_upsert`.
+
+        ``mode="rewrite"`` (copy-on-write): the stat-overlapping files
+        are rewritten with the assignments applied in place.
+
+        ``mode="dv"`` (merge-on-read): ONE commit carries a deletion
+        vector retiring the matched rows' old positions PLUS new data
+        files holding their updated values — an update of k rows costs
+        O(k) written rows and zero rewrites of untouched neighbors (the
+        public formats' DV-backed UPDATE). Readers see old-minus-DV
+        plus the new files atomically; the CDF emits the old values as
+        deletes and the new as inserts under one commit version.
+
+        100 TB: updating 0.1% of rows scattered over 10k files writes
+        ~0.1% of the data either way the rows land, but rewrite mode
+        would copy all 10k files; dv mode touches none of them."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"mode must be rewrite|dv, got {mode!r}")
+        rv = self.version()
+        meta, live, _, dvs = self._state_at(rv)
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        names = set(schema.fieldNames())
+        bad = sorted(set(assignments) - names)
+        if bad:
+            raise ValueError(f"unknown update columns {bad} (have {sorted(names)})")
+        exprs = {
+            k: (F.expr(v) if isinstance(v, str) else v)
+            for k, v in assignments.items()
+        }
+        hit = [a for a in live.values() if _overlaps(a["stats"], col, lo, hi)]
+        if not hit:
+            return rv
+        hit_rels = [a["path"] for a in hit]
+        matched = F.coalesce(
+            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)),
+            F.lit(False),
+        )
+        predicate = {col: (lo, hi)}
+        cols = [f.name for f in schema.fields]
+
+        def _assigned(df: DataFrame, cond) -> DataFrame:
+            # ONE projection: every assignment reads the ORIGINAL row
+            # (sequential withColumn would feed assignment k+1 the
+            # already-updated column k — SQL UPDATE reads old values)
+            out = df.withColumns(
+                {
+                    k: F.when(cond, e).otherwise(F.col(k))
+                    for k, e in exprs.items()
+                }
+            )
+            return self._conform(out.select(*cols), meta)
+
+        if mode == "rewrite":
+            src = self._read_files(schema, hit_rels, dvs)
+            adds = self._write_stage(_assigned(src, matched), meta["stat_cols"])
+            return self._commit(
+                "update", adds, hit_rels, predicate, read_version=rv
+            )
+        # merge-on-read: positions of the matched VISIBLE rows become a
+        # deletion vector; their updated values become new data files —
+        # both under one atomic commit.
+        raw = (
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.root, r) for r in sorted(hit_rels)])
+            .withColumn("__rel", self._rel_path_col())
+            .withColumn(
+                "__pos", F.col("_metadata.row_index").cast("bigint")
+            )
+            .filter(matched)
+        )
+        existing = self._dv_frame(dvs, restrict=set(hit_rels))
+        if existing is not None:
+            raw = raw.join(
+                existing.select(
+                    F.col("path").alias("__rel"), F.col("pos").alias("__pos")
+                ),
+                ["__rel", "__pos"],
+                "left_anti",
+            )
+        from ..checkpointing import release, truncate_lineage
+
+        raw = truncate_lineage(raw)  # one evaluation feeds both branches
+        try:
+            dv_entries = self._write_stage(
+                raw.select(
+                    F.col("__rel").alias("path"), F.col("__pos").alias("pos")
+                ),
+                [],
+            )
+            if not dv_entries:
+                return rv  # nothing visible matched; orphan stages → vacuum
+            adds = self._write_stage(
+                _assigned(raw, F.lit(True)), meta["stat_cols"]
+            )
+        finally:
+            release(raw)
+        dv_paths = sorted(e["path"] for e in dv_entries)
+        counts = (
+            self.spark.read.schema(self._DV_SCHEMA)
+            .parquet(*[os.path.join(self.root, p) for p in dv_paths])
+            .groupBy("path")
+            .count()
+            .collect()
+        )
+        files = {r["path"]: r["count"] for r in counts}
+        return self._commit(
+            "update_dv",
+            adds,
+            [],
+            predicate,
+            read_version=rv,
+            dv={
+                "paths": dv_paths,
+                "files": files,
+                "num_deleted": sum(files.values()),
+            },
+            dv_targets=sorted(files),
+        )
+
+    def dv_stats(self) -> dict[str, int]:
+        """{data rel path: rows deleted by live deletion vectors} — the
+        merge-on-read debt per file (what compaction would pay off)."""
+        _, _, _, dvs = self._state_at(self.version())
+        out: dict[str, int] = {}
+        for e in dvs.values():
+            for p, n in e["files"].items():
+                out[p] = out.get(p, 0) + n
+        return out
 
     def merge_upsert(self, updates: DataFrame, key: str) -> int:
         """Keyed upsert: rows of ``updates`` replace same-key rows and
@@ -793,7 +1231,7 @@ class TxTable:
         preserved verbatim through any rewrite (the anti-join keeps
         them — pinned by test)."""
         rv = self.version()
-        meta, live, _ = self._state_at(rv)
+        meta, live, _, dvs = self._state_at(rv)
         if key not in meta["stat_cols"]:
             raise ValueError(
                 f"merge key {key!r} is not a stat column {meta['stat_cols']} "
@@ -832,9 +1270,9 @@ class TxTable:
             hit = [a for a in live.values() if _overlaps(a["stats"], key, lo, hi)]
             schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
             if hit:
-                src = self.spark.read.schema(schema).parquet(
-                    *[os.path.join(self.root, a["path"]) for a in hit]
-                )
+                # DVs applied: the rewrite must not resurrect rows a
+                # merge-on-read delete already removed
+                src = self._read_files(schema, [a["path"] for a in hit], dvs)
                 survivors = src.join(
                     F.broadcast(updates.select(key)), key, "left_anti"
                 )
@@ -866,13 +1304,19 @@ class TxTable:
         the inputs and adds their compaction, so a concurrent append is
         untouched and a concurrent remove of an input conflicts."""
         rv = self.version()
-        meta, live, _ = self._state_at(rv)
+        meta, live, _, dvs = self._state_at(rv)
         small = [a for a in live.values() if a["size"] < small_file_bytes]
         if len(small) < 2:
             return rv
-        src = self.spark.read.schema(
-            T.StructType.fromJson(json.loads(meta["schema_json"]))
-        ).parquet(*[os.path.join(self.root, a["path"]) for a in small])
+        # DVs applied: compaction MATERIALIZES merge-on-read deletions
+        # (the rewrite drops DV'd rows; the remove actions then retire
+        # the vectors in replay) — the public formats' "purge" behavior.
+        # Still dataChange=false: the VISIBLE row multiset is unchanged.
+        src = self._read_files(
+            T.StructType.fromJson(json.loads(meta["schema_json"])),
+            [a["path"] for a in small],
+            dvs,
+        )
         n_out = max(1, math.ceil(sum(a["size"] for a in small) / target_file_bytes))
         if cluster_by is not None:
             src = src.repartitionByRange(n_out, cluster_by).sortWithinPartitions(
@@ -903,7 +1347,7 @@ class TxTable:
         schema — those are rewrite operations, not metadata ones, and
         belong to a migration job, not a one-line alter."""
         rv = self.version()
-        meta, _, _ = self._state_at(rv)
+        meta, _, _, _ = self._state_at(rv)
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
@@ -919,6 +1363,49 @@ class TxTable:
             "alter", [], [], None, read_version=rv, meta=new_meta
         )
 
+    def add_constraint(self, name: str, expr: str) -> int:
+        """CHECK constraint as a metadata transaction (the public
+        Delta ``ADD CONSTRAINT`` design): ``expr`` is a SQL boolean
+        over the table's columns; a row VIOLATES when the expression
+        evaluates to FALSE (NULL passes — ANSI CHECK semantics). The
+        existing table must already satisfy it (one validation scan,
+        here and in the public formats); from then on every write path
+        (append, streaming append, merge, update) enforces it ROW-WISE
+        inside the staging write itself — a conditional raise_error
+        rides the first output column, so enforcement costs zero extra
+        passes and a violating batch fails before anything commits.
+        Metadata serializes against everything: concurrent writers that
+        planned without the constraint get ConflictError and re-plan
+        under it."""
+        rv = self.version()
+        meta, _, _, _ = self._state_at(rv)
+        cons = dict(meta.get("constraints", {}))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        n_bad = (
+            self.read(version=rv)
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .count()
+        )
+        if n_bad:
+            raise ValueError(
+                f"constraint {name!r}: {n_bad} existing rows violate "
+                f"{expr!r} — clean the data first"
+            )
+        new_meta = {**meta, "constraints": {**cons, name: expr}}
+        return self._commit("alter", [], [], None, read_version=rv, meta=new_meta)
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (metadata commit)."""
+        rv = self.version()
+        meta, _, _, _ = self._state_at(rv)
+        cons = dict(meta.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} (have {sorted(cons)})")
+        del cons[name]
+        new_meta = {**meta, "constraints": cons}
+        return self._commit("alter", [], [], None, read_version=rv, meta=new_meta)
+
     # -- maintenance ------------------------------------------------------
 
     def vacuum(self, retention_sec: float = 3600.0) -> list[str]:
@@ -933,11 +1420,19 @@ class TxTable:
         referenced: set[str] = set()
         for c in cs:
             with open(self._ckpt_path(c), encoding="utf-8") as f:
-                referenced.update(a["path"] for a in json.load(f)["adds"])
+                ck = json.load(f)
+            referenced.update(a["path"] for a in ck["adds"])
+            for e in ck.get("dvs", {}).values():
+                referenced.update(e["paths"])
         for v in vs:
             for a in self._parse_commit(v):
                 if "add" in a:
                     referenced.add(a["add"]["path"])
+                elif "dv" in a:
+                    # DV sidecars are data files too: reaping one that
+                    # any replayable version references would corrupt
+                    # reads (rows would resurrect)
+                    referenced.update(a["dv"]["paths"])
         removed = []
         data_root = os.path.join(self.root, _DATA_DIR)
         now = time.time()
@@ -1005,7 +1500,28 @@ class TxTable:
                     f"schema drift on {name!r}: table {dt.simpleString()} "
                     f"vs incoming {have[name].simpleString()}"
                 )
-        return df.select(*[f.name for f in schema.fields])
+        out = df.select(*[f.name for f in schema.fields])
+        cons = meta.get("constraints", {})
+        if cons:
+            # row-wise CHECK enforcement INSIDE the write: a violation
+            # (expr FALSE; NULL passes — ANSI CHECK) raises during the
+            # staging job via a conditional raise_error riding the
+            # first column — zero extra scans, nothing commits.
+            bad = None
+            for n, e in sorted(cons.items()):
+                b = ~F.coalesce(F.expr(e), F.lit(True))
+                bad = b if bad is None else (bad | b)
+            first = schema.fields[0]
+            msg = "txlog CHECK constraint violated: " + "; ".join(
+                f"{n} ({e})" for n, e in sorted(cons.items())
+            )
+            out = out.withColumn(
+                first.name,
+                F.when(
+                    bad, F.raise_error(F.lit(msg)).cast(first.dataType)
+                ).otherwise(F.col(first.name)),
+            )
+        return out
 
 
 # ------------------------------------------------------- streaming source
@@ -1031,10 +1547,26 @@ if HAVE_DATASOURCE_API:
         At 100 TB file-granularity is the right unit for a CHANGE
         stream (commits add many bounded files); an avrofmt-style
         row-group split would only help pathological one-huge-file
-        commits."""
+        commits.
 
-        def __init__(self, path: str, version: int):
+        CDC mode adds ``kind``/``rel``/``dv_paths``: ``insert`` (whole
+        file), ``delete`` (file's rows MINUS the sidecar positions —
+        what a rewrite removed as visible), ``dv_delete`` (ONLY the
+        sidecar positions — what a dv commit newly deleted).
+        ``dv_paths`` are the sidecar files to consult; the executor
+        filters them to ``rel`` (one sidecar relation spans many data
+        files)."""
+
+        def __init__(
+            self,
+            path: str,
+            version: int,
+            kind: str = "insert",
+            rel: str = "",
+            dv_paths: tuple = (),
+        ):
             self.path, self.version = path, version
+            self.kind, self.rel, self.dv_paths = kind, rel, tuple(dv_paths)
 
     class TxLogStreamReader(DataSourceStreamReader):
         """Streaming read of a transaction-logged table: micro-batch
@@ -1065,6 +1597,11 @@ if HAVE_DATASOURCE_API:
                     f"on_change must be fail|skip|redeliver, got "
                     f"{self.on_change!r}"
                 )
+            self.mode = options.get("mode", "append")
+            if self.mode not in ("append", "cdf"):
+                raise ValueError(
+                    f"mode must be append|cdf, got {self.mode!r}"
+                )
             self.starting = int(options.get("starting_version", "-1"))
 
         def initialOffset(self) -> dict:
@@ -1075,6 +1612,8 @@ if HAVE_DATASOURCE_API:
             return {"version": max(t._latest_version(), self.starting)}
 
         def partitions(self, start: dict, end: dict):
+            if self.mode == "cdf":
+                return self._cdf_partitions(start, end)
             t = TxTable._headless(self.root)
             out: list[_FeedSlice] = []
             for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
@@ -1084,7 +1623,9 @@ if HAVE_DATASOURCE_API:
                 )
                 if op == "optimize":
                     continue
-                if any("remove" in a for a in actions):
+                if any("remove" in a or "dv" in a for a in actions):
+                    # a deletion-vector commit is a logical delete too:
+                    # an append-only consumer cannot retract its rows
                     if self.on_change == "fail":
                         raise ValueError(
                             f"txlog stream: non-append commit "
@@ -1100,24 +1641,151 @@ if HAVE_DATASOURCE_API:
                 )
             return out
 
+        def _cdf_partitions(self, start: dict, end: dict):
+            """STREAMING CDC: the batch carries insert AND delete rows
+            (same retraction semantics as TxTable.changes, same replay
+            guarantee) — planned entirely from driver-side log metadata.
+            A rewrite's delete side needs the deletion-vector state just
+            before it, walked forward exactly like the batch CDF; each
+            slice ships the sidecar paths its executor task must consult
+            (no executor log access)."""
+            t = TxTable._headless(self.root)
+            start_v, end_v = int(start["version"]), int(end["version"])
+            commits = {
+                v: t._parse_commit(v) for v in range(start_v + 1, end_v + 1)
+            }
+            live: dict = {}
+            txns: dict = {}
+            dvs: dict = {}
+            if start_v >= 0:
+                try:
+                    _m, live, txns, dvs = t._state_at(start_v)
+                except VersionExpiredError:
+                    for v, actions in commits.items():
+                        op = next(
+                            (
+                                a["commit"]["op"]
+                                for a in actions
+                                if "commit" in a
+                            ),
+                            "?",
+                        )
+                        if op != "optimize" and any(
+                            "remove" in a for a in actions
+                        ):
+                            raise
+            out: list[_FeedSlice] = []
+            for v in range(start_v + 1, end_v + 1):
+                actions = commits[v]
+                op = next(
+                    (a["commit"]["op"] for a in actions if "commit" in a), "?"
+                )
+                if op != "optimize":
+                    for a in actions:
+                        if "remove" not in a:
+                            continue
+                        rel = a["remove"]["path"]
+                        sidecars = tuple(
+                            os.path.join(self.root, p)
+                            for e in dvs.values()
+                            if rel in e["files"]
+                            for p in e["paths"]
+                        )
+                        out.append(
+                            _FeedSlice(
+                                os.path.join(self.root, rel),
+                                v,
+                                "delete",
+                                rel,
+                                sidecars,
+                            )
+                        )
+                    for a in actions:
+                        if "dv" not in a:
+                            continue
+                        d = a["dv"]
+                        paths = tuple(
+                            os.path.join(self.root, p) for p in d["paths"]
+                        )
+                        for rel in sorted(d["files"]):
+                            out.append(
+                                _FeedSlice(
+                                    os.path.join(self.root, rel),
+                                    v,
+                                    "dv_delete",
+                                    rel,
+                                    paths,
+                                )
+                            )
+                    out.extend(
+                        _FeedSlice(
+                            os.path.join(self.root, a["add"]["path"]),
+                            v,
+                            "insert",
+                            a["add"]["path"],
+                        )
+                        for a in actions
+                        if "add" in a
+                    )
+                for action in actions:
+                    t._apply_action(action, {}, live, txns, dvs)
+            return out
+
         def read(self, partition: _FeedSlice):
             # Executor-side: one parquet file → Arrow batches, conformed
             # to the ENFORCED stream schema (pre-alter files NULL-fill
-            # added columns — the add-column trick, Arrow edition).
+            # added columns — the add-column trick, Arrow edition). CDC
+            # slices additionally select rows by sidecar positions
+            # (pyarrow row order IS _metadata.row_index — the physical
+            # ordinal both sides key on) and append the change columns.
             import pyarrow as pa
             import pyarrow.parquet as pq
 
             target: pa.Schema = self._arrow_schema
+            data_fields = [
+                f
+                for f in target
+                if f.name not in ("_change_type", "_commit_version")
+            ]
             tbl = pq.read_table(partition.path)
+            if partition.kind != "insert" and partition.dv_paths:
+                pos: set[int] = set()
+                for dv in partition.dv_paths:
+                    dvt = pq.read_table(
+                        dv,
+                        columns=["path", "pos"],
+                        filters=[("path", "==", partition.rel)],
+                    )
+                    pos.update(dvt.column("pos").to_pylist())
+                if partition.kind == "dv_delete":
+                    idx = sorted(pos)
+                else:  # delete: the rows still VISIBLE before the rewrite
+                    idx = [i for i in range(tbl.num_rows) if i not in pos]
+                tbl = tbl.take(pa.array(idx, type=pa.int64()))
+            elif partition.kind == "dv_delete":
+                tbl = tbl.slice(0, 0)  # defensive: dv slice needs sidecars
             cols = []
-            for field in target:
+            for field in data_fields:
                 if field.name in tbl.column_names:
                     cols.append(tbl.column(field.name).cast(field.type))
                 else:
                     cols.append(pa.nulls(tbl.num_rows, field.type))
-            yield from pa.table(
-                cols, schema=target
-            ).to_batches(max_chunksize=1 << 16)
+            out = pa.table(cols, schema=pa.schema(data_fields))
+            if len(data_fields) != len(target):  # cdf mode
+                ctype = (
+                    "insert" if partition.kind == "insert" else "delete"
+                )
+                out = out.append_column(
+                    "_change_type",
+                    pa.array([ctype] * out.num_rows, type=pa.string()),
+                ).append_column(
+                    "_commit_version",
+                    pa.array(
+                        [partition.version] * out.num_rows, type=pa.int64()
+                    ),
+                )
+                out = out.cast(target)
+            yield from out.to_batches(max_chunksize=1 << 16)
 
         def commit(self, end: dict) -> None:
             return None
@@ -1135,8 +1803,20 @@ if HAVE_DATASOURCE_API:
 
         def schema(self):
             t = TxTable._headless(self.options["root"])
-            meta, _, _ = t._state_at(t.version())
-            return T.StructType.fromJson(json.loads(meta["schema_json"]))
+            meta, _, _, _ = t._state_at(t.version())
+            schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+            if self.options.get("mode", "append") == "cdf":
+                # streaming CDC: the batch CDF's exact row shape
+                schema = T.StructType(
+                    list(schema.fields)
+                    + [
+                        T.StructField("_change_type", T.StringType(), False),
+                        T.StructField(
+                            "_commit_version", T.LongType(), False
+                        ),
+                    ]
+                )
+            return schema
 
         def streamReader(self, schema):
             from pyspark.sql.pandas.types import to_arrow_schema

@@ -158,7 +158,7 @@ def test_concurrent_overlapping_append_vs_delete_conflicts(spark, root):
     t1 = TxTable.create(spark, root, _df(spark, [(1, "a", 5.0)]))
     t2 = TxTable(spark, root)
     rv = t1.version()
-    meta, live, _ = t1._state_at(rv)
+    meta, live, _, _ = t1._state_at(rv)
     hit = [a for a in live.values()]
     # t2's append lands first, with v inside t1's delete range
     t2.append(_df(spark, [(2, "b", 7.0)]))
@@ -173,7 +173,7 @@ def test_concurrent_disjoint_append_vs_delete_is_serializable(spark, root):
     t1 = TxTable.create(spark, root, _df(spark, [(1, "a", 5.0), (2, "a", 6.0)]))
     t2 = TxTable(spark, root)
     rv = t1.version()
-    meta, live, _ = t1._state_at(rv)
+    meta, live, _, _ = t1._state_at(rv)
     # t1 prepares its delete rewrite (v in [0, 10] hits the only file)
     src = t1.read(version=rv).filter(
         ~F.coalesce((F.col("v") >= 0.0) & (F.col("v") <= 10.0), F.lit(False))
@@ -194,7 +194,7 @@ def test_concurrent_remove_remove_conflicts(spark, root):
     t1.append(_df(spark, [(2, "a", 2.0)]))
     t2 = TxTable(spark, root)
     rv = t1.version()
-    _, live, _ = t1._state_at(rv)
+    _, live, _, _ = t1._state_at(rv)
     removes = [a["path"] for a in live.values()]
     t2.optimize(small_file_bytes=10 * 1024 * 1024)  # t2 wins
     with pytest.raises(ConflictError, match="also rewrites"):
@@ -206,7 +206,7 @@ def test_crash_orphan_invisible_then_vacuumed(spark, root):
     (a) no read ever sees, (b) vacuum deletes after the retention age,
     while every referenced file survives."""
     t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
-    meta, _, _ = t._state_at(t.version())
+    meta, _, _, _ = t._state_at(t.version())
     orphans = t._write_stage(_df(spark, [(99, "x", 9.0)]), meta["stat_cols"])
     assert _rows(t.read()) == [(1, "a", 1.0)]  # invisible
     assert t.vacuum(retention_sec=3600.0) == []  # too young: kept
@@ -317,7 +317,7 @@ def test_stream_batch_race_loser_aborts_in_commit_loop(spark, root):
     t1 = TxTable.create(spark, root, _df(spark, [(0, "a", 0.0)]))
     t2 = TxTable(spark, root)
     rv = t2.version()
-    meta, _, _ = t2._state_at(rv)
+    meta, _, _, _ = t2._state_at(rv)
     # t2 stages its copy of batch 7 (pre-check passed, not yet committed)
     adds = t2._write_stage(_df(spark, [(1, "b", 1.0)]), meta["stat_cols"])
     # t1's attempt of the SAME batch wins the log race
@@ -439,7 +439,7 @@ def test_alter_conflicts_with_concurrent_writer_and_vice_versa(spark, root):
     t1 = TxTable.create(spark, root, _df(spark, [(1, "a", 5.0)]))
     t2 = TxTable(spark, root)
     rv = t1.version()
-    meta, live, _ = t1._state_at(rv)
+    meta, live, _, _ = t1._state_at(rv)
     removes = [a["path"] for a in live.values()]
     t2.alter_add_column("extra", "long")  # lands first
     with pytest.raises(ConflictError, match="changed table metadata"):
@@ -734,3 +734,488 @@ def test_stream_feed_into_txlog_sink_exactly_once(spark, root, tmp_path):
     run(str(tmp_path / "c2"))  # fresh checkpoint: full re-delivery
     assert dst.version() == v  # zero new commits
     assert _rows(dst.read()) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+# ------------------------------------------------------ deletion vectors
+
+
+def test_dv_delete_no_rewrite_accumulates_and_noops(spark, root):
+    t = TxTable.create(
+        spark,
+        root,
+        _df(spark, [(i, "g", float(i)) for i in range(10)]).repartition(2),
+    )
+    files0 = sorted(a["path"] for a in t.snapshot_adds())
+    v1 = t.delete_where("v", 2.0, 4.0, mode="dv")
+    assert _rows(t.read()) == [
+        (i, "g", float(i)) for i in range(10) if not 2 <= i <= 4
+    ]
+    # merge-on-read: NO data file was rewritten
+    assert sorted(a["path"] for a in t.snapshot_adds()) == files0
+    assert sum(t.dv_stats().values()) == 3
+    # overlapping second delete: already-deleted positions subtracted
+    t.delete_where("v", 3.0, 6.0, mode="dv")
+    assert sum(t.dv_stats().values()) == 5
+    assert t.read().count() == 5
+    # re-delete of a fully-covered range: NO new commit
+    v_latest = t.version()
+    assert t.delete_where("v", 2.0, 6.0, mode="dv") == v_latest
+    assert t.version() == v_latest
+    # time travel sees pre-delete state
+    assert t.read(version=v1 - 1).count() == 10
+    assert t.read(version=v1).count() == 7
+    # NULL predicate semantics match rewrite mode: NULLs never match
+    t.append(_df(spark, [(99, "g", None)]))
+    t.delete_where("v", 0.0, 100.0, mode="dv")
+    assert _rows(t.read()) == [(99, "g", None)]
+
+
+def test_dv_scan_applies_vectors_and_stats_unchanged(spark, root):
+    t = TxTable.create(
+        spark, root, _df(spark, [(i, "g", float(i)) for i in range(10)])
+    )
+    t.delete_where("v", 0.0, 3.0, mode="dv")
+    df, stats = t.scan({"v": (0.0, 5.0)})
+    assert _rows(df) == [(4, "g", 4.0), (5, "g", 5.0)]
+    assert stats["files_read"] >= 1  # pruning still file-granular
+
+
+def test_dv_rewrites_materialize_vectors(spark, root):
+    t = TxTable.create(
+        spark,
+        root,
+        _df(spark, [(i, "g", float(i)) for i in range(10)]).coalesce(1),
+    )
+    t.append(_df(spark, [(10, "h", 10.0), (11, "h", 11.0)]).coalesce(1))
+    t.delete_where("v", 1.0, 2.0, mode="dv")
+    before = _rows(t.read())
+    # optimize compacts WITH vectors applied and retires them
+    t.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 20)
+    assert _rows(t.read()) == before
+    assert t.dv_stats() == {}
+    # a rewrite delete over a DV'd file must not resurrect rows
+    t.delete_where("v", 6.0, 7.0, mode="dv")
+    t.delete_where("v", 8.0, 9.0)  # rewrite mode, same file
+    assert _rows(t.read()) == [
+        (0, "g", 0.0),
+        (3, "g", 3.0),
+        (4, "g", 4.0),
+        (5, "g", 5.0),
+        (10, "h", 10.0),
+        (11, "h", 11.0),
+    ]
+    assert t.dv_stats() == {}  # the rewrite retired the 6-7 vectors too
+
+
+def test_dv_merge_does_not_resurrect(spark, root):
+    t = TxTable.create(
+        spark, root, _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1)
+    )
+    t.delete_where("v", 1.0, 1.0, mode="dv")
+    t.merge_upsert(_df(spark, [(2, "b", 20.0), (3, "c", 3.0)]), "k")
+    assert _rows(t.read()) == [(2, "b", 20.0), (3, "c", 3.0)]
+    assert t.dv_stats() == {}
+
+
+def test_dv_concurrency_conflicts(spark, root):
+    t1 = TxTable.create(
+        spark, root, _df(spark, [(1, "a", 1.0), (2, "b", 12.0)]).coalesce(1)
+    )
+    t2 = TxTable(spark, root)
+    # interleaved DV delete vs rewrite of the same file: rewrite loses
+    rv = t1.version()
+    meta, live, _, dvs = t1._state_at(rv)
+    t2.delete_where("v", 1.0, 1.0, mode="dv")
+    schema = t1.schema()
+    hit = [a["path"] for a in live.values()]
+    keep = t1._read_files(schema, hit, dvs).filter("v < 100")
+    adds = t1._write_stage(keep, meta["stat_cols"])
+    with pytest.raises(ConflictError, match="deletion vectors"):
+        t1._commit("delete", adds, hit, {"v": (0.0, 100.0)}, read_version=rv)
+    # interleaved rewrite vs DV delete: the DV's positions are dead
+    rv2 = t2.version()
+    _, live2, _, dvs2 = t2._state_at(rv2)
+    t1.delete_where("v", 10.0, 20.0)  # rewrite commits first
+    with pytest.raises(ConflictError, match="removed"):
+        t2._commit(
+            "delete_dv",
+            [],
+            [],
+            {"v": (12.0, 12.0)},
+            read_version=rv2,
+            dv={
+                "paths": ["data/fake/dv.parquet"],
+                "files": {sorted(live2)[0]: 1},
+                "num_deleted": 1,
+            },
+            dv_targets=[sorted(live2)[0]],
+        )
+
+
+def test_dv_changes_feed_and_replay(spark, root):
+    t = TxTable.create(
+        spark,
+        root,
+        _df(spark, [(i, "g", float(i)) for i in range(8)]).repartition(2),
+    )
+    t.delete_where("v", 1.0, 2.0, mode="dv")  # v1: dv delete
+    t.append(_df(spark, [(8, "h", 8.0)]))  # v2
+    t.delete_where("v", 3.0, 3.0, mode="dv")  # v3
+    t.delete_where("v", 4.0, 5.0)  # v4: rewrite delete over DV'd files
+    t.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 20)  # v5
+    feed = t.changes(-1)
+    # the dv commits emit exactly their newly-deleted rows
+    dv_deletes = {
+        (r["k"], r["_commit_version"])
+        for r in feed.filter("_change_type = 'delete'").collect()
+        if r["_commit_version"] in (1, 3)
+    }
+    assert dv_deletes == {(1, 1), (2, 1), (3, 3)}
+    # the rewrite's delete side is DV-adjusted: rows 1,2,3 do NOT
+    # re-appear as deletes at v4 (they were no longer visible)
+    v4_deletes = sorted(
+        r["k"]
+        for r in feed.filter(
+            "_change_type = 'delete' AND _commit_version = 4"
+        ).collect()
+    )
+    assert 1 not in v4_deletes and 3 not in v4_deletes
+    # full replay equality across every version pair
+    cols = ["k", "grp", "v"]
+    empty = spark.createDataFrame([], DDL)
+    latest = t.version()
+    for a in range(-1, latest):
+        for b in range(a + 1, latest + 1):
+            base = t.read(version=a) if a >= 0 else empty
+            signed = t.changes(a, b).select(
+                *cols,
+                F.when(F.col("_change_type") == "insert", F.lit(1))
+                .otherwise(F.lit(-1))
+                .alias("w"),
+            )
+            net = (
+                base.select(*cols)
+                .withColumn("w", F.lit(1))
+                .unionByName(signed)
+                .groupBy(*cols)
+                .agg(F.sum("w").alias("n"))
+            )
+            assert net.filter(~F.col("n").isin(0, 1)).count() == 0, (a, b)
+            got = sorted(
+                tuple(r)[:-1] for r in net.filter(F.col("n") == 1).collect()
+            )
+            assert got == _rows(t.read(version=b)), (a, b)
+
+
+def test_dv_stream_feed_fails_then_skips(spark, root):
+    from data_mastery_pipeline_spark.sources import txlog as _m
+    from data_mastery_pipeline_spark.streaming import core
+
+    t = TxTable.create(
+        spark, root, _df(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    )
+    t.delete_where("v", 1.0, 1.0, mode="dv")
+    _m.register(spark)
+
+    def stream(**opts):
+        r = spark.readStream.format("txlog_feed").option("root", root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="non-append"):
+        core.run_available_now(stream(), output_mode="append")
+    out = core.run_available_now(
+        stream(on_change="skip"), output_mode="append"
+    )
+    assert _rows(out) == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_dv_vacuum_keeps_referenced_sidecars(spark, root):
+    t = TxTable.create(
+        spark, root, _df(spark, [(i, "g", float(i)) for i in range(6)])
+    )
+    t.delete_where("v", 1.0, 2.0, mode="dv")
+    # only zero-record staging orphans may go; every sidecar the dv
+    # action references must survive (reaping one resurrects rows)
+    removed = t.vacuum(retention_sec=0.0)
+    _, _, _, dvs = t._state_at(t.version())
+    referenced = {p for e in dvs.values() for p in e["paths"]}
+    assert not (set(removed) & referenced)
+    assert t.read().count() == 4
+    # checkpoint + expire keeps DV state replayable from the checkpoint
+    t.expire(keep_last=1)
+    assert t.read().count() == 4
+    assert sum(t.dv_stats().values()) == 2
+
+
+# --------------------------------------------------------------- update
+
+
+def test_update_where_rewrite_mode(spark, root):
+    t = TxTable.create(
+        spark,
+        root,
+        _df(spark, [(i, "g", float(i)) for i in range(6)] + [(9, "g", None)]),
+    )
+    t.update_where(
+        "v", 2.0, 4.0, {"v": F.col("v") * 10, "grp": F.lit("upd")}
+    )
+    assert _rows(t.read()) == [
+        (0, "g", 0.0),
+        (1, "g", 1.0),
+        (2, "upd", 20.0),
+        (3, "upd", 30.0),
+        (4, "upd", 40.0),
+        (5, "g", 5.0),
+        (9, "g", None),  # NULL predicate never matches (ANSI UPDATE)
+    ]
+    with pytest.raises(ValueError, match="unknown update columns"):
+        t.update_where("v", 0.0, 1.0, {"nope": "1"})
+
+
+def test_update_where_dv_mode_no_rewrite_and_cdf(spark, root):
+    t = TxTable.create(
+        spark,
+        root,
+        _df(spark, [(i, "g", float(i)) for i in range(6)]).repartition(2),
+    )
+    files0 = set(a["path"] for a in t.snapshot_adds())
+    v1 = t.update_where("v", 2.0, 3.0, {"v": "v * 10"}, mode="dv")
+    # merge-on-read: originals intact, updated rows in NEW files
+    assert files0 <= set(a["path"] for a in t.snapshot_adds())
+    assert sum(t.dv_stats().values()) == 2
+    assert _rows(t.read()) == [
+        (0, "g", 0.0),
+        (1, "g", 1.0),
+        (2, "g", 20.0),
+        (3, "g", 30.0),
+        (4, "g", 4.0),
+        (5, "g", 5.0),
+    ]
+    # the re-updated row lives in a new file; updating it again works
+    t.update_where("v", 20.0, 20.0, {"v": "v + 1.0"}, mode="dv")
+    assert (2, "g", 21.0) in _rows(t.read())
+    # time travel straddles the updates
+    assert _rows(t.read(version=v1 - 1)) == [
+        (i, "g", float(i)) for i in range(6)
+    ]
+    # CDF: one commit version carries BOTH the old values as deletes
+    # and the new as inserts; replay reproduces every snapshot pair
+    feed = t.changes(-1)
+    v1_rows = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in feed.filter(F.col("_commit_version") == v1).collect()
+    }
+    assert v1_rows == {
+        (2, 2.0, "delete"),
+        (3, 3.0, "delete"),
+        (2, 20.0, "insert"),
+        (3, 30.0, "insert"),
+    }
+    cols = ["k", "grp", "v"]
+    empty = spark.createDataFrame([], DDL)
+    latest = t.version()
+    for a in range(-1, latest):
+        for b in range(a + 1, latest + 1):
+            base = t.read(version=a) if a >= 0 else empty
+            signed = t.changes(a, b).select(
+                *cols,
+                F.when(F.col("_change_type") == "insert", F.lit(1))
+                .otherwise(F.lit(-1))
+                .alias("w"),
+            )
+            net = (
+                base.select(*cols)
+                .withColumn("w", F.lit(1))
+                .unionByName(signed)
+                .groupBy(*cols)
+                .agg(F.sum("w").alias("n"))
+            )
+            assert net.filter(~F.col("n").isin(0, 1)).count() == 0, (a, b)
+            got = sorted(
+                tuple(r)[:-1] for r in net.filter(F.col("n") == 1).collect()
+            )
+            assert got == _rows(t.read(version=b)), (a, b)
+
+
+def test_update_where_dv_noop_and_optimize_materializes(spark, root):
+    t = TxTable.create(
+        spark, root, _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).repartition(2)
+    )
+    v = t.version()
+    # no stat overlap → no commit at all
+    assert t.update_where("v", 50.0, 60.0, {"v": "v + 1"}, mode="dv") == v
+    t.update_where("v", 2.0, 2.0, {"v": "v * 2"}, mode="dv")
+    t.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 20)
+    assert t.dv_stats() == {}
+    assert _rows(t.read()) == [(1, "a", 1.0), (2, "b", 4.0)]
+
+
+def test_update_where_bad_assignment_fails_without_committing(spark, root):
+    """A mistyped assignment fails loudly — as Spark's runtime cast
+    error during staging (coercible literal) or an AnalysisException
+    (uncoercible when/otherwise branch types); either way NOTHING
+    commits."""
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    v = t.version()
+    with pytest.raises(Exception):
+        t.update_where("v", 0.0, 2.0, {"v": F.lit("not-a-double")})
+    with pytest.raises(Exception):
+        t.update_where("v", 0.0, 2.0, {"grp": F.create_map()})
+    assert t.version() == v
+
+
+# --------------------------------------------------------- streaming CDC
+
+
+def test_stream_cdf_equals_batch_changes(spark, root):
+    from data_mastery_pipeline_spark.streaming import core
+
+    t = TxTable.create(
+        spark,
+        root,
+        _df(spark, [(i, "g", float(i)) for i in range(8)]).repartition(2),
+    )
+    t.delete_where("v", 1.0, 2.0, mode="dv")
+    t.append(_df(spark, [(8, "h", 8.0)]))
+    t.update_where("v", 3.0, 4.0, {"v": "v * 10"}, mode="dv")
+    t.delete_where("v", 5.0, 6.0)  # rewrite over DV'd files
+    t.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 20)
+    out = core.run_available_now(
+        _feed_stream(spark, root, mode="cdf"), output_mode="append"
+    )
+    assert _rows(out) == _rows(t.changes(-1))
+    # the streamed feed replays from empty to the final snapshot
+    net = out.groupBy("k", "grp", "v").agg(
+        F.sum(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        ).alias("n")
+    )
+    assert net.filter(~F.col("n").isin(0, 1)).count() == 0
+    assert net.filter("n = 1").count() == t.read().count()
+
+
+def test_stream_cdf_resumes_with_only_new_changes(spark, root, tmp_path):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            _feed_stream(spark, root, mode="cdf")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    t.delete_where("v", 1.0, 1.0, mode="dv")
+    drain()
+    got = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {
+        (1, "insert", 0),
+        (2, "insert", 0),
+        (1, "delete", 1),  # exactly once, from the resumed offset
+    }
+
+
+def test_stream_cdf_expired_start_rules(spark, root):
+    from data_mastery_pipeline_spark.streaming import core
+
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    for k in range(2, 6):
+        t.append(_df(spark, [(k, "b", float(k))]))
+    t.expire(keep_last=2)
+    # append-only retained window: CDC streams fine from a mid offset
+    out = core.run_available_now(
+        _feed_stream(
+            spark, root, mode="cdf", starting_version=str(t.version() - 1)
+        ),
+        output_mode="append",
+    )
+    assert out.count() == 1
+    # a rewrite in range with the pre-start DV state expired: loud error
+    t.delete_where("v", 1.0, 10.0)
+    t.expire(keep_last=1)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        core.run_available_now(
+            _feed_stream(spark, root, mode="cdf", starting_version="0"),
+            output_mode="append",
+        )
+
+
+# ------------------------------------- constraints & timestamp travel
+
+
+def test_check_constraint_lifecycle(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t.add_constraint("v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("v_nonneg", "v >= 0")
+    # NULL passes (ANSI CHECK); valid rows pass
+    t.append(_df(spark, [(3, "c", 3.0), (4, "d", None)]))
+    assert t.read().count() == 4
+    # a violating batch fails INSIDE the staging write; nothing commits
+    v = t.version()
+    with pytest.raises(Exception, match="v_nonneg"):
+        t.append(_df(spark, [(5, "e", -1.0)]))
+    assert t.version() == v and t.read().count() == 4
+    # update and merge paths enforce too
+    with pytest.raises(Exception, match="v_nonneg"):
+        t.update_where("v", 3.0, 3.0, {"v": "v - 100"})
+    with pytest.raises(Exception, match="v_nonneg"):
+        t.merge_upsert(_df(spark, [(1, "a", -5.0)]), "k")
+    assert t.version() == v
+    # dirty-data add is rejected with a count
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("v_big", "v > 100")
+    # drop lifts enforcement; unknown drop is loud
+    t.drop_constraint("v_nonneg")
+    with pytest.raises(ValueError, match="no constraint"):
+        t.drop_constraint("v_nonneg")
+    t.append(_df(spark, [(5, "e", -1.0)]))
+    assert t.read().count() == 5
+
+
+def test_check_constraint_serializes_and_survives_checkpoint(spark, root):
+    t1 = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t2 = TxTable(spark, root)
+    # a writer that planned BEFORE the constraint must re-plan under it
+    rv = t1.version()
+    meta, _, _, _ = t1._state_at(rv)
+    adds = t1._write_stage(_df(spark, [(2, "b", -9.0)]), meta["stat_cols"])
+    t2.add_constraint("v_nonneg", "v >= 0")
+    with pytest.raises(ConflictError, match="metadata"):
+        t1._commit("append", adds, [], None, read_version=rv)
+    # constraint state survives checkpointed replay
+    t1.expire(keep_last=1)
+    with pytest.raises(Exception, match="v_nonneg"):
+        TxTable(spark, root).append(_df(spark, [(3, "c", -1.0)]))
+
+
+def test_timestamp_time_travel(spark, root):
+    import datetime
+    import time as _time
+
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    ts0 = _time.time()
+    _time.sleep(0.05)
+    t.append(_df(spark, [(2, "b", 2.0)]))
+    assert t.version_at_timestamp(ts0) == 0
+    assert _rows(t.read(as_of=ts0)) == [(1, "a", 1.0)]
+    assert t.read(as_of=datetime.datetime.now()).count() == 2
+    with pytest.raises(VersionExpiredError):
+        t.version_at_timestamp(0.0)  # before the table existed
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, as_of=ts0)
