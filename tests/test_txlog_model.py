@@ -1,0 +1,150 @@
+"""Model-based test for the transaction log (sources/txlog.py): a
+random DML sequence — append / delete (copy-on-write AND merge-on-read)
+/ update (both modes) / merge / optimize — runs against BOTH the real
+TxTable and a trivial in-memory row model; after every op the table's
+visible rows must equal the model, and at the end the change feed must
+replay from empty to the final state.
+
+This is the cross-cutting net the example-based tests can't weave: it
+exercises arbitrary INTERLEAVINGS of copy-on-write and merge-on-read
+commits (a DV landing on a file a later rewrite compacts, an update of
+a row a previous update already moved to a new file, ...), where the
+bookkeeping bugs live. Sequences are short (Spark jobs per op) but
+hypothesis shrinks failures to minimal op lists.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_mastery_pipeline_spark.sources.txlog import TxTable
+
+DDL = "k long, grp string, v double"
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+
+# Ops reference a bounded value domain so predicates actually hit rows.
+_V = st.integers(0, 20)
+
+_OP = st.one_of(
+    st.tuples(st.just("append"), st.lists(_V, min_size=1, max_size=4)),
+    st.tuples(st.just("delete"), _V, st.integers(0, 6), st.booleans()),
+    st.tuples(st.just("update"), _V, st.integers(0, 6), st.booleans()),
+    st.tuples(st.just("merge"), st.lists(_V, min_size=1, max_size=3)),
+    st.tuples(st.just("optimize")),
+)
+
+
+def _apply_model(model: dict, op) -> None:
+    """The oracle: {k: (grp, v)} under the same op semantics."""
+    kind = op[0]
+    if kind == "append":
+        for v in op[1]:
+            k = max(model, default=-1) + 1
+            model[k] = ("g%d" % (v % 3), float(v))
+    elif kind == "delete":
+        lo, hi = float(op[1]), float(op[1] + op[2])
+        for k in [k for k, (_, v) in model.items() if lo <= v <= hi]:
+            del model[k]
+    elif kind == "update":
+        lo, hi = float(op[1]), float(op[1] + op[2])
+        for k, (g, v) in list(model.items()):
+            if lo <= v <= hi:
+                model[k] = (g, v + 100.0)
+    elif kind == "merge":
+        keys = sorted(model)
+        for i, v in enumerate(op[1]):
+            # alternate update-existing / insert-new, deterministically
+            if i % 2 == 0 and keys:
+                k = keys[i // 2 % len(keys)]
+                model[k] = ("m", float(v))
+            else:
+                k = max(model, default=-1) + 1000 + i
+                model[k] = ("m", float(v))
+    # optimize: no visible change
+
+
+def _apply_table(spark, t: TxTable, model_before: dict, op) -> None:
+    kind = op[0]
+    if kind == "append":
+        rows = []
+        mk = max(model_before, default=-1)
+        for v in op[1]:
+            mk += 1
+            rows.append((mk, "g%d" % (v % 3), float(v)))
+        t.append(spark.createDataFrame(rows, DDL))
+    elif kind == "delete":
+        mode = "dv" if op[3] else "rewrite"
+        t.delete_where("v", float(op[1]), float(op[1] + op[2]), mode=mode)
+    elif kind == "update":
+        mode = "dv" if op[3] else "rewrite"
+        t.update_where(
+            "v",
+            float(op[1]),
+            float(op[1] + op[2]),
+            {"v": F.col("v") + 100.0},
+            mode=mode,
+        )
+    elif kind == "merge":
+        keys = sorted(model_before)
+        rows = {}
+        for i, v in enumerate(op[1]):
+            if i % 2 == 0 and keys:
+                k = keys[i // 2 % len(keys)]
+            else:
+                k = max(model_before, default=-1) + 1000 + i
+            rows[k] = (k, "m", float(v))
+        t.merge_upsert(spark.createDataFrame(sorted(rows.values()), DDL), "k")
+    elif kind == "optimize":
+        t.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 20)
+
+
+@SET
+@given(
+    seed=st.lists(_V, min_size=2, max_size=5),
+    ops=st.lists(_OP, min_size=1, max_size=5),
+)
+def test_random_dml_sequence_matches_model_and_replays(
+    spark, tmp_path_factory, seed, ops
+):
+    root = str(tmp_path_factory.mktemp("txmodel") / "tbl")
+    model: dict = {}
+    rows = []
+    for v in seed:
+        k = len(rows)
+        rows.append((k, "g%d" % (v % 3), float(v)))
+        model[k] = ("g%d" % (v % 3), float(v))
+    t = TxTable.create(
+        spark, root, spark.createDataFrame(rows, DDL).repartition(2)
+    )
+    for op in ops:
+        before = dict(model)
+        _apply_table(spark, t, before, op)
+        _apply_model(model, op)
+        got = sorted(
+            (r["k"], r["grp"], r["v"]) for r in t.read().collect()
+        )
+        want = sorted((k, g, v) for k, (g, v) in model.items())
+        assert got == want, (op, got, want)
+    # the change feed replays from empty to the final state
+    feed = t.changes(-1)
+    net = feed.groupBy("k", "grp", "v").agg(
+        F.sum(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        ).alias("n")
+    )
+    assert net.filter(~F.col("n").isin(0, 1)).count() == 0
+    recon = sorted(
+        (r["k"], r["grp"], r["v"])
+        for r in net.filter("n = 1").drop("n").collect()
+    )
+    assert recon == sorted((k, g, v) for k, (g, v) in model.items())
