@@ -181,6 +181,21 @@ class TxTable:
 
     CHECKPOINT_INTERVAL = 10
     MAX_COMMIT_RETRIES = 50
+    # internal column names the DV anti-join and the change feed append;
+    # a data column with one of these names would be silently clobbered
+    # (the bloomjoin ADVICE class of bug) — rejected at create/alter
+    RESERVED_COLS = frozenset(
+        {"__rel", "__pos", "_change_type", "_commit_version"}
+    )
+
+    @classmethod
+    def _check_reserved(cls, names) -> None:
+        clash = sorted(set(names) & cls.RESERVED_COLS)
+        if clash:
+            raise ValueError(
+                f"column names {clash} are reserved by the table format "
+                "(DV join keys / change-feed columns)"
+            )
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -203,6 +218,7 @@ class TxTable:
         """Version 0: schema + initial data in one atomic commit.
         ``stat_cols`` picks the columns whose footer min/max travel in
         the log (int/float/string only — the pruning index)."""
+        cls._check_reserved(df.schema.fieldNames())
         os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
         self = object.__new__(cls)
         self.spark, self.root = spark, root
@@ -428,6 +444,7 @@ class TxTable:
             ts = ts.timestamp()
         vs, _ = self._list_log()
         best = None
+        prev_ct = float("-inf")
         for v in vs:
             actions = self._parse_commit(v)
             ct = next(
@@ -440,15 +457,56 @@ class TxTable:
             )
             if ct is None:
                 ct = os.path.getmtime(self._log_path(v))
+            # monotonize: a wall-clock regression (NTP step) must not
+            # make version ordering and time ordering disagree — clamp
+            # to the running max, the public in-commit-timestamp rule
+            ct = max(ct, prev_ct)
+            prev_ct = ct
             if ct <= ts:
                 best = v
-            else:
-                break  # commit times are monotone along versions
         if best is None:
             raise VersionExpiredError(
                 f"no commit of {self.root!r} at or before timestamp {ts}"
             )
         return best
+
+    def files_df(self) -> DataFrame:
+        """The live file manifest as a queryable DataFrame (the public
+        formats' ``.files`` metadata table): path, size, rows, per-stat
+        min/max/null-count, plus rows deleted by live vectors. Built
+        from O(files) driver metadata — no data scan."""
+        dvd = self.dv_stats()
+        rows = [
+            (
+                a["path"],
+                a["size"],
+                a["num_records"],
+                {c: str(v[0]) for c, v in a["stats"].items()},
+                {c: str(v[1]) for c, v in a["stats"].items()},
+                {c: int(v[2]) for c, v in a["stats"].items()},
+                dvd.get(a["path"], 0),
+            )
+            for a in self.snapshot_adds()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, size bigint, num_records bigint, "
+            "min_values map<string,string>, max_values map<string,string>, "
+            "null_counts map<string,bigint>, dv_deleted bigint",
+        )
+
+    def history_df(self) -> DataFrame:
+        """:meth:`history` as a queryable DataFrame (the public formats'
+        ``DESCRIBE HISTORY``)."""
+        rows = [
+            (h["version"], h["op"], h["n_adds"], h["n_removes"], h["txn"])
+            for h in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version bigint, op string, n_adds int, n_removes int, "
+            "txn string",
+        )
 
     # -- reads ------------------------------------------------------------
 
@@ -1295,14 +1353,21 @@ class TxTable:
         small_file_bytes: int = 64 * 1024 * 1024,
         target_file_bytes: int = 128 * 1024 * 1024,
         cluster_by: str | None = None,
+        zorder_by: list | None = None,
     ) -> int:
         """Compact files smaller than ``small_file_bytes`` into
         ~``target_file_bytes`` outputs; ``cluster_by`` range-partitions
         + sorts the rewrite so the new files' stats are tight on that
-        column (1-D OPTIMIZE-cluster; sources/layout.py is the
-        multi-dimension Z-order form). Pure rewrite: the commit removes
-        the inputs and adds their compaction, so a concurrent append is
-        untouched and a concurrent remove of an input conflicts."""
+        column (1-D OPTIMIZE-cluster); ``zorder_by`` (2-3 columns)
+        clusters on the equi-depth Morton interleave instead —
+        ``OPTIMIZE ZORDER BY``, making EVERY named dimension's
+        log-carried file stats partially selective at once (the
+        sources/layout.py curve, now feeding :meth:`scan`'s pruning
+        index). Pure rewrite: the commit removes the inputs and adds
+        their compaction, so a concurrent append is untouched and a
+        concurrent remove of an input conflicts."""
+        if cluster_by is not None and zorder_by is not None:
+            raise ValueError("pass cluster_by OR zorder_by, not both")
         rv = self.version()
         meta, live, _, dvs = self._state_at(rv)
         small = [a for a in live.values() if a["size"] < small_file_bytes]
@@ -1318,7 +1383,16 @@ class TxTable:
             dvs,
         )
         n_out = max(1, math.ceil(sum(a["size"] for a in small) / target_file_bytes))
-        if cluster_by is not None:
+        if zorder_by is not None:
+            from . import layout as _layout
+
+            src = (
+                _layout.with_zvalue(src, list(zorder_by))
+                .repartitionByRange(n_out, _layout.Z_COL)
+                .sortWithinPartitions(_layout.Z_COL)
+                .drop(_layout.Z_COL)
+            )
+        elif cluster_by is not None:
             src = src.repartitionByRange(n_out, cluster_by).sortWithinPartitions(
                 cluster_by
             )
@@ -1351,6 +1425,7 @@ class TxTable:
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
+        self._check_reserved([name])
         dt = T.StructType.fromDDL(f"`{name}` {ddl_type}").fields[0].dataType
         new_schema = T.StructType(
             list(schema.fields) + [T.StructField(name, dt, True)]

@@ -1219,3 +1219,64 @@ def test_timestamp_time_travel(spark, root):
         t.version_at_timestamp(0.0)  # before the table existed
     with pytest.raises(ValueError, match="not both"):
         t.read(version=0, as_of=ts0)
+
+
+# ------------------------------------------------------ Z-order optimize
+
+
+def test_optimize_zorder_prunes_on_every_dimension(spark, root):
+    """OPTIMIZE ZORDER BY (k, v): after the Morton-clustered rewrite, a
+    needle on EITHER column prunes files through the log's stats index
+    — the multi-dimension layout 1-D cluster_by can't give."""
+    rows = [
+        (x, "g", float(y)) for x in range(0, 64, 2) for y in range(0, 64, 2)
+    ]
+    t = TxTable.create(spark, root, _df(spark, rows).repartition(8))
+    total_size = sum(a["size"] for a in t.snapshot_adds())
+    t.optimize(
+        small_file_bytes=1 << 30,
+        target_file_bytes=max(1, total_size // 8),
+        zorder_by=["k", "v"],
+    )
+    n_files = len(t.snapshot_adds())
+    assert n_files >= 4  # enough files for pruning to be meaningful
+    _, sk = t.scan({"k": (0, 7)})
+    _, sv = t.scan({"v": (0.0, 7.0)})
+    assert sk["files_read"] < sk["files_total"], sk
+    assert sv["files_read"] < sv["files_total"], sv
+    # row-identical to the pre-optimize table
+    assert t.read().count() == len(rows)
+    with pytest.raises(ValueError, match="not both"):
+        t.optimize(cluster_by="k", zorder_by=["k", "v"])
+
+
+def test_metadata_tables(spark, root):
+    """files_df / history_df — the queryable metadata relations."""
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0), (2, "b", 9.0)]))
+    t.append(_df(spark, [(3, "c", 3.0)]))
+    t.delete_where("v", 9.0, 9.0, mode="dv")
+    f = t.files_df()
+    assert f.count() == len(t.snapshot_adds())
+    assert f.agg(F.sum("dv_deleted")).collect()[0][0] == 1
+    # stats ride along, queryable
+    assert (
+        f.filter(F.col("min_values")["k"] == "1").count() >= 1
+    )
+    h = t.history_df()
+    assert [r["op"] for r in h.orderBy("version").collect()] == [
+        "create",
+        "append",
+        "delete_dv",
+    ]
+
+
+def test_reserved_column_names_rejected(spark, root):
+    with pytest.raises(ValueError, match="reserved"):
+        TxTable.create(
+            spark,
+            root,
+            spark.createDataFrame([(1, 2)], "k long, __pos long"),
+        )
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    with pytest.raises(ValueError, match="reserved"):
+        t.alter_add_column("_change_type", "string")

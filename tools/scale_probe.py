@@ -95,6 +95,9 @@ def main() -> None:
     if args and args[0] == "--txlog":
         txlog_probe([int(a) for a in args[1:]] or [1, 2, 4])
         return
+    if args and args[0] == "--dv":
+        dv_probe([int(a) for a in args[1:]] or [1, 2, 4])
+        return
     ks = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(app_name="scale_probe")
     # warm JVM + python paths once
@@ -420,6 +423,88 @@ def txlog_probe(ks) -> None:
         finally:
             shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
+
+
+
+def dv_probe(ks) -> None:
+    """Merge-on-read cost probe (deletion vectors): a predicate hitting
+    1% of EVERY file forces rewrite-mode to rewrite the whole table,
+    while dv-mode writes only the matched positions. The scale claim
+    under test: bytes written by a dv delete track MATCHED ROWS (tiny,
+    constant per row), bytes written by a rewrite track TOUCHED FILE
+    BYTES (the whole table here) — so the dv/rewrite byte ratio stays
+    ~constant and small as the table grows k×, which is exactly the
+    100 TB argument for merge-on-read."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.session import get_spark
+    from data_mastery_pipeline_spark.sources.txlog import TxTable
+
+    spark = get_spark(app_name="scale_probe_dv")
+    spark.range(10).count()
+    n_rows_per_file = 5_000
+
+    def batch(tag: int):
+        return (
+            spark.range(n_rows_per_file)
+            .select(
+                (F.col("id") + tag * n_rows_per_file).alias("k"),
+                F.lit(f"t{tag}").alias("grp"),
+                (F.col("id") % 100).cast("double").alias("v"),
+            )
+            .coalesce(1)
+        )
+
+    for k in ks:
+        stats = {}
+        for mode in ("rewrite", "dv"):
+            root = tempfile.mkdtemp(prefix="dv_probe_") + "/tbl"
+            try:
+                t = TxTable.create(spark, root, batch(0))
+                for tag in range(1, 4 * k):
+                    t.append(batch(tag))
+                t0 = time.time()
+                t.delete_where("v", 0.0, 0.0, mode=mode)  # 1% of every file
+                wall = time.time() - t0
+                actions = t._parse_commit(t.version())
+                if mode == "rewrite":
+                    written = sum(a["add"]["size"] for a in actions if "add" in a)
+                    touched = sum(1 for a in actions if "remove" in a)
+                else:
+                    dv = next(a["dv"] for a in actions if "dv" in a)
+                    written = sum(
+                        os.path.getsize(os.path.join(root, p))
+                        for p in dv["paths"]
+                    )
+                    touched = len(dv["files"])
+                stats[mode] = {
+                    "bytes_written": written,
+                    "files_touched": touched,
+                    "wall_sec": round(wall, 2),
+                }
+            finally:
+                shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        print(
+            json.dumps(
+                {
+                    "probe": "dv_delete_cost",
+                    "k": k,
+                    "table_files": 4 * k,
+                    "matched_rows": 4 * k * (n_rows_per_file // 100),
+                    "rewrite": stats["rewrite"],
+                    "dv": stats["dv"],
+                    "dv_over_rewrite_bytes": round(
+                        stats["dv"]["bytes_written"]
+                        / max(stats["rewrite"]["bytes_written"], 1),
+                        4,
+                    ),
+                }
+            ),
+            flush=True,
+        )
 
 if __name__ == "__main__":
     main()
