@@ -118,6 +118,12 @@ HEADLINE = [
 #   user_erasure_roundtrip   7.2 s: hive-partitioned write + dynamic
 #                            partition overwrite — both legs inside
 #                            partitioned_roundtrip / merge paths
+#   txlog_ivm_cdc            ~25 s: two CDC stream drains + exactly-once
+#                            merges — every leg timed elsewhere
+#                            (txlog_stream_cdf drains the same feed,
+#                            txlog_acid_roundtrip times the merge path);
+#                            the cost is fixed micro-batch machinery,
+#                            not data volume
 #   kafka_wire_lake_daily    12.8 s: wire produce + readStream +
 #                            foreachBatch lake appends; the transport
 #                            and streaming legs are kafka_wire_roundtrip

@@ -1656,3 +1656,123 @@ def txlog_constraints_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "txlog_ivm_cdc",
+    """
+    WITH base AS (
+      SELECT * FROM events WHERE event_id % 7 IN (0, 1)
+    ), updated AS (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN coalesce(value BETWEEN 30.0 AND 70.0, FALSE)
+                  THEN value * 1.5 ELSE value END AS value,
+             props
+      FROM base
+    ), after_del AS (
+      SELECT * FROM updated
+      WHERE NOT coalesce(value BETWEEN 100.0 AND 140.0, FALSE)
+    ), final AS (
+      SELECT * FROM after_del
+      UNION ALL
+      SELECT * FROM events WHERE event_id % 7 = 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0))
+                AS BIGINT) AS sum_cents
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txlog_ivm_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY-MAINTAINED AGGREGATE VIEW over streaming CDC — the
+    storage layer's capstone composition (streaming/ivm.py): a txlog
+    source's change feed (mode="cdf") drains through a foreachBatch
+    sink that folds each batch's retraction rows into a txlog TARGET
+    table via an EXACTLY-ONCE keyed merge (the merge carries the
+    batch's txn watermark — a replayed delivery of a read-modify-write
+    delta would corrupt the aggregate, so the watermark, not
+    idempotence, is the guarantee). The view is maintained across TWO
+    drains: the second applies only the commits after the first
+    checkpoint (true incrementality — O(changed files), never a
+    recompute).
+
+    Measures are count + INTEGER cents sum: integer deltas commute
+    exactly, so the maintained table equals the direct aggregate
+    bit-for-bit regardless of batch boundaries — which is what the
+    oracle checks.
+
+    Self-asserting: raises unless the maintained view equals the
+    directly-computed aggregate of the source's final snapshot (the
+    fresh-checkpoint full-re-delivery no-op is pinned separately in
+    tests/test_txlog.py — a third stream drain here would only re-pay
+    the fixed micro-batch machinery cost per bench run).
+
+    100 TB: per trigger the source side reads O(changed files), the
+    delta is one hash aggregate over change rows, and the target merge
+    rewrites O(files overlapping the touched keys) of a small
+    aggregate table — a materialized view over a 100 TB fact table
+    costs the size of the CHANGES, the lakehouse MV pattern."""
+    from .sources import txlog as _txlog
+    from .streaming import ivm as _ivm
+
+    ev = load_table(spark, "events", sf_dir)
+    base_dir = _fresh_dir("txlog_ivm", sf_dir)
+    src_root = os.path.join(base_dir, "src")
+    tgt_root = os.path.join(base_dir, "tgt")
+    src = _txlog.TxTable.create(
+        spark,
+        src_root,
+        ev.filter(F.col("event_id") % 7 < 2).repartition(4, "event_id"),
+        stat_cols=["event_id", "user_id", "value"],
+    )
+    src.update_where(
+        "value", 30.0, 70.0, {"value": F.col("value") * 1.5}, mode="dv"
+    )
+    tgt = _txlog.TxTable.create(
+        spark,
+        tgt_root,
+        spark.createDataFrame([], _ivm.mv_schema("event_type", "string")),
+    )
+    _txlog.register(spark)
+
+    def drain(ckpt: str) -> None:
+        q = (
+            spark.readStream.format("txlog_feed")
+            .option("root", src_root)
+            .option("mode", "cdf")
+            .load()
+            .writeStream.foreachBatch(
+                _ivm.foreach_batch_view_sink(tgt, "event_type", "value", "mv")
+            )
+            .option("checkpointLocation", os.path.join(base_dir, ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("c1")
+    # more source commits; the SAME checkpoint applies only the delta
+    src.delete_where("value", 100.0, 140.0)
+    src.append(ev.filter(F.col("event_id") % 7 == 2))
+    drain("c1")
+    view = _ivm.current_view(tgt)
+    direct = (
+        src.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.coalesce(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+                    F.lit(0),
+                )
+            ).alias("sum_cents"),
+        )
+    )
+    if (
+        view.exceptAll(direct).limit(1).count()
+        or direct.exceptAll(view).limit(1).count()
+    ):
+        raise ValueError("maintained view diverged from the direct aggregate")
+    return view.orderBy("event_type")

@@ -1274,7 +1274,12 @@ class TxTable:
                 out[p] = out.get(p, 0) + n
         return out
 
-    def merge_upsert(self, updates: DataFrame, key: str) -> int:
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        key: str,
+        stream_txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """Keyed upsert: rows of ``updates`` replace same-key rows and
         insert otherwise. ``key`` must be a stat column: the updates'
         [min, max] key range prunes the candidate files, so only files
@@ -1287,7 +1292,21 @@ class TxTable:
         silently re-insert on every replay). NULL keys already IN the
         table follow standard SQL MERGE semantics: never matched,
         preserved verbatim through any rewrite (the anti-join keeps
-        them — pinned by test)."""
+        them — pinned by test).
+
+        ``stream_txn=(app_id, batch_id)``: EXACTLY-ONCE streaming merge
+        — the same txn-watermark discipline as
+        :meth:`append_stream_batch` (the replay check lives inside the
+        commit loop; a replayed batch returns None). This is what makes
+        READ-MODIFY-WRITE sinks (incremental view maintenance over the
+        change feed — streaming/ivm.py) safe under Structured
+        Streaming's at-least-once foreachBatch delivery: applying a
+        delta twice would corrupt the aggregate, so the watermark, not
+        idempotence, carries the guarantee."""
+        if stream_txn is not None:
+            last = self.last_stream_batch(stream_txn[0])
+            if last is not None and stream_txn[1] <= last:
+                return None
         rv = self.version()
         meta, live, _, dvs = self._state_at(rv)
         if key not in meta["stat_cols"]:
@@ -1340,13 +1359,17 @@ class TxTable:
             adds = self._write_stage(new_data, meta["stat_cols"])
         finally:
             release(updates)  # staged parquet is durable; free the blocks
-        return self._commit(
-            "merge",
-            adds,
-            [a["path"] for a in hit],
-            {key: (lo, hi)},
-            read_version=rv,
-        )
+        try:
+            return self._commit(
+                "merge",
+                adds,
+                [a["path"] for a in hit],
+                {key: (lo, hi)},
+                read_version=rv,
+                stream_txn=stream_txn,
+            )
+        except _AlreadyCommitted:
+            return None
 
     def optimize(
         self,
@@ -1824,18 +1847,28 @@ if HAVE_DATASOURCE_API:
             ]
             tbl = pq.read_table(partition.path)
             if partition.kind != "insert" and partition.dv_paths:
-                pos: set[int] = set()
-                for dv in partition.dv_paths:
-                    dvt = pq.read_table(
+                import numpy as np
+
+                chunks = [
+                    pq.read_table(
                         dv,
-                        columns=["path", "pos"],
+                        columns=["pos"],
                         filters=[("path", "==", partition.rel)],
                     )
-                    pos.update(dvt.column("pos").to_pylist())
+                    .column("pos")
+                    .to_numpy(zero_copy_only=False)
+                    for dv in partition.dv_paths
+                ]
+                pos = np.unique(np.concatenate(chunks)) if chunks else np.array([], dtype=np.int64)
                 if partition.kind == "dv_delete":
-                    idx = sorted(pos)
+                    idx = pos
                 else:  # delete: the rows still VISIBLE before the rewrite
-                    idx = [i for i in range(tbl.num_rows) if i not in pos]
+                    # vectorized complement — a per-row Python loop would
+                    # dominate on production-size (10⁶-row) files
+                    idx = np.setdiff1d(
+                        np.arange(tbl.num_rows, dtype=np.int64), pos,
+                        assume_unique=True,
+                    )
                 tbl = tbl.take(pa.array(idx, type=pa.int64()))
             elif partition.kind == "dv_delete":
                 tbl = tbl.slice(0, 0)  # defensive: dv slice needs sidecars

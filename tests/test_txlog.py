@@ -1280,3 +1280,71 @@ def test_reserved_column_names_rejected(spark, root):
     t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
     with pytest.raises(ValueError, match="reserved"):
         t.alter_add_column("_change_type", "string")
+
+
+# --------------------------------------------- incremental view (IVM)
+
+
+def test_ivm_over_cdc_exact_and_exactly_once(spark, root, tmp_path):
+    from data_mastery_pipeline_spark.streaming import ivm
+
+    src = TxTable.create(
+        spark,
+        root,
+        _df(spark, [(i, "g%d" % (i % 3), float(i)) for i in range(12)])
+        .repartition(2),
+    )
+    src.delete_where("v", 2.0, 4.0, mode="dv")
+    src.update_where("v", 8.0, 9.0, {"v": "v + 0.115"}, mode="dv")
+    tgt = TxTable.create(
+        spark,
+        str(tmp_path / "tgt"),
+        spark.createDataFrame([], ivm.mv_schema("grp", "string")),
+    )
+
+    def drain(ckpt):
+        q = (
+            _feed_stream(spark, root, mode="cdf")
+            .writeStream.foreachBatch(
+                ivm.foreach_batch_view_sink(tgt, "grp", "v", "mv1")
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def direct():
+        return sorted(
+            tuple(r)
+            for r in src.read()
+            .groupBy("grp")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.coalesce(
+                        F.floor(F.col("v") * 100 + F.lit(0.5)).cast("bigint"),
+                        F.lit(0),
+                    )
+                ).alias("sum_cents"),
+            )
+            .collect()
+        )
+
+    drain("c1")
+    assert sorted(tuple(r) for r in ivm.current_view(tgt).collect()) == direct()
+    # full fresh-checkpoint re-delivery: zero new target commits (the
+    # merge txn watermark, not idempotence, carries exactly-once)
+    v = tgt.version()
+    drain("c2")
+    assert tgt.version() == v
+    # incremental drain: only the NEW commits apply
+    src.append(_df(spark, [(20, "g0", 3.5), (21, "zz", 1.0)]))
+    src.delete_where("v", 0.0, 1.0)  # rewrite delete; retracts g0+g1 rows
+    drain("c1")
+    assert sorted(tuple(r) for r in ivm.current_view(tgt).collect()) == direct()
+    # a fully-retracted key leaves an n_rows=0 tombstone, hidden by the view
+    src.delete_where("v", 1.0, 1.0)  # removes the only 'zz' row
+    drain("c1")
+    assert sorted(tuple(r) for r in ivm.current_view(tgt).collect()) == direct()
+    assert tgt.read().filter("n_rows = 0").count() == 1
