@@ -15,6 +15,8 @@ hypothesis shrinks failures to minimal op lists.
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -24,7 +26,9 @@ from data_mastery_pipeline_spark.sources.txlog import TxTable
 DDL = "k long, grp string, v double"
 
 SET = settings(
-    max_examples=8,
+    # TXLOG_MODEL_EXAMPLES raises the sweep for one-off stress runs
+    # (each example is several Spark jobs; 8 keeps the suite honest)
+    max_examples=int(os.environ.get("TXLOG_MODEL_EXAMPLES", "8")),
     deadline=None,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture,
