@@ -79,6 +79,7 @@ _PRIORITY = [
     "txlog_stream_cdf",
     "txlog_constraints_asof",
     "txlog_ivm_cdc",
+    "weather_dag_run",
     # (c) standing re-greens, ordered by what CHANGED this round: the
     # load_table CPU_HEAVY_TABLES fan-out policy altered the scan plan
     # of every documents/embeddings query, so those anchors re-verify

@@ -106,6 +106,8 @@ HEADLINE = [
     "txlog_stream_cdf",
     # round 6: CHECK constraints + timestamp time travel
     "txlog_constraints_asof",
+    # round 6: the reference DAG's operational semantics (orchestrator)
+    "weather_dag_run",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -1776,3 +1776,79 @@ def txlog_ivm_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         raise ValueError("maintained view diverged from the direct aggregate")
     return view.orderBy("event_type")
+
+
+def _golden_dag_audit_values() -> str:
+    """Expected (stage, status, attempts, rows) for the golden weather
+    DAG run — a pure-Python mirror of every stage's row accounting, the
+    same independent-oracle discipline as _golden_daily_values."""
+    from datetime import datetime, timezone
+
+    cities = rest.DEFAULT_CITIES
+    bronze = silver = 0
+    daily: set = set()
+    hourly: set = set()
+    for i in range(24):
+        epoch = 1_700_000_000 + i * 3600
+        for city in cities:
+            r = rest.parse_weather(rest.synthetic_fetch(city, epoch))
+            if r is None:
+                continue
+            bronze += 1
+            if not (-100.0 <= r[2] <= 60.0):
+                continue
+            silver += 1
+            d = datetime.fromtimestamp(epoch, tz=timezone.utc)
+            daily.add((r[0], r[1], d.year, d.month, d.day))
+            hourly.add((r[0], r[1], d.year, d.month, d.day, d.hour))
+    rows = [
+        ("check_source", len(cities)),
+        ("ingest_bronze", bronze),
+        ("silver", silver),
+        ("quality_gate", 0),
+        ("gold_daily", len(daily)),
+        ("gold_hourly", len(hourly)),
+    ]
+    return ",\n           ".join(
+        f"('{s}', 'success', 1, {n})" for s, n in rows
+    )
+
+
+@query(
+    "weather_dag_run",
+    f"""
+    SELECT stage, status, attempts::INTEGER AS attempts,
+           rows_processed::BIGINT AS rows_processed
+    FROM (VALUES {_golden_dag_audit_values()})
+      AS t(stage, status, attempts, rows_processed)
+    ORDER BY stage
+    """,
+)
+def weather_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Airflow DAG — its OPERATIONAL semantics, not just
+    its dataflow — run through the engine-side orchestrator
+    (orchestrator.py): dependency-ordered stages (check_source →
+    ingest → silver → quality gate → both golds, the gate gating the
+    loads exactly as weather_pipeline_dag.py:316-317 does), per-stage
+    retry budgets, transitive downstream SKIP on failure, and an audit
+    relation as the outcome. The driver-checked observable is the full
+    audit (stage, status, attempts, rows) against an independently
+    computed pure-Python mirror — so stage ORDERING, retry counts, and
+    every stage's row accounting are all under oracle.
+
+    Retry/skip/cycle semantics are pinned in tests/test_orchestrator.py
+    (a flaky stage succeeding on attempt 3; a failing stage skipping
+    its transitive downstream while siblings proceed; cycle and
+    unknown-dep DAGs rejected).
+
+    100 TB: orchestration is driver-side control flow — the stages'
+    bodies are the same library operators the other queries
+    oracle-check; the runner moves no data."""
+    from . import orchestrator as _orch
+
+    _, audit = _orch.run_dag(
+        spark, _orch.weather_dag(spark), "weather_pipeline"
+    )
+    return audit.select(
+        "stage", "status", "attempts", "rows_processed"
+    ).orderBy("stage")
