@@ -45,6 +45,10 @@ _OP = st.one_of(
     st.tuples(st.just("update"), _V, st.integers(0, 6), st.booleans()),
     st.tuples(st.just("merge"), st.lists(_V, min_size=1, max_size=3)),
     st.tuples(st.just("optimize")),
+    # checkpoint + zero-retention vacuum: must not change ANY visible
+    # state (a vacuumed live DV sidecar or data file would diverge the
+    # next read; a bad checkpoint would diverge every later replay)
+    st.tuples(st.just("maintain")),
 )
 
 
@@ -74,7 +78,7 @@ def _apply_model(model: dict, op) -> None:
             else:
                 k = max(model, default=-1) + 1000 + i
                 model[k] = ("m", float(v))
-    # optimize: no visible change
+    # optimize / maintain: no visible change
 
 
 def _apply_table(spark, t: TxTable, model_before: dict, op) -> None:
@@ -110,6 +114,9 @@ def _apply_table(spark, t: TxTable, model_before: dict, op) -> None:
         t.merge_upsert(spark.createDataFrame(sorted(rows.values()), DDL), "k")
     elif kind == "optimize":
         t.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 20)
+    elif kind == "maintain":
+        t._write_checkpoint(t.version())
+        t.vacuum(retention_sec=0.0)
 
 
 @SET
