@@ -151,8 +151,19 @@ def weather_dag(
     """The reference's weather_pipeline task graph on this engine's
     stages (weather_pipeline_dag.py:316-317): source availability check
     → bronze ingest → silver clean/derive → quality gate → the two gold
-    aggregates (which depend on the GATE, not just on silver — the
-    reference's quality-before-load ordering)."""
+    aggregates. One DELIBERATE deviation from the reference: its DAG
+    orders load_gold BEFORE quality_check (check_api >> ingest >>
+    consume >> silver >> load_gold >> quality_check — validate after
+    loading), while here the golds depend on the GATE, so bad data
+    never reaches the serving tables. This is gate-before-load by
+    choice, not reference parity.
+
+    Checkpoint ownership: the silver stage localCheckpoints its frame
+    (4 downstream consumers). The checkpoint blocks outlive run_dag —
+    a caller that re-runs the DAG in a long-lived driver must
+    ``checkpointing.release(results["silver"])`` once both golds are
+    consumed, or the blocks accumulate per run (queries_src.py's
+    weather_dag_run does exactly this)."""
     from . import pipeline
     from .operators import quality
     from .sources import rest

@@ -1547,17 +1547,29 @@ class TxTable:
                 os.unlink(abspath)
                 removed.append(rel)
         # a txn dir left with no parquet files (fully-vacuumed orphan
-        # stage) goes entirely, marker files included
+        # stage) goes entirely, marker files included — but only once
+        # the dir AND everything in it are past retention_sec: a
+        # concurrent writer's just-created staging dir (committer
+        # scaffolding present, no part file flushed yet) must survive,
+        # the same age gate the file-unlink pass applies above
         import shutil
 
         if os.path.isdir(data_root):
             for name in os.listdir(data_root):
                 d = os.path.join(data_root, name)
-                if os.path.isdir(d) and not any(
+                if not os.path.isdir(d):
+                    continue
+                mtimes = [os.path.getmtime(d)] + [
+                    os.path.getmtime(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(d)
+                    for f in fs
+                ]
+                has_parquet = any(
                     f.endswith(".parquet")
                     for _, _, fs in os.walk(d)
                     for f in fs
-                ):
+                )
+                if not has_parquet and now - max(mtimes) >= retention_sec:
                     shutil.rmtree(d)
         return sorted(removed)
 

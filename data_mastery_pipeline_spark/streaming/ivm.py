@@ -55,7 +55,16 @@ def mv_schema(key: str, key_type: str) -> str:
 def delta_for_batch(batch_df: DataFrame, key: str, value_col: str) -> DataFrame:
     """One micro-batch of CDC rows → per-key signed delta:
     ``n_rows`` (+1 insert / −1 delete) and ``sum_cents`` (signed,
-    integer cents of ``value_col``; NULL values contribute 0)."""
+    integer cents of ``value_col``; NULL values contribute 0).
+
+    NULL group keys are EXCLUDED here: the source table does not
+    constrain the key non-null, and a NULL-key delta row would make
+    :meth:`TxTable.merge_upsert` raise ("NULL update keys") on every
+    trigger — wedging the maintained view permanently. Dropping them
+    means the view simply carries no row for the NULL group (the same
+    choice Delta's MERGE makes: NULL never equi-matches a key anyway);
+    a deployment that needs the NULL group aggregates it under a
+    sentinel key upstream (ADVICE r6)."""
     w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
@@ -63,9 +72,13 @@ def delta_for_batch(batch_df: DataFrame, key: str, value_col: str) -> DataFrame:
         F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint"),
         F.lit(0),
     )
-    return batch_df.groupBy(key).agg(
-        F.sum(w).cast("bigint").alias("n_rows"),
-        F.sum(w * cents).cast("bigint").alias("sum_cents"),
+    return (
+        batch_df.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(
+            F.sum(w).cast("bigint").alias("n_rows"),
+            F.sum(w * cents).cast("bigint").alias("sum_cents"),
+        )
     )
 
 

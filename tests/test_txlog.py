@@ -220,6 +220,23 @@ def test_crash_orphan_invisible_then_vacuumed(spark, root):
     assert _rows(t.read()) == [(1, "a", 1.0)]  # referenced data intact
 
 
+def test_vacuum_spares_young_empty_staging_dir(spark, root):
+    """An in-flight writer's JUST-created staging dir (committer
+    scaffolding present, no part file flushed yet) must survive a
+    retention-gated vacuum — the empty-dir cleanup pass applies the
+    same age gate as the file-unlink pass (ADVICE r6). Once past
+    retention it is reaped like any orphan."""
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    stage = os.path.join(root, "data", "txn-inflight-test")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "_started"), "w") as f:
+        f.write("")
+    t.vacuum(retention_sec=3600.0)
+    assert os.path.isdir(stage), "young staging dir was rmtree'd mid-write"
+    t.vacuum(retention_sec=0.0)
+    assert not os.path.isdir(stage)  # aged out: reaped with its markers
+
+
 def test_checkpoint_replay_equivalence_and_expire(spark, root):
     t = TxTable.create(spark, root, _df(spark, [(0, "a", 0.0)]))
     for i in range(1, 13):  # crosses the interval-10 checkpoint
@@ -1348,3 +1365,29 @@ def test_ivm_over_cdc_exact_and_exactly_once(spark, root, tmp_path):
     drain("c1")
     assert sorted(tuple(r) for r in ivm.current_view(tgt).collect()) == direct()
     assert tgt.read().filter("n_rows = 0").count() == 1
+    # NULL-key change rows must NOT wedge the view: the delta excludes
+    # them (merge_upsert rejects NULL update keys) and the view simply
+    # carries no NULL group (ADVICE r6)
+    src.append(
+        spark.createDataFrame(
+            [(30, None, 2.0), (31, "g0", 2.0)], src.read().schema
+        )
+    )
+    drain("c1")  # would raise "NULL update keys" before the fix
+    non_null_direct = sorted(
+        tuple(r)
+        for r in src.read()
+        .filter(F.col("grp").isNotNull())
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("v") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("sum_cents"),
+        )
+        .collect()
+    )
+    assert (
+        sorted(tuple(r) for r in ivm.current_view(tgt).collect())
+        == non_null_direct
+    )
