@@ -108,6 +108,17 @@ HEADLINE = [
     "txlog_constraints_asof",
     # round 6: the reference DAG's operational semantics (orchestrator)
     "weather_dag_run",
+    # round 7: governance (tokenized rollup is the costliest: 64-byte
+    # join keys; the audits/DP are one aggregate each, folded into the
+    # rollup's number class), spatial grid join + kNN, PIT features
+    "pseudonymize_users",
+    "dp_noisy_counts",
+    "spatial_distance_join",
+    "spatial_knn",
+    "feature_store_pit",
+    # round 7: MV lifecycle (txlog source load + 2 incremental CDF
+    # refreshes + dv retraction + navigation answer)
+    "mv_navigation",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):
@@ -130,6 +141,10 @@ HEADLINE = [
 #                            foreachBatch lake appends; the transport
 #                            and streaming legs are kafka_wire_roundtrip
 #                            + kafka_wire_stream_hourly's entries
+#   k_anonymity_audit /      each one hash aggregate over customer —
+#   l_diversity_audit /      the shuffle class dp_noisy_counts times;
+#   masked_serving_view /    masked view is a pure projection,
+#   spatial_grid_density     grid density one cell-keyed aggregate
 
 
 def _warm_python_datasource(spark) -> None:

@@ -74,6 +74,75 @@ def amplified(spark, k: int):
     return out
 
 
+def spatial_probe(ks) -> None:
+    """Grid-distance-join amplification: replicate customers AND
+    suppliers k× with each generation's longitudes shifted 40° apart
+    (≫ the 300 km ≈ 6.5° reach), so cross-generation pairs are
+    geometrically impossible and the TRUE pair count scales exactly
+    ×k. A grid join that degenerates (one giant bucket, missing cell
+    pruning) would show ~k² candidate work and superlinear wall time;
+    linear pairs + near-linear wall is the evidence the cell equi-join
+    holds its complexity promise. 40°·k must stay pairwise ≥40° on the
+    circle — valid for k ≤ 9."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.operators import spatial
+    from data_mastery_pipeline_spark.session import get_spark
+    from data_mastery_pipeline_spark.tables import load_table
+
+    spark = get_spark(app_name="scale_probe_spatial")
+    spark.range(10).count()
+
+    def replicate(df, key, k):
+        out = df.select(
+            F.col(key),
+            spatial.synth_lat_col(F.col(key)).alias("lat"),
+            spatial.synth_lon_col(F.col(key)).alias("lon"),
+        )
+        gens = out.crossJoin(
+            spark.range(k).select(F.col("id").alias("__g"))
+        )
+        return gens.select(
+            (F.col(key) + F.col("__g") * F.lit(10_000_000)).alias(key),
+            F.col("lat"),
+            (
+                ((F.col("lon") + 180.0 + F.col("__g") * 40.0) % 360.0)
+                - 180.0
+            ).alias("lon"),
+        )
+
+    for k in ks:
+        if k > 9:
+            raise SystemExit("spatial probe valid for k <= 9 (40° shifts)")
+        left = replicate(
+            load_table(spark, "customer", SF_DIR), "c_custkey", k
+        )
+        right = replicate(
+            load_table(spark, "supplier", SF_DIR), "s_suppkey", k
+        )
+        t0 = time.time()
+        pairs = spatial.grid_distance_join(
+            left, right, radius_km=300.0, cell_size_deg=5.0,
+            max_abs_lat_deg=60.0,
+        )
+        n = pairs.count()
+        wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "k": k,
+                    "left_points": k * 1500,
+                    "right_points": k * 100,
+                    "pairs": n,
+                    "wall_sec": round(wall, 2),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     from data_mastery_pipeline_spark.dedup import components as cc
     from data_mastery_pipeline_spark.dedup import minhash
@@ -97,6 +166,9 @@ def main() -> None:
         return
     if args and args[0] == "--dv":
         dv_probe([int(a) for a in args[1:]] or [1, 2, 4])
+        return
+    if args and args[0] == "--spatial":
+        spatial_probe([int(a) for a in args[1:]] or [1, 2, 4, 8])
         return
     ks = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(app_name="scale_probe")
