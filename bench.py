@@ -194,6 +194,7 @@ def main() -> None:
     import data_mastery_pipeline_spark.queries  # noqa: F401
     import data_mastery_pipeline_spark.queries_adv  # noqa: F401
     import data_mastery_pipeline_spark.queries_ext  # noqa: F401
+    import data_mastery_pipeline_spark.queries_gov  # noqa: F401
     import data_mastery_pipeline_spark.queries_ops  # noqa: F401
     import data_mastery_pipeline_spark.queries_src  # noqa: F401
     import data_mastery_pipeline_spark.queries_stream  # noqa: F401
@@ -237,7 +238,14 @@ def main() -> None:
 
     for name in HEADLINE:
         if name not in QUERIES:
-            continue
+            # loud, not a silent skip (the gen_plans rule): a headline
+            # entry missing from the registry means the benched surface
+            # silently shrank — exactly how round 7's first bench run
+            # dropped the 6 new entries (queries_gov wasn't imported)
+            raise SystemExit(
+                f"bench: headline query {name!r} is not registered — "
+                "bench.HEADLINE and the query registry have drifted"
+            )
         timings[name] = _run_once(name)
         if name == "near_dup_clusters" and _cc.LAST_RUN_STATS:
             # per-round attribution (rounds × edges × wall) so a bench

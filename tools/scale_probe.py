@@ -75,15 +75,23 @@ def amplified(spark, k: int):
 
 
 def spatial_probe(ks) -> None:
-    """Grid-distance-join amplification: replicate customers AND
-    suppliers k× with each generation's longitudes shifted 40° apart
-    (≫ the 300 km ≈ 6.5° reach), so cross-generation pairs are
-    geometrically impossible and the TRUE pair count scales exactly
-    ×k. A grid join that degenerates (one giant bucket, missing cell
-    pruning) would show ~k² candidate work and superlinear wall time;
-    linear pairs + near-linear wall is the evidence the cell equi-join
-    holds its complexity promise. 40°·k must stay pairwise ≥40° on the
-    circle — valid for k ≤ 9."""
+    """Grid-distance-join amplification. The base points are first
+    COMPRESSED into one 30°-wide longitude band (synthetic lon / 12),
+    then each generation translates that band 40° east — bands are 10°
+    apart edge-to-edge, and 10° of longitude is ≥556 km even at the
+    |lat| ≤ 60 extreme, ≫ the 300 km radius. Cross-generation pairs
+    are therefore geometrically impossible and the TRUE pair count
+    scales exactly ×k (each generation is a pure translate; haversine
+    is invariant under longitude translation). A grid join that
+    degenerates (one giant bucket, missing cell pruning) would show
+    ~k² candidate work and superlinear wall time; ×k pairs +
+    near-linear wall is the evidence the cell equi-join holds its
+    complexity promise. Valid for k ≤ 9 (40°·k on the circle).
+
+    (The first probe draft shifted the UNCOMPRESSED global point set —
+    generations then overlapped each other's territory and pair counts
+    grew ~k² for a correct geometric reason; the compression is what
+    makes linear growth the truth the probe checks against.)"""
     import time
 
     from pyspark.sql import functions as F
@@ -99,7 +107,9 @@ def spatial_probe(ks) -> None:
         out = df.select(
             F.col(key),
             spatial.synth_lat_col(F.col(key)).alias("lat"),
-            spatial.synth_lon_col(F.col(key)).alias("lon"),
+            (spatial.synth_lon_col(F.col(key)) / F.lit(12.0)).alias(
+                "lon"
+            ),
         )
         gens = out.crossJoin(
             spark.range(k).select(F.col("id").alias("__g"))
