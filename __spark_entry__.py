@@ -60,6 +60,10 @@ _PRIORITY = [
     "spatial_knn",
     "feature_store_pit",
     "mv_navigation",
+    "result_cache_daily",
+    "ohlc_hourly",
+    "time_weighted_avg",
+    "txlog_restore",
     # (b) behavior touched by this round's ADVICE fixes
     "weather_dag_run",
     "txlog_ivm_cdc",

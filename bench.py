@@ -119,6 +119,13 @@ HEADLINE = [
     # round 7: MV lifecycle (txlog source load + 2 incremental CDF
     # refreshes + dv retraction + navigation answer)
     "mv_navigation",
+    # round 7: result-cache lifecycle (miss + hit + refusal +
+    # fingerprint invalidation), OHLC bars, time-weighted average
+    "result_cache_daily",
+    "ohlc_hourly",
+    "time_weighted_avg",
+    # round 7: metadata-only RESTORE TO VERSION lifecycle
+    "txlog_restore",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -464,6 +464,201 @@ def spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Result cache: plan-keyed, input-fingerprinted serving
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "result_cache_daily",
+    """
+    SELECT CAST(year(ts) AS INTEGER) AS year,
+           CAST(month(ts) AS INTEGER) AS month,
+           CAST(day(ts) AS INTEGER) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY year, month, day
+    """,
+)
+def result_cache_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-layer result cache (rescache.py) driven end-to-end:
+    a daily rollup computes once (miss), an INDEPENDENTLY REBUILT
+    DataFrame for the same query is served from the stored result (hit
+    — plan normalization strips Catalyst's session expression ids, so
+    structural identity is the key), a nondeterministic plan is
+    REFUSED (caching rand() would freeze a value that must vary), and
+    an input-file change moves the key so the stale entry is simply
+    never addressed (fingerprint invalidation, no TTL to get wrong).
+    The returned relation is the cache-served copy — so the oracle's
+    value-hash checks that serving from cache returns EXACTLY the
+    computation's result.
+
+    100 TB: the cache stores dashboard-sized RESULTS (KBs), never
+    inputs; a hit costs one small parquet read instead of the base
+    scan+shuffle; eviction is size-capped LRU."""
+    from .queries_src import _fresh_dir
+    from .rescache import NondeterministicPlanError, ResultCache
+
+    root = _fresh_dir("rescache", sf_dir)
+    cache = ResultCache(spark, posixpath_join(root, "cache"))
+
+    def rollup() -> DataFrame:
+        ev = load_table(spark, "events", sf_dir)
+        return ev.groupBy(
+            F.year("ts").cast("int").alias("year"),
+            F.month("ts").cast("int").alias("month"),
+            F.dayofmonth("ts").cast("int").alias("day"),
+        ).agg(
+            F.count("*").alias("n_events"),
+            quantize(F.sum("value"), "sum_value"),
+        )
+
+    cache.get_or_compute(rollup()).count()  # miss: computes + stores
+    served = cache.get_or_compute(rollup())  # rebuilt plan → hit
+    st = cache.stats()
+    if (st["hits"], st["misses"]) != (1, 1):
+        raise RuntimeError(f"cache hit/miss contract broken: {st}")
+    try:
+        cache.key_for(
+            load_table(spark, "events", sf_dir).select(F.rand())
+        )
+        raise RuntimeError("nondeterministic plan was not refused")
+    except NondeterministicPlanError:
+        pass
+    # input-change invalidation: a private copy of a small input moves
+    # its fingerprint when a file lands, so the old key is never hit
+    side = posixpath_join(root, "side")
+    spark.range(10).write.parquet(side)
+    small = lambda: spark.read.parquet(side).groupBy().count()  # noqa: E731
+    cache.get_or_compute(small()).count()  # miss
+    spark.range(5).write.mode("append").parquet(side)
+    cache.get_or_compute(small()).count()  # fingerprint moved → miss
+    if cache.stats()["misses"] != 3:
+        raise RuntimeError(
+            f"input change did not move the cache key: {cache.stats()}"
+        )
+    return served.orderBy("year", "month", "day")
+
+
+def posixpath_join(*parts: str) -> str:
+    import posixpath
+
+    return posixpath.join(*parts)
+
+
+# ---------------------------------------------------------------------------
+# Time-series finance shapes: OHLC bars, time-weighted averages
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ohlc_hourly",
+    """
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS bucket, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT bucket,
+           floor(arg_min(value, ord) * 100 + 0.5) / 100.0 AS open,
+           floor(max(value) * 100 + 0.5) / 100.0 AS high,
+           floor(min(value) * 100 + 0.5) / 100.0 AS low,
+           floor(arg_max(value, ord) * 100 + 0.5) / 100.0 AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM e GROUP BY bucket ORDER BY bucket
+    """,
+)
+def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars (the financial resample every time-series
+    engine ships): per hour of purchase events — open = first value,
+    close = last, high/low, volume. First/last ride min_by/max_by on a
+    zero-padded (epoch_us, event_id) STRING key: a composite ordering
+    DuckDB's arg_min can also evaluate, so simultaneous events break
+    ties identically in both engines instead of nondeterministically.
+
+    100 TB: one hash aggregate on the bucket — min_by/max_by are
+    ordinary partial-merge aggregates (each carries one candidate
+    through the combiner), so the shuffle is O(buckets), same class as
+    daily_agg; no window, no sort."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    ordk = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "value",
+            ordk.alias("ord"),
+        )
+        .groupBy("bucket")
+        .agg(
+            quantize(F.min_by("value", "ord"), "open"),
+            quantize(F.max("value"), "high"),
+            quantize(F.min("value"), "low"),
+            quantize(F.max_by("value", "ord"), "close"),
+            F.count("*").alias("volume"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "time_weighted_avg",
+    """
+    WITH s AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts)) AS nxt
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           floor((sum(value * (nxt - us)) / sum(nxt - us)) * 10000
+                 + 0.5) / 10000.0 AS twa_value
+    FROM s WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the TimescaleDB `time_weight` shape):
+    irregularly-sampled per-user values weighted by how long each
+    sample was current (LOCF: value holds until the next sample), so a
+    burst of samples in one minute doesn't dominate a value that held
+    for a day — the plain AVG's classic bias on event-sampled gauges.
+    Each sample's weight is the µs gap to the user's next sample; the
+    final open-ended sample carries no weight (nothing bounds it).
+
+    100 TB: one window pass (shuffle on user_id, sort by time — the
+    same pass the sessionizers use) then a hash aggregate; weights are
+    exact integer µs, the ratio is the only float."""
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us)
+    s = ev.select(
+        "user_id",
+        "value",
+        us.alias("us"),
+        F.lead(us).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("us")
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            quantize(F.sum(F.col("value") * dt) / F.sum(dt), "twa_value", 4),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Materialized views: incremental refresh + aggregate navigation
 # ---------------------------------------------------------------------------
 

@@ -1860,3 +1860,89 @@ def weather_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.select(
         "stage", "status", "attempts", "rows_processed"
     ).orderBy("stage")
+
+
+@query(
+    "txlog_restore",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_id % 7 = 0
+    ),
+    final AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT * FROM (VALUES (9000001, 1, 'click', 3.5),
+                            (9000002, 2, 'view', 1.25))
+        AS t(event_id, user_id, event_type, value)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION (sources/txlog.py:restore): the
+    metadata-only time-travel restore the public formats ship. The
+    lifecycle muddies a table (append + a merge-on-read DV delete, so
+    deletion-vector state differs from the target snapshot), restores
+    to v0 — one commit whose remove/add/dv actions DIFF the snapshots;
+    no data file copied or rewritten — then keeps writing forward.
+    Self-asserting: the restored read must equal the v0 time-travel
+    read, pre-restore history must stay readable (a restore is a
+    forward commit, not history surgery), and a replayed restore at
+    head is a no-op. The driver-checked observable is the final
+    aggregate: base slice + ONLY the post-restore append — every
+    muddying row's disappearance rides the value-hash.
+
+    100 TB: restore cost is O(files in the two snapshots) driver
+    metadata + one commit; the alternative (re-writing the old
+    snapshot as new data, versioned.py's append-only rollback) moves
+    the table's full byte weight. CDF replay stays exact across the
+    restore commit (same-path remove+add pairs cancel as signed
+    multisets; re-emitted DV actions subtract exactly the raw-add
+    excess) — pinned with every-version-pair replay plus the
+    model-based DML soak in tests/test_txlog*.py."""
+    from .sources import txlog as _txlog
+
+    base = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 7 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    root = os.path.join(_fresh_dir("txlog_restore", sf_dir), "tbl")
+    t = _txlog.TxTable.create(spark, root, base)
+    snap0 = t.read()
+    t.append(
+        spark.createDataFrame(
+            [(8000001, 9, "error", 500.5), (8000002, 9, "error", 600.5)],
+            "event_id long, user_id long, event_type string, value double",
+        )
+    )
+    t.delete_where("value", 0.0, 50.0, mode="dv")  # DV state diverges
+    v_muddy = t.version()
+    t.restore(0)
+    restored, original = t.read(), t.read(version=0)
+    if restored.exceptAll(original).limit(1).count() or original.exceptAll(
+        restored
+    ).limit(1).count():
+        raise RuntimeError("restored snapshot != v0 time-travel read")
+    if t.read(version=v_muddy).count() == snap0.count():
+        raise RuntimeError("pre-restore history lost — restore rewrote it")
+    if t.restore(t.version()) != t.version():
+        raise RuntimeError("restore at head must be a version no-op")
+    t.append(
+        spark.createDataFrame(
+            [(9000001, 1, "click", 3.5), (9000002, 2, "view", 1.25)],
+            "event_id long, user_id long, event_type string, value double",
+        )
+    )
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            quantize(F.sum("value"), "sum_value"),
+        )
+        .orderBy("event_type")
+    )

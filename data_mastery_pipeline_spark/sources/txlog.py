@@ -841,6 +841,11 @@ class TxTable:
                     "merge",
                     "update",
                     "update_dv",
+                    # restore computes its file diff against a snapshot:
+                    # an interleaved append's rows would silently
+                    # survive the restore (predicate None → any add
+                    # conflicts, the serializable choice)
+                    "restore",
                 ):
                     if predicate is None or any(
                         _overlaps(a["add"].get("stats", {}), c, lo, hi)
@@ -882,7 +887,8 @@ class TxTable:
         for a in adds:
             lines.append(json.dumps({"add": a}))
         if dv is not None:
-            lines.append(json.dumps({"dv": dv}))
+            for entry in dv if isinstance(dv, list) else [dv]:
+                lines.append(json.dumps({"dv": entry}))
         if stream_txn is not None:
             lines.append(
                 json.dumps(
@@ -1572,6 +1578,76 @@ class TxTable:
                 if not has_parquet and now - max(mtimes) >= retention_sec:
                     shutil.rmtree(d)
         return sorted(removed)
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION — the public time-travel restore:
+        a METADATA-ONLY commit whose remove/add/dv actions diff the
+        current snapshot against ``version``'s, so the table's NEXT
+        version reads exactly like the old one while history stays
+        intact (a restore is an ordinary forward commit — you can
+        restore the restore). No data file is copied or rewritten.
+
+        Preconditions raised loudly: the target version must still be
+        replayable (not expired) and every file it references must
+        still exist (a vacuum past its retention after an expire may
+        have reaped them — the same caveat the CDF documents).
+
+        Deletion vectors: when DV state differs between the two
+        snapshots the diff degenerates to full remove+re-add (a remove
+        retires a file's vectors during replay, so re-adding the file
+        plus re-emitting ``version``'s dv actions reconstructs its
+        state exactly); CDF replay stays exact because the same-path
+        remove+add pairs cancel as signed multisets. Schema and
+        constraints restore with the data when they changed (the
+        restored snapshot must read under ITS schema).
+
+        Concurrency: serializes against everything — concurrent
+        removes of our re-referenced files and concurrent appends both
+        conflict (an interleaved append's rows surviving a restore
+        would violate snapshot semantics). Streaming watermarks (txn
+        actions) are deliberately NOT restored: exactly-once replay
+        guards must survive a restore, or a re-delivered batch would
+        double-apply."""
+        rv = self.version()
+        if version == rv:
+            return rv
+        meta_v, live_v, _, dvs_v = self._state_at(version)
+        meta_now, live_now, _, dvs_now = self._state_at(rv)
+        needed = set(live_v) | {
+            p for e in dvs_v.values() for p in e["paths"]
+        }
+        missing = sorted(
+            p
+            for p in needed
+            if not os.path.exists(os.path.join(self.root, p))
+        )
+        if missing:
+            raise FileNotFoundError(
+                f"restore to v{version} needs vacuumed-away files "
+                f"{missing[:3]}{'…' if len(missing) > 3 else ''} — "
+                "the version is outside the vacuum retention"
+            )
+        if dvs_v != dvs_now:
+            removes = sorted(live_now)
+            adds = [live_v[p] for p in sorted(live_v)]
+        else:
+            removes = sorted(set(live_now) - set(live_v))
+            adds = [
+                live_v[p] for p in sorted(set(live_v) - set(live_now))
+            ]
+        dv_actions = [
+            {"paths": list(e["paths"]), "files": dict(e["files"])}
+            for _, e in sorted(dvs_v.items())
+        ] if dvs_v != dvs_now else []
+        return self._commit(
+            "restore",
+            adds,
+            removes,
+            None,
+            read_version=rv,
+            meta=meta_v if meta_v != meta_now else None,
+            dv=dv_actions or None,
+        )
 
     def expire(self, keep_last: int) -> list[int]:
         """Truncate log history: checkpoint the current version, then

@@ -924,6 +924,92 @@ def test_dv_changes_feed_and_replay(spark, root):
             assert got == _rows(t.read(version=b)), (a, b)
 
 
+def test_restore_roundtrip_history_and_cdf_replay(spark, root):
+    """RESTORE TO VERSION: the next version reads exactly like the
+    target; history stays intact (restore the restore works); CDF
+    multiset replay stays exact across the restore commit, including
+    when deletion-vector state differs between the snapshots."""
+    t = TxTable.create(
+        spark,
+        root,
+        _df(spark, [(i, "g", float(i)) for i in range(8)]).repartition(2),
+    )
+    t.append(_df(spark, [(8, "h", 8.0)]))  # v1
+    t.delete_where("v", 1.0, 2.0, mode="dv")  # v2: DV state appears
+    t.update_where("v", 6.0, 6.0, {"v": "v + 0.5"}, mode="dv")  # v3
+    snap = {v: _rows(t.read(version=v)) for v in range(4)}
+    v = t.restore(1)  # DV state differs → full remove+re-add+dv diff
+    assert v == 4 and _rows(t.read()) == snap[1]
+    assert _rows(t.read(version=3)) == snap[3]  # history intact
+    t.restore(3)  # restore forward again ("restore the restore")
+    assert _rows(t.read()) == snap[3]
+    assert t.restore(t.version()) == t.version()  # no-op at head
+    # CDF replay equality across every pair spanning the restores
+    cols = ["k", "grp", "v"]
+    empty = spark.createDataFrame([], DDL)
+    latest = t.version()
+    for a in range(-1, latest):
+        for b in range(a + 1, latest + 1):
+            base = t.read(version=a) if a >= 0 else empty
+            rows, bad = _replay(base, t.changes(a, b), cols)
+            assert not bad, (a, b, bad)
+            assert rows == _rows(t.read(version=b)), (a, b)
+
+
+def test_restore_conflicts_with_concurrent_append(spark, root):
+    t1 = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t1.append(_df(spark, [(2, "b", 2.0)]))
+    t2 = TxTable(spark, root)
+    # t2 plans a restore to v0, t1 appends first — the append's rows
+    # surviving a restore would violate snapshot semantics → conflict
+    rv = t2.version()
+    meta_v, live_v, _, _ = t2._state_at(0)
+    _, live_now, _, _ = t2._state_at(rv)
+    t1.append(_df(spark, [(3, "c", 3.0)]))
+    with pytest.raises(ConflictError, match="overlapping|added"):
+        t2._commit(
+            "restore",
+            [live_v[p] for p in sorted(set(live_v) - set(live_now))],
+            sorted(set(live_now) - set(live_v)),
+            None,
+            read_version=rv,
+        )
+
+
+def test_restore_refuses_unreachable_target(spark, root):
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t.delete_where("v", 1.0, 1.0)  # v1 rewrites away v0's file
+    t.append(_df(spark, [(2, "b", 2.0)]))  # v2
+    # (a) expired history: the target version itself is not replayable
+    t.expire(keep_last=1)
+    with pytest.raises(VersionExpiredError):
+        t.restore(0)
+    # (b) replayable version whose file was lost out-of-band (manual
+    # delete / vacuum bug): the missing-file guard raises BEFORE any
+    # commit lands, naming the vacuum caveat
+    t2 = TxTable.create(
+        spark, str(root) + "_b", _df(spark, [(1, "a", 1.0)])
+    )
+    t2.delete_where("v", 1.0, 1.0)  # v1
+    victim = t2._state_at(0)[1]
+    os.unlink(
+        os.path.join(t2.root, next(iter(victim)))
+    )
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        t2.restore(0)
+    assert t2.version() == 1  # nothing committed
+
+
+def test_restore_preserves_stream_watermarks(spark, root):
+    """Exactly-once guards must SURVIVE a restore — a replayed batch
+    after restore would double-apply if the txn watermark rolled back."""
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t.append_stream_batch(_df(spark, [(2, "b", 2.0)]), "app", 7)
+    t.restore(0)
+    assert t.last_stream_batch("app") == 7
+    assert _rows(t.read()) == [(1, "a", 1.0)]
+
+
 def test_dv_stream_feed_fails_then_skips(spark, root):
     from data_mastery_pipeline_spark.sources import txlog as _m
     from data_mastery_pipeline_spark.streaming import core

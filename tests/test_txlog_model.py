@@ -49,6 +49,9 @@ _OP = st.one_of(
     # state (a vacuumed live DV sidecar or data file would diverge the
     # next read; a bad checkpoint would diverge every later replay)
     st.tuples(st.just("maintain")),
+    # restore to a random reachable version: visible state must equal
+    # what the model held THEN, and the feed must replay across it
+    st.tuples(st.just("restore"), st.integers(0, 10)),
 )
 
 
@@ -137,10 +140,17 @@ def test_random_dml_sequence_matches_model_and_replays(
     t = TxTable.create(
         spark, root, spark.createDataFrame(rows, DDL).repartition(2)
     )
+    history = {t.version(): dict(model)}
     for op in ops:
-        before = dict(model)
-        _apply_table(spark, t, before, op)
-        _apply_model(model, op)
+        if op[0] == "restore":
+            tgt = sorted(history)[op[1] % len(history)]
+            t.restore(tgt)
+            model = dict(history[tgt])
+        else:
+            before = dict(model)
+            _apply_table(spark, t, before, op)
+            _apply_model(model, op)
+        history[t.version()] = dict(model)
         got = sorted(
             (r["k"], r["grp"], r["v"]) for r in t.read().collect()
         )
