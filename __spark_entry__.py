@@ -64,6 +64,10 @@ _PRIORITY = [
     "ohlc_hourly",
     "time_weighted_avg",
     "txlog_restore",
+    "stream_geofence_counts",
+    "benford_price_audit",
+    "mann_whitney_value_drift",
+    "cuped_ab_test",
     # (b) behavior touched by this round's ADVICE fixes
     "weather_dag_run",
     "txlog_ivm_cdc",

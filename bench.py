@@ -126,6 +126,13 @@ HEADLINE = [
     "time_weighted_avg",
     # round 7: metadata-only RESTORE TO VERSION lifecycle
     "txlog_restore",
+    # round 7: streaming geofence (spatial x streaming composition)
+    # and the Benford first-digit quality audit
+    "stream_geofence_counts",
+    "benford_price_audit",
+    # round 7: experimentation/statistics (rank-sum drift, CUPED)
+    "mann_whitney_value_drift",
+    "cuped_ab_test",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

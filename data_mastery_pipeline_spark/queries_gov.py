@@ -463,6 +463,84 @@ def spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_geofence_counts",
+    f"""
+    WITH fences AS (
+      SELECT DISTINCT
+             CAST(floor(({_SUPP_LAT}) / 5.0) AS INTEGER) AS cell_lat,
+             CAST(floor(({_SUPP_LON}) / 5.0) AS INTEGER) AS cell_lon
+      FROM supplier
+    ),
+    pts AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+             CAST(floor(({spatial.synth_lat_sql('user_id')}) / 5.0)
+                  AS INTEGER) AS cell_lat,
+             CAST(floor(({spatial.synth_lon_sql('user_id')}) / 5.0)
+                  AS INTEGER) AS cell_lon
+      FROM events
+    )
+    SELECT p.window_start, p.cell_lat, p.cell_lon,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM pts p JOIN fences f
+      ON f.cell_lat = p.cell_lat AND f.cell_lon = p.cell_lon
+    GROUP BY 1, 2, 3
+    ORDER BY p.window_start, p.cell_lat, p.cell_lon
+    """,
+)
+def stream_geofence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofencing — the spatial × streaming composition: the
+    event stream maps each event to its grid cell (coordinates
+    synthesized from user_id, same generator as the batch spatial
+    family), a STATIC broadcast fence table (the cells suppliers
+    occupy) semi-joins the stream, and watermarked 6-hour tumbling
+    windows count fence entries. availableNow drain; the oracle
+    recomputes the same fences/cells/buckets in batch — stream output
+    must equal the batch relation exactly.
+
+    100 TB: the fence table broadcasts (dims); the stream shuffles
+    once on (window, cell) for the windowed count with map-side
+    partials; state is O(open windows × occupied cells), bounded by
+    the watermark. Cell assignment is a stateless projection."""
+    from .streaming import core
+
+    fences = (
+        _supp_points(spark, sf_dir)
+        .select(
+            spatial.cell_cols(F.col("lat"), F.col("lon"), 5.0)[0].alias(
+                "cell_lat"
+            ),
+            spatial.cell_cols(F.col("lat"), F.col("lon"), 5.0)[1].alias(
+                "cell_lon"
+            ),
+        )
+        .distinct()
+    )
+    ev = core.stream_events(spark, sf_dir)
+    lat = spatial.synth_lat_col(F.col("user_id"))
+    lon = spatial.synth_lon_col(F.col("user_id"))
+    cl, cn = spatial.cell_cols(lat, lon, 5.0)
+    tagged = ev.withColumn("cell_lat", cl).withColumn("cell_lon", cn)
+    out = (
+        tagged.withWatermark("ts", "6 hours")
+        .join(F.broadcast(fences), ["cell_lat", "cell_lon"])
+        .groupBy(
+            F.window("ts", "6 hours").alias("w"), "cell_lat", "cell_lon"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "cell_lat",
+            "cell_lon",
+            "n_events",
+        )
+    )
+    res = core.run_available_now(
+        out, output_mode="complete", shuffle_partitions=8
+    )
+    return res.orderBy("window_start", "cell_lat", "cell_lon")
+
+
 # ---------------------------------------------------------------------------
 # Result cache: plan-keyed, input-fingerprinted serving
 # ---------------------------------------------------------------------------
@@ -545,6 +623,254 @@ def posixpath_join(*parts: str) -> str:
     import posixpath
 
     return posixpath.join(*parts)
+
+
+@query(
+    "mann_whitney_value_drift",
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    ranked AS (
+      SELECT g, v,
+             rank() OVER (ORDER BY v) AS rmin,
+             count(*) OVER (PARTITION BY v) AS tie
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(sum(g) AS DOUBLE) AS n1,
+             CAST(count(*) - sum(g) AS DOUBLE) AS n2,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(CASE WHEN g = 1
+                      THEN rmin + (tie - 1) / 2.0 ELSE 0 END) AS r1
+      FROM ranked
+    ),
+    ties AS (
+      SELECT sum(t * t * t - t) AS tcorr
+      FROM (SELECT CAST(count(*) AS DOUBLE) AS t FROM s GROUP BY v)
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click,
+           CAST(n2 AS BIGINT) AS n_purchase,
+           floor((r1 - n1 * (n1 + 1) / 2.0) * 100 + 0.5) / 100.0 AS u1,
+           floor(((r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n + 1.0) - tcorr / (n * (n - 1.0))))
+                 * 10000 + 0.5) / 10000.0 AS z
+    FROM agg, ties
+    """,
+)
+def mann_whitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two event types'
+    value distributions — the NONPARAMETRIC drift test that works when
+    distributions are skewed or heavy-tailed and the t-test's
+    normality premise fails (the drift-monitoring sibling of
+    psi_value_drift / chi2_type_value). Average ranks for ties
+    (rank_min + (tie−1)/2) and the standard tie-corrected normal
+    approximation; no continuity correction (documented, mirrored in
+    the oracle).
+
+    100 TB: one global sort for the rank window is the honest cost —
+    the same O(n log n) any exact rank statistic pays; at corpus scale
+    the sampled variant (rank over a deterministic-gate sample) bounds
+    it, or KLL quantile sketches approximate the statistic."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    rmin = F.rank().over(Window.orderBy("v"))
+    tie = F.count("*").over(Window.partitionBy("v"))
+    ranked = ev.select(
+        "g", "v", rmin.alias("rmin"), tie.alias("tie")
+    )
+    agg = ranked.agg(
+        F.sum("g").cast("double").alias("n1"),
+        (F.count("*") - F.sum("g")).cast("double").alias("n2"),
+        F.count("*").cast("double").alias("n"),
+        F.sum(
+            F.when(
+                F.col("g") == 1,
+                F.col("rmin") + (F.col("tie") - 1) / 2.0,
+            ).otherwise(F.lit(0.0))
+        ).alias("r1"),
+    )
+    tcorr = (
+        ev.groupBy("v")
+        .agg(F.count("*").cast("double").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tcorr")
+        )
+    )
+    j = agg.crossJoin(tcorr)
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    sigma = F.sqrt(
+        F.col("n1")
+        * F.col("n2")
+        / 12.0
+        * (
+            (F.col("n") + 1.0)
+            - F.col("tcorr") / (F.col("n") * (F.col("n") - 1.0))
+        )
+    )
+    return j.select(
+        F.col("n1").cast("bigint").alias("n_click"),
+        F.col("n2").cast("bigint").alias("n_purchase"),
+        quantize(u1, "u1"),
+        quantize((u1 - F.col("n1") * F.col("n2") / 2.0) / sigma, "z", 4),
+    )
+
+
+@query(
+    "cuped_ab_test",
+    """
+    WITH units AS (
+      SELECT user_id,
+             ((user_id % 99991) * 2654435761 + 17) % 10000 < 5000
+               AS treated,
+             sum(CASE WHEN ts <  TIMESTAMP '2024-01-16' THEN value
+                      ELSE 0 END) AS pre,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+                      ELSE 0 END) AS post
+      FROM events GROUP BY user_id
+    ),
+    theta AS (
+      SELECT covar_samp(post, pre) / var_samp(pre) AS th,
+             avg(pre) AS pre_mean
+      FROM units
+    )
+    SELECT treated,
+           CAST(count(*) AS BIGINT) AS n_users,
+           floor(avg(post) * 10000 + 0.5) / 10000.0 AS mean_post,
+           floor(avg(post - th * (pre - pre_mean)) * 10000 + 0.5)
+             / 10000.0 AS mean_cuped,
+           floor((1.0 - var_samp(post - th * (pre - pre_mean))
+                        / var_samp(post)) * 10000 + 0.5) / 10000.0
+             AS var_reduction
+    FROM units, theta
+    GROUP BY treated, th, pre_mean
+    ORDER BY treated
+    """,
+)
+def cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013 — the public
+    experimentation-platform standard): per-user post-period metric
+    adjusted by the pre-period covariate, Y' = Y − θ(X − E[X]) with
+    θ = cov(Y,X)/var(X), shrinking metric variance by the covariate's
+    explained share so experiments need fewer users for the same
+    power. Assignment is the deterministic affine hash gate (the
+    engine's portable split — no RNG), θ computed over ALL units
+    (assignment-independent, the unbiasedness condition).
+
+    100 TB: one per-user aggregate (shuffle on user_id), one O(1)
+    θ broadcast back, one per-arm aggregate — three hash aggs, no
+    sort, no join wider than the 1-row θ."""
+    from .operators.sampling import affine_gate
+
+    ev = load_table(spark, "events", sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    units = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)
+        ).alias("pre"),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)
+        ).alias("post"),
+    ).withColumn("treated", affine_gate("user_id", salt=17) < 5000)
+    theta = units.agg(
+        (
+            F.covar_samp("post", "pre") / F.var_samp("pre")
+        ).alias("th"),
+        F.avg("pre").alias("pre_mean"),
+    )
+    j = units.crossJoin(F.broadcast(theta))
+    adj = F.col("post") - F.col("th") * (F.col("pre") - F.col("pre_mean"))
+    return (
+        j.groupBy("treated")
+        .agg(
+            F.count("*").alias("n_users"),
+            quantize(F.avg("post"), "mean_post", 4),
+            quantize(F.avg(adj), "mean_cuped", 4),
+            quantize(
+                1.0 - F.var_samp(adj) / F.var_samp("post"),
+                "var_reduction",
+                4,
+            ),
+        )
+        .orderBy("treated")
+    )
+
+
+@query(
+    "benford_price_audit",
+    """
+    WITH digits AS (
+      SELECT CAST(floor(o_totalprice /
+                        pow(10.0, floor(log10(o_totalprice))))
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0.0
+    ),
+    counted AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER () AS DOUBLE) AS total
+      FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           floor((n / total) * 10000 + 0.5) / 10000.0 AS obs_share,
+           floor(log10(1.0 + 1.0 / digit) * 10000 + 0.5) / 10000.0
+             AS benford_share,
+           floor(abs(n / total - log10(1.0 + 1.0 / digit)) * 10000 + 0.5)
+             / 10000.0 AS abs_dev
+    FROM counted
+    ORDER BY digit
+    """,
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    data-quality screen fraud/ETL-corruption monitors run on any
+    multiplicative amount column: observed first-digit shares against
+    the log10(1+1/d) expectation, with per-digit absolute deviation
+    (a synthetic-uniform price generator fails this audit loudly,
+    which is itself the point: the audit characterizes the GENERATOR,
+    and the deviation column is the alarm feed a monitor thresholds).
+
+    First digit = floor(x / 10^floor(log10 x)) — pure Catalyst math,
+    no string casts (a string path would break on scientific notation
+    and cost a UDF at scale).
+
+    100 TB: one projection + a 9-group hash aggregate; the window
+    total is O(9) rows post-aggregate."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_totalprice") > 0.0
+    )
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    counted = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    total = Window.partitionBy()
+    counted = counted.withColumn(
+        "total", F.sum("n").over(total).cast("double")
+    )
+    share = F.col("n") / F.col("total")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counted.select(
+        "digit",
+        "n",
+        quantize(share, "obs_share", 4),
+        quantize(benford, "benford_share", 4),
+        quantize(F.abs(share - benford), "abs_dev", 4),
+    ).orderBy("digit")
 
 
 # ---------------------------------------------------------------------------
