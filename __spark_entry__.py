@@ -68,6 +68,7 @@ _PRIORITY = [
     "benford_price_audit",
     "mann_whitney_value_drift",
     "cuped_ab_test",
+    "kaplan_meier_retention",
     # (b) behavior touched by this round's ADVICE fixes
     "weather_dag_run",
     "txlog_ivm_cdc",

@@ -130,9 +130,11 @@ HEADLINE = [
     # and the Benford first-digit quality audit
     "stream_geofence_counts",
     "benford_price_audit",
-    # round 7: experimentation/statistics (rank-sum drift, CUPED)
+    # round 7: experimentation/statistics (rank-sum drift, CUPED,
+    # Kaplan-Meier survival)
     "mann_whitney_value_drift",
     "cuped_ab_test",
+    "kaplan_meier_retention",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

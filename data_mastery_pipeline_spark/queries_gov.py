@@ -626,6 +626,121 @@ def posixpath_join(*parts: str) -> str:
 
 
 @query(
+    "kaplan_meier_retention",
+    """
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts)) AS nxt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    spans AS (
+      SELECT CAST(floor(
+               (coalesce(nxt,
+                         epoch_us(TIMESTAMP '2024-01-31 00:00:00')) - us)
+               / 21600000000.0) AS BIGINT) AS dur,
+             nxt IS NULL AS censored
+      FROM p
+    ),
+    risk AS (
+      SELECT dur AS t_buckets,
+             CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d_events,
+             CAST(count(*) AS BIGINT) AS at_tick,
+             CAST((SELECT count(*) FROM spans) AS BIGINT)
+               - CAST(coalesce(sum(count(*)) OVER (
+                   ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS n_risk
+      FROM spans GROUP BY dur
+    )
+    SELECT t_buckets, n_risk, d_events,
+           floor(exp(sum(CASE WHEN d_events = n_risk
+                              THEN CAST('-infinity' AS DOUBLE)
+                              ELSE ln(1.0 - CAST(d_events AS DOUBLE)
+                                            / n_risk) END)
+                     OVER (ORDER BY t_buckets)) * 10000 + 0.5) / 10000.0
+             AS survival
+    FROM risk
+    WHERE d_events > 0
+    ORDER BY t_buckets
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of inter-purchase time: each purchase
+    opens a span that "dies" at the user's next purchase; a user's
+    final open span is CENSORED at the observation window's end — the
+    estimator's whole point: censored spans leave the risk set without
+    counting as churn, where a naive repurchase-rate curve biases low.
+    Durations bucket to 6-hour ticks; S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)
+    computed as exp(running sum of ln) — the ordered product as one
+    cumulative window; a tick consuming the whole risk set drives the
+    log to −∞ and survival to exactly 0 in both engines.
+
+    100 TB: one lead window per user (the sessionizers' shuffle+sort),
+    one per-tick aggregate, then an O(|ticks|) window — the curve's
+    length is bounded by the observation window, not the row count."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us)
+    end_us = F.unix_micros(F.lit("2024-01-31 00:00:00").cast("timestamp"))
+    p = ev.select(
+        us.alias("us"), F.lead(us).over(w).alias("nxt")
+    )
+    spans = p.select(
+        F.floor(
+            (F.coalesce(F.col("nxt"), end_us) - F.col("us"))
+            / F.lit(21_600_000_000.0)
+        )
+        .cast("bigint")
+        .alias("dur"),
+        F.col("nxt").isNull().alias("censored"),
+    )
+    total = spans.count()
+    ticks = spans.groupBy(F.col("dur").alias("t_buckets")).agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d_events"),
+        F.count("*").alias("at_tick"),
+    )
+    w_prev = (
+        Window.orderBy("t_buckets")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = ticks.withColumn(
+        "n_risk",
+        (
+            F.lit(total)
+            - F.coalesce(F.sum("at_tick").over(w_prev), F.lit(0))
+        ).cast("bigint"),
+    )
+    step = F.when(
+        F.col("d_events") == F.col("n_risk"), F.lit(float("-inf"))
+    ).otherwise(
+        F.log(
+            F.lit(1.0)
+            - F.col("d_events").cast("double") / F.col("n_risk")
+        )
+    )
+    w_cum = Window.orderBy("t_buckets").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        risk.withColumn("survival_raw", F.exp(F.sum(step).over(w_cum)))
+        .filter(F.col("d_events") > 0)
+        .select(
+            "t_buckets",
+            "n_risk",
+            "d_events",
+            quantize(F.col("survival_raw"), "survival", 4),
+        )
+        .orderBy("t_buckets")
+    )
+
+
+@query(
     "mann_whitney_value_drift",
     """
     WITH s AS (
