@@ -153,6 +153,98 @@ def spatial_probe(ks) -> None:
         )
 
 
+def mv_probe(ks) -> None:
+    """Materialized-view refresh cost probe: build a txlog source k×
+    larger (k replicas of the sf0.01 events slice), materialize the
+    (event_type, day) sum/count view, then append a FIXED-size batch
+    (1000 rows) and time refresh(). The claim under test is the
+    feature's whole point: incremental refresh reads the CDF of the
+    new commits only, so its wall time tracks |changed rows| and stays
+    ~FLAT as the table grows — while the full-recompute alternative
+    (timed alongside as `recompute_wall_sec`) grows with k."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark import mv as _mv
+    from data_mastery_pipeline_spark.session import get_spark
+    from data_mastery_pipeline_spark.sources.txlog import TxTable
+    from data_mastery_pipeline_spark.tables import load_table
+    import tempfile
+
+    spark = get_spark(app_name="scale_probe_mv")
+    spark.range(10).count()
+    base = load_table(spark, "events", SF_DIR).select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+    for k in ks:
+        big = base
+        for g in range(1, k):
+            big = big.unionByName(
+                base.withColumn(
+                    "event_id", F.col("event_id") + F.lit(g * 10_000_000)
+                )
+            )
+        root = tempfile.mkdtemp(prefix=f"mvprobe_k{k}_")
+        src = TxTable.create(spark, root + "/src", big)
+        view = _mv.SumCountView.create(
+            spark,
+            src,
+            root + "/mv",
+            "probe",
+            dims={"event_type": "event_type", "day": "to_date(ts)"},
+            value_expr="value",
+        )
+        view.refresh()  # initial materialization (not the measurement)
+        batch = spark.createDataFrame(
+            [
+                (90_000_000 + i, None, "click", float(i % 7))
+                for i in range(1000)
+            ],
+            "event_id long, ts timestamp, event_type string, value double",
+        ).withColumn("ts", F.lit("2024-02-01 00:00:00").cast("timestamp"))
+        src.append(batch.repartition(1))  # one delta file, like a real
+        # right-sized micro-batch — the refresh-side I/O to count
+        # structural metric: the CDF the refresh reads covers ONLY the
+        # new commit's files — at toy scale wall-clock contrast drowns
+        # in Spark fixed overheads, but the file counts ARE the 100 TB
+        # argument (refresh I/O is O(changed files), recompute O(table))
+        head = src.version()
+        delta_files = sum(
+            1
+            for a in src._parse_commit(head)
+            if "add" in a
+        )
+        total_files = len(src.snapshot_adds())
+        t0 = time.time()
+        view.refresh()
+        incr = time.time() - t0
+        t1 = time.time()
+        n_direct = (
+            src.read()
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias("n"))
+            .count()
+        )
+        recompute = time.time() - t1
+        print(
+            json.dumps(
+                {
+                    "k": k,
+                    "table_rows": big.count() + 1000,
+                    "changed_rows": 1000,
+                    "mv_dims": n_direct,
+                    "files_read_by_refresh": delta_files,
+                    "files_in_table": total_files,
+                    "incremental_refresh_wall_sec": round(incr, 2),
+                    "recompute_wall_sec": round(recompute, 2),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     from data_mastery_pipeline_spark.dedup import components as cc
     from data_mastery_pipeline_spark.dedup import minhash
@@ -179,6 +271,9 @@ def main() -> None:
         return
     if args and args[0] == "--spatial":
         spatial_probe([int(a) for a in args[1:]] or [1, 2, 4, 8])
+        return
+    if args and args[0] == "--mv":
+        mv_probe([int(a) for a in args[1:]] or [1, 4, 16])
         return
     ks = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(app_name="scale_probe")
