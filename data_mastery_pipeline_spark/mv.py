@@ -50,6 +50,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .sources.txlog import TxTable
+from .streaming.ivm import cents as _cents
+from .streaming.ivm import signed_weight as _signed_weight
 
 _SEP = "\x1f"
 MEASURES = ("n_rows", "sum_cents")
@@ -57,12 +59,6 @@ MEASURES = ("n_rows", "sum_cents")
 
 class StaleViewError(RuntimeError):
     """answer(strict=True) on an MV behind its source."""
-
-
-def _cents(col):
-    return F.coalesce(
-        F.floor(col * 100 + F.lit(0.5)).cast("bigint"), F.lit(0)
-    )
 
 
 class SumCountView:
@@ -131,9 +127,9 @@ class SumCountView:
         return -1 if last is None else last
 
     def _delta(self, cdf: DataFrame) -> DataFrame:
-        w = F.when(
-            F.col("_change_type") == "insert", F.lit(1)
-        ).otherwise(F.lit(-1))
+        # weight and cents are ivm.py's — ONE retraction-fold semantics
+        # for both maintained-view paths (review r7)
+        w = _signed_weight()
         dim_cols = [F.expr(e).alias(d) for d, e in self.dims.items()]
         key = F.concat_ws(
             _SEP, *[F.col(d).cast("string") for d in self.dims]
@@ -181,9 +177,18 @@ class SumCountView:
             .cast("bigint")
             .alias("sum_cents"),
         )
-        self.target.merge_upsert(
+        pre = self.target.version()
+        res = self.target.merge_upsert(
             merged, "mv_key", stream_txn=(self._app_id(), want)
         )
+        if res == pre:
+            # the range folded to ZERO delta rows (optimize-only /
+            # meta-only / all-NULL-dim changes): merge_upsert early-
+            # returns without writing the watermark, which would leave
+            # the view stale FOREVER (every retry re-reads the same
+            # empty range) — record the caught-up watermark with a
+            # data-free txn commit instead (review r7)
+            self.target.mark_stream_batch(self._app_id(), want)
         return want
 
     # -- reads ----------------------------------------------------------

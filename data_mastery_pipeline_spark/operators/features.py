@@ -108,7 +108,14 @@ def point_in_time_features(
             ),
         )
         .withColumn(
-            f"last_{value_col}", F.max_by("__fv", "__fts").over(w_val)
+            # ordering is (ts, value): two qualifying feature events at
+            # the SAME timestamp must resolve deterministically (max
+            # value wins) or engine parity flaps — same convention as
+            # ohlc_hourly's composite first/last key. Non-feature rows
+            # carry struct(NULL, NULL), which sorts below every real
+            # event; an all-NULL frame yields NULL (nothing to serve).
+            f"last_{value_col}",
+            F.max_by("__fv", F.struct("__fts", "__fv")).over(w_val),
         )
         .filter(F.col("__probe"))
         .drop("__w", "__fv", "__fts", "__probe")

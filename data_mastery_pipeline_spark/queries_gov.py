@@ -28,6 +28,8 @@ where DuckDB widens, deterministic tie-breaks on rankings.
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -579,7 +581,7 @@ def result_cache_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .rescache import NondeterministicPlanError, ResultCache
 
     root = _fresh_dir("rescache", sf_dir)
-    cache = ResultCache(spark, posixpath_join(root, "cache"))
+    cache = ResultCache(spark, posixpath.join(root, "cache"))
 
     def rollup() -> DataFrame:
         ev = load_table(spark, "events", sf_dir)
@@ -606,7 +608,7 @@ def result_cache_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     # input-change invalidation: a private copy of a small input moves
     # its fingerprint when a file lands, so the old key is never hit
-    side = posixpath_join(root, "side")
+    side = posixpath.join(root, "side")
     spark.range(10).write.parquet(side)
     small = lambda: spark.read.parquet(side).groupBy().count()  # noqa: E731
     cache.get_or_compute(small()).count()  # miss
@@ -617,12 +619,6 @@ def result_cache_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"input change did not move the cache key: {cache.stats()}"
         )
     return served.orderBy("year", "month", "day")
-
-
-def posixpath_join(*parts: str) -> str:
-    import posixpath
-
-    return posixpath.join(*parts)
 
 
 @query(
@@ -1204,7 +1200,7 @@ def mv_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE e.user_id = p.user_id AND e.event_type = 'click'
               AND e.ts >= p.ts - INTERVAL 3 DAY
               AND e.ts <  p.ts
-            ORDER BY e.ts DESC LIMIT 1) AS last_value
+            ORDER BY e.ts DESC, e.value DESC LIMIT 1) AS last_value
     FROM events p
     WHERE p.event_type = 'purchase'
     ORDER BY p.event_id

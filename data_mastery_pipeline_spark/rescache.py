@@ -39,9 +39,13 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 _EXPR_ID = re.compile(r"#\d+L?")
+# match CALLS only (trailing paren): a COLUMN named uuid/now/shuffle
+# prints as `uuid#123` in the analyzed plan and must not be refused —
+# only the function invocation `uuid()` / `rand(seed)` is
+# nondeterministic (review r7; false-refusal pinned by test)
 _NONDET = re.compile(
     r"\b(rand|randn|uuid|current_timestamp|current_date|now|"
-    r"monotonically_increasing_id|shuffle|input_file_name)\b",
+    r"monotonically_increasing_id|shuffle|input_file_name)\(",
     re.IGNORECASE,
 )
 

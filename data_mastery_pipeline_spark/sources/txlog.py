@@ -828,12 +828,23 @@ class TxTable:
                         f"v{v} ({their_op}) removed {a['remove']['path']!r}, "
                         f"which this {op} transaction also rewrites"
                     )
-                if "dv" in a and guarded & set(a["dv"]["files"]):
-                    clash = sorted(guarded & set(a["dv"]["files"]))
+                if "dv" in a and (
+                    guarded & set(a["dv"]["files"]) or op == "restore"
+                ):
+                    # restore conflicts with ANY interleaved dv commit,
+                    # not just on files it rewrites: its snapshot diff
+                    # was computed against the pre-dv state, so a dv on
+                    # an untouched file would silently survive the
+                    # restore and the table would not read like the
+                    # target version (review r7)
+                    clash = sorted(
+                        (guarded & set(a["dv"]["files"]))
+                        or a["dv"]["files"]
+                    )
                     raise ConflictError(
                         f"v{v} ({their_op}) committed deletion vectors on "
                         f"{clash!r}, which this {op} transaction also "
-                        "rewrites or deletes from"
+                        "rewrites, deletes from, or restores over"
                     )
                 if "add" in a and op in (
                     "delete",
@@ -1023,6 +1034,29 @@ class TxTable:
                 [],
                 None,
                 read_version=rv,
+                stream_txn=(app_id, batch_id),
+            )
+        except _AlreadyCommitted:
+            return None
+
+    def mark_stream_batch(self, app_id: str, batch_id: int) -> int | None:
+        """Advance a streaming txn watermark with NO data change — the
+        empty-micro-batch commit. A read-modify-write sink whose batch
+        folds to zero effective rows still needs its (app, batch)
+        recorded, or the consumer can never declare itself caught up
+        (mv.refresh over a CDF range whose delta is empty — review r7).
+        Returns the commit version, or None when the watermark is
+        already at or past ``batch_id`` (the replay no-op)."""
+        last = self.last_stream_batch(app_id)
+        if last is not None and batch_id <= last:
+            return None
+        try:
+            return self._commit(
+                "txn_mark",
+                [],
+                [],
+                None,
+                read_version=self.version(),
                 stream_txn=(app_id, batch_id),
             )
         except _AlreadyCommitted:
@@ -1538,6 +1572,7 @@ class TxTable:
                     # reads (rows would resurrect)
                     referenced.update(a["dv"]["paths"])
         removed = []
+        emptied_dirs: set[str] = set()
         data_root = os.path.join(self.root, _DATA_DIR)
         now = time.time()
         for dirpath, _dirs, files in os.walk(data_root):
@@ -1552,12 +1587,16 @@ class TxTable:
                     continue
                 os.unlink(abspath)
                 removed.append(rel)
+                emptied_dirs.add(dirpath)
         # a txn dir left with no parquet files (fully-vacuumed orphan
-        # stage) goes entirely, marker files included — but only once
-        # the dir AND everything in it are past retention_sec: a
-        # concurrent writer's just-created staging dir (committer
-        # scaffolding present, no part file flushed yet) must survive,
-        # the same age gate the file-unlink pass applies above
+        # stage) goes entirely, marker files included — when either
+        # (a) THIS run's unlink pass emptied it (its parquet was
+        # already past retention, so the stage is provably dead — the
+        # unlinks themselves bump the dir's mtime, which must not
+        # restart the clock: review r7), or (b) the dir and everything
+        # in it are past retention_sec. A concurrent writer's
+        # just-created staging dir (committer scaffolding present, no
+        # part file flushed yet) survives both gates.
         import shutil
 
         if os.path.isdir(data_root):
@@ -1565,17 +1604,23 @@ class TxTable:
                 d = os.path.join(data_root, name)
                 if not os.path.isdir(d):
                     continue
-                mtimes = [os.path.getmtime(d)] + [
-                    os.path.getmtime(os.path.join(dp, f))
-                    for dp, _, fs in os.walk(d)
-                    for f in fs
-                ]
                 has_parquet = any(
                     f.endswith(".parquet")
                     for _, _, fs in os.walk(d)
                     for f in fs
                 )
-                if not has_parquet and now - max(mtimes) >= retention_sec:
+                if has_parquet:
+                    continue
+                just_emptied = any(
+                    dp == d or dp.startswith(d + os.sep)
+                    for dp in emptied_dirs
+                )
+                mtimes = [os.path.getmtime(d)] + [
+                    os.path.getmtime(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(d)
+                    for f in fs
+                ]
+                if just_emptied or now - max(mtimes) >= retention_sec:
                     shutil.rmtree(d)
         return sorted(removed)
 

@@ -52,6 +52,24 @@ def mv_schema(key: str, key_type: str) -> str:
     return f"{key} {key_type}, {MV_SCHEMA_SUFFIX}"
 
 
+def signed_weight():
+    """+1 per CDC insert, −1 per delete — THE retraction fold weight.
+    Shared by this module and mv.py so the two maintained-view paths
+    (streaming IVM, batch-incremental MV) cannot drift semantically."""
+    return F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+
+
+def cents(col) -> "F.Column":
+    """Integer cents of a double measure (NULL → 0): integer deltas
+    commute exactly, which is what makes maintained sums bit-equal to
+    direct aggregates under any batch boundaries. Shared with mv.py."""
+    return F.coalesce(
+        F.floor(col * 100 + F.lit(0.5)).cast("bigint"), F.lit(0)
+    )
+
+
 def delta_for_batch(batch_df: DataFrame, key: str, value_col: str) -> DataFrame:
     """One micro-batch of CDC rows → per-key signed delta:
     ``n_rows`` (+1 insert / −1 delete) and ``sum_cents`` (signed,
@@ -65,19 +83,14 @@ def delta_for_batch(batch_df: DataFrame, key: str, value_col: str) -> DataFrame:
     choice Delta's MERGE makes: NULL never equi-matches a key anyway);
     a deployment that needs the NULL group aggregates it under a
     sentinel key upstream (ADVICE r6)."""
-    w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
-        F.lit(-1)
-    )
-    cents = F.coalesce(
-        F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint"),
-        F.lit(0),
-    )
+    w = signed_weight()
+    c = cents(F.col(value_col))
     return (
         batch_df.filter(F.col(key).isNotNull())
         .groupBy(key)
         .agg(
             F.sum(w).cast("bigint").alias("n_rows"),
-            F.sum(w * cents).cast("bigint").alias("sum_cents"),
+            F.sum(w * c).cast("bigint").alias("sum_cents"),
         )
     )
 

@@ -207,6 +207,38 @@ def test_pit_features_strictly_before_and_staleness(spark):
     assert out[7].evt_7d == 1  # the click still counts as an event
 
 
+def test_pit_same_timestamp_feature_events_resolve_deterministically(
+    spark,
+):
+    """Two qualifying clicks at the SAME instant: max value wins (the
+    (ts, value) composite ordering) — matching the oracle's
+    ORDER BY ts DESC, value DESC, so engine parity cannot flap
+    (review r7)."""
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-10 00:00:00", "click", 5.0),
+            (2, 1, "2024-01-10 00:00:00", "click", 9.0),
+            (3, 1, "2024-01-11 00:00:00", "purchase", 1.0),
+        ],
+        "event_id long, user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = point_in_time_features(
+        ev,
+        labels,
+        "user_id",
+        "ts",
+        7,
+        "value",
+        F.col("event_type") == "click",
+        3,
+        carry_cols=("event_id",),
+    ).collect()
+    assert out[0].last_value == 9.0
+
+
 def test_pit_probes_do_not_contaminate_each_other(spark):
     # two labels for one user, 1 day apart, no other events: each
     # label's evt count must ignore the other PROBE (weight 0) but

@@ -111,6 +111,31 @@ def _mv_rows_strictless(view):
     )
 
 
+def test_refresh_over_empty_delta_range_advances_watermark(spark, root):
+    """A CDF range that folds to ZERO delta rows (optimize-only
+    commits; the CDF excludes them) must still advance the refresh
+    watermark — otherwise the view is stale FOREVER and strict
+    answer() raises on every call while every retry re-reads the same
+    empty range (review r7)."""
+    src, view = _mk(
+        spark, root, [(i, "a", "d", float(i)) for i in range(6)]
+    )
+    view.refresh()
+    # two commits, zero CDF rows: optimize compacts the small files
+    src.append(_df(spark, [(10, "a", "d", 1.0)]))
+    src.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 20)
+    assert view.refresh() == src.version()  # append folds, optimize skips
+    assert not view.is_stale()
+    # now a metadata-ONLY advance: the delta is empty end to end
+    # (alter commits carry no add/remove, so the CDF range has 0 rows)
+    src.alter_add_column("extra", "double")
+    assert src.version() > view.last_refreshed()
+    assert view.refresh() == src.version()
+    assert not view.is_stale()  # wedged forever before the fix
+    assert view.refresh() is None  # and the watermark replays as no-op
+    assert _mv(view, "grp") == _direct(src, "grp")
+
+
 def test_null_dims_excluded_and_tombstones_hidden(spark, root):
     src, view = _mk(
         spark, root, [(1, None, "d", 1.0), (2, "a", "d", 3.0)]

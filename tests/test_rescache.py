@@ -69,6 +69,20 @@ def test_nondeterministic_plan_refused(spark, tmp_path, cache):
         )
 
 
+def test_column_named_like_nondet_fn_not_refused(spark, tmp_path, cache):
+    """A deterministic query over columns NAMED uuid/now/shuffle must
+    cache: the refusal matches function CALLS (trailing paren), not
+    identifiers (review r7 false-positive class)."""
+    df = _src(spark, tmp_path).select(
+        F.col("id").alias("uuid"),
+        F.col("v").alias("now"),
+        F.col("v").alias("shuffle"),
+    )
+    a = cache.get_or_compute(df).count()
+    b = cache.get_or_compute(df).count()
+    assert a == b and (cache.hits, cache.misses) == (1, 1)
+
+
 def test_lru_eviction_keeps_recent(spark, tmp_path, cache):
     base = _src(spark, tmp_path)
     frames = [base.filter(f"id > {i}").groupBy("v").count() for i in range(4)]

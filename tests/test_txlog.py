@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -974,6 +975,56 @@ def test_restore_conflicts_with_concurrent_append(spark, root):
             None,
             read_version=rv,
         )
+
+
+def test_restore_conflicts_with_concurrent_dv_commit(spark, root):
+    """A dv-only commit interleaving a restore must conflict even when
+    it touches no file the restore rewrites: the restore's snapshot
+    diff was computed against the pre-dv state, so the deletions would
+    silently survive and the table would not read like the target
+    version (review r7)."""
+    t1 = TxTable.create(
+        spark, root, _df(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    )
+    t1.append(_df(spark, [(3, "c", 3.0)]))  # v1
+    t2 = TxTable(spark, root)
+    rv = t2.version()
+    _, live_v, _, _ = t2._state_at(0)
+    _, live_now, _, _ = t2._state_at(rv)
+    t1.delete_where("v", 1.0, 1.0, mode="dv")  # interleaved dv on v0's file
+    with pytest.raises(ConflictError, match="restores over|deletion vectors"):
+        t2._commit(
+            "restore",
+            [],
+            sorted(set(live_now) - set(live_v)),
+            None,
+            read_version=rv,
+        )
+
+
+def test_vacuum_reaps_dir_it_just_emptied(spark, root):
+    """Unlinking the last parquet bumps the txn dir's mtime — the dir
+    cleanup must not treat that as fresh activity and strand the empty
+    stage for another retention window (review r7): a dir THIS run
+    emptied is reaped in the same run."""
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    meta, _, _, _ = t._state_at(t.version())
+    orphans = t._write_stage(_df(spark, [(9, "x", 9.0)]), meta["stat_cols"])
+    stage_dir = os.path.join(
+        root, os.path.dirname(orphans[0]["path"])
+    )
+    # age the orphan parquet past retention; the dir mtime will be
+    # bumped to NOW by the unlink itself
+    past = time.time() - 7200
+    for dp, _, fs in os.walk(stage_dir):
+        for f in fs:
+            os.utime(os.path.join(dp, f), (past, past))
+    os.utime(stage_dir, (past, past))
+    removed = t.vacuum(retention_sec=3600.0)
+    assert removed, "aged orphan parquet was not reaped"
+    assert not os.path.isdir(stage_dir), (
+        "dir emptied by this vacuum run survived it"
+    )
 
 
 def test_restore_refuses_unreachable_target(spark, root):
