@@ -35,10 +35,23 @@ import hashlib
 import os
 import re
 import shutil
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
-_EXPR_ID = re.compile(r"#\d+L?")
+# anchored to attribute-reference context (a name/paren/bracket/quote
+# immediately before the '#'): a bare literal string '#123' inside a
+# plan must NOT be stripped, or two plans differing only in that
+# constant would merge keys (ADVICE r7)
+_EXPR_ID = re.compile(r"(?<=[\w)\]`'\"])#\d+L?")
+# in-memory leaves print only their SCHEMA, never their rows — two
+# DataFrames with equal schemas but different data would share a key,
+# so such plans are refused (ADVICE r7). Spark 4 plans createDataFrame
+# as `LogicalRDD [cols], false`; the literal-rows form is
+# `LocalRelation [cols]` (its `<empty>` variant is safe — no data to
+# miss). `Range (…)` is NOT refused: its plan text carries the full
+# start/end/step, so the key sees everything.
+_LOCAL_REL = re.compile(r"LocalRelation (?!<empty>)|LogicalRDD ")
 # match CALLS only (trailing paren): a COLUMN named uuid/now/shuffle
 # prints as `uuid#123` in the analyzed plan and must not be refused —
 # only the function invocation `uuid()` / `rand(seed)` is
@@ -52,6 +65,12 @@ _NONDET = re.compile(
 
 class NondeterministicPlanError(ValueError):
     """Refusing to cache a plan containing non-deterministic exprs."""
+
+
+class UncacheablePlanError(ValueError):
+    """Refusing to cache a plan whose inputs the key cannot see:
+    streaming frames, in-memory LocalRelations, or plans with no
+    scanned files at all (the fingerprint would be a constant)."""
 
 
 def normalized_plan(df: DataFrame) -> str:
@@ -84,15 +103,40 @@ class ResultCache:
         self.max_entries = max_entries
         self.hits = 0
         self.misses = 0
+        # weakrefs to DataFrames handed out as lazy readers: a later
+        # miss must not LRU-evict a directory a caller still holds an
+        # unmaterialized DataFrame over (ADVICE r7). The pin lives
+        # exactly as long as the served object — once the caller drops
+        # it, the entry is evictable again (no unpin protocol to get
+        # wrong, no permanent pin defeating the LRU).
+        self._served: dict[str, list] = {}
         os.makedirs(cache_dir, exist_ok=True)
 
     def key_for(self, df: DataFrame) -> str:
+        if df.isStreaming:
+            raise UncacheablePlanError(
+                "streaming DataFrames have no stable input set — refused"
+                " (as the module docstring promises; ADVICE r7)"
+            )
         plan = normalized_plan(df)
         bad = _NONDET.search(plan)
         if bad:
             raise NondeterministicPlanError(
                 f"plan contains non-deterministic expression {bad.group()!r}"
                 " — caching it would freeze a value that must vary"
+            )
+        if _LOCAL_REL.search(plan):
+            raise UncacheablePlanError(
+                "plan reads an in-memory relation (LocalRelation /"
+                " LogicalRDD: rows invisible to the plan text AND the"
+                " file fingerprint) — two different datasets would"
+                " share a key"
+            )
+        files = df.inputFiles()
+        if not files:
+            raise UncacheablePlanError(
+                "plan scans no files — the input fingerprint would be a"
+                " constant and could not detect data changes"
             )
         return hashlib.sha256(
             (plan + "\n" + input_fingerprint(df)).encode()
@@ -115,13 +159,29 @@ class ResultCache:
             self.misses += 1
             df.write.mode("overwrite").parquet(entry)
             self._evict()
-        return self.spark.read.schema(df.schema).parquet(entry)
+        out = self.spark.read.schema(df.schema).parquet(entry)
+        self._served.setdefault(key, []).append(weakref.ref(out))
+        return out
+
+    def _pinned_keys(self) -> set:
+        """Keys whose served DataFrames are still alive in the caller."""
+        live = set()
+        for k in list(self._served):
+            refs = [r for r in self._served[k] if r() is not None]
+            if refs:
+                self._served[k] = refs
+                live.add(k)
+            else:
+                del self._served[k]
+        return live
 
     def _evict(self) -> None:
+        pinned = self._pinned_keys()
         entries = [
             os.path.join(self.dir, d)
             for d in os.listdir(self.dir)
             if os.path.isdir(os.path.join(self.dir, d))
+            and d not in pinned  # in-flight readers stay valid
         ]
         if len(entries) <= self.max_entries:
             return

@@ -823,10 +823,20 @@ class TxTable:
                         f"this {op} transaction — re-run against the new "
                         "schema"
                     )
-                if "remove" in a and a["remove"]["path"] in guarded:
+                if "remove" in a and (
+                    a["remove"]["path"] in guarded or op == "restore"
+                ):
+                    # restore conflicts with ANY interleaved remove,
+                    # mirroring the dv rule below: its file diff keeps
+                    # live_v ∩ live_now untouched, so a remove-only
+                    # commit (rewrite-mode delete that fully empties a
+                    # file: removes, no adds, no dv) on a kept file
+                    # would silently survive the restore and the table
+                    # would not read like the target version (ADVICE r7)
                     raise ConflictError(
                         f"v{v} ({their_op}) removed {a['remove']['path']!r}, "
-                        f"which this {op} transaction also rewrites"
+                        f"which this {op} transaction also rewrites "
+                        "or restores over"
                     )
                 if "dv" in a and (
                     guarded & set(a["dv"]["files"]) or op == "restore"

@@ -1002,6 +1002,32 @@ def test_restore_conflicts_with_concurrent_dv_commit(spark, root):
         )
 
 
+def test_restore_conflicts_with_concurrent_remove_only_commit(spark, root):
+    """A rewrite-mode delete that fully EMPTIES a file (removes, no
+    adds, no dv) on a file present in both snapshots — one the restore
+    keeps untouched — must conflict: the restore's diff omits kept
+    files, so the committed restore would silently read without the
+    deleted file's rows and not match the target version (ADVICE r7)."""
+    t1 = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t1.append(_df(spark, [(2, "b", 2.0)]))  # v1: restore-to-v0 removes this
+    t2 = TxTable(spark, root)
+    rv = t2.version()
+    _, live_v, _, _ = t2._state_at(0)
+    _, live_now, _, _ = t2._state_at(rv)
+    # interleaved delete empties v0's only file: remove-only commit on
+    # a file in live_v ∩ live_now (NOT in the restore's removes)
+    t1.delete_where("v", 1.0, 1.0)
+    assert t1.read().count() == 1  # the file really was fully removed
+    with pytest.raises(ConflictError, match="restores over|removed"):
+        t2._commit(
+            "restore",
+            [live_v[p] for p in sorted(set(live_v) - set(live_now))],
+            sorted(set(live_now) - set(live_v)),
+            None,
+            read_version=rv,
+        )
+
+
 def test_vacuum_reaps_dir_it_just_emptied(spark, root):
     """Unlinking the last parquet bumps the txn dir's mtime — the dir
     cleanup must not treat that as fresh activity and strand the empty
