@@ -105,6 +105,50 @@ def cartesian_product_count(df: DataFrame) -> int:
     return _node_count(df, "CartesianProduct")
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of WindowExec nodes with an EMPTY partition spec — the
+    ones Spark warns "Moving all data to a single partition" about. At
+    100 TB such a node serializes the whole input through one task;
+    `operators/ranks.py` exists so no registered query needs one.
+
+    Detection: in the physical plan's tree rendering a Window node
+    prints its non-empty specs as bracket groups —
+    ``Window [exprs], [partitionSpec], [orderSpec]`` fully specified,
+    ``Window [exprs], [partitionSpec]`` partition-only (global frame),
+    ``Window [exprs], [orderSpec]`` ordered-unpartitioned, and
+    ``Window [exprs]`` for a fully-global frame. Three groups is
+    always partitioned; with two, the node is unpartitioned iff the
+    last group is an ORDER spec (its entries carry ``ASC``/``DESC``
+    sort markers, which bare partition columns never do); one group is
+    always unpartitioned. Bracket counting is depth-aware (expressions
+    nest brackets, e.g. array literals)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = 0
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        # exclude WindowGroupLimit (different argument shape) but match
+        # Window at any tree position
+        if idx < 0 or "WindowGroupLimit" in line[:idx + 6]:
+            continue
+        depth = 0
+        groups: list[list[str]] = []
+        for ch in line[idx + len("Window "):]:
+            if ch == "[":
+                if depth == 0:
+                    groups.append([])
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            elif depth >= 1 and groups:
+                groups[-1].append(ch)
+        if len(groups) >= 3:
+            continue
+        last = "".join(groups[-1]) if groups else ""
+        if len(groups) <= 1 or " ASC" in last or " DESC" in last:
+            n += 1
+    return n
+
+
 def runtime_bloom_filter_present(df: DataFrame) -> bool:
     """True iff the optimized plan prunes a shuffle-join's probe side
     with a runtime bloom filter (``might_contain`` over a

@@ -782,10 +782,15 @@ def mann_whitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation; no continuity correction (documented, mirrored in
     the oracle).
 
-    100 TB: one global sort for the rank window is the honest cost —
-    the same O(n log n) any exact rank statistic pays; at corpus scale
-    the sampled variant (rank over a deterministic-gate sample) bounds
-    it, or KLL quantile sketches approximate the statistic."""
+    100 TB: NO row-scale sort. Every term of U depends on rows only
+    through their tie group: midrank(v) = 1 + Σ_{v'<v} t(v') +
+    (t(v)−1)/2, so one map-side-combined groupBy collapses the events
+    to the DISTINCT-VALUE relation and the exclusive prefix sum runs
+    there via `ranks.with_prefix_sum` — bucket-partitioned windows
+    plus a triangle offset join, zero single-task stages (the r7
+    verdict's fix, replacing the unpartitioned rank window)."""
+    from .operators import ranks
+
     ev = (
         load_table(spark, "events", sf_dir)
         .filter(F.col("event_type").isin("click", "purchase"))
@@ -796,32 +801,23 @@ def mann_whitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("g"),
         )
     )
-    rmin = F.rank().over(Window.orderBy("v"))
-    tie = F.count("*").over(Window.partitionBy("v"))
-    ranked = ev.select(
-        "g", "v", rmin.alias("rmin"), tie.alias("tie")
+    grp = ev.groupBy("v").agg(
+        F.count("*").cast("double").alias("t"),
+        F.sum("g").cast("double").alias("t1"),
     )
-    agg = ranked.agg(
-        F.sum("g").cast("double").alias("n1"),
-        (F.count("*") - F.sum("g")).cast("double").alias("n2"),
-        F.count("*").cast("double").alias("n"),
+    grp = ranks.with_prefix_sum(
+        grp, [("v", "asc")], "t", out="before", inclusive=False
+    )
+    midrank = F.col("before") + 1.0 + (F.col("t") - 1.0) / 2.0
+    j = grp.agg(
+        F.sum("t1").alias("n1"),
+        (F.sum("t") - F.sum("t1")).alias("n2"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("t1") * midrank).alias("r1"),
         F.sum(
-            F.when(
-                F.col("g") == 1,
-                F.col("rmin") + (F.col("tie") - 1) / 2.0,
-            ).otherwise(F.lit(0.0))
-        ).alias("r1"),
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tcorr"),
     )
-    tcorr = (
-        ev.groupBy("v")
-        .agg(F.count("*").cast("double").alias("t"))
-        .agg(
-            F.sum(
-                F.col("t") * F.col("t") * F.col("t") - F.col("t")
-            ).alias("tcorr")
-        )
-    )
-    j = agg.crossJoin(tcorr)
     u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
     sigma = F.sqrt(
         F.col("n1")
@@ -957,8 +953,9 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     no string casts (a string path would break on scientific notation
     and cost a UDF at scale).
 
-    100 TB: one projection + a 9-group hash aggregate; the window
-    total is O(9) rows post-aggregate."""
+    100 TB: one projection + a 9-group hash aggregate; the total is a
+    broadcast 1-row agg over the 9-row relation (no single-task
+    window stage, r8)."""
     o = load_table(spark, "orders", sf_dir).filter(
         F.col("o_totalprice") > 0.0
     )
@@ -969,10 +966,8 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count("*").alias("n")
     )
-    total = Window.partitionBy()
-    counted = counted.withColumn(
-        "total", F.sum("n").over(total).cast("double")
-    )
+    tot = counted.agg(F.sum("n").cast("double").alias("total"))
+    counted = counted.crossJoin(F.broadcast(tot))
     share = F.col("n") / F.col("total")
     benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
     return counted.select(

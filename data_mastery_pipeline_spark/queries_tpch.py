@@ -353,25 +353,24 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared against a scalar subquery over the same aggregate.
 
     Scale: ONE shuffle agg on partkey produces per_part; the scalar
-    total is an unpartitioned window SUM over that already-aggregated
-    (n_parts-row) relation, so the fact table is scanned exactly once
-    (a self-join against a separate agg branch would re-scan it —
-    Spark's exchange reuse does not unify the two shapes). The
-    single-partition window is safe because its input is the part-level
-    aggregate, not the fact table. The final sort runs on the filtered
-    handful of rows.
+    total is a broadcast 1-row agg over the SAME per_part subtree, so
+    the partkey exchange is reused (ReusedExchange — the fact table is
+    scanned once) and the part-grain relation never funnels through a
+    single-task window stage (r8: the old global-window form shuffled
+    the n_parts relation — which GROWS with data — to one task). The
+    final sort runs on the filtered handful of rows.
     """
-    from pyspark.sql import Window
-
     li = load_table(spark, "lineitem", sf_dir)
     per_part = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "part_value_raw"
         )
     )
-    cutoff = F.sum("part_value_raw").over(Window.partitionBy()) * F.lit(0.0006)
+    tot = per_part.agg(
+        (F.sum("part_value_raw") * 0.0006).alias("cutoff")
+    )
     return (
-        per_part.withColumn("cutoff", cutoff)
+        per_part.crossJoin(F.broadcast(tot))
         .filter(F.col("part_value_raw") > F.col("cutoff"))
         .select("l_partkey", quantize(F.col("part_value_raw"), "part_value"))
         .orderBy(F.col("part_value").desc(), "l_partkey")

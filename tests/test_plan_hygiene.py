@@ -5,7 +5,11 @@ must satisfy the 100 TB invariants —
 2. zero row-at-a-time Python UDFs (`BatchEvalPython`) in the plan — the
    only sanctioned Python path is Arrow-batched (`ArrowEvalPython` /
    mapInPandas), and the §2 core uses none at all;
-3. the plan builds (no analysis errors) against sf0.001.
+3. zero unpartitioned WindowExec nodes ("Moving all data to a single
+   partition") except the justified bounded-grain allowlist below —
+   the r7 verdict's mechanism so single-task-window site #6 cannot
+   ship unnoticed. Data-scale ranking goes through `operators/ranks`;
+4. the plan builds (no analysis errors) against sf0.001.
 
 Per-query plan-shape tests (test_plans.py) pin the interesting plans
 precisely; this sweep is the tripwire that keeps a FUTURE query from
@@ -36,15 +40,45 @@ _PURE_MODULES = (
     "data_mastery_pipeline_spark.queries_ops",
     "data_mastery_pipeline_spark.queries_stats",
     "data_mastery_pipeline_spark.queries_tpch",
+    "data_mastery_pipeline_spark.queries_gov",
 )
 
+# queries_gov entries whose CONSTRUCTION executes work (table-format
+# lifecycles, cache writes, streaming drains) — excluded like the
+# action modules; their plans are sink scans with no sweep signal
+_GOV_ACTION = {
+    "mv_navigation",
+    "result_cache_daily",
+    "stream_geofence_counts",
+    "spatial_knn",  # fan_out probe materializes; plan pinned in test_gov
+}
+
 _PURE = sorted(
-    name for name, fn in QUERIES.items() if fn.__module__ in _PURE_MODULES
+    name
+    for name, fn in QUERIES.items()
+    if fn.__module__ in _PURE_MODULES and name not in _GOV_ACTION
 )
 
 # deliberate, size-bounded exceptions to the no-cartesian rule — each
 # must carry a justification here, not just in its docstring
 _CARTESIAN_OK: dict[str, str] = {}
+
+# deliberate exceptions to the no-unpartitioned-window rule. ONLY
+# calendar/bucket-bounded relations qualify: the window input's
+# cardinality is a function of the time horizon (≤ ~365·years rows)
+# or a fixed bucket count — NOT of data volume — so the single task
+# holds thousands of rows at any scale. Anything keyed by user/part/
+# doc/value grain must use operators/ranks instead.
+_GLOBAL_WINDOW_OK: dict[str, str] = {
+    "moving_avg_7d": "7-day RANGE frame over the per-DAY aggregate "
+    "(calendar-bounded input; sliding frames need order)",
+    "daily_revenue_anomalies": "28-day lookback RANGE frame over the "
+    "per-DAY aggregate (calendar-bounded)",
+    "autocorr_daily_revenue": "lag-1 over the per-DAY revenue series "
+    "(calendar-bounded)",
+    "kaplan_meier_retention": "running product/sum over per-TIME-BUCKET "
+    "tick relation (horizon-bounded survival curve grid)",
+}
 
 
 def test_sweep_covers_most_of_the_registry():
@@ -59,3 +93,20 @@ def test_plan_hygiene(name, spark):
         n_cart = plans.inspect.cartesian_product_count(df)
         assert n_cart == 0, f"{name}: {n_cart} cartesian product(s)"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in _GLOBAL_WINDOW_OK:
+        n_gw = plans.inspect.unpartitioned_window_count(df)
+        assert n_gw == 0, (
+            f"{name}: {n_gw} unpartitioned Window node(s) — single-task "
+            "at scale; use operators/ranks or justify in _GLOBAL_WINDOW_OK"
+        )
+
+
+def test_global_window_allowlist_is_tight(spark):
+    """Every allowlisted query must actually still HAVE an
+    unpartitioned window — a stale entry is a hole the next regression
+    hides in."""
+    for name in _GLOBAL_WINDOW_OK:
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert plans.inspect.unpartitioned_window_count(df) > 0, (
+            f"{name}: allowlisted but clean — remove the entry"
+        )

@@ -1,0 +1,111 @@
+"""operators/ranks.py: exact distributed row_number / ntile / prefix
+sums, verified value-for-value against the single-task window forms
+they replace, plus the plan property the module exists for (no
+unpartitioned WindowExec)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_mastery_pipeline_spark.operators import ranks
+from data_mastery_pipeline_spark.plans import inspect
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    random.seed(7)
+    rows = [
+        (
+            i,
+            random.choice([1.0, 2.0, 2.0, 3.5, None, 7.0, 7.0, 7.0]),
+            random.randint(0, 5),
+        )
+        for i in range(2000)
+    ]
+    return spark.createDataFrame(rows, "id long, v double, w int").cache()
+
+
+def _by_id(frame, col):
+    return {r["id"]: r[col] for r in frame.collect()}
+
+
+@pytest.mark.parametrize("direction", ["asc", "desc"])
+def test_row_number_matches_window_form(df, direction):
+    got = ranks.with_global_row_number(
+        df, [("v", direction), ("id", "asc")], out="rn", n_buckets=7
+    )
+    order = (
+        F.col("v").asc() if direction == "asc" else F.col("v").desc()
+    )
+    ref = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(order, F.col("id")))
+    )
+    assert _by_id(got, "rn") == _by_id(ref, "rn")
+
+
+@pytest.mark.parametrize("n", [3, 5, 10, 3000])
+def test_ntile_matches_window_form(df, n):
+    """Covers even split, remainder tiles, and n > N (one row per
+    tile) — the SQL-standard first-r-tiles-get-the-extra-row rule."""
+    got = ranks.exact_ntile(
+        df, [("v", "desc"), ("id", "asc")], n, out="tile", n_buckets=5
+    )
+    ref = df.withColumn(
+        "tile",
+        F.ntile(n).over(Window.orderBy(F.col("v").desc(), F.col("id"))),
+    )
+    assert _by_id(got, "tile") == _by_id(ref, "tile")
+
+
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_prefix_sum_matches_window_form(df, inclusive):
+    dv = df.filter("v is not null").groupBy("v").agg(
+        F.count("*").alias("t")
+    )
+    got = ranks.with_prefix_sum(
+        dv, [("v", "asc")], "t", out="c", inclusive=inclusive, n_buckets=4
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("t").over(w)
+    ref = dv.withColumn(
+        "c", cum if inclusive else cum - F.col("t")
+    )
+    a = sorted((r.v, r.c) for r in got.collect())
+    b = sorted((r.v, r.c) for r in ref.collect())
+    assert a == b
+
+
+def test_no_unpartitioned_window_in_own_plan(df):
+    """The whole point: the helper's plan must contain ONLY
+    bucket-partitioned windows."""
+    got = ranks.exact_ntile(
+        df, [("v", "asc"), ("id", "asc")], 10, out="tile"
+    )
+    assert inspect.unpartitioned_window_count(got) == 0
+    got2 = ranks.with_global_row_number(df, [("v", "asc"), ("id", "asc")])
+    assert inspect.unpartitioned_window_count(got2) == 0
+
+
+def test_single_bucket_degenerate(spark):
+    """Constant key: every row lands in one bucket (rank semantics
+    forbid splitting ties) — results must still be exact."""
+    d = spark.createDataFrame(
+        [(i, 1.0) for i in range(20)], "id long, v double"
+    )
+    got = ranks.with_global_row_number(
+        d, [("v", "asc"), ("id", "asc")], out="rn"
+    )
+    assert _by_id(got, "rn") == {i: i + 1 for i in range(20)}
+
+
+def test_empty_input(spark):
+    d = spark.createDataFrame([], "id long, v double")
+    assert (
+        ranks.exact_ntile(d, [("v", "asc"), ("id", "asc")], 4).count() == 0
+    )

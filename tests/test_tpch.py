@@ -103,8 +103,17 @@ def test_q11_threshold_single_fact_scan(spark, duck):
         f"FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
     ).fetchone()[0]
     assert all(v > total * 0.0006 * 0.999 for v in vals)
-    # the scalar subquery must NOT rescan lineitem: one fact scan only
-    assert plans.scan_count(df) == 1
+    # the cutoff branch shares per_part's partkey exchange, so the
+    # fact table is scanned ONCE at runtime: AQE replaces the second
+    # agg subtree with a ReusedExchange (static ReuseExchange doesn't
+    # unify the two shapes; the runtime one does — asserted on the
+    # adaptive plan after execution). The old single-scan form was an
+    # unpartitioned window over the part-grain relation — a
+    # data-scale single-task stage, traded away in r8.
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
+    # and no single-task window anywhere
+    assert plans.unpartitioned_window_count(df) == 0
 
 
 def test_q16_denylist_suppliers_absent(spark, duck):
