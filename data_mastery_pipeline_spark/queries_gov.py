@@ -293,8 +293,8 @@ def rls_scoped_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _cust_points(spark, sf_dir):
-    c = load_table(spark, "customer", sf_dir)
+def _cust_points(spark, sf_dir, fan_out: bool | None = None):
+    c = load_table(spark, "customer", sf_dir, fan_out=fan_out)
     return c.select(
         "c_custkey",
         "c_acctbal",
@@ -435,12 +435,12 @@ def spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force twin of similarity/brute.py); corpus-sized probe sets
     switch to the grid join with expanding-ring radii or IVF cells —
     the documented scale path, same as ann_ivf_topk."""
-    from .parallelism import fan_out
-
     # the probe cross-product sorts rows×probes rows map-side (the
     # partial WindowGroupLimit below) — a single-row-group customer
     # scan would run that sort in ONE task; fan the corpus side out
-    c = fan_out(_cust_points(spark, sf_dir).drop("c_acctbal"))
+    # through load_table's policy flag (r8: the sanctioned mechanism,
+    # not a per-site parallelism patch)
+    c = _cust_points(spark, sf_dir, fan_out=True).drop("c_acctbal")
     s = _supp_points(spark, sf_dir).select(
         "s_suppkey",
         F.col("lat").alias("s_lat"),

@@ -438,6 +438,28 @@ def test_load_table_policy_fans_out_cpu_heavy_tables(spark):
     assert tables.CPU_HEAVY_TABLES == {"documents", "embeddings"}
     li = tables.load_table(spark, "lineitem", SF_SMOKE)
     assert "Exchange" not in li._jdf.queryExecution().executedPlan().toString()
+    # fan_out=True is the sanctioned per-call escalation for a
+    # non-policy table feeding CPU-heavy narrow compute (spatial_knn's
+    # customer corpus, r8) — same conditional no-op semantics
+    cust = tables.load_table(spark, "customer", SF_SMOKE, fan_out=True)
+    assert cust.rdd.getNumPartitions() >= target
+
+
+def test_spatial_knn_fans_out_via_load_table_flag(spark):
+    """The r5→r8 lesson as a pin: spatial_knn's corpus side must fan
+    out (its per-probe partial top-k sort otherwise runs in ONE task on
+    a single-row-group scan) and must do it through load_table's flag,
+    not a per-site parallelism patch — the plan carries the round-robin
+    exchange below the probe cross-product."""
+    import __spark_entry__  # noqa: F401
+
+    from conftest import SF_SMOKE
+
+    from data_mastery_pipeline_spark.registry import QUERIES
+
+    df = QUERIES["spatial_knn"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
 
 
 def test_erase_keys_partitioned_rewrites_only_touched(spark, tmp_path):
