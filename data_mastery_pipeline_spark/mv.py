@@ -40,6 +40,12 @@ of the (small) aggregate table. ``answer`` is a scan of the MV only.
 The single synthetic merge key (``mv_key``, the dim tuple joined with
 an unprintable separator) keeps the key-range file pruning of
 merge_upsert effective and is a stat column by construction.
+
+r8 additions: :class:`MinMaxView` (extremes maintained monotonically
+on insert, group-scoped base re-scan ONLY when a delete reaches a
+stored extreme — see its docstring for the safety rule) and
+:class:`Navigator` (query rewrite across a family of MVs: route each
+GROUP BY to the coarsest fresh covering view).
 """
 
 from __future__ import annotations
@@ -66,6 +72,8 @@ class SumCountView:
 
     ``dims`` maps output dim name → SQL expression over a source row;
     ``value_expr`` is the summed measure (folded to integer cents)."""
+
+    MEASURE_FIELDS = "n_rows bigint, sum_cents bigint"
 
     def __init__(
         self,
@@ -103,7 +111,7 @@ class SumCountView:
         )
         empty = spark.createDataFrame(
             [],
-            f"mv_key string, {dim_fields}, n_rows bigint, sum_cents bigint",
+            f"mv_key string, {dim_fields}, {cls.MEASURE_FIELDS}",
         )
         TxTable.create(spark, root, empty, stat_cols=["mv_key"])
         return cls(spark, source, root, name, dims, value_expr)
@@ -161,13 +169,19 @@ class SumCountView:
         have, want = self.last_refreshed(), self.source.version()
         if want <= have:
             return None
+        merged = self._merged_state(have, want)
+        return self._commit_refresh(merged, want)
+
+    def _merged_state(self, have: int, want: int) -> DataFrame:
+        """The upsert rows for one refresh: CDF delta folded into the
+        current MV state."""
         delta = self._delta(self.source.changes(have, want))
         cur = self.target.read().select(
             "mv_key",
             F.col("n_rows").alias("__cur_n"),
             F.col("sum_cents").alias("__cur_s"),
         )
-        merged = delta.join(cur, "mv_key", "left").select(
+        return delta.join(cur, "mv_key", "left").select(
             "mv_key",
             *self.dims,
             (F.coalesce(F.col("__cur_n"), F.lit(0)) + F.col("n_rows"))
@@ -177,6 +191,8 @@ class SumCountView:
             .cast("bigint")
             .alias("sum_cents"),
         )
+
+    def _commit_refresh(self, merged: DataFrame, want: int) -> int:
         pre = self.target.version()
         res = self.target.merge_upsert(
             merged, "mv_key", stream_txn=(self._app_id(), want)
@@ -227,6 +243,243 @@ class SumCountView:
                 F.sum("n_rows").cast("bigint").alias("n_rows"),
                 F.sum("sum_cents").cast("bigint").alias("sum_cents"),
             )
+        )
+
+
+class MinMaxView(SumCountView):
+    """Sum/count/min/max materialized view — the measure set a plain
+    CDF fold CANNOT always maintain, handled the way the public
+    engines document it (SQL Server indexed views refuse MIN/MAX under
+    deletes; Oracle MV fast refresh degrades to group re-scan):
+
+    - **inserts fold monotonically**: ``new_min = least(cur_min,
+      min(inserted))`` and symmetrically for max — O(delta), exact.
+    - **deletes fold only when provably harmless**: if every deleted
+      value lies STRICTLY inside the stored ``(min, max)`` open
+      interval, the extremes cannot have been deleted (ties are NOT
+      safe — the deleted row might be one of several holding the
+      extreme, but another might remain, so equality forces the scan).
+    - **otherwise the touched GROUP is re-scanned** from the source at
+      the refresh's target version — never the whole base: the rescan
+      reads O(rows in breached groups), key-pruned by an inner join on
+      the (broadcast-small) breached dim tuples. A group whose fold
+      nets to zero rows tombstones without any scan.
+
+    Sum/count stay exactly the parent's signed fold, so this class is
+    the parent plus extremes; navigation (`answer`) adds min-of-mins /
+    max-of-maxes, which is valid precisely because tombstones are
+    hidden. Measures fold through ivm.cents (NULL → 0 cents) in the
+    incremental fold AND the rescan, so the two paths cannot disagree
+    on NULL handling."""
+
+    MEASURE_FIELDS = (
+        "n_rows bigint, sum_cents bigint, min_cents bigint, "
+        "max_cents bigint"
+    )
+    #: groups re-scanned by the LAST refresh (0 = pure fold) — the
+    #: ops gauge for how often deletes breach stored extremes
+    last_rescan_groups: int = 0
+
+    def _merged_state(self, have: int, want: int) -> DataFrame:
+        cdf = self.source.changes(have, want)
+        w = _signed_weight()
+        dim_cols = [F.expr(e).alias(d) for d, e in self.dims.items()]
+        rows = cdf.select(
+            *dim_cols,
+            w.alias("__w"),
+            _cents(F.expr(self.value_expr)).alias("__c"),
+        )
+        for d in self.dims:
+            rows = rows.filter(F.col(d).isNotNull())
+        key = F.concat_ws(
+            _SEP, *[F.col(d).cast("string") for d in self.dims]
+        )
+        # NET the fold per (group, value) FIRST: a rewrite-mode commit
+        # churns whole files through the CDF as delete+re-insert pairs
+        # for untouched rows — netting cancels them exactly, so only
+        # values whose multiset count actually changed register as
+        # inserts/deletes (otherwise every file rewrite would breach
+        # the extremes and force a spurious rescan)
+        per_value = (
+            rows.withColumn("mv_key", key)
+            .groupBy("mv_key", *self.dims, "__c")
+            .agg(F.sum("__w").alias("__vw"))
+        )
+        ins = F.when(F.col("__vw") > 0, F.col("__c"))
+        dele = F.when(F.col("__vw") < 0, F.col("__c"))
+        delta = per_value.groupBy("mv_key", *self.dims).agg(
+            F.sum("__vw").cast("bigint").alias("__d_n"),
+            F.sum(F.col("__vw") * F.col("__c"))
+            .cast("bigint")
+            .alias("__d_s"),
+            F.min(ins).alias("__ins_min"),
+            F.max(ins).alias("__ins_max"),
+            F.min(dele).alias("__del_min"),
+            F.max(dele).alias("__del_max"),
+            F.max(
+                F.when(F.col("__vw") < 0, 1).otherwise(0)
+            ).alias("__has_del"),
+        )
+        cur = self.target.read().select(
+            "mv_key",
+            F.col("n_rows").alias("__cur_n"),
+            F.col("sum_cents").alias("__cur_s"),
+            F.col("min_cents").alias("__cur_min"),
+            F.col("max_cents").alias("__cur_max"),
+        )
+        j = delta.join(cur, "mv_key", "left")
+        new_n = (
+            F.coalesce(F.col("__cur_n"), F.lit(0)) + F.col("__d_n")
+        ).cast("bigint")
+        new_s = (
+            F.coalesce(F.col("__cur_s"), F.lit(0)) + F.col("__d_s")
+        ).cast("bigint")
+        # a delete is harmless iff every deleted value sits STRICTLY
+        # inside the stored extremes (no deleted non-null value at all
+        # is trivially harmless); equality means the extreme itself
+        # may be gone → rescan. A delete against a group with no
+        # stored extreme (absent, or all-NULL values) is never safe —
+        # it implies insert+delete within one refresh window.
+        del_safe = (F.col("__has_del") == 0) | (
+            (
+                F.col("__del_min").isNull()
+                | (
+                    F.col("__cur_min").isNotNull()
+                    & (F.col("__del_min") > F.col("__cur_min"))
+                )
+            )
+            & (
+                F.col("__del_max").isNull()
+                | (
+                    F.col("__cur_max").isNotNull()
+                    & (F.col("__del_max") < F.col("__cur_max"))
+                )
+            )
+        )
+        j = j.withColumn("__n", new_n).withColumn(
+            "__fold_ok", (F.col("__n") == 0) | del_safe
+        )
+        # the join output is delta-group-sized (small); materialize it
+        # once so the breach count, the fold, and the rescan keys don't
+        # each recompute the CDF read
+        from .checkpointing import truncate_lineage
+
+        j = truncate_lineage(j, None)
+        folded = j.filter(F.col("__fold_ok")).select(
+            "mv_key",
+            *self.dims,
+            F.col("__n").alias("n_rows"),
+            new_s.alias("sum_cents"),
+            F.when(
+                F.col("__n") > 0,
+                F.least(F.col("__cur_min"), F.col("__ins_min")),
+            ).alias("min_cents"),
+            F.when(
+                F.col("__n") > 0,
+                F.greatest(F.col("__cur_max"), F.col("__ins_max")),
+            ).alias("max_cents"),
+        )
+        breached = j.filter(~F.col("__fold_ok")).select(
+            "mv_key", *self.dims
+        )
+        # observability + work-skipping: most refreshes breach nothing
+        # and must not touch the base at all
+        self.last_rescan_groups = breached.count()
+        if self.last_rescan_groups == 0:
+            return folded
+        src_rows = self.source.read(version=want).select(
+            *dim_cols, _cents(F.expr(self.value_expr)).alias("__c")
+        )
+        rescanned = (
+            src_rows.join(F.broadcast(breached), list(self.dims), "inner")
+            .groupBy("mv_key", *self.dims)
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.coalesce(F.sum("__c"), F.lit(0))
+                .cast("bigint")
+                .alias("sum_cents"),
+                F.min("__c").alias("min_cents"),
+                F.max("__c").alias("max_cents"),
+            )
+        )
+        return folded.unionByName(rescanned)
+
+    def answer(
+        self, group_dims: list[str], strict: bool = True
+    ) -> DataFrame:
+        """Navigation over sum/count/min/max: min of mins and max of
+        maxes roll up losslessly (unlike refresh, rollup needs no
+        retraction handling — tombstones are already hidden)."""
+        unknown = [d for d in group_dims if d not in self.dims]
+        if unknown:
+            raise ValueError(
+                f"dims {unknown} not in materialized grain "
+                f"{sorted(self.dims)} — cannot navigate to a FINER grain"
+            )
+        if strict and self.is_stale():
+            raise StaleViewError(
+                f"MV {self.name!r} reflects source v{self.last_refreshed()} "
+                f"< v{self.source.version()} — refresh() first "
+                "(or pass strict=False for an eventually-consistent read)"
+            )
+        return (
+            self.read()
+            .groupBy(*group_dims)
+            .agg(
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+                F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+                F.min("min_cents").alias("min_cents"),
+                F.max("max_cents").alias("max_cents"),
+            )
+        )
+
+
+class Navigator:
+    """Aggregate navigator over a FAMILY of MVs on one source: route a
+    GROUP BY to the COARSEST fresh view whose grain covers the
+    requested dims — the reference's ``v_weekly_stats`` chain
+    (sql/schema.sql:226-239 re-aggregates the daily view) as query
+    rewrite: a weekly rollup is answered from the daily MV, a
+    per-type total from the type-grain MV, never the base table.
+
+    Freshness participates in routing: a stale-but-covering view is
+    skipped while a fresh one exists; if ONLY stale views cover the
+    query, strict=True raises StaleViewError (refresh something) and
+    strict=False serves the best stale view, documenting the
+    eventual-consistency read."""
+
+    def __init__(self, *views: SumCountView):
+        self.views: list[SumCountView] = list(views)
+
+    def register(self, view: SumCountView) -> SumCountView:
+        self.views.append(view)
+        return view
+
+    def route(self, group_dims: list[str], strict: bool = True):
+        covering = [
+            v for v in self.views if set(group_dims) <= set(v.dims)
+        ]
+        if not covering:
+            raise ValueError(
+                f"no registered MV covers dims {sorted(group_dims)} — "
+                f"grains available: {[sorted(v.dims) for v in self.views]}"
+            )
+        fresh = [v for v in covering if not v.is_stale()]
+        pool = fresh if fresh else covering
+        if not fresh and strict:
+            raise StaleViewError(
+                f"every MV covering {sorted(group_dims)} is stale — "
+                "refresh one, or pass strict=False"
+            )
+        # coarsest = fewest dims (fewest rows to re-aggregate);
+        # deterministic name tie-break
+        return min(pool, key=lambda v: (len(v.dims), v.name))
+
+    def answer(
+        self, group_dims: list[str], strict: bool = True
+    ) -> DataFrame:
+        return self.route(group_dims, strict).answer(
+            group_dims, strict=strict
         )
 
 

@@ -1178,6 +1178,101 @@ def mv_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.answer(["event_type"]).orderBy("event_type")
 
 
+@query(
+    "mv_minmax",
+    """
+    WITH extra(event_type, value) AS (
+      VALUES ('purchase', 2000.0),
+             ('click', 0.001)
+    ),
+    base AS (
+      SELECT event_type, value FROM events
+      UNION ALL SELECT event_type, value FROM extra
+    ),
+    kept AS (
+      SELECT * FROM base
+      WHERE NOT (value >= 1900.0 AND value <= 2100.0)
+        AND NOT (value >= 40.0 AND value <= 60.0)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS sum_cents,
+           CAST(min(floor(value * 100 + 0.5)) AS BIGINT) AS min_cents,
+           CAST(max(floor(value * 100 + 0.5)) AS BIGINT) AS max_cents
+    FROM kept
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX-bearing materialized view lifecycle (mv.MinMaxView) —
+    the measure set a plain CDF fold cannot always maintain. The run
+    exercises every maintenance regime in one value-hash: (1) an
+    insert-only refresh window (table create + appended rows that move
+    two groups' extremes) — folded MONOTONICALLY (least/greatest, no
+    base access, rescan count 0);
+    (2) a deletion-vector delete that removes the stored purchase MAX
+    (equality breach → that ONE group re-scans from the source at the
+    refresh version) interleaved with a rewrite-mode interior delete
+    ([40,60] sits strictly inside every type's extremes → pure fold;
+    the per-(group,value) NETTING cancels the rewrite's CDF churn so
+    the rewritten files don't spuriously breach) in the same refresh
+    window; (3) exactly-once replay (the txn watermark makes a re-run
+    commit nothing); (4) navigation with min-of-mins/max-of-maxes.
+    The oracle recomputes the final state from the base relation
+    directly.
+
+    100 TB: refresh is O(changed rows) + O(rows of breached groups) —
+    the rescan is key-pruned to the breached dim tuples (broadcast
+    inner join), never the base; `last_rescan_groups` is the ops gauge
+    that the breach path stays rare."""
+    import posixpath
+
+    from .mv import MinMaxView
+    from .sources.txlog import TxTable
+    from .queries_src import _fresh_dir
+
+    root = _fresh_dir("mvminmax", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    src = TxTable.create(
+        spark, posixpath.join(root, "src"), ev, stat_cols=["value"]
+    )
+    view = MinMaxView.create(
+        spark,
+        src,
+        posixpath.join(root, "mv"),
+        "events_minmax",
+        dims={"event_type": "event_type"},
+        value_expr="value",
+    )
+    extra = spark.createDataFrame(
+        [
+            (910001, "2024-02-01 00:00:00", 1, "purchase", 2000.0, "{}"),
+            (910002, "2024-02-01 01:00:00", 2, "click", 0.001, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src.append(extra.select(*ev.columns))
+    # ONE insert-only window covers create+append (v0..v1)
+    if view.refresh() != src.version() or view.is_stale():
+        raise RuntimeError("insert refresh did not reach the head")
+    if view.last_rescan_groups != 0:
+        raise RuntimeError("monotone insert fold touched the base")
+    src.delete_where("value", 1900.0, 2100.0, mode="dv")  # kills the max
+    src.delete_where("value", 40.0, 60.0)  # interior: fold stays sound
+    if view.refresh() != src.version():
+        raise RuntimeError("delete refresh did not reach the head")
+    if view.last_rescan_groups != 1:
+        raise RuntimeError(
+            f"expected exactly the breached purchase group to re-scan, "
+            f"got {view.last_rescan_groups}"
+        )
+    if view.refresh() is not None:
+        raise RuntimeError("replayed refresh committed — watermark broken")
+    return view.answer(["event_type"]).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Feature store: point-in-time-correct serving
 # ---------------------------------------------------------------------------

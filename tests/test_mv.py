@@ -7,6 +7,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_mastery_pipeline_spark.mv import (
+    MinMaxView,
+    Navigator,
     StaleViewError,
     SumCountView,
 )
@@ -134,6 +136,187 @@ def test_refresh_over_empty_delta_range_advances_watermark(spark, root):
     assert not view.is_stale()  # wedged forever before the fix
     assert view.refresh() is None  # and the watermark replays as no-op
     assert _mv(view, "grp") == _direct(src, "grp")
+
+
+def _mk_minmax(spark, root, rows):
+    src = TxTable.create(spark, root + "/src", _df(spark, rows))
+    view = MinMaxView.create(
+        spark,
+        src,
+        root + "/mv",
+        "t",
+        dims={"grp": "grp"},
+        value_expr="v",
+    )
+    return src, view
+
+
+def _direct_minmax(src, *dims):
+    cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("bigint")
+    return sorted(
+        tuple(r)
+        for r in src.read()
+        .filter(F.col("grp").isNotNull())
+        .groupBy(*dims)
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum(cents), F.lit(0))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+        .collect()
+    )
+
+
+def test_minmax_insert_only_folds_without_rescan(spark, root):
+    src, view = _mk_minmax(
+        spark, root, [(1, "a", "d", 3.0), (2, "a", "d", 7.0), (3, "b", "d", 5.0)]
+    )
+    view.refresh()
+    assert view.last_rescan_groups == 0
+    src.append(_df(spark, [(4, "a", "d", 1.0), (5, "b", "d", 9.0)]))
+    view.refresh()
+    assert view.last_rescan_groups == 0  # inserts fold monotonically
+    assert _mv(view, "grp") == _direct_minmax(src, "grp")
+
+
+def test_minmax_interior_delete_folds_extreme_delete_rescans(spark, root):
+    src, view = _mk_minmax(
+        spark,
+        root,
+        [
+            (1, "a", "d", 1.0),
+            (2, "a", "d", 5.0),
+            (3, "a", "d", 9.0),
+            (4, "b", "d", 2.0),
+            (5, "b", "d", 6.0),
+        ],
+    )
+    view.refresh()
+    # delete strictly INSIDE a's (1.0, 9.0): extremes provably intact
+    src.delete_where("v", 5.0, 5.0, mode="dv")
+    view.refresh()
+    assert view.last_rescan_groups == 0
+    assert _mv(view, "grp") == _direct_minmax(src, "grp")
+    # delete a's stored MIN: fold is unsound, group re-scans
+    src.delete_where("v", 1.0, 1.0, mode="dv")
+    view.refresh()
+    assert view.last_rescan_groups == 1  # only 'a', never 'b'
+    assert _mv(view, "grp") == _direct_minmax(src, "grp")
+
+
+def test_minmax_tie_on_extreme_forces_rescan_and_keeps_value(spark, root):
+    """Two rows hold the min; deleting ONE of them must re-scan (the
+    equality case is not safe) and the surviving row keeps the min."""
+    src, view = _mk_minmax(
+        spark,
+        root,
+        [(1, "a", "d", 1.0), (2, "a", "d", 1.0), (3, "a", "d", 4.0)],
+    )
+    view.refresh()
+    src.delete_where("id", 1, 1, mode="dv")
+    view.refresh()
+    assert view.last_rescan_groups == 1
+    assert _mv(view, "grp") == [("a", 2, 500, 100, 400)]
+
+
+def test_minmax_insert_and_delete_same_window_nets_exactly(spark, root):
+    """A group born AND partially deleted inside one refresh window:
+    the per-(group,value) NETTING cancels the churned value (net 0),
+    so the fold sees only the net-positive survivors — exact extremes
+    with NO rescan (the pre-netting design re-scanned here)."""
+    src, view = _mk_minmax(spark, root, [(1, "a", "d", 2.0)])
+    view.refresh()
+    src.append(_df(spark, [(10, "c", "d", 8.0), (11, "c", "d", 3.0)]))
+    src.delete_where("v", 8.0, 8.0, mode="dv")  # kills c's max unseen
+    view.refresh()
+    assert view.last_rescan_groups == 0
+    assert _mv(view, "grp") == _direct_minmax(src, "grp")
+    assert ("c", 1, 300, 300, 300) in _mv(view, "grp")
+
+
+def test_minmax_rewrite_churn_does_not_breach(spark, root):
+    """A rewrite-mode delete replays untouched rows through the CDF as
+    delete+re-insert pairs; netting cancels them, so an interior
+    rewrite delete folds without touching the base."""
+    src, view = _mk_minmax(
+        spark,
+        root,
+        [(1, "a", "d", 1.0), (2, "a", "d", 5.0), (3, "a", "d", 9.0)],
+    )
+    view.refresh()
+    src.delete_where("v", 5.0, 5.0)  # rewrite mode: whole file churns
+    view.refresh()
+    assert view.last_rescan_groups == 0
+    assert _mv(view, "grp") == [("a", 2, 1000, 100, 900)]
+
+
+def test_minmax_group_fully_deleted_tombstones_without_scan(spark, root):
+    src, view = _mk_minmax(
+        spark, root, [(1, "a", "d", 1.0), (2, "b", "d", 5.0)]
+    )
+    view.refresh()
+    src.delete_where("v", 1.0, 1.0)  # all of 'a'
+    view.refresh()
+    assert view.last_rescan_groups == 0  # n==0 needs no scan
+    assert _mv(view, "grp") == [("b", 1, 500, 500, 500)]
+    tomb = view.target.read().filter("n_rows = 0").collect()
+    assert len(tomb) == 1
+    assert tomb[0]["min_cents"] is None and tomb[0]["max_cents"] is None
+
+
+def test_minmax_replay_is_exactly_once(spark, root):
+    src, view = _mk_minmax(spark, root, [(1, "a", "d", 1.0)])
+    assert view.refresh() == 0
+    src.append(_df(spark, [(2, "a", "d", 9.0)]))
+    assert view.refresh() == src.version()
+    v = view.target.version()
+    assert view.refresh() is None  # watermark: replay commits nothing
+    assert view.target.version() == v
+    assert _mv(view, "grp") == _direct_minmax(src, "grp")
+
+
+def test_navigator_routes_to_coarsest_fresh_view(spark, root):
+    src = TxTable.create(
+        spark, root + "/src", _df(spark, [(1, "a", "d1", 1.0), (2, "b", "d2", 3.0)])
+    )
+    fine = SumCountView.create(
+        spark, src, root + "/fine", "fine",
+        dims={"grp": "grp", "day": "day"}, value_expr="v",
+    )
+    coarse = SumCountView.create(
+        spark, src, root + "/coarse", "coarse",
+        dims={"grp": "grp"}, value_expr="v",
+    )
+    nav = Navigator(fine, coarse)
+    fine.refresh()
+    coarse.refresh()
+    # both cover ['grp']; the coarse one wins (fewer rows to re-agg)
+    assert nav.route(["grp"]) is coarse
+    assert nav.route(["grp", "day"]) is fine  # only fine covers
+    assert sorted(tuple(r) for r in nav.answer(["grp"]).collect()) == _direct(
+        src, "grp"
+    )
+    # stale coarse view: routing falls through to the FRESH finer one
+    src.append(_df(spark, [(3, "a", "d1", 2.0)]))
+    fine.refresh()
+    assert coarse.is_stale()
+    assert nav.route(["grp"]) is fine
+    assert sorted(tuple(r) for r in nav.answer(["grp"]).collect()) == _direct(
+        src, "grp"
+    )
+    # every covering view stale: strict raises, strict=False serves
+    src.append(_df(spark, [(4, "b", "d2", 4.0)]))
+    with pytest.raises(StaleViewError, match="stale"):
+        nav.answer(["grp"])
+    stale_served = sorted(
+        tuple(r) for r in nav.answer(["grp"], strict=False).collect()
+    )
+    assert stale_served  # the pre-append snapshot, explicitly opted into
+    with pytest.raises(ValueError, match="no registered MV"):
+        nav.route(["day", "user"])
 
 
 def test_null_dims_excluded_and_tombstones_hidden(spark, root):
