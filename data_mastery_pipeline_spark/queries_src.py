@@ -1946,3 +1946,102 @@ def txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "txlog_column_mapping",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_id % 5 = 0
+    ),
+    final AS (
+      SELECT event_type, value AS amount FROM base
+      UNION ALL
+      SELECT event_type, amount FROM (VALUES ('click', 123.25),
+                                             ('purchase', 777.5))
+        AS t(event_type, amount)
+    ),
+    kept AS (
+      SELECT * FROM final WHERE NOT (amount >= 0.0 AND amount <= 30.0)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(floor(amount * 100 + 0.5)) AS BIGINT) AS amount_cents,
+           CAST(0 AS BIGINT) AS n_user_vals
+    FROM kept GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME/DROP COLUMN via column mapping (sources/txlog.py, r8 —
+    the public Delta column-mapping / Iceberg field-id design): stable
+    column ids bind logical names to PHYSICAL parquet names, so a
+    rename is one metadata commit (zero files rewritten; self-asserted
+    by file-list identity), every pre-rename file keeps reading —
+    including through stats pruning, the CDF, and time travel (the
+    pre-rename version still reads under ITS schema) — and a DROP +
+    re-ADD of the same name binds a fresh physical so the dropped data
+    cannot resurrect (asserted by the n_user_vals=0 column riding the
+    value-hash). Lifecycle: create → RENAME value→amount → append under
+    the new schema → DV delete pruned by the renamed column's
+    (physically-keyed) stats → DROP user_id → re-ADD user_id → CDF
+    replay equality self-check → final aggregate under the END schema.
+
+    100 TB: rename/drop cost is ONE log commit regardless of table
+    size; the no-column-mapping alternative rewrites every file. Stats
+    stay keyed by physical name, so the pruning index survives renames
+    untouched."""
+    from .sources import txlog as _txlog
+
+    base = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    root = os.path.join(_fresh_dir("txlog_colmap", sf_dir), "tbl")
+    t = _txlog.TxTable.create(spark, root, base)
+    v_pre = t.version()
+    files_pre = {a["path"] for a in t.snapshot_adds()}
+    t.alter_rename_column("value", "amount")
+    if {a["path"] for a in t.snapshot_adds()} != files_pre:
+        raise RuntimeError("rename rewrote data files — not metadata-only")
+    t.append(
+        spark.createDataFrame(
+            [
+                (9100001, 7, "click", 123.25),
+                (9100002, 8, "purchase", 777.5),
+            ],
+            "event_id long, user_id long, event_type string, amount double",
+        )
+    )
+    t.delete_where("amount", 0.0, 30.0, mode="dv")
+    t.alter_drop_column("user_id")
+    t.alter_add_column("user_id", "bigint")
+    if "value" not in t.read(version=v_pre).columns:
+        raise RuntimeError("time travel lost the pre-rename schema")
+    # CDF replay equality across rename+drop (END-schema feed)
+    net = (
+        t.changes(-1)
+        .groupBy("event_id", "event_type", "amount")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("n")
+        )
+    )
+    if net.filter(~F.col("n").isin(0, 1)).limit(1).count():
+        raise RuntimeError("CDF replay broke across the rename/drop")
+    if net.filter("n = 1").count() != t.read().count():
+        raise RuntimeError("CDF replay row set != final snapshot")
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.floor(F.col("amount") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("amount_cents"),
+            F.count("user_id").alias("n_user_vals"),
+        )
+        .orderBy("event_type")
+    )

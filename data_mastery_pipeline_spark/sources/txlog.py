@@ -508,6 +508,67 @@ class TxTable:
             "txn string",
         )
 
+    # -- column mapping ---------------------------------------------------
+    #
+    # RENAME/DROP COLUMN are metadata-only (the public Delta
+    # column-mapping / Iceberg field-id design): every column carries a
+    # stable id and a PHYSICAL name (the name inside the parquet
+    # files), and the logical schema maps onto physicals at read time.
+    # Physical names never change once written — a rename changes only
+    # the logical side, so every historical file, the CDF, restore,
+    # and time travel keep reading correctly across it. A drop retires
+    # the physical name; re-adding a column with a dropped name binds
+    # a FRESH physical (``c<id>_<name>``), so the old data can never
+    # resurrect (old files lack the new physical → NULL-fill).
+    # Tables created before this feature have no ``column_mapping``
+    # meta → identity mapping, bit-identical behavior.
+
+    @staticmethod
+    def _col_mapping(meta: dict) -> dict[str, str] | None:
+        """logical name → physical name; None = identity (unmapped)."""
+        cm = meta.get("column_mapping")
+        if not cm:
+            return None
+        return {c["name"]: c["physical"] for c in cm["columns"]}
+
+    @staticmethod
+    def _phys_struct(
+        schema: T.StructType, mapping: dict[str, str] | None
+    ) -> T.StructType:
+        if not mapping:
+            return schema
+        return T.StructType(
+            [
+                T.StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+
+    @staticmethod
+    def _ensure_mapping(meta: dict) -> dict:
+        """Materialize the identity mapping on first RENAME/DROP (ids
+        in field order); no-op if mapping already exists."""
+        if meta.get("column_mapping"):
+            return meta
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        meta = dict(meta)
+        meta["column_mapping"] = {
+            "columns": [
+                {"id": i, "name": f.name, "physical": f.name}
+                for i, f in enumerate(schema.fields)
+            ],
+            "next_id": len(schema.fields),
+            "retired": [],
+        }
+        return meta
+
+    def _to_phys(self, meta: dict, cols) -> list[str]:
+        """Map logical column names → physical (identity if unmapped)."""
+        m = self._col_mapping(meta) or {}
+        return [m.get(c, c) for c in cols]
+
     # -- reads ------------------------------------------------------------
 
     _DV_SCHEMA = "path string, pos bigint"
@@ -536,23 +597,32 @@ class TxTable:
         return df
 
     def _read_files(
-        self, schema: T.StructType, rels: list[str], dvs: dict
+        self,
+        schema: T.StructType,
+        rels: list[str],
+        dvs: dict,
+        mapping: dict[str, str] | None = None,
     ) -> DataFrame:
-        """Scan ``rels`` under the enforced schema with deletion vectors
-        applied: rows whose ``(file, row_index)`` appear in a live DV
-        are anti-joined away. The DV side is tiny relative to the scan
-        (deleted rows only), so Catalyst/AQE plans a broadcast anti-join
-        — the merge-on-read cost is one broadcast probe per row, no
-        shuffle of the table side."""
+        """Scan ``rels`` under the enforced PHYSICAL schema, apply
+        deletion vectors (rows whose ``(file, row_index)`` appear in a
+        live DV are anti-joined away), then project physical → logical
+        names (``mapping``; identity when None). The DV side is tiny
+        relative to the scan (deleted rows only), so Catalyst/AQE plans
+        a broadcast anti-join — the merge-on-read cost is one broadcast
+        probe per row, no shuffle of the table side."""
         if not rels:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(
+        df = self.spark.read.schema(self._phys_struct(schema, mapping)).parquet(
             *[os.path.join(self.root, r) for r in sorted(rels)]
         )
+        m = mapping or {}
+        logical = [
+            F.col(m.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
         dv = self._dv_frame(dvs, restrict=set(rels))
         if dv is None:
-            return df
-        cols = [f.name for f in schema.fields]
+            return df.select(*logical)
         return (
             df.withColumn("__rel", self._rel_path_col())
             .withColumn("__pos", F.col("_metadata.row_index"))
@@ -563,7 +633,7 @@ class TxTable:
                 ["__rel", "__pos"],
                 "left_anti",
             )
-            .select(*cols)
+            .select(*logical)
         )
 
     def read(
@@ -585,7 +655,9 @@ class TxTable:
             self.version() if version is None else version
         )
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
-        return self._read_files(schema, sorted(live), dvs)
+        return self._read_files(
+            schema, sorted(live), dvs, self._col_mapping(meta)
+        )
 
     def scan(self, preds: dict) -> tuple[DataFrame, dict]:
         """Stats-pruned read: ``{col: (lo, hi)}`` conjunctive ranges.
@@ -596,13 +668,23 @@ class TxTable:
         result is exact, pruning is only a file-count optimization."""
         meta, live, _, dvs = self._state_at(self.version())
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        # stats are keyed by PHYSICAL name (stable across renames, so
+        # pre-rename files keep pruning) — translate the predicates
+        phys_preds = dict(
+            zip(self._to_phys(meta, preds.keys()), preds.values())
+        )
         keep = [
             a
             for a in live.values()
-            if all(_overlaps(a["stats"], c, lo, hi) for c, (lo, hi) in preds.items())
+            if all(
+                _overlaps(a["stats"], c, lo, hi)
+                for c, (lo, hi) in phys_preds.items()
+            )
         ]
         stats = {"files_total": len(live), "files_read": len(keep)}
-        df = self._read_files(schema, [a["path"] for a in keep], dvs)
+        df = self._read_files(
+            schema, [a["path"] for a in keep], dvs, self._col_mapping(meta)
+        )
         for c, (lo, hi) in preds.items():
             df = df.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
         return df, stats
@@ -658,6 +740,13 @@ class TxTable:
             raise ValueError(f"empty range: ({start_version}, {end}]")
         meta, _, _, _ = self._state_at(end)
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        mapping = self._col_mapping(meta)
+        phys = self._phys_struct(schema, mapping)
+        m = mapping or {}
+        logical = [
+            F.col(m.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
         cols = [f.name for f in schema.fields]
         commits = {
             v: self._parse_commit(v) for v in range(start_version + 1, end + 1)
@@ -708,13 +797,17 @@ class TxTable:
                 # multiset replay is order-free — but keeps the feed
                 # readable)
                 if removes:
-                    _stamp(self._read_files(schema, removes, dvs), "delete", v)
+                    _stamp(
+                        self._read_files(schema, removes, dvs, mapping),
+                        "delete",
+                        v,
+                    )
                 for d in dv_acts:
                     dvrel = self.spark.read.schema(self._DV_SCHEMA).parquet(
                         *[os.path.join(self.root, p) for p in d["paths"]]
                     )
                     hit = (
-                        self.spark.read.schema(schema)
+                        self.spark.read.schema(phys)
                         .parquet(
                             *[
                                 os.path.join(self.root, f)
@@ -731,13 +824,16 @@ class TxTable:
                             ["__rel", "__pos"],
                             "left_semi",
                         )
+                        .select(*logical)
                     )
                     _stamp(hit, "delete", v)
                 if adds:
                     _stamp(
-                        self.spark.read.schema(schema).parquet(
+                        self.spark.read.schema(phys)
+                        .parquet(
                             *[os.path.join(self.root, r) for r in sorted(adds)]
-                        ),
+                        )
+                        .select(*logical),
                         "insert",
                         v,
                     )
@@ -759,11 +855,26 @@ class TxTable:
 
     # -- write path -------------------------------------------------------
 
-    def _write_stage(self, df: DataFrame, stat_cols: list[str]) -> list[dict]:
+    def _write_stage(
+        self,
+        df: DataFrame,
+        stat_cols: list[str],
+        mapping: dict[str, str] | None = None,
+    ) -> list[dict]:
         """Stage ``df`` as immutable parquet under data/<txn>/ and
         harvest add-entries (size + footer stats). Staged files are
         invisible until a commit references them; a crashed writer
-        leaves an unreferenced dir that vacuum() reaps."""
+        leaves an unreferenced dir that vacuum() reaps.
+
+        ``mapping`` (column mapping active): ``df`` arrives with
+        LOGICAL names; the files are written — and their stats keyed —
+        under the PHYSICAL names, so data and stats stay valid across
+        later renames."""
+        if mapping:
+            df = df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+            )
+            stat_cols = [mapping.get(c, c) for c in stat_cols]
         txn = uuid.uuid4().hex
         rel_dir = os.path.join(_DATA_DIR, txn)
         out_dir = os.path.join(self.root, rel_dir)
@@ -1002,7 +1113,11 @@ class TxTable:
         O(new files) — the whole point vs versioned.py's whole-table
         snapshots."""
         meta, _, _, _ = self._state_at(self.version())
-        adds = self._write_stage(self._conform(df, meta), meta["stat_cols"])
+        adds = self._write_stage(
+            self._conform(df, meta),
+            meta["stat_cols"],
+            self._col_mapping(meta),
+        )
         return self._commit("append", adds, [], None, read_version=self.version())
 
     def last_stream_batch(self, app_id: str) -> int | None:
@@ -1036,7 +1151,11 @@ class TxTable:
             return None
         rv = self.version()
         meta, _, _, _ = self._state_at(rv)
-        adds = self._write_stage(self._conform(df, meta), meta["stat_cols"])
+        adds = self._write_stage(
+            self._conform(df, meta),
+            meta["stat_cols"],
+            self._col_mapping(meta),
+        )
         try:
             return self._commit(
                 "append",
@@ -1109,21 +1228,31 @@ class TxTable:
             raise ValueError(f"mode must be rewrite|dv, got {mode!r}")
         rv = self.version()
         meta, live, _, dvs = self._state_at(rv)
-        hit = [a for a in live.values() if _overlaps(a["stats"], col, lo, hi)]
+        mapping = self._col_mapping(meta)
+        (pcol,) = self._to_phys(meta, [col])
+        hit = [a for a in live.values() if _overlaps(a["stats"], pcol, lo, hi)]
         if not hit:
             return rv
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         hit_rels = [a["path"] for a in hit]
         matched = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-        predicate = {col: (lo, hi)}
+        predicate = {pcol: (lo, hi)}
         if mode == "dv":
-            return self._delete_dv(
-                rv, schema, hit_rels, dvs, matched, predicate
+            matched_phys = (F.col(pcol) >= F.lit(lo)) & (
+                F.col(pcol) <= F.lit(hi)
             )
-        keep = self._read_files(schema, hit_rels, dvs).filter(
+            return self._delete_dv(
+                rv,
+                self._phys_struct(schema, mapping),
+                hit_rels,
+                dvs,
+                matched_phys,
+                predicate,
+            )
+        keep = self._read_files(schema, hit_rels, dvs, mapping).filter(
             ~F.coalesce(matched, F.lit(False))
         )
-        adds = self._write_stage(keep, meta["stat_cols"])
+        adds = self._write_stage(keep, meta["stat_cols"], mapping)
         return self._commit(
             "delete",
             adds,
@@ -1224,7 +1353,9 @@ class TxTable:
             k: (F.expr(v) if isinstance(v, str) else v)
             for k, v in assignments.items()
         }
-        hit = [a for a in live.values() if _overlaps(a["stats"], col, lo, hi)]
+        mapping = self._col_mapping(meta)
+        (pcol,) = self._to_phys(meta, [col])
+        hit = [a for a in live.values() if _overlaps(a["stats"], pcol, lo, hi)]
         if not hit:
             return rv
         hit_rels = [a["path"] for a in hit]
@@ -1232,7 +1363,7 @@ class TxTable:
             (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)),
             F.lit(False),
         )
-        predicate = {col: (lo, hi)}
+        predicate = {pcol: (lo, hi)}
         cols = [f.name for f in schema.fields]
 
         def _assigned(df: DataFrame, cond) -> DataFrame:
@@ -1248,21 +1379,29 @@ class TxTable:
             return self._conform(out.select(*cols), meta)
 
         if mode == "rewrite":
-            src = self._read_files(schema, hit_rels, dvs)
-            adds = self._write_stage(_assigned(src, matched), meta["stat_cols"])
+            src = self._read_files(schema, hit_rels, dvs, mapping)
+            adds = self._write_stage(
+                _assigned(src, matched), meta["stat_cols"], mapping
+            )
             return self._commit(
                 "update", adds, hit_rels, predicate, read_version=rv
             )
         # merge-on-read: positions of the matched VISIBLE rows become a
         # deletion vector; their updated values become new data files —
         # both under one atomic commit.
+        m = mapping or {}
+        logical = [
+            F.col(m.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
         raw = (
-            self.spark.read.schema(schema)
+            self.spark.read.schema(self._phys_struct(schema, mapping))
             .parquet(*[os.path.join(self.root, r) for r in sorted(hit_rels)])
             .withColumn("__rel", self._rel_path_col())
             .withColumn(
                 "__pos", F.col("_metadata.row_index").cast("bigint")
             )
+            .select(*logical, "__rel", "__pos")
             .filter(matched)
         )
         existing = self._dv_frame(dvs, restrict=set(hit_rels))
@@ -1287,7 +1426,7 @@ class TxTable:
             if not dv_entries:
                 return rv  # nothing visible matched; orphan stages → vacuum
             adds = self._write_stage(
-                _assigned(raw, F.lit(True)), meta["stat_cols"]
+                _assigned(raw, F.lit(True)), meta["stat_cols"], mapping
             )
         finally:
             release(raw)
@@ -1394,19 +1533,25 @@ class TxTable:
             # replaces matched keys), the stats merely bound the IO —
             # so it joins the rewrite set conservatively, same contract
             # as _overlaps
-            hit = [a for a in live.values() if _overlaps(a["stats"], key, lo, hi)]
+            mapping = self._col_mapping(meta)
+            (pkey,) = self._to_phys(meta, [key])
+            hit = [
+                a for a in live.values() if _overlaps(a["stats"], pkey, lo, hi)
+            ]
             schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
             if hit:
                 # DVs applied: the rewrite must not resurrect rows a
                 # merge-on-read delete already removed
-                src = self._read_files(schema, [a["path"] for a in hit], dvs)
+                src = self._read_files(
+                    schema, [a["path"] for a in hit], dvs, mapping
+                )
                 survivors = src.join(
                     F.broadcast(updates.select(key)), key, "left_anti"
                 )
                 new_data = survivors.unionByName(updates)
             else:
                 new_data = updates
-            adds = self._write_stage(new_data, meta["stat_cols"])
+            adds = self._write_stage(new_data, meta["stat_cols"], mapping)
         finally:
             release(updates)  # staged parquet is durable; free the blocks
         try:
@@ -1414,7 +1559,7 @@ class TxTable:
                 "merge",
                 adds,
                 [a["path"] for a in hit],
-                {key: (lo, hi)},
+                {pkey: (lo, hi)},
                 read_version=rv,
                 stream_txn=stream_txn,
             )
@@ -1454,6 +1599,7 @@ class TxTable:
             T.StructType.fromJson(json.loads(meta["schema_json"])),
             [a["path"] for a in small],
             dvs,
+            self._col_mapping(meta),
         )
         n_out = max(1, math.ceil(sum(a["size"] for a in small) / target_file_bytes))
         if zorder_by is not None:
@@ -1471,7 +1617,9 @@ class TxTable:
             )
         else:
             src = src.coalesce(n_out)
-        adds = self._write_stage(src, meta["stat_cols"])
+        adds = self._write_stage(
+            src, meta["stat_cols"], self._col_mapping(meta)
+        )
         return self._commit(
             "optimize", adds, [a["path"] for a in small], None, read_version=rv
         )
@@ -1489,10 +1637,9 @@ class TxTable:
         joins ``stat_cols`` — old files simply have no stats for it and
         overlap every predicate (conservative, correct).
 
-        Only ADD COLUMN is offered: dropping or retyping a column would
-        make already-committed files unreadable under the enforced
-        schema — those are rewrite operations, not metadata ones, and
-        belong to a migration job, not a one-line alter."""
+        RENAME/DROP live on column mapping (:meth:`alter_rename_column`
+        / :meth:`alter_drop_column`); retyping a column stays a
+        migration job, not a one-line alter."""
         rv = self.version()
         meta, _, _, _ = self._state_at(rv)
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
@@ -1506,7 +1653,143 @@ class TxTable:
         stat_cols = list(meta["stat_cols"])
         if dt.typeName() in ("integer", "long", "double", "float", "string"):
             stat_cols.append(name)
-        new_meta = {"schema_json": new_schema.json(), "stat_cols": stat_cols}
+        new_meta = {
+            **meta,  # constraints / column mapping survive the alter
+            "schema_json": new_schema.json(),
+            "stat_cols": stat_cols,
+        }
+        if meta.get("column_mapping"):
+            cm = {
+                k: (list(v) if isinstance(v, list) else v)
+                for k, v in meta["column_mapping"].items()
+            }
+            cm["columns"] = [dict(c) for c in meta["column_mapping"]["columns"]]
+            cid = cm["next_id"]
+            taken = {c["physical"] for c in cm["columns"]} | set(
+                cm["retired"]
+            )
+            # a re-added name must NOT rebind a retired physical — old
+            # files would resurrect the dropped column's data
+            physical = name if name not in taken else f"c{cid}_{name}"
+            cm["columns"].append(
+                {"id": cid, "name": name, "physical": physical}
+            )
+            cm["next_id"] = cid + 1
+            new_meta["column_mapping"] = cm
+        return self._commit(
+            "alter", [], [], None, read_version=rv, meta=new_meta
+        )
+
+    def _constraints_referencing(self, meta: dict, name: str) -> list[str]:
+        """CHECK constraints whose expression mentions ``name`` as a
+        word — renames/drops refuse rather than silently breaking the
+        stored expression (the honest subset of Delta's behavior, which
+        rewrites expressions)."""
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        return sorted(
+            cname
+            for cname, expr in meta.get("constraints", {}).items()
+            if pat.search(expr)
+        )
+
+    def alter_rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN as a METADATA-ONLY transaction (public Delta
+        column-mapping / Iceberg field-id design): the column's stable
+        id keeps pointing at the SAME physical parquet name, only the
+        logical name changes — zero files rewritten, and reads, CDF,
+        restore, and time travel all keep working across the rename
+        (pre-rename files are read by physical name; each historical
+        version reads under ITS OWN logical schema). Stats survive too:
+        they are keyed by physical name. Constraints that reference the
+        old name make the rename refuse loudly (drop/re-add them)."""
+        rv = self.version()
+        meta, _, _, _ = self._state_at(rv)
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        if old not in schema.fieldNames():
+            raise ValueError(
+                f"no column {old!r} (have {schema.fieldNames()})"
+            )
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        self._check_reserved([new])
+        refs = self._constraints_referencing(meta, old)
+        if refs:
+            raise ValueError(
+                f"constraints {refs} reference {old!r} — drop them, "
+                "rename, then re-add under the new name"
+            )
+        meta = self._ensure_mapping(meta)
+        cm = {
+            "columns": [dict(c) for c in meta["column_mapping"]["columns"]],
+            "next_id": meta["column_mapping"]["next_id"],
+            "retired": list(meta["column_mapping"]["retired"]),
+        }
+        for c in cm["columns"]:
+            if c["name"] == old:
+                c["name"] = new  # physical untouched: that's the point
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    new if f.name == old else f.name, f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+        stat_cols = [new if c == old else c for c in meta["stat_cols"]]
+        new_meta = {
+            **meta,
+            "schema_json": new_schema.json(),
+            "stat_cols": stat_cols,
+            "column_mapping": cm,
+        }
+        return self._commit(
+            "alter", [], [], None, read_version=rv, meta=new_meta
+        )
+
+    def alter_drop_column(self, name: str) -> int:
+        """DROP COLUMN as a METADATA-ONLY transaction: the logical
+        schema loses the field and its physical name is RETIRED — no
+        file is rewritten (the bytes stay until the files churn through
+        later rewrites/vacuum, the public formats' documented
+        trade-off; a GDPR-grade purge is a rewrite job, not an alter).
+        A later ADD COLUMN with the same name binds a FRESH physical,
+        so the dropped data can never resurrect. Time travel to a
+        pre-drop version still reads the column (that version's meta
+        maps it). Refuses while a CHECK constraint references the
+        column, and refuses to drop the last column."""
+        rv = self.version()
+        meta, _, _, _ = self._state_at(rv)
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        if name not in schema.fieldNames():
+            raise ValueError(
+                f"no column {name!r} (have {schema.fieldNames()})"
+            )
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the last column")
+        refs = self._constraints_referencing(meta, name)
+        if refs:
+            raise ValueError(
+                f"constraints {refs} reference {name!r} — drop them first"
+            )
+        meta = self._ensure_mapping(meta)
+        cols = [dict(c) for c in meta["column_mapping"]["columns"]]
+        retired = list(meta["column_mapping"]["retired"])
+        retired += [c["physical"] for c in cols if c["name"] == name]
+        cm = {
+            "columns": [c for c in cols if c["name"] != name],
+            "next_id": meta["column_mapping"]["next_id"],
+            "retired": retired,
+        }
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        stat_cols = [c for c in meta["stat_cols"] if c != name]
+        new_meta = {
+            **meta,
+            "schema_json": new_schema.json(),
+            "stat_cols": stat_cols,
+            "column_mapping": cm,
+        }
         return self._commit(
             "alter", [], [], None, read_version=rv, meta=new_meta
         )
@@ -2016,9 +2299,11 @@ if HAVE_DATASOURCE_API:
             elif partition.kind == "dv_delete":
                 tbl = tbl.slice(0, 0)  # defensive: dv slice needs sidecars
             cols = []
+            phys_map = getattr(self, "_phys_map", {}) or {}
             for field in data_fields:
-                if field.name in tbl.column_names:
-                    cols.append(tbl.column(field.name).cast(field.type))
+                phys = phys_map.get(field.name, field.name)
+                if phys in tbl.column_names:
+                    cols.append(tbl.column(phys).cast(field.type))
                 else:
                     cols.append(pa.nulls(tbl.num_rows, field.type))
             out = pa.table(cols, schema=pa.schema(data_fields))
@@ -2074,8 +2359,12 @@ if HAVE_DATASOURCE_API:
 
             r = TxLogStreamReader(self.options["root"], self.options)
             # resolved ONCE on the driver; the executor-side read()
-            # conforms every file to exactly this Arrow schema
+            # conforms every file to exactly this Arrow schema, looking
+            # parquet columns up by PHYSICAL name (column mapping)
             r._arrow_schema = to_arrow_schema(schema)
+            t = TxTable._headless(self.options["root"])
+            meta, _, _, _ = t._state_at(t.version())
+            r._phys_map = TxTable._col_mapping(meta) or {}
             return r
 
 

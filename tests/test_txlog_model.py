@@ -52,6 +52,10 @@ _OP = st.one_of(
     # restore to a random reachable version: visible state must equal
     # what the model held THEN, and the feed must replay across it
     st.tuples(st.just("restore"), st.integers(0, 10)),
+    # metadata-only RENAME of the value column (column mapping, r8):
+    # toggles v <-> v2; every later op addresses the CURRENT name and
+    # all visible state / CDF replay must be unaffected
+    st.tuples(st.just("rename")),
 )
 
 
@@ -84,7 +88,8 @@ def _apply_model(model: dict, op) -> None:
     # optimize / maintain: no visible change
 
 
-def _apply_table(spark, t: TxTable, model_before: dict, op) -> None:
+def _apply_table(spark, t: TxTable, model_before: dict, op, vname: str) -> None:
+    ddl = f"k long, grp string, {vname} double"
     kind = op[0]
     if kind == "append":
         rows = []
@@ -92,17 +97,17 @@ def _apply_table(spark, t: TxTable, model_before: dict, op) -> None:
         for v in op[1]:
             mk += 1
             rows.append((mk, "g%d" % (v % 3), float(v)))
-        t.append(spark.createDataFrame(rows, DDL))
+        t.append(spark.createDataFrame(rows, ddl))
     elif kind == "delete":
         mode = "dv" if op[3] else "rewrite"
-        t.delete_where("v", float(op[1]), float(op[1] + op[2]), mode=mode)
+        t.delete_where(vname, float(op[1]), float(op[1] + op[2]), mode=mode)
     elif kind == "update":
         mode = "dv" if op[3] else "rewrite"
         t.update_where(
-            "v",
+            vname,
             float(op[1]),
             float(op[1] + op[2]),
-            {"v": F.col("v") + 100.0},
+            {vname: F.col(vname) + 100.0},
             mode=mode,
         )
     elif kind == "merge":
@@ -114,7 +119,7 @@ def _apply_table(spark, t: TxTable, model_before: dict, op) -> None:
             else:
                 k = max(model_before, default=-1) + 1000 + i
             rows[k] = (k, "m", float(v))
-        t.merge_upsert(spark.createDataFrame(sorted(rows.values()), DDL), "k")
+        t.merge_upsert(spark.createDataFrame(sorted(rows.values()), ddl), "k")
     elif kind == "optimize":
         t.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 20)
     elif kind == "maintain":
@@ -140,32 +145,37 @@ def test_random_dml_sequence_matches_model_and_replays(
     t = TxTable.create(
         spark, root, spark.createDataFrame(rows, DDL).repartition(2)
     )
-    history = {t.version(): dict(model)}
+    vname = "v"
+    history = {t.version(): (dict(model), vname)}
     for op in ops:
         if op[0] == "restore":
             tgt = sorted(history)[op[1] % len(history)]
             t.restore(tgt)
-            model = dict(history[tgt])
+            model, vname = dict(history[tgt][0]), history[tgt][1]
+        elif op[0] == "rename":
+            new = "v2" if vname == "v" else "v"
+            t.alter_rename_column(vname, new)
+            vname = new
         else:
             before = dict(model)
-            _apply_table(spark, t, before, op)
+            _apply_table(spark, t, before, op, vname)
             _apply_model(model, op)
-        history[t.version()] = dict(model)
+        history[t.version()] = (dict(model), vname)
         got = sorted(
-            (r["k"], r["grp"], r["v"]) for r in t.read().collect()
+            (r["k"], r["grp"], r[vname]) for r in t.read().collect()
         )
         want = sorted((k, g, v) for k, (g, v) in model.items())
         assert got == want, (op, got, want)
     # the change feed replays from empty to the final state
     feed = t.changes(-1)
-    net = feed.groupBy("k", "grp", "v").agg(
+    net = feed.groupBy("k", "grp", vname).agg(
         F.sum(
             F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
         ).alias("n")
     )
     assert net.filter(~F.col("n").isin(0, 1)).count() == 0
     recon = sorted(
-        (r["k"], r["grp"], r["v"])
+        (r["k"], r["grp"], r[vname])
         for r in net.filter("n = 1").drop("n").collect()
     )
     assert recon == sorted((k, g, v) for k, (g, v) in model.items())
