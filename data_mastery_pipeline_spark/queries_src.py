@@ -2045,3 +2045,76 @@ def txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "txlog_sql_dml",
+    """
+    WITH base AS (
+      SELECT event_id, event_type, value
+      FROM events WHERE event_id % 6 = 0
+    ),
+    d1 AS (
+      SELECT * FROM base WHERE NOT (value >= 0.0 AND value <= 25.0)
+    ),
+    u1 AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_type = 'error' THEN value + 1000.0
+                  ELSE value END AS value
+      FROM d1
+    ),
+    merged AS (
+      SELECT * FROM u1 WHERE event_id NOT IN (9200001, 9200002)
+      UNION ALL
+      SELECT * FROM (VALUES (9200001, 'click', 11.5),
+                            (9200002, 'promo', 77.0))
+        AS s(event_id, event_type, value)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS amount_cents
+    FROM merged GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txlog_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML driving the table format (txsql.TxSqlSession, r8): the
+    whole lifecycle — DELETE, UPDATE, MERGE INTO (upsert of one
+    existing and one new key), ALTER RENAME COLUMN, and the final
+    SELECT — runs as SQL STATEMENTS dispatched onto the same
+    transactional verbs the DataFrame API uses (delete_where /
+    update_where / merge_upsert / alter_rename_column), so both
+    front-ends share one commit path and cannot diverge (state
+    equality pinned in tests/test_sql_frontend.py). The oracle
+    recomputes the final relation declaratively.
+
+    100 TB: each statement inherits its verb's scale contract (stats-
+    pruned blast radius, key-range-pruned merge); the dispatcher adds
+    only a regex parse. The grammar is the documented honest subset —
+    anything else raises UnsupportedSqlError rather than mis-running."""
+    from .sources import txlog as _txlog
+    from .txsql import TxSqlSession
+
+    base = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 6 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    root = os.path.join(_fresh_dir("txlog_sqldml", sf_dir), "tbl")
+    t = _txlog.TxTable.create(spark, root, base)
+    ss = TxSqlSession(spark).register("ev", t)
+    ss.sql("DELETE FROM ev WHERE value BETWEEN 0 AND 25")
+    ss.sql("UPDATE ev SET value = value + 1000 WHERE event_type = 'error'")
+    ss.sql(
+        "MERGE INTO ev USING ("
+        "SELECT BIGINT(9200001) event_id, 'click' event_type, "
+        "DOUBLE(11.5) value "
+        "UNION ALL SELECT BIGINT(9200002), 'promo', DOUBLE(77.0)"
+        ") s ON ev.event_id = s.event_id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    ss.sql("ALTER TABLE ev RENAME COLUMN value TO amount")
+    return ss.sql(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(floor(amount * 100 + 0.5)) AS BIGINT) AS amount_cents "
+        "FROM ev GROUP BY event_type ORDER BY event_type"
+    )

@@ -1,0 +1,219 @@
+"""SQL DML front-end for the transaction-log table format — the
+surface a SQL-first user reaches for first:
+
+    ss = TxSqlSession(spark)
+    ss.register("events", table)
+    ss.sql("DELETE FROM events WHERE value BETWEEN 0 AND 30")
+    ss.sql("UPDATE events SET value = value + 1 WHERE user_id = 7")
+    ss.sql("MERGE INTO events USING (SELECT ...) s ON events.id = s.id "
+           "WHEN MATCHED THEN UPDATE SET * "
+           "WHEN NOT MATCHED THEN INSERT *")
+    ss.sql("ALTER TABLE events RENAME COLUMN value TO amount")
+    ss.sql("SELECT amount, count(*) FROM events GROUP BY amount")
+
+Design: a THIN dispatcher over the existing transactional verbs
+(``delete_where`` / ``update_where`` / ``merge_upsert`` / the alters /
+``restore``), not a second execution engine — SQL and the DataFrame
+API land on the SAME commit paths, so the two front-ends cannot
+diverge semantically (pinned by tests/test_sql_frontend.py: identical
+op sequences through either API produce byte-identical table states).
+SELECTs run through real ``spark.sql`` over per-call snapshot views of
+the registered tables, so the full SQL surface (joins, windows,
+subqueries) works unmodified against txlog data.
+
+Why not Catalyst injection: Spark's SQL DML (UPDATE/DELETE/MERGE
+statements) binds to DataSource-v2 catalogs implementing the JVM
+SupportsRowLevelOperations API — not reachable from a pure-Python
+format (the Python DataSource API is read/append-only). The honest
+alternative is this explicit dispatcher with a DOCUMENTED grammar;
+anything outside it raises :class:`UnsupportedSqlError` loudly rather
+than mis-executing. The supported WHERE shape mirrors what the verbs
+themselves index (a single column range — the stats-pruning contract):
+``col BETWEEN lo AND hi`` / ``col = lit``.
+
+Reference: the reference engine exposes its tables only through SQL
+views (sql/schema.sql); this module closes the reverse direction —
+SQL statements driving this repo's table format.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources.txlog import TxTable
+
+
+class UnsupportedSqlError(ValueError):
+    """Statement outside the documented DML grammar — refused loudly
+    (never guessed at)."""
+
+
+_NUM = r"-?\d+(?:\.\d+)?"
+_STR = r"'(?:[^']|'')*'"
+_LIT = rf"(?:{_NUM}|{_STR})"
+_ID = r"[A-Za-z_][A-Za-z_0-9]*"
+
+# WHERE shapes the verbs can index: a single-column range / equality
+_W_BETWEEN = re.compile(
+    rf"^\s*({_ID})\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})\s*$", re.I
+)
+_W_EQ = re.compile(rf"^\s*({_ID})\s*=\s*({_LIT})\s*$", re.I)
+
+_DELETE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+({_ID})\s+WHERE\s+(.*?)\s*$", re.I | re.S
+)
+_UPDATE = re.compile(
+    rf"^\s*UPDATE\s+({_ID})\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*$",
+    re.I | re.S,
+)
+_MERGE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+({_ID})\s+USING\s+(.*?)\s+(?:AS\s+)?({_ID})\s+"
+    rf"ON\s+\1\s*\.\s*({_ID})\s*=\s*\3\s*\.\s*\4\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    re.I | re.S,
+)
+_RENAME = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+RENAME\s+COLUMN\s+({_ID})\s+TO\s+({_ID})\s*$",
+    re.I,
+)
+_DROP = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+DROP\s+COLUMN\s+({_ID})\s*$", re.I
+)
+_ADD = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ADD\s+COLUMN\s+({_ID})\s+([A-Za-z0-9_() ]+?)\s*$",
+    re.I,
+)
+_RESTORE = re.compile(
+    rf"^\s*RESTORE\s+TABLE\s+({_ID})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
+    re.I,
+)
+_SELECT = re.compile(r"^\s*(SELECT|WITH)\b", re.I)
+
+
+def _lit(text: str):
+    if text.startswith("'"):
+        return text[1:-1].replace("''", "'")
+    return float(text) if "." in text else int(text)
+
+
+def _parse_range(where: str) -> tuple[str, object, object]:
+    m = _W_BETWEEN.match(where)
+    if m:
+        return m.group(1), _lit(m.group(2)), _lit(m.group(3))
+    m = _W_EQ.match(where)
+    if m:
+        v = _lit(m.group(2))
+        return m.group(1), v, v
+    raise UnsupportedSqlError(
+        f"WHERE {where!r}: only `col BETWEEN lo AND hi` and `col = lit` "
+        "are supported — the shapes the stats-pruning index can serve. "
+        "Arbitrary predicates belong in a SELECT + explicit rewrite."
+    )
+
+
+def _split_assignments(text: str) -> dict[str, str]:
+    """``a = expr, b = expr`` → {a: expr}; commas inside parens stay."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in text:
+        if ch in "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out: dict[str, str] = {}
+    for p in parts:
+        m = re.match(rf"^\s*({_ID})\s*=\s*(.+?)\s*$", p, re.S)
+        if not m:
+            raise UnsupportedSqlError(f"bad SET assignment: {p!r}")
+        out[m.group(1)] = m.group(2)
+    return out
+
+
+class TxSqlSession:
+    """SQL statements over registered :class:`TxTable`\\ s (module
+    docstring has the grammar). DML/DDL return the committed version;
+    SELECT returns a DataFrame over per-call snapshot views."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, TxTable] = {}
+
+    def register(self, name: str, table: TxTable) -> "TxSqlSession":
+        self._tables[name] = table
+        return self
+
+    def _table(self, name: str) -> TxTable:
+        try:
+            return self._tables[name]
+        except KeyError:
+            raise UnsupportedSqlError(
+                f"unknown table {name!r} (registered: {sorted(self._tables)})"
+            ) from None
+
+    def _refresh_views(self) -> None:
+        for name, t in self._tables.items():
+            t.read().createOrReplaceTempView(name)
+
+    def sql(self, text: str):
+        text = text.strip().rstrip(";")
+        m = _DELETE.match(text)
+        if m:
+            col, lo, hi = _parse_range(m.group(2))
+            return self._table(m.group(1)).delete_where(col, lo, hi)
+        m = _UPDATE.match(text)
+        if m:
+            col, lo, hi = _parse_range(m.group(3))
+            return self._table(m.group(1)).update_where(
+                col, lo, hi, _split_assignments(m.group(2))
+            )
+        m = _MERGE.match(text)
+        if m:
+            name, source_sql, _alias, key = (
+                m.group(1),
+                m.group(2),
+                m.group(3),
+                m.group(4),
+            )
+            self._refresh_views()  # source may SELECT from registered tables
+            src = source_sql.strip()
+            if src.startswith("(") and src.endswith(")"):
+                src = src[1:-1]
+            updates = self.spark.sql(src)
+            return self._table(name).merge_upsert(updates, key)
+        m = _RENAME.match(text)
+        if m:
+            return self._table(m.group(1)).alter_rename_column(
+                m.group(2), m.group(3)
+            )
+        m = _DROP.match(text)
+        if m:
+            return self._table(m.group(1)).alter_drop_column(m.group(2))
+        m = _ADD.match(text)
+        if m:
+            return self._table(m.group(1)).alter_add_column(
+                m.group(2), m.group(3)
+            )
+        m = _RESTORE.match(text)
+        if m:
+            return self._table(m.group(1)).restore(int(m.group(2)))
+        if _SELECT.match(text):
+            self._refresh_views()
+            return self.spark.sql(text)
+        raise UnsupportedSqlError(
+            f"unsupported statement: {text[:80]!r}… — supported: SELECT/"
+            "WITH, DELETE FROM t WHERE <range>, UPDATE t SET … WHERE "
+            "<range>, MERGE INTO t USING <src> s ON t.k = s.k WHEN "
+            "MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *, "
+            "ALTER TABLE t RENAME/DROP/ADD COLUMN, RESTORE TABLE t TO "
+            "VERSION AS OF n"
+        )

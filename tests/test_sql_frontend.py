@@ -66,3 +66,88 @@ def test_sql_string_matches_dataframe_api(name, sql_views, spark):
     got = sorted(tuple(_norm(v) for v in r) for r in sql_df.select(*cols).collect())
     want = sorted(tuple(_norm(v) for v in r) for r in api_df.select(*cols).collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SQL DML over the table format (txsql.TxSqlSession, r8): the reverse
+# direction — SQL statements DRIVING the txlog verbs. The guarantee:
+# the same op sequence through SQL and through the DataFrame API lands
+# on the same commit paths and produces IDENTICAL table states.
+# ---------------------------------------------------------------------------
+
+
+def _mk_pair(spark, tmp_path):
+    from data_mastery_pipeline_spark.sources.txlog import TxTable
+
+    rows = [(i, "g%d" % (i % 3), float(i)) for i in range(12)]
+    ddl = "id long, grp string, v double"
+    a = TxTable.create(spark, str(tmp_path / "sql_t"),
+                       spark.createDataFrame(rows, ddl))
+    b = TxTable.create(spark, str(tmp_path / "api_t"),
+                       spark.createDataFrame(rows, ddl))
+    return a, b
+
+
+def _state(t):
+    return sorted(tuple(r) for r in t.read().collect())
+
+
+def test_sql_dml_matches_dataframe_dml(spark, tmp_path):
+    from data_mastery_pipeline_spark.txsql import TxSqlSession
+
+    sql_t, api_t = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+
+    ss.sql("DELETE FROM t WHERE v BETWEEN 2 AND 3")
+    api_t.delete_where("v", 2, 3)
+    assert _state(sql_t) == _state(api_t)
+
+    ss.sql("UPDATE t SET v = v + 100, grp = upper(grp) WHERE v BETWEEN 5 AND 7")
+    api_t.update_where("v", 5, 7, {"v": "v + 100", "grp": "upper(grp)"})
+    assert _state(sql_t) == _state(api_t)
+
+    ss.sql(
+        "MERGE INTO t USING (SELECT id, 'm' AS grp, v * 2 AS v FROM t "
+        "WHERE id >= 10) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    api_t.merge_upsert(
+        api_t.read().filter("id >= 10").selectExpr("id", "'m' AS grp", "v * 2 AS v"),
+        "id",
+    )
+    assert _state(sql_t) == _state(api_t)
+
+    ss.sql("ALTER TABLE t RENAME COLUMN v TO amount")
+    api_t.alter_rename_column("v", "amount")
+    assert _state(sql_t) == _state(api_t)
+    assert "amount" in sql_t.read().columns
+
+    ss.sql("DELETE FROM t WHERE grp = 'm'")
+    api_t.delete_where("grp", "m", "m")
+    assert _state(sql_t) == _state(api_t)
+
+    ss.sql("RESTORE TABLE t TO VERSION AS OF 1")
+    api_t.restore(1)
+    assert _state(sql_t) == _state(api_t)
+
+    # SELECT runs real spark.sql over the registered snapshot
+    out = ss.sql("SELECT grp, count(*) AS n FROM t GROUP BY grp ORDER BY grp")
+    want = sorted(
+        (r["grp"], r["n"])
+        for r in api_t.read().groupBy("grp").count()
+        .withColumnRenamed("count", "n").collect()
+    )
+    assert sorted((r["grp"], r["n"]) for r in out.collect()) == want
+
+
+def test_sql_dml_refusals_are_loud(spark, tmp_path):
+    from data_mastery_pipeline_spark.txsql import TxSqlSession, UnsupportedSqlError
+
+    sql_t, _ = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+    with pytest.raises(UnsupportedSqlError, match="BETWEEN"):
+        ss.sql("DELETE FROM t WHERE v > 3 OR grp = 'a'")
+    with pytest.raises(UnsupportedSqlError, match="unknown table"):
+        ss.sql("DELETE FROM nope WHERE v = 1")
+    with pytest.raises(UnsupportedSqlError, match="unsupported statement"):
+        ss.sql("TRUNCATE TABLE t")
