@@ -550,6 +550,59 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivfpq_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id,
+               floor((list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q))) * 10000 + 0.5) / 10000.0 AS cos
+        FROM embeddings
+    )
+    SELECT vec_id, cos, TRUE AS pq_recall_ok
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN recall certificate (similarity/pq.py) — the memory-
+    scale step past IVF-Flat: per-subspace codebooks over cell
+    residuals, ADC scoring over the m-byte CODES relation only (LUTs
+    as plan literals, full vectors untouched), then exact re-rank of
+    the k·refine shortlist via a broadcast id join against the vector
+    table. Like ann_ivf_topk, the approximate result itself is not
+    value-oracle-able, so the DRIVER-CHECKED output is the exact
+    top-10 plus ``pq_recall_ok`` — TRUE iff the real two-stage IVF-PQ
+    result recalls ≥ 5 of the exact top-10 (fixed seeds make the whole
+    pipeline deterministic; measured 0.7 at sf0.01). A recall
+    regression flips the boolean and fails the value-hash while the
+    PQ path still executes end to end.
+
+    100 TB: the ADC scan reads m bytes/row over n_probes/n_cells of
+    the codes table; the only full-vector reads are the
+    shortlist-bounded re-rank joins — O(k·refine), independent of
+    table size."""
+    from .similarity import ivf, pq
+
+    qv = _query_vec(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = ivf.train_centroids(emb, n_cells=8, max_train_rows=20_000)
+    books = pq.train_pq(emb, cents, m=4, ksub=16)
+    codes = pq.encode_pq(emb, cents, books)
+    pq_out = pq.ivfpq_topk(
+        codes, emb, cents, books, qv, k=10, n_probes=4, refine=6
+    ).select("vec_id")
+    exact = _exact_cosine_topk(spark, sf_dir, qv)
+    hits = (
+        exact.join(pq_out, "vec_id", "left_semi")
+        .agg(F.count("*").alias("__n_hit"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(hits))
+        .withColumn("pq_recall_ok", F.col("__n_hit") >= 5)
+        .drop("__n_hit")
+    )
+
+
+@query(
     "audio_features",
     """
     SELECT doc_id,

@@ -83,3 +83,54 @@ def test_lsh_topk_quantized_tie_cut(spark):
     assert {r["vec_id"] for r in quantized} == {0, 2}, quantized
     raw = lsh.lsh_cosine_topk(df, qv, k=2, n_bits=1, n_probes=1).collect()
     assert {r["vec_id"] for r in raw} == {0, 5}, raw
+
+
+def test_ivfpq_recall_and_adc_shortlist_bounds(spark, tmp_path):
+    """IVF-PQ (similarity/pq.py): two-stage search recalls ≥5 of the
+    exact top-10 (same floor as IVF-Flat), the codes relation is
+    m-codes-per-row, and the ADC stage scans ONLY the codes table —
+    full vectors appear solely in the shortlist-bounded re-rank."""
+    from data_mastery_pipeline_spark.similarity import pq
+
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    qv = _qvec(spark)
+    cents = ivf.train_centroids(emb, n_cells=8, max_train_rows=20_000)
+    books = pq.train_pq(emb, cents, m=4, ksub=16)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    codes = pq.encode_pq(emb, cents, books)
+    row = codes.first()
+    assert len(row["codes"]) == 4
+    assert all(0 <= c < 16 for c in row["codes"])
+    # persist the codes relation (the at-scale shape: the index table
+    # is separate from the vector table) and search from the files
+    p = str(tmp_path / "codes")
+    codes.write.parquet(p)
+    codes_tbl = spark.read.parquet(p)
+    out = pq.ivfpq_topk(
+        codes_tbl, emb, cents, books, qv, k=10, n_probes=4, refine=6
+    )
+    exact = {r["vec_id"] for r in brute.cosine_topk(emb, qv, k=10).collect()}
+    approx = {r["vec_id"] for r in out.collect()}
+    assert 0 in approx
+    assert len(exact & approx) >= 5, (exact, approx)
+    # plan property: the ADC branch reads only the codes table columns;
+    # embedding is read once (the re-rank scan), never per-probe
+    from data_mastery_pipeline_spark.plans import inspect
+
+    schemas = inspect.read_schema_columns(out)
+    emb_scans = [s for s in schemas if "embedding" in s]
+    assert len(emb_scans) == 1, schemas
+    code_scans = [s for s in schemas if "codes" in s]
+    assert code_scans and all("embedding" not in s for s in code_scans)
+
+
+def test_ivfpq_determinism(spark):
+    """Fixed seeds ⇒ identical codebooks across runs — what makes the
+    driver recall certificate a stable value-hash."""
+    from data_mastery_pipeline_spark.similarity import pq
+
+    emb = load_table(spark, "embeddings", SF_ORACLE)
+    cents = ivf.train_centroids(emb, n_cells=8, max_train_rows=20_000)
+    b1 = pq.train_pq(emb, cents, m=4, ksub=16)
+    b2 = pq.train_pq(emb, cents, m=4, ksub=16)
+    assert b1 == b2
