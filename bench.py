@@ -135,6 +135,15 @@ HEADLINE = [
     "mann_whitney_value_drift",
     "cuped_ab_test",
     "kaplan_meier_retention",
+    # round 8: MIN/MAX MV lifecycle (monotone fold + equality-breach
+    # group rescan + navigation), column-mapping lifecycle (rename /
+    # pruned DV delete / drop+readd / CDF replay), the SQL DML
+    # front-end lifecycle, and IVF-PQ (5 k-means fits + ADC + re-rank
+    # — the index BUILD dominates; search is the cheap part)
+    "mv_minmax",
+    "txlog_column_mapping",
+    "txlog_sql_dml",
+    "ann_ivfpq_topk",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

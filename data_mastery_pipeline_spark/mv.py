@@ -218,11 +218,20 @@ class SumCountView:
     def is_stale(self) -> bool:
         return self.last_refreshed() < self.source.version()
 
+    def _measure_aggs(self) -> list:
+        """Rollup expressions for navigation — subclasses append their
+        measures (sums of sums/counts roll up losslessly; tombstones
+        are hidden by read())."""
+        return [
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        ]
+
     def answer(
         self, group_dims: list[str], strict: bool = True
     ) -> DataFrame:
         """Aggregate navigation: GROUP BY a SUBSET of the MV's dims,
-        answered by re-aggregating the MV (sums of sums / counts) —
+        answered by re-aggregating the MV (:meth:`_measure_aggs`) —
         the base table is never read."""
         unknown = [d for d in group_dims if d not in self.dims]
         if unknown:
@@ -236,14 +245,7 @@ class SumCountView:
                 f"< v{self.source.version()} — refresh() first "
                 "(or pass strict=False for an eventually-consistent read)"
             )
-        return (
-            self.read()
-            .groupBy(*group_dims)
-            .agg(
-                F.sum("n_rows").cast("bigint").alias("n_rows"),
-                F.sum("sum_cents").cast("bigint").alias("sum_cents"),
-            )
-        )
+        return self.read().groupBy(*group_dims).agg(*self._measure_aggs())
 
 
 class MinMaxView(SumCountView):
@@ -404,34 +406,14 @@ class MinMaxView(SumCountView):
         )
         return folded.unionByName(rescanned)
 
-    def answer(
-        self, group_dims: list[str], strict: bool = True
-    ) -> DataFrame:
-        """Navigation over sum/count/min/max: min of mins and max of
-        maxes roll up losslessly (unlike refresh, rollup needs no
-        retraction handling — tombstones are already hidden)."""
-        unknown = [d for d in group_dims if d not in self.dims]
-        if unknown:
-            raise ValueError(
-                f"dims {unknown} not in materialized grain "
-                f"{sorted(self.dims)} — cannot navigate to a FINER grain"
-            )
-        if strict and self.is_stale():
-            raise StaleViewError(
-                f"MV {self.name!r} reflects source v{self.last_refreshed()} "
-                f"< v{self.source.version()} — refresh() first "
-                "(or pass strict=False for an eventually-consistent read)"
-            )
-        return (
-            self.read()
-            .groupBy(*group_dims)
-            .agg(
-                F.sum("n_rows").cast("bigint").alias("n_rows"),
-                F.sum("sum_cents").cast("bigint").alias("sum_cents"),
-                F.min("min_cents").alias("min_cents"),
-                F.max("max_cents").alias("max_cents"),
-            )
-        )
+    def _measure_aggs(self) -> list:
+        # min of mins / max of maxes roll up losslessly (unlike
+        # refresh, rollup needs no retraction handling — tombstones
+        # are already hidden)
+        return super()._measure_aggs() + [
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        ]
 
 
 class Navigator:

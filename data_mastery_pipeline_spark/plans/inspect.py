@@ -125,11 +125,13 @@ def unpartitioned_window_count(df: DataFrame) -> int:
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = 0
     for line in plan.splitlines():
-        idx = line.find("Window [")
-        # exclude WindowGroupLimit (different argument shape) but match
-        # Window at any tree position
-        if idx < 0 or "WindowGroupLimit" in line[:idx + 6]:
+        # standalone Window node only: "WindowGroupLimit [" does not
+        # match (no space between "Window" and "["), and the preceding
+        # char must not extend the node name
+        m_node = re.search(r"(?<![A-Za-z])Window \[", line)
+        if not m_node:
             continue
+        idx = m_node.start()
         depth = 0
         groups: list[list[str]] = []
         for ch in line[idx + len("Window "):]:

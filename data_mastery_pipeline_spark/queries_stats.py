@@ -1171,17 +1171,26 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_cust = truncate_lineage(per_cust, None)
-    cut = ranks.exact_ntile(
-        per_cust,
-        [("recency_days", "asc"), ("o_custkey", "asc")],
-        5,
-        out="r_bucket",
+    # lineage cut between the chained cuts: each exact_ntile runs an
+    # eager approxQuantile action, which would otherwise re-execute
+    # every PRIOR cut's window+join (review r8 — ~3× redundant work)
+    cut = truncate_lineage(
+        ranks.exact_ntile(
+            per_cust,
+            [("recency_days", "asc"), ("o_custkey", "asc")],
+            5,
+            out="r_bucket",
+        ),
+        None,
     )
-    cut = ranks.exact_ntile(
-        cut,
-        [("frequency", "desc"), ("o_custkey", "asc")],
-        5,
-        out="f_bucket",
+    cut = truncate_lineage(
+        ranks.exact_ntile(
+            cut,
+            [("frequency", "desc"), ("o_custkey", "asc")],
+            5,
+            out="f_bucket",
+        ),
+        None,
     )
     cut = ranks.exact_ntile(
         cut,

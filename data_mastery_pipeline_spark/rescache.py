@@ -35,15 +35,9 @@ import hashlib
 import os
 import re
 import shutil
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
-# anchored to attribute-reference context (a name/paren/bracket/quote
-# immediately before the '#'): a bare literal string '#123' inside a
-# plan must NOT be stripped, or two plans differing only in that
-# constant would merge keys (ADVICE r7)
-_EXPR_ID = re.compile(r"(?<=[\w)\]`'\"])#\d+L?")
 # in-memory leaves print only their SCHEMA, never their rows — two
 # DataFrames with equal schemas but different data would share a key,
 # so such plans are refused (ADVICE r7). Spark 4 plans createDataFrame
@@ -74,8 +68,18 @@ class UncacheablePlanError(ValueError):
 
 
 def normalized_plan(df: DataFrame) -> str:
-    """Analyzed logical plan with session-local expression ids removed."""
-    return _EXPR_ID.sub("#", df._jdf.queryExecution().analyzed().toString())
+    """Catalyst's CANONICALIZED analyzed plan — expression ids are
+    renumbered deterministically by position (the machinery behind
+    Spark's own ``sameResult``), so two independently-built frames for
+    the same query print identically while literals are left verbatim.
+    This replaced a regex strip of ``#N`` tokens, which also ate a
+    literal string like ``'room#5'`` and merged keys for plans
+    differing only in that constant (review r8 — an attribute id and a
+    literal ending in a word char are lexically indistinguishable in
+    the plan text; canonicalization is the structural fix)."""
+    return (
+        df._jdf.queryExecution().analyzed().canonicalized().toString()
+    )
 
 
 def input_fingerprint(df: DataFrame) -> str:
@@ -103,13 +107,17 @@ class ResultCache:
         self.max_entries = max_entries
         self.hits = 0
         self.misses = 0
-        # weakrefs to DataFrames handed out as lazy readers: a later
-        # miss must not LRU-evict a directory a caller still holds an
-        # unmaterialized DataFrame over (ADVICE r7). The pin lives
-        # exactly as long as the served object — once the caller drops
-        # it, the entry is evictable again (no unpin protocol to get
-        # wrong, no permanent pin defeating the LRU).
-        self._served: dict[str, list] = {}
+        # keys served by THIS instance as lazy readers: a later miss
+        # must never LRU-evict a directory a caller might still hold
+        # an unmaterialized DataFrame over (ADVICE r7). A weakref pin
+        # on the returned object is NOT enough — a derived frame
+        # (select/filter over the served reader) keeps the JVM scan
+        # alive after the Python handle is collected (review r8) — so
+        # the pin is session-scoped: this instance never evicts what
+        # it served (bounded by distinct keys per session); eviction
+        # reclaims entries from prior sessions / other instances,
+        # which is the cache directory's actual growth vector.
+        self._served: set[str] = set()
         os.makedirs(cache_dir, exist_ok=True)
 
     def key_for(self, df: DataFrame) -> str:
@@ -152,6 +160,9 @@ class ResultCache:
         key = self.key_for(df)
         entry = self._entry(key)
         marker = os.path.join(entry, "_SUCCESS")
+        # pin BEFORE any eviction runs: the entry this call writes or
+        # serves must never be its own eviction victim
+        self._served.add(key)
         if os.path.exists(marker):
             self.hits += 1
             os.utime(entry)  # LRU touch
@@ -159,34 +170,26 @@ class ResultCache:
             self.misses += 1
             df.write.mode("overwrite").parquet(entry)
             self._evict()
-        out = self.spark.read.schema(df.schema).parquet(entry)
-        self._served.setdefault(key, []).append(weakref.ref(out))
-        return out
-
-    def _pinned_keys(self) -> set:
-        """Keys whose served DataFrames are still alive in the caller."""
-        live = set()
-        for k in list(self._served):
-            refs = [r for r in self._served[k] if r() is not None]
-            if refs:
-                self._served[k] = refs
-                live.add(k)
-            else:
-                del self._served[k]
-        return live
+        return self.spark.read.schema(df.schema).parquet(entry)
 
     def _evict(self) -> None:
-        pinned = self._pinned_keys()
-        entries = [
-            os.path.join(self.dir, d)
+        dirs = [
+            d
             for d in os.listdir(self.dir)
             if os.path.isdir(os.path.join(self.dir, d))
-            and d not in pinned  # in-flight readers stay valid
         ]
-        if len(entries) <= self.max_entries:
+        excess = len(dirs) - self.max_entries
+        if excess <= 0:
             return
-        entries.sort(key=lambda p: os.stat(p).st_mtime_ns)
-        for victim in entries[: len(entries) - self.max_entries]:
+        # the cap counts EVERY entry, but only unpinned ones (not
+        # served by this instance — in-flight readers stay valid) are
+        # eviction candidates; when everything is pinned the cache
+        # temporarily overshoots rather than break a served reader
+        candidates = sorted(
+            (os.path.join(self.dir, d) for d in dirs if d not in self._served),
+            key=lambda p: os.stat(p).st_mtime_ns,
+        )
+        for victim in candidates[:excess]:
             shutil.rmtree(victim, ignore_errors=True)
 
     def stats(self) -> dict:

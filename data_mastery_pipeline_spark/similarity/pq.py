@@ -85,20 +85,26 @@ def train_pq(
             for i in range(m)
         ]
     )
-    # ONE pass materializes the sample for the m fits
-    subs = subs.localCheckpoint()
-    books: list[list[list[float]]] = []
-    for i in range(m):
-        train = subs.select(
-            array_to_vector(F.col(f"__s{i}")).alias("features")
-        )
-        # subspace codebooks converge fast (dsub-dim residuals); 8
-        # iterations matches FAISS's default-ish budget and halves the
-        # m-fit index-build wall vs 20
-        model = KMeans(k=ksub, seed=seed + i, maxIter=8).fit(train)
-        books.append(
-            [list(map(float, c)) for c in model.clusterCenters()]
-        )
+    from ..checkpointing import release, truncate_lineage
+
+    # ONE pass materializes the sample for the m fits; released after
+    # (repeated index builds must not accumulate dead blocks)
+    subs = truncate_lineage(subs, None)
+    try:
+        books: list[list[list[float]]] = []
+        for i in range(m):
+            train = subs.select(
+                array_to_vector(F.col(f"__s{i}")).alias("features")
+            )
+            # subspace codebooks converge fast (dsub-dim residuals); 8
+            # iterations matches FAISS's default-ish budget and halves
+            # the m-fit index-build wall vs 20
+            model = KMeans(k=ksub, seed=seed + i, maxIter=8).fit(train)
+            books.append(
+                [list(map(float, c)) for c in model.clusterCenters()]
+            )
+    finally:
+        release(subs)
     return books
 
 

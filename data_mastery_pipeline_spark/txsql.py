@@ -65,8 +65,7 @@ _DELETE = re.compile(
     rf"^\s*DELETE\s+FROM\s+({_ID})\s+WHERE\s+(.*?)\s*$", re.I | re.S
 )
 _UPDATE = re.compile(
-    rf"^\s*UPDATE\s+({_ID})\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*$",
-    re.I | re.S,
+    rf"^\s*UPDATE\s+({_ID})\s+SET\s+(.*)$", re.I | re.S
 )
 _MERGE = re.compile(
     rf"^\s*MERGE\s+INTO\s+({_ID})\s+USING\s+(.*?)\s+(?:AS\s+)?({_ID})\s+"
@@ -114,17 +113,48 @@ def _parse_range(where: str) -> tuple[str, object, object]:
     )
 
 
+def _rsplit_where(text: str) -> tuple[str, str]:
+    """Split ``SET … WHERE …`` at the LAST ``WHERE`` that sits outside
+    string literals — a SET expression may legitimately contain the
+    word inside a quoted string (``SET note = 'x where y' WHERE …``,
+    review r8); splitting at the first occurrence spuriously refused
+    in-grammar statements."""
+    in_q = False
+    pos = -1
+    up = text.upper()
+    for i in range(len(text)):
+        ch = text[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q and up.startswith("WHERE", i):
+            before = i == 0 or text[i - 1].isspace()
+            after = text[i + 5 : i + 6].isspace() or i + 5 == len(text)
+            if before and after:
+                pos = i
+    if pos < 0:
+        raise UnsupportedSqlError(
+            "UPDATE requires a WHERE clause (full-table updates are a "
+            "rewrite job, not a one-liner)"
+        )
+    return text[:pos].rstrip(), text[pos + 5 :].strip()
+
+
 def _split_assignments(text: str) -> dict[str, str]:
-    """``a = expr, b = expr`` → {a: expr}; commas inside parens stay."""
+    """``a = expr, b = expr`` → {a: expr}; commas inside parens or
+    string literals stay (quote-aware, review r8)."""
     parts: list[str] = []
     depth = 0
+    in_q = False
     cur: list[str] = []
     for ch in text:
-        if ch in "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if ch == "," and depth == 0 and not in_q:
             parts.append("".join(cur))
             cur = []
         else:
@@ -172,9 +202,10 @@ class TxSqlSession:
             return self._table(m.group(1)).delete_where(col, lo, hi)
         m = _UPDATE.match(text)
         if m:
-            col, lo, hi = _parse_range(m.group(3))
+            set_part, where_part = _rsplit_where(m.group(2))
+            col, lo, hi = _parse_range(where_part)
             return self._table(m.group(1)).update_where(
-                col, lo, hi, _split_assignments(m.group(2))
+                col, lo, hi, _split_assignments(set_part)
             )
         m = _MERGE.match(text)
         if m:

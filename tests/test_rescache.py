@@ -84,19 +84,37 @@ def test_column_named_like_nondet_fn_not_refused(spark, tmp_path, cache):
     assert a == b and (cache.hits, cache.misses) == (1, 1)
 
 
-def test_lru_eviction_keeps_recent(spark, tmp_path, cache):
+def test_lru_eviction_reclaims_prior_session_entries(spark, tmp_path):
+    """Eviction is cross-session: an instance never evicts what IT
+    served (a caller may still hold a lazy reader — even a derived
+    frame whose Python parent is long collected), so the LRU reclaims
+    entries written by PRIOR sessions/instances."""
+    from data_mastery_pipeline_spark.rescache import ResultCache
+
     base = _src(spark, tmp_path)
-    frames = [base.filter(f"id > {i}").groupBy("v").count() for i in range(4)]
+    old = ResultCache(spark, str(tmp_path / "c"), max_entries=3)
     keys = []
-    for f in frames:
-        cache.get_or_compute(f).count()
-        keys.append(cache.key_for(f))
+    for i in range(3):
+        f = base.filter(f"id > {100 + i}").groupBy("v").count()
+        old.get_or_compute(f).count()
+        keys.append(old.key_for(f))
         time.sleep(0.01)  # distinct mtimes for LRU order
-    # max_entries=3: the OLDEST entry was evicted, the rest remain
+    # "next session": a fresh instance over the same directory
+    cache = ResultCache(spark, str(tmp_path / "c"), max_entries=3)
+    new_keys = []
+    for i in range(2):
+        f = base.filter(f"id > {i}").groupBy("v").count()
+        cache.get_or_compute(f).count()
+        new_keys.append(cache.key_for(f))
+        time.sleep(0.01)
+    # 5 entries, cap 3: the two OLDEST prior-session entries are gone,
+    # everything this instance served survives
     assert cache.stats()["entries"] == 3
     assert not os.path.isdir(os.path.join(cache.dir, keys[0]))
+    assert not os.path.isdir(os.path.join(cache.dir, keys[1]))
     assert all(
-        os.path.isdir(os.path.join(cache.dir, k)) for k in keys[1:]
+        os.path.isdir(os.path.join(cache.dir, k))
+        for k in keys[2:] + new_keys
     )
 
 
@@ -130,15 +148,19 @@ def test_streaming_frame_refused(spark, cache):
 
 
 def test_literal_hash_digits_not_merged(spark, tmp_path, cache):
-    """The expr-id strip must not eat a literal '#123' inside a string
-    constant: filters on '#1' vs '#2' are different queries (ADVICE
-    r7)."""
+    """Plan normalization (canonicalization) must not merge plans that
+    differ only in a literal containing '#N' — including the
+    word-char-adjacent form 'room#5' that defeated the old regex strip
+    (ADVICE r7 + review r8)."""
     base = _src(spark, tmp_path).withColumn(
         "tag", F.concat(F.lit("#"), F.col("id").cast("string"))
     )
     p1 = normalized_plan(base.filter(F.col("tag") == "#123"))
     p2 = normalized_plan(base.filter(F.col("tag") == "#456"))
     assert p1 != p2
+    p3 = normalized_plan(base.filter(F.col("tag") == "room#5"))
+    p4 = normalized_plan(base.filter(F.col("tag") == "room#7"))
+    assert p3 != p4
     # while genuine attribute ids are still normalized away
     q = lambda: _src(spark, tmp_path).groupBy("v").count()  # noqa: E731
     assert normalized_plan(q()) == normalized_plan(q())
@@ -146,19 +168,21 @@ def test_literal_hash_digits_not_merged(spark, tmp_path, cache):
 
 def test_served_reader_survives_eviction_pressure(spark, tmp_path, cache):
     """A lazy reader handed out by get_or_compute must stay readable
-    even when later misses push the LRU past max_entries: the entry is
-    pinned while the caller still holds the DataFrame (ADVICE r7)."""
+    even when later misses push the LRU past max_entries — INCLUDING a
+    derived frame whose intermediate Python object was collected (the
+    review-r8 case a per-object weakref pin missed)."""
     base = _src(spark, tmp_path)
-    held = cache.get_or_compute(base.groupBy("v").count())  # not collected
+    # derived frame: the returned reader object itself is dropped
+    # immediately; only the child survives in Python
+    held = cache.get_or_compute(base.groupBy("v").count()).filter(
+        "count > 0"
+    )
     for i in range(5):  # max_entries=3 → heavy eviction pressure
         cache.get_or_compute(
             base.filter(f"id > {i}").groupBy("v").count()
         ).count()
         time.sleep(0.01)
     assert held.count() == 7  # materializes fine — dir not evicted
-    del held  # caller drops it → evictable again on the next miss
-    cache.get_or_compute(base.filter("id > 90").groupBy("v").count()).count()
-    assert cache.stats()["entries"] <= 4
 
 
 def test_schema_preserved_through_cache(spark, tmp_path, cache):

@@ -151,3 +151,18 @@ def test_sql_dml_refusals_are_loud(spark, tmp_path):
         ss.sql("DELETE FROM nope WHERE v = 1")
     with pytest.raises(UnsupportedSqlError, match="unsupported statement"):
         ss.sql("TRUNCATE TABLE t")
+
+
+def test_sql_update_with_quoted_where_in_set(spark, tmp_path):
+    """A SET expression containing the word 'where' inside a string
+    literal must parse (review r8: the split is quote-aware and takes
+    the LAST unquoted WHERE)."""
+    from data_mastery_pipeline_spark.txsql import TxSqlSession
+
+    sql_t, api_t = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+    ss.sql(
+        "UPDATE t SET grp = 'x, where (y' WHERE v BETWEEN 1 AND 2"
+    )
+    api_t.update_where("v", 1, 2, {"grp": "'x, where (y'"})
+    assert _state(sql_t) == _state(api_t)
