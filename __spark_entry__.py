@@ -52,6 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # (a) round-8 additions
     "mv_minmax",
+    "mv_join_view",
     "txlog_column_mapping",
     "txlog_sql_dml",
     "ann_ivfpq_topk",

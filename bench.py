@@ -141,6 +141,9 @@ HEADLINE = [
     # front-end lifecycle, and IVF-PQ (5 k-means fits + ADC + re-rank
     # — the index BUILD dominates; search is the cheap part)
     "mv_minmax",
+    # round 8: join-view IVM under the MV API (two txlog sources,
+    # bilinear two-phase refresh)
+    "mv_join_view",
     "txlog_column_mapping",
     "txlog_sql_dml",
     "ann_ivfpq_topk",

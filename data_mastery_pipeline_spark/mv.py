@@ -416,6 +416,190 @@ class MinMaxView(SumCountView):
         ]
 
 
+class JoinAggView(SumCountView):
+    """Materialized sum/count aggregate over an EQUI-JOIN of two
+    TxTable sources, refreshed incrementally from BOTH change feeds —
+    the join-view IVM (previously a standalone algebra demo,
+    ``incremental_join_maintenance``) unified under the MV API
+    (refresh / answer / staleness / exactly-once watermarks).
+
+    The bilinear identity drives a TWO-PHASE refresh::
+
+        V(wa, wb) = V(va, vb) + ΔA ⋈ B@vb  +  A@wa ⋈ ΔB
+
+    phase 1 folds A's delta against B FROZEN at its last-reflected
+    version; phase 2 folds B's delta against A at its NEW version
+    (which includes ΔA — exactly the sequential decomposition, so the
+    multiset algebra closes). Each phase is one exactly-once commit
+    with its OWN txn watermark (``mvj:<name>:a`` / ``:b``), so a crash
+    between phases resumes at phase 2 without double-applying phase 1.
+
+    Join rows inherit the CDF retraction weights from the DELTA side
+    (the frozen side contributes multiplicity, weight +1 per matched
+    row), so deletes retract join contributions exactly.
+
+    100 TB: each phase costs O(Δ ⋈ matching other-side rows) — the
+    delta is small and the frozen side's scan is the standard IVM
+    cost; the base⋈base term is never recomputed. Requires disjoint
+    non-key column names across the two sources (loud check)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_a: TxTable,
+        source_b: TxTable,
+        key_a: str,
+        key_b: str,
+        root: str,
+        name: str,
+        dims: dict[str, str],
+        value_expr: str,
+    ):
+        super().__init__(spark, source_a, root, name, dims, value_expr)
+        self.source_b = source_b
+        self.key_a, self.key_b = key_a, key_b
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        source_a: TxTable,
+        source_b: TxTable,
+        key_a: str,
+        key_b: str,
+        root: str,
+        name: str,
+        dims: dict[str, str],
+        value_expr: str,
+    ) -> "JoinAggView":
+        a_cols = set(source_a.read().columns)
+        b_cols = set(source_b.read().columns)
+        clash = (a_cols & b_cols) - {key_a, key_b}
+        if clash:
+            raise ValueError(
+                f"join sources share non-key columns {sorted(clash)} — "
+                "rename one side (dims/value_expr would be ambiguous)"
+            )
+        joined0 = source_a.read().limit(0).join(
+            source_b.read().limit(0),
+            F.col(key_a) == F.col(key_b),
+        )
+        probe = joined0.select(
+            *[F.expr(e).alias(d) for d, e in dims.items()]
+        )
+        dim_fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in probe.schema.fields
+        )
+        empty = spark.createDataFrame(
+            [], f"mv_key string, {dim_fields}, {cls.MEASURE_FIELDS}"
+        )
+        TxTable.create(spark, root, empty, stat_cols=["mv_key"])
+        return cls(
+            spark, source_a, source_b, key_a, key_b, root, name, dims,
+            value_expr,
+        )
+
+    # -- two-sided refresh state ---------------------------------------
+
+    def _side_app(self, side: str) -> str:
+        return f"mvj:{self.name}:{side}"
+
+    def _side_refreshed(self, side: str) -> int:
+        last = self.target.last_stream_batch(self._side_app(side))
+        return -1 if last is None else last
+
+    def last_refreshed(self) -> tuple[int, int]:  # type: ignore[override]
+        return (self._side_refreshed("a"), self._side_refreshed("b"))
+
+    def is_stale(self) -> bool:
+        va, vb = self.last_refreshed()
+        return va < self.source.version() or vb < self.source_b.version()
+
+    # -- refresh ---------------------------------------------------------
+
+    def _fold_side(
+        self, delta_cdf: DataFrame, frozen: DataFrame, delta_is_a: bool
+    ) -> DataFrame:
+        w = _signed_weight()
+        cond = (
+            F.col(self.key_a) == F.col(self.key_b)
+            if delta_is_a
+            else F.col(self.key_b) == F.col(self.key_a)
+        )
+        joined = delta_cdf.withColumn("__w", w).join(frozen, cond)
+        dim_cols = [F.expr(e).alias(d) for d, e in self.dims.items()]
+        rows = joined.select(
+            *dim_cols,
+            F.col("__w"),
+            _cents(F.expr(self.value_expr)).alias("__c"),
+        )
+        for d in self.dims:
+            rows = rows.filter(F.col(d).isNotNull())
+        key = F.concat_ws(
+            _SEP, *[F.col(d).cast("string") for d in self.dims]
+        )
+        delta = (
+            rows.withColumn("mv_key", key)
+            .groupBy("mv_key", *self.dims)
+            .agg(
+                F.sum("__w").cast("bigint").alias("n_rows"),
+                F.sum(F.col("__w") * F.col("__c"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+        )
+        cur = self.target.read().select(
+            "mv_key",
+            F.col("n_rows").alias("__cur_n"),
+            F.col("sum_cents").alias("__cur_s"),
+        )
+        return delta.join(cur, "mv_key", "left").select(
+            "mv_key",
+            *self.dims,
+            (F.coalesce(F.col("__cur_n"), F.lit(0)) + F.col("n_rows"))
+            .cast("bigint")
+            .alias("n_rows"),
+            (F.coalesce(F.col("__cur_s"), F.lit(0)) + F.col("sum_cents"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+
+    def refresh(self) -> tuple[int, int] | None:  # type: ignore[override]
+        va, vb = self.last_refreshed()
+        wa, wb = self.source.version(), self.source_b.version()
+        if wa <= va and wb <= vb:
+            return None
+        # phase 1: ΔA ⋈ B@vb (B frozen at its LAST-REFLECTED version —
+        # using B's head here would double-count against phase 2)
+        if wa > va:
+            cdf_a = self.source.changes(va, wa).drop("_commit_version")
+            frozen_b = (
+                self.source_b.read(version=vb)
+                if vb >= 0
+                else self.source_b.read().limit(0)
+            )
+            merged = self._fold_side(cdf_a, frozen_b, delta_is_a=True)
+            pre = self.target.version()
+            res = self.target.merge_upsert(
+                merged, "mv_key", stream_txn=(self._side_app("a"), wa)
+            )
+            if res == pre:
+                self.target.mark_stream_batch(self._side_app("a"), wa)
+        # phase 2: A@wa ⋈ ΔB (A at its NEW version — includes ΔA)
+        if wb > vb:
+            cdf_b = self.source_b.changes(vb, wb).drop("_commit_version")
+            frozen_a = self.source.read(version=wa)
+            merged = self._fold_side(cdf_b, frozen_a, delta_is_a=False)
+            pre = self.target.version()
+            res = self.target.merge_upsert(
+                merged, "mv_key", stream_txn=(self._side_app("b"), wb)
+            )
+            if res == pre:
+                self.target.mark_stream_batch(self._side_app("b"), wb)
+        return (wa, wb)
+
+
 class Navigator:
     """Aggregate navigator over a FAMILY of MVs on one source: route a
     GROUP BY to the COARSEST fresh view whose grain covers the

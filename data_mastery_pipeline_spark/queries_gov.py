@@ -1273,6 +1273,106 @@ def mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.answer(["event_type"]).orderBy("event_type")
 
 
+@query(
+    "mv_join_view",
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderkey % 3 = 0
+      UNION ALL SELECT 900000001, '1-URGENT'
+    ),
+    b AS (
+      SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+      WHERE l_orderkey % 3 = 0
+      UNION ALL
+      SELECT * FROM (VALUES (900000001, 1000.0, 0.1),
+                            (900000001, 500.0, 0.0))
+        AS t(l_orderkey, l_extendedprice, l_discount)
+    ),
+    bk AS (
+      SELECT * FROM b
+      WHERE NOT (l_extendedprice >= 900.0 AND l_extendedprice <= 1100.0)
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))
+                AS BIGINT) AS sum_cents
+    FROM a JOIN bk ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def mv_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view incremental maintenance UNDER THE MV API
+    (mv.JoinAggView, r8 — unifying the standalone
+    incremental_join_maintenance algebra with refresh / staleness /
+    exactly-once watermarks): a revenue-by-priority aggregate over
+    orders ⋈ lineitem, both transaction-log tables, maintained by the
+    bilinear two-phase delta (ΔA ⋈ B@vb, then A@wa ⋈ ΔB — each phase
+    its own txn watermark, so a crash between phases resumes without
+    double-apply). Lifecycle: initial refresh (phase 2 materializes
+    A@v0 ⋈ full-ΔB), append a NEW order AND its lineitems (both deltas
+    non-trivial in one refresh), a deletion-vector retraction on the
+    lineitem side (join contributions retract exactly, including base
+    rows in the price range), exactly-once replay, then navigation.
+    The oracle recomputes the final join-aggregate declaratively.
+
+    100 TB: each phase is O(Δ ⋈ matching frozen-side rows) — never a
+    base⋈base recompute; deltas ride the CDF, state rides the target's
+    own log."""
+    import posixpath
+
+    from .mv import JoinAggView
+    from .sources.txlog import TxTable
+    from .queries_src import _fresh_dir
+
+    root = _fresh_dir("mvjoin", sf_dir)
+    a_df = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    b_df = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    a = TxTable.create(spark, posixpath.join(root, "a"), a_df)
+    b = TxTable.create(
+        spark, posixpath.join(root, "b"), b_df, stat_cols=["l_extendedprice"]
+    )
+    view = JoinAggView.create(
+        spark,
+        a,
+        b,
+        "o_orderkey",
+        "l_orderkey",
+        posixpath.join(root, "mv"),
+        "rev_by_priority",
+        dims={"o_orderpriority": "o_orderpriority"},
+        value_expr="l_extendedprice * (1 - l_discount)",
+    )
+    if view.refresh() is None or view.is_stale():
+        raise RuntimeError("initial join-view refresh did not catch up")
+    a.append(
+        spark.createDataFrame(
+            [(900000001, "1-URGENT")],
+            "o_orderkey long, o_orderpriority string",
+        )
+    )
+    b.append(
+        spark.createDataFrame(
+            [(900000001, 1000.0, 0.1), (900000001, 500.0, 0.0)],
+            "l_orderkey long, l_extendedprice double, l_discount double",
+        )
+    )
+    b.delete_where("l_extendedprice", 900.0, 1100.0, mode="dv")
+    if view.refresh() != (a.version(), b.version()) or view.is_stale():
+        raise RuntimeError("incremental join refresh did not reach heads")
+    if view.refresh() is not None:
+        raise RuntimeError("replayed join refresh committed — watermark broken")
+    return view.answer(["o_orderpriority"]).orderBy("o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # Feature store: point-in-time-correct serving
 # ---------------------------------------------------------------------------

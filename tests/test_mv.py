@@ -278,6 +278,101 @@ def test_minmax_replay_is_exactly_once(spark, root):
     assert _mv(view, "grp") == _direct_minmax(src, "grp")
 
 
+def _mk_join(spark, root):
+    from data_mastery_pipeline_spark.mv import JoinAggView
+
+    a = TxTable.create(
+        spark,
+        root + "/a",
+        spark.createDataFrame(
+            [(1, "p1"), (2, "p2"), (3, "p1")], "k long, prio string"
+        ),
+    )
+    b = TxTable.create(
+        spark,
+        root + "/b",
+        spark.createDataFrame(
+            [(1, 10.0), (1, 20.0), (2, 5.0)], "fk long, amt double"
+        ),
+        stat_cols=["fk", "amt"],
+    )
+    view = JoinAggView.create(
+        spark, a, b, "k", "fk", root + "/mv", "j",
+        dims={"prio": "prio"}, value_expr="amt",
+    )
+    return a, b, view
+
+
+def _direct_join(a, b):
+    cents = F.floor(F.col("amt") * 100 + F.lit(0.5)).cast("bigint")
+    return sorted(
+        tuple(r)
+        for r in a.read()
+        .join(b.read(), F.col("k") == F.col("fk"))
+        .groupBy("prio")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(cents).cast("bigint").alias("sum_cents"),
+        )
+        .collect()
+    )
+
+
+def test_join_view_tracks_two_sided_dml(spark, root):
+    a, b, view = _mk_join(spark, root)
+    assert view.refresh() == (a.version(), b.version())
+    assert _mv(view, "prio") == _direct_join(a, b)
+    # both sides move in ONE refresh window: new order + its lines +
+    # a retraction on the fact side
+    a.append(spark.createDataFrame([(4, "p2")], "k long, prio string"))
+    b.append(
+        spark.createDataFrame(
+            [(4, 7.0), (3, 2.0)], "fk long, amt double"
+        )
+    )
+    b.delete_where("amt", 10.0, 10.0, mode="dv")  # retract a join row
+    assert view.refresh() == (a.version(), b.version())
+    assert _mv(view, "prio") == _direct_join(a, b)
+    # one-sided advances refresh one phase only
+    a.append(spark.createDataFrame([(5, "p1")], "k long, prio string"))
+    assert view.refresh() == (a.version(), b.version())
+    assert _mv(view, "prio") == _direct_join(a, b)
+    b.update_where("amt", 5.0, 5.0, {"amt": "amt + 1.0"})
+    assert view.refresh() == (a.version(), b.version())
+    assert _mv(view, "prio") == _direct_join(a, b)
+    # exactly-once replay
+    assert view.refresh() is None
+
+
+def test_join_view_dim_side_delete_retracts(spark, root):
+    """Deleting a DIMENSION row retracts every joined contribution via
+    phase 1 (ΔA deletes ⋈ frozen B)."""
+    a, b, view = _mk_join(spark, root)
+    view.refresh()
+    a.delete_where("k", 1, 1)  # order 1 had two lineitems
+    view.refresh()
+    assert _mv(view, "prio") == _direct_join(a, b)
+    assert all(r[0] != "p1" or r[1] == 1 for r in _mv(view, "prio"))
+
+
+def test_join_view_refuses_clashing_columns(spark, root):
+    from data_mastery_pipeline_spark.mv import JoinAggView
+
+    a = TxTable.create(
+        spark, root + "/ca",
+        spark.createDataFrame([(1, 1.0)], "k long, amt double"),
+    )
+    b = TxTable.create(
+        spark, root + "/cb",
+        spark.createDataFrame([(1, 2.0)], "fk long, amt double"),
+    )
+    with pytest.raises(ValueError, match="amt"):
+        JoinAggView.create(
+            spark, a, b, "k", "fk", root + "/cmv", "c",
+            dims={"k": "k"}, value_expr="amt",
+        )
+
+
 def test_navigator_routes_to_coarsest_fresh_view(spark, root):
     src = TxTable.create(
         spark, root + "/src", _df(spark, [(1, "a", "d1", 1.0), (2, "b", "d2", 3.0)])
