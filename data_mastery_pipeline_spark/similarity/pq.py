@@ -136,21 +136,20 @@ def encode_pq(
     )
 
 
-def ivfpq_topk(
+def adc_shortlist(
     codes_df: DataFrame,
-    vectors_df: DataFrame,
     centroids: Sequence[Sequence[float]],
     codebooks: Sequence[Sequence[Sequence[float]]],
     query_vec: Sequence[float],
-    k: int = 10,
+    n: int,
     n_probes: int = 4,
-    refine: int = 4,
-    vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """ADC shortlist over the codes relation, exact-cosine re-rank of
-    ``k·refine`` candidates against the vector table (see module
-    docstring). Returns the exact-reranked top-k ``(id, cos)``."""
+    """Stage 1: the top-``n`` candidate ids by asymmetric distance over
+    the CODES relation in the query's probed cells — per-cell LUTs as
+    plan literals, m bytes read per row, no full vectors (module
+    docstring). Public so scale probes / callers can measure or reuse
+    the shortlist directly."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     q = [float(x) for x in query_vec]
@@ -182,8 +181,28 @@ def ivfpq_topk(
     shortlist = parts[0]
     for p in parts[1:]:
         shortlist = shortlist.unionByName(p)
-    shortlist = shortlist.orderBy(F.asc("adc"), F.col(id_col)).limit(
-        max(k, k * refine)
+    return shortlist.orderBy(F.asc("adc"), F.col(id_col)).limit(n)
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    vectors_df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probes: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC shortlist over the codes relation, exact-cosine re-rank of
+    ``k·refine`` candidates against the vector table (see module
+    docstring). Returns the exact-reranked top-k ``(id, cos)``."""
+    q = [float(x) for x in query_vec]
+    shortlist = adc_shortlist(
+        codes_df, centroids, codebooks, q,
+        max(k, k * refine), n_probes, id_col,
     )
     qlit = F.array(*[F.lit(x) for x in q])
     return (

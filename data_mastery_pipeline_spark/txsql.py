@@ -89,6 +89,10 @@ _RESTORE = re.compile(
     rf"^\s*RESTORE\s+TABLE\s+({_ID})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
     re.I,
 )
+_INSERT = re.compile(
+    rf"^\s*INSERT\s+INTO\s+({_ID})\s+(VALUES\s+.*|SELECT\b.*|WITH\b.*)$",
+    re.I | re.S,
+)
 _SELECT = re.compile(r"^\s*(SELECT|WITH)\b", re.I)
 
 
@@ -237,14 +241,38 @@ class TxSqlSession:
         m = _RESTORE.match(text)
         if m:
             return self._table(m.group(1)).restore(int(m.group(2)))
+        m = _INSERT.match(text)
+        if m:
+            t = self._table(m.group(1))
+            body = m.group(2).strip()
+            self._refresh_views()  # SELECT sources may read registered tables
+            if body.upper().startswith("VALUES"):
+                cols = ", ".join(t.read().columns)
+                body = f"SELECT * FROM ({body}) AS __v({cols})"
+            rows = self.spark.sql(body)
+            schema = t.read().schema
+            if len(rows.columns) != len(schema.fields):
+                raise UnsupportedSqlError(
+                    f"INSERT arity {len(rows.columns)} != table arity "
+                    f"{len(schema.fields)}"
+                )
+            # ANSI store-assignment: positional cast to the table types
+            # (a bad value errors at runtime under ANSI, never silently)
+            casted = rows.select(
+                *[
+                    rows[c].cast(f.dataType).alias(f.name)
+                    for c, f in zip(rows.columns, schema.fields)
+                ]
+            )
+            return t.append(casted)
         if _SELECT.match(text):
             self._refresh_views()
             return self.spark.sql(text)
         raise UnsupportedSqlError(
             f"unsupported statement: {text[:80]!r}… — supported: SELECT/"
-            "WITH, DELETE FROM t WHERE <range>, UPDATE t SET … WHERE "
-            "<range>, MERGE INTO t USING <src> s ON t.k = s.k WHEN "
-            "MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *, "
-            "ALTER TABLE t RENAME/DROP/ADD COLUMN, RESTORE TABLE t TO "
-            "VERSION AS OF n"
+            "WITH, INSERT INTO t VALUES …|SELECT …, DELETE FROM t WHERE "
+            "<range>, UPDATE t SET … WHERE <range>, MERGE INTO t USING "
+            "<src> s ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN "
+            "NOT MATCHED THEN INSERT *, ALTER TABLE t RENAME/DROP/ADD "
+            "COLUMN, RESTORE TABLE t TO VERSION AS OF n"
         )

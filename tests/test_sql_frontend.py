@@ -166,3 +166,29 @@ def test_sql_update_with_quoted_where_in_set(spark, tmp_path):
     )
     api_t.update_where("v", 1, 2, {"grp": "'x, where (y'"})
     assert _state(sql_t) == _state(api_t)
+
+
+def test_sql_insert_values_and_select(spark, tmp_path):
+    from data_mastery_pipeline_spark.txsql import TxSqlSession, UnsupportedSqlError
+
+    sql_t, api_t = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+    # VALUES form: positional, ANSI store-assignment casts (int → long,
+    # decimal literal → double)
+    ss.sql("INSERT INTO t VALUES (100, 'z', 1.5), (101, 'z', 2.5)")
+    api_t.append(
+        spark.createDataFrame(
+            [(100, "z", 1.5), (101, "z", 2.5)], "id long, grp string, v double"
+        )
+    )
+    assert _state(sql_t) == _state(api_t)
+    # SELECT form (may read the registered tables themselves)
+    ss.sql("INSERT INTO t SELECT id + 500, grp, v FROM t WHERE id >= 100")
+    api_t.append(
+        api_t.read()
+        .filter("id >= 100")
+        .selectExpr("id + 500 AS id", "grp", "v")
+    )
+    assert _state(sql_t) == _state(api_t)
+    with pytest.raises(UnsupportedSqlError, match="arity"):
+        ss.sql("INSERT INTO t SELECT 1, 'a'")

@@ -254,6 +254,9 @@ def main() -> None:
     if args and args[0] == "--ann":
         ann_probe([int(a) for a in args[1:]] or [1, 4, 16])
         return
+    if args and args[0] == "--pq":
+        pq_probe([int(a) for a in args[1:]] or [1, 4, 16])
+        return
     if args and args[0] == "--cc-diameter":
         cc_diameter_probe([int(a) for a in args[1:]] or [32, 256, 2048])
         return
@@ -428,6 +431,86 @@ def ann_probe(ks) -> None:
         print(json.dumps(out), flush=True)
 
 
+
+
+def pq_probe(ks) -> None:
+    """IVF-PQ's scale claim, measured: as the table grows k×, the ADC
+    stage's input (codes rows in the probed cells) grows with the
+    data, but the EXACT-RE-RANK input — the only full-vector reads —
+    stays pinned at the k_top·refine shortlist (measured by counting
+    the rows that flow into the re-rank join, not assumed). Recall vs
+    brute is reported alongside so the bound isn't bought with quality.
+
+    Recall caveat this probe EXPECTS: the amplification nudges one
+    dimension by 0.01·r, BELOW the 4×16 product quantizer's
+    resolution — every replica family shares identical codes, ADC ties
+    across them, and the shortlist admits ~shortlist/replicas distinct
+    families. That is the textbook PQ failure mode (sub-resolution
+    neighbors are indistinguishable until re-rank) and the knob is
+    ``refine``, not n_probes — on real data the driver query's recall
+    certificate (ann_ivfpq_topk, unreplicated) is the quality gate."""
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.dedup.embedding import cosine
+    from data_mastery_pipeline_spark.session import get_spark
+    from data_mastery_pipeline_spark.similarity import brute, ivf, pq
+
+    spark = get_spark(app_name="scale_probe_pq")
+    spark.range(10).count()
+    query = [0.1] * 64
+    K_TOP, REFINE, N_PROBES = 10, 6, 4
+
+    for k in ks:
+        emb = amplified_embeddings(spark, k).localCheckpoint()
+        n_vecs = emb.count()
+        t0 = time.time()
+        exact = [
+            r["vec_id"] for r in brute.cosine_topk(emb, query, k=K_TOP).collect()
+        ]
+        t_brute = time.time() - t0
+
+        cents = ivf.train_centroids(emb, n_cells=16)
+        books = pq.train_pq(emb, cents, m=4, ksub=16)
+        codes = pq.encode_pq(emb, cents, books).localCheckpoint()
+
+        # ADC input: codes rows in the probed cells (grows with data)
+        probes = ivf._probe_cells(query, cents, N_PROBES)
+        adc_rows = codes.filter(F.col("cell").isin(probes)).count()
+
+        # re-rank input: the rows the broadcast shortlist join admits —
+        # the MEASURED full-vector read count (the scale claim)
+        shortlist = pq.adc_shortlist(
+            codes, cents, books, query, K_TOP * REFINE, N_PROBES
+        )
+        rerank_rows = emb.join(
+            F.broadcast(shortlist.select("vec_id")), "vec_id"
+        ).count()
+        out = {
+            "probe": "pq",
+            "k": k,
+            "vectors": n_vecs,
+            "adc_rows": adc_rows,
+            "rerank_rows_bound": K_TOP * REFINE,
+            "rerank_join_rows": rerank_rows,
+            "brute_wall_sec": round(t_brute, 2),
+        }
+        # recall is the n_probes knob (the amplified replicas pack the
+        # exact top-k into few cells — adversarial for low coverage):
+        # report the curve, matching ann_probe's convention
+        for n_probes in (4, 8, 12):
+            t1 = time.time()
+            approx = [
+                r["vec_id"]
+                for r in pq.ivfpq_topk(
+                    codes, emb, cents, books, query,
+                    k=K_TOP, n_probes=n_probes, refine=REFINE,
+                ).collect()
+            ]
+            out[f"pq_wall_sec_p{n_probes}"] = round(time.time() - t1, 2)
+            out[f"pq_recall_p{n_probes}"] = (
+                len(set(exact) & set(approx)) / K_TOP
+            )
+        print(json.dumps(out), flush=True)
 
 
 def containment_probe(ks) -> None:
