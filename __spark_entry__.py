@@ -56,6 +56,7 @@ _PRIORITY = [
     "txlog_column_mapping",
     "txlog_sql_dml",
     "ann_ivfpq_topk",
+    "gap_fill_daily",
     # (b) plans rewritten this round (window elimination) + ADVICE
     "mann_whitney_value_drift",
     "rfm_segments",

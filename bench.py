@@ -147,6 +147,9 @@ HEADLINE = [
     "txlog_column_mapping",
     "txlog_sql_dml",
     "ann_ivfpq_topk",
+    # round 8: calendar gap-fill with LOCF (spine explode + partitioned
+    # window)
+    "gap_fill_daily",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -1090,6 +1090,96 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gap_fill_daily",
+    """
+    WITH src AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      FROM events WHERE user_id % 50 = 0
+    ),
+    obs AS (
+      SELECT user_id, day, arg_max(value, ord) AS v_obs
+      FROM src GROUP BY user_id, day
+    ),
+    bounds AS (SELECT user_id, min(day) AS d0 FROM obs GROUP BY user_id),
+    anchor AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
+    spine AS (
+      SELECT b.user_id,
+             CAST(unnest(generate_series(b.d0, (SELECT d1 FROM anchor),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds b
+    ),
+    filled AS (
+      SELECT s.user_id, s.day, o.v_obs
+      FROM spine s LEFT JOIN obs o
+        ON s.user_id = o.user_id AND s.day = o.day
+    )
+    SELECT user_id, day,
+           floor(last_value(v_obs IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 100 + 0.5) / 100.0 AS value_locf,
+           v_obs IS NOT NULL AS is_observed
+    FROM filled ORDER BY user_id, day
+    """,
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with LOCF — the TimescaleDB
+    ``time_bucket_gapfill`` + ``locf`` shape every time-series engine
+    ships: each sampled user's daily series is completed to a dense
+    calendar spine (their first observation → the dataset's anchor
+    day) and missing days carry the last observed value forward, with
+    an ``is_observed`` flag separating data from fill. Per-day
+    "observation" is the LAST event of the day under the same
+    zero-padded (epoch_us, event_id) tie-break key ohlc_hourly uses,
+    so both engines pick identical representatives.
+
+    100 TB: one hash agg to (user, day) grain, a broadcast 1-row
+    anchor, `sequence()` explode for the spine (rows = Σ user horizon
+    days — the OUTPUT size, nothing larger), and the LOCF is a
+    user-PARTITIONED window (no global sort; the plan-hygiene sweep
+    keeps it that way)."""
+    ev = load_table(spark, "events", sf_dir)
+    sampled = ev.filter(F.col("user_id") % 50 == 0)
+    ordk = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    obs = (
+        sampled.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "value",
+            ordk.alias("ord"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.max_by("value", "ord").alias("v_obs"))
+    )
+    bounds = obs.groupBy("user_id").agg(F.min("day").alias("d0"))
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("d1"))
+    spine = bounds.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    filled = spine.join(obs, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        quantize(F.last("v_obs", ignorenulls=True).over(w), "value_locf"),
+        F.col("v_obs").isNotNull().alias("is_observed"),
+    ).orderBy("user_id", "day")
+
+
 # ---------------------------------------------------------------------------
 # Materialized views: incremental refresh + aggregate navigation
 # ---------------------------------------------------------------------------
