@@ -43,9 +43,12 @@ merge_upsert effective and is a stat column by construction.
 
 r8 additions: :class:`MinMaxView` (extremes maintained monotonically
 on insert, group-scoped base re-scan ONLY when a delete reaches a
-stored extreme — see its docstring for the safety rule) and
-:class:`Navigator` (query rewrite across a family of MVs: route each
-GROUP BY to the coarsest fresh covering view).
+stored extreme — see its docstring for the safety rule),
+:class:`JoinAggView` (equi-join views maintained from BOTH sources'
+change feeds via the bilinear two-phase delta, each phase its own
+exactly-once watermark), and :class:`Navigator` (query rewrite across
+a family of MVs: route each GROUP BY to the coarsest fresh covering
+view).
 """
 
 from __future__ import annotations
