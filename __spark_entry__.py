@@ -57,6 +57,7 @@ _PRIORITY = [
     "txlog_sql_dml",
     "ann_ivfpq_topk",
     "gap_fill_daily",
+    "mv_navigator_route",
     # (b) plans rewritten this round (window elimination) + ADVICE
     "mann_whitney_value_drift",
     "rfm_segments",

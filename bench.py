@@ -150,6 +150,8 @@ HEADLINE = [
     # round 8: calendar gap-fill with LOCF (spine explode + partitioned
     # window)
     "gap_fill_daily",
+    # round 8: navigator routing lifecycle (two MVs, stale reroute)
+    "mv_navigator_route",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

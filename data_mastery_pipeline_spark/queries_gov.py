@@ -1364,6 +1364,83 @@ def mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mv_navigator_route",
+    """
+    WITH extra(event_type, value) AS (
+      VALUES ('purchase', 42.0), ('view', 7.0)
+    ),
+    base AS (
+      SELECT event_type, value FROM events
+      UNION ALL SELECT event_type, value FROM extra
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS sum_cents
+    FROM base GROUP BY event_type ORDER BY event_type
+    """,
+)
+def mv_navigator_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate NAVIGATOR routing under oracle (mv.Navigator): a
+    family of two MVs over one source — FINE grain (event_type, day)
+    and COARSE grain (event_type) — where the navigator answers each
+    GROUP BY from the coarsest FRESH covering view (the reference's
+    v_weekly_stats chain as query rewrite). The run self-asserts the
+    routing decisions: with both views fresh, ['event_type'] routes to
+    the coarse view; after an append refreshed ONLY into the fine
+    view, the stale coarse view is SKIPPED and the same question is
+    answered from the fine view by re-aggregation — and that served
+    result is what the oracle checks, so a routing bug that serves the
+    stale coarse snapshot fails the value-hash (the appended rows
+    would be missing).
+
+    100 TB: routing is a driver-side metadata decision (watermark
+    reads); the served answer scans only the chosen MV."""
+    import posixpath
+
+    from .mv import Navigator, SumCountView
+    from .sources.txlog import TxTable
+    from .queries_src import _fresh_dir
+
+    root = _fresh_dir("mvnavroute", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    src = TxTable.create(
+        spark, posixpath.join(root, "src"), ev, stat_cols=["value"]
+    )
+    fine = SumCountView.create(
+        spark, src, posixpath.join(root, "fine"), "fine",
+        dims={"event_type": "event_type", "day": "to_date(ts)"},
+        value_expr="value",
+    )
+    coarse = SumCountView.create(
+        spark, src, posixpath.join(root, "coarse"), "coarse",
+        dims={"event_type": "event_type"},
+        value_expr="value",
+    )
+    nav = Navigator(fine, coarse)
+    fine.refresh()
+    coarse.refresh()
+    if nav.route(["event_type"]) is not coarse:
+        raise RuntimeError("both fresh: coarsest covering view must win")
+    if nav.route(["event_type", "day"]) is not fine:
+        raise RuntimeError("day grain: only the fine view covers")
+    extra = spark.createDataFrame(
+        [
+            (920001, "2024-02-01 00:00:00", 1, "purchase", 42.0, "{}"),
+            (920002, "2024-02-01 01:00:00", 2, "view", 7.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src.append(extra.select(*ev.columns))
+    fine.refresh()  # coarse deliberately left stale
+    if not coarse.is_stale() or fine.is_stale():
+        raise RuntimeError("staleness state not as constructed")
+    if nav.route(["event_type"]) is not fine:
+        raise RuntimeError("stale coarse view must be skipped")
+    return nav.answer(["event_type"]).orderBy("event_type")
+
+
+@query(
     "mv_join_view",
     """
     WITH a AS (

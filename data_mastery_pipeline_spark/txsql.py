@@ -94,6 +94,11 @@ _INSERT = re.compile(
     re.I | re.S,
 )
 _SELECT = re.compile(r"^\s*(SELECT|WITH)\b", re.I)
+# SQL time travel inside SELECTs: `FROM t VERSION AS OF n` — rewritten
+# to a snapshot view before spark.sql sees the text
+_VERSION_AS_OF = re.compile(
+    rf"\b({_ID})\s+VERSION\s+AS\s+OF\s+(\d+)", re.I
+)
 
 
 def _lit(text: str):
@@ -267,7 +272,22 @@ class TxSqlSession:
             return t.append(casted)
         if _SELECT.match(text):
             self._refresh_views()
-            return self.spark.sql(text)
+
+            # time travel: each `t VERSION AS OF n` becomes a snapshot
+            # view `__t_v<n>` over read(version=n) — history readable
+            # from plain SQL (the public formats' TABLE ... VERSION AS
+            # OF surface)
+            def _tt(m: "re.Match") -> str:
+                name, v = m.group(1), int(m.group(2))
+                if name not in self._tables:
+                    return m.group(0)
+                view = f"__{name}_v{v}"
+                self._tables[name].read(version=v).createOrReplaceTempView(
+                    view
+                )
+                return view
+
+            return self.spark.sql(_VERSION_AS_OF.sub(_tt, text))
         raise UnsupportedSqlError(
             f"unsupported statement: {text[:80]!r}… — supported: SELECT/"
             "WITH, INSERT INTO t VALUES …|SELECT …, DELETE FROM t WHERE "

@@ -192,3 +192,21 @@ def test_sql_insert_values_and_select(spark, tmp_path):
     assert _state(sql_t) == _state(api_t)
     with pytest.raises(UnsupportedSqlError, match="arity"):
         ss.sql("INSERT INTO t SELECT 1, 'a'")
+
+
+def test_sql_time_travel_version_as_of(spark, tmp_path):
+    from data_mastery_pipeline_spark.txsql import TxSqlSession
+
+    sql_t, api_t = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+    ss.sql("DELETE FROM t WHERE v BETWEEN 0 AND 5")
+    # v0 still fully readable from SQL; head reflects the delete
+    n0 = ss.sql("SELECT count(*) AS n FROM t VERSION AS OF 0").first()["n"]
+    n_head = ss.sql("SELECT count(*) AS n FROM t").first()["n"]
+    assert n0 == 12 and n_head == 6
+    # joins between versions work (snapshot views are real relations)
+    gone = ss.sql(
+        "SELECT count(*) AS n FROM t VERSION AS OF 0 o "
+        "LEFT ANTI JOIN t cur ON o.id = cur.id"
+    ).first()["n"]
+    assert gone == 6
