@@ -58,6 +58,7 @@ _PRIORITY = [
     "ann_ivfpq_topk",
     "gap_fill_daily",
     "mv_navigator_route",
+    "exact_value_percentiles",
     # (b) plans rewritten this round (window elimination) + ADVICE
     "mann_whitney_value_drift",
     "rfm_segments",

@@ -152,6 +152,9 @@ HEADLINE = [
     "gap_fill_daily",
     # round 8: navigator routing lifecycle (two MVs, stale reroute)
     "mv_navigator_route",
+    # round 8: exact PERCENTILE_DISC via distinct-value prefix sums
+    # (no global sort)
+    "exact_value_percentiles",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -1407,3 +1407,59 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return prof.profile(ev, ["event_id", "ts", "user_id", "event_type", "props"])
+
+
+@query(
+    "exact_value_percentiles",
+    """
+    WITH s AS (SELECT value FROM events WHERE value IS NOT NULL)
+    SELECT p, floor(pv * 100 + 0.5) / 100.0 AS pct_value
+    FROM (
+      SELECT CAST(0.5 AS DOUBLE) AS p, quantile_disc(value, 0.5) AS pv
+      FROM s
+      UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9)
+      FROM s
+      UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99)
+      FROM s
+    ) ORDER BY p
+    """,
+)
+def exact_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles (p50/p90/p99) with NO global sort —
+    the flagship use of operators/ranks.py beyond ntile: collapse to
+    the DISTINCT-VALUE relation (one map-side-combined hash agg), take
+    an inclusive prefix sum of the tie counts (bucket-partitioned
+    windows + triangle offset join), and each percentile is the
+    smallest value whose cumulative count reaches ceil(p·N) — the
+    PERCENTILE_DISC definition, and provably the same element DuckDB's
+    quantile_disc picks (for 0<p<1, ceil(p·N) = floor(p·(N−1))+1).
+    The ε guard keeps an IEEE-754 p·N that lands a hair ABOVE an
+    integer from ceiling one position too far.
+
+    This is what replaces both the sort-based exact percentile (one
+    task at 100 TB) and the approx_percentile fallback when the answer
+    must be exact: cost = one hash agg + prefix-sum machinery over
+    |distinct values|, all parallel. The same relation answers any
+    number of percentiles (three here) in one pass."""
+    from .operators import ranks
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(F.col("value").alias("v"))
+    )
+    grp = ev.groupBy("v").agg(F.count("*").alias("cnt"))
+    cum = ranks.with_prefix_sum(
+        grp, [("v", "asc")], "cnt", out="cum", inclusive=True
+    )
+    tot = grp.agg(F.sum("cnt").alias("n"))
+    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    target = F.ceil(F.col("p") * F.col("n") - F.lit(1e-9))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ps))
+        .filter(F.col("cum") >= target)
+        .groupBy("p")
+        .agg(quantize(F.min("v"), "pct_value"))
+        .orderBy("p")
+    )
