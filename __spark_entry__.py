@@ -15,16 +15,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-import data_mastery_pipeline_spark.queries  # noqa: F401  (registers core queries)
-import data_mastery_pipeline_spark.queries_adv  # noqa: F401  (registers round-5 advanced queries)
-import data_mastery_pipeline_spark.queries_ext  # noqa: F401  (registers extension queries)
-import data_mastery_pipeline_spark.queries_gov  # noqa: F401  (registers governance/spatial/feature-store queries)
-import data_mastery_pipeline_spark.queries_ops  # noqa: F401  (registers operational-analytics queries)
-import data_mastery_pipeline_spark.queries_src  # noqa: F401  (registers source/sink queries)
-import data_mastery_pipeline_spark.queries_stats  # noqa: F401  (registers stats/time-series queries)
-import data_mastery_pipeline_spark.queries_stream  # noqa: F401  (registers streaming queries)
-import data_mastery_pipeline_spark.queries_tpch  # noqa: F401  (registers decision-support completion queries)
-from data_mastery_pipeline_spark.registry import ORACLE, QUERIES
+from data_mastery_pipeline_spark.allqueries import register_all
+
+register_all()  # imports every queries*.py — no per-tool list to drift
+from data_mastery_pipeline_spark.registry import ORACLE, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -59,6 +53,7 @@ _PRIORITY = [
     "gap_fill_daily",
     "mv_navigator_route",
     "exact_value_percentiles",
+    "heavy_hitter_tokens",
     # (b) plans rewritten this round (window elimination) + ADVICE
     "mann_whitney_value_drift",
     "rfm_segments",

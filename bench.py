@@ -155,6 +155,8 @@ HEADLINE = [
     # round 8: exact PERCENTILE_DISC via distinct-value prefix sums
     # (no global sort)
     "exact_value_percentiles",
+    # round 8: Misra-Gries two-pass exact top-k (stream never shuffled)
+    "heavy_hitter_tokens",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):
@@ -227,14 +229,9 @@ def _warm_python_datasource(spark) -> None:
 
 
 def main() -> None:
-    import data_mastery_pipeline_spark.queries  # noqa: F401
-    import data_mastery_pipeline_spark.queries_adv  # noqa: F401
-    import data_mastery_pipeline_spark.queries_ext  # noqa: F401
-    import data_mastery_pipeline_spark.queries_gov  # noqa: F401
-    import data_mastery_pipeline_spark.queries_ops  # noqa: F401
-    import data_mastery_pipeline_spark.queries_src  # noqa: F401
-    import data_mastery_pipeline_spark.queries_stream  # noqa: F401
-    import data_mastery_pipeline_spark.queries_tpch  # noqa: F401
+    from data_mastery_pipeline_spark.allqueries import register_all
+
+    register_all()  # every queries*.py — no per-tool list to drift
     from data_mastery_pipeline_spark.registry import QUERIES
     from data_mastery_pipeline_spark.session import get_spark
 

@@ -582,11 +582,25 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table size."""
     from .similarity import ivf, pq
 
+    import os
+    import tempfile
+
     qv = _query_vec(spark, sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
     cents = ivf.train_centroids(emb, n_cells=8, max_train_rows=20_000)
     books = pq.train_pq(emb, cents, m=4, ksub=16)
-    codes = pq.encode_pq(emb, cents, books)
+    # index BUILD: Arrow-vectorized encode, materialized cell-
+    # partitioned (the real index layout — the ADC probe filter prunes
+    # partitions; a fixed per-sf path so repeat runs overwrite instead
+    # of accumulating)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ivfpq",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    codes = pq.materialize_codes(
+        pq.encode_pq_arrow(emb, cents, books), idx
+    )
     pq_out = pq.ivfpq_topk(
         codes, emb, cents, books, qv, k=10, n_probes=4, refine=6
     ).select("vec_id")
@@ -805,6 +819,44 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(textfn.tokens("text")).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
     return counts.orderBy(F.desc("n"), F.col("tok")).limit(50)
+
+
+@query(
+    "heavy_hitter_tokens",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    top AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY tok
+      ORDER BY n DESC, tok LIMIT 20
+    )
+    SELECT tok, n,
+           (SELECT min(n) FROM top) * 1025
+             > (SELECT CAST(count(*) AS BIGINT) FROM toks) AS guarantee_ok
+    FROM top
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 tokens via the bounded-memory two-pass design
+    (operators/heavy.py): per-partition Misra-Gries candidate sketches
+    (cap=1024 counters, O(cap) memory regardless of vocabulary size),
+    then an exact candidate-only recount. The `guarantee_ok` column
+    certifies from measured quantities (20th count · (cap+1) > N) that
+    the exact-top-k condition held — the oracle recomputes both the
+    exact top-20 AND the certificate arithmetic.
+
+    100 TB: `top_tokens`' groupBy shuffles one row per distinct token
+    per map partition — fine for words, fatal for URL/n-gram keys with
+    billions of distincts. Here the stream is never shuffled: pass 1
+    is map-only (≤ cap+1 rows out per partition), pass 2 shuffles only
+    the ≤ P·cap candidate recounts."""
+    from .operators import heavy
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(textfn.tokens("text")).alias("tok"))
+    return heavy.exact_topk(toks, "tok", k=20, cap=1024)
 
 
 @query(

@@ -62,49 +62,45 @@ def train_pq(
     max_train_rows: int = 50_000,
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks over IVF residuals → ``codebooks[m][ksub]
-    [dsub]`` as plain Python lists (plan literals downstream). One
-    bounded hash-ordered sample feeds all ``m`` k-means fits."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    [dsub]`` as plain Python lists (plan literals downstream).
+
+    ONE Spark job: residuals for the bounded hash-ordered sample are
+    computed executor-side and collected; the ``m`` subspace k-means
+    fits then run driver-side on numpy slices of that matrix
+    (``ivf._kmeans_fit`` — in-memory training, the FAISS model). The
+    round-7 version ran ``m`` pyspark.ml fits over a localCheckpointed
+    sample: correct, but each fit is an iterative job chain, and the
+    whole index build paid ~10 s to cluster 3 MB. Size
+    ``max_train_rows`` to driver memory (rows × dim × 8 bytes)."""
+    import numpy as np
+
+    from .ivf import _kmeans_fit
 
     d = len(centroids[0])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-    res = (
+    rows = (
         assign_cells(
             df.filter(F.col(vec_col).isNotNull()), centroids, vec_col
         )
         .select(_residual_col(vec_col, centroids).alias("__res"))
         .orderBy(F.xxhash64(F.col("__res")))
         .limit(max_train_rows)
+        .collect()
     )
-    subs = res.select(
-        *[
-            F.slice(F.col("__res"), i * dsub + 1, dsub).alias(f"__s{i}")
-            for i in range(m)
-        ]
-    )
-    from ..checkpointing import release, truncate_lineage
-
-    # ONE pass materializes the sample for the m fits; released after
-    # (repeated index builds must not accumulate dead blocks)
-    subs = truncate_lineage(subs, None)
-    try:
-        books: list[list[list[float]]] = []
-        for i in range(m):
-            train = subs.select(
-                array_to_vector(F.col(f"__s{i}")).alias("features")
-            )
-            # subspace codebooks converge fast (dsub-dim residuals); 8
-            # iterations matches FAISS's default-ish budget and halves
-            # the m-fit index-build wall vs 20
-            model = KMeans(k=ksub, seed=seed + i, maxIter=8).fit(train)
-            books.append(
-                [list(map(float, c)) for c in model.clusterCenters()]
-            )
-    finally:
-        release(subs)
+    if not rows:
+        raise ValueError(
+            f"train_pq: no non-null {vec_col!r} rows to train on"
+        )
+    R = np.asarray([r["__res"] for r in rows], dtype=np.float64)
+    books: list[list[list[float]]] = []
+    for i in range(m):
+        C = _kmeans_fit(R[:, i * dsub : (i + 1) * dsub], ksub, seed + i)
+        book = [list(map(float, c)) for c in C]
+        while len(book) < min(ksub, len(rows)):
+            book.append(list(book[-1]))
+        books.append(book)
     return books
 
 
@@ -136,6 +132,82 @@ def encode_pq(
     )
 
 
+def encode_pq_arrow(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``encode_pq`` semantics on the Arrow-batched fast lane — the
+    index-BUILD path. The pure-Catalyst encode is a deep
+    higher-order-function tree (aggregate/zip_with per centroid and
+    per codebook entry), which Spark evaluates INTERPRETED per row —
+    measured ~6 s per pass over sf0.1's 60k×16 vectors, vs ~0.3 s for
+    one Arrow round trip + numpy argmins. Search stays pure Catalyst
+    over the codes relation (module docstring); only the build step
+    goes through Python, and it is batch-vectorized, never per-row.
+    Null vectors are excluded (they can never match a probe — same
+    net effect as the Catalyst path's null cells)."""
+    import numpy as np
+
+    C = [[float(x) for x in c] for c in centroids]
+    B = [[[float(x) for x in code] for code in b] for b in codebooks]
+    m = len(B)
+    dsub = len(B[0][0])
+
+    def gen(batches):
+        import pandas as pd
+
+        Cn = np.asarray(C)
+        Bn = [np.asarray(b) for b in B]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ Cn.T)
+                + (Cn * Cn).sum(axis=1)[None, :]
+            )
+            cell = d.argmin(axis=1)
+            R = X - Cn[cell]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for i in range(m):
+                S = R[:, i * dsub : (i + 1) * dsub]
+                dd = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ Bn[i].T)
+                    + (Bn[i] * Bn[i]).sum(axis=1)[None, :]
+                )
+                codes[:, i] = dd.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cell.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    src = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    return src.mapInPandas(gen, f"{id_col} bigint, cell int, codes array<int>")
+
+
+def materialize_codes(codes_df: DataFrame, path: str) -> DataFrame:
+    """Write the codes relation cell-PARTITIONED and read it back —
+    the at-scale index layout: `adc_shortlist`'s ``cell isin probes``
+    filter becomes a partition-pruning predicate (PartitionFilters in
+    the scan), so a search touches ``n_probes / n_cells`` of the index
+    files and the encode job runs exactly once per build, not once per
+    probe."""
+    codes_df.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return codes_df.sparkSession.read.parquet(path)
+
+
 def adc_shortlist(
     codes_df: DataFrame,
     centroids: Sequence[Sequence[float]],
@@ -154,34 +226,53 @@ def adc_shortlist(
     dsub = len(codebooks[0][0])
     q = [float(x) for x in query_vec]
     probes = _probe_cells(q, centroids, n_probes)
-    parts = []
+    # per-probed-cell LUTs: luts[p][i][j] = ‖(q − centroid_p)ᵢ − codebookᵢⱼ‖²
+    luts = []
     for c in probes:
         resid = [qi - ci for qi, ci in zip(q, centroids[c])]
-        luts = []
-        for i in range(m):
-            sub = resid[i * dsub : (i + 1) * dsub]
-            luts.append(
+        luts.append(
+            [
                 [
-                    sum((a - b) ** 2 for a, b in zip(sub, code))
+                    sum(
+                        (a - b) ** 2
+                        for a, b in zip(
+                            resid[i * dsub : (i + 1) * dsub], code
+                        )
+                    )
                     for code in codebooks[i]
                 ]
-            )
-        dist = None
-        for i in range(m):
-            term = F.element_at(
-                F.array(*[F.lit(v) for v in luts[i]]),
-                F.element_at(F.col("codes"), i + 1) + 1,
-            )
-            dist = term if dist is None else dist + term
-        parts.append(
-            codes_df.filter(F.col("cell") == c).select(
-                F.col(id_col), dist.alias("adc")
-            )
+                for i in range(m)
+            ]
         )
-    shortlist = parts[0]
-    for p in parts[1:]:
-        shortlist = shortlist.unionByName(p)
-    return shortlist.orderBy(F.asc("adc"), F.col(id_col)).limit(n)
+    # ONE pass (the round-8 rewrite): the round-7 form unioned one
+    # filtered branch per probed cell, so the codes relation — and,
+    # fused upstream of a fresh encode, the whole interpreted
+    # higher-order encode expression — was evaluated n_probes times.
+    # Here the row's probe ordinal indexes a nested LUT literal and the
+    # isin filter still prunes cell partitions on a cell-partitioned
+    # codes table.
+    probe_arr = F.array(*[F.lit(int(c)) for c in probes])
+    # array_position returns BIGINT; element_at's index must be INT
+    pidx = F.array_position(probe_arr, F.col("cell")).cast("int")
+    dist = None
+    for i in range(m):
+        lut_i = F.array(
+            *[
+                F.array(*[F.lit(float(v)) for v in luts[p][i]])
+                for p in range(len(probes))
+            ]
+        )
+        term = F.element_at(
+            F.element_at(lut_i, pidx),
+            F.element_at(F.col("codes"), i + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        codes_df.filter(F.col("cell").isin([int(c) for c in probes]))
+        .select(F.col(id_col), dist.alias("adc"))
+        .orderBy(F.asc("adc"), F.col(id_col))
+        .limit(n)
+    )
 
 
 def ivfpq_topk(
