@@ -54,6 +54,7 @@ _PRIORITY = [
     "mv_navigator_route",
     "exact_value_percentiles",
     "heavy_hitter_tokens",
+    "txlog_bloom_lookup",
     # (b) plans rewritten this round (window elimination) + ADVICE
     "mann_whitney_value_drift",
     "rfm_segments",

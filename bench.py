@@ -157,6 +157,8 @@ HEADLINE = [
     "exact_value_percentiles",
     # round 8: Misra-Gries two-pass exact top-k (stream never shuffled)
     "heavy_hitter_tokens",
+    # round 8: bloom file-skipping point lookup on the table format
+    "txlog_bloom_lookup",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

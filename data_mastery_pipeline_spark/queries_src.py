@@ -2118,3 +2118,74 @@ def txlog_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sum(floor(amount * 100 + 0.5)) AS BIGINT) AS amount_cents "
         "FROM ev GROUP BY event_type ORDER BY event_type"
     )
+
+
+@query(
+    "txlog_bloom_lookup",
+    """
+    SELECT event_id, user_id, event_type,
+           floor(value * 100 + 0.5) / 100.0 AS val,
+           TRUE AS bloom_pruned_ok
+    FROM events
+    WHERE event_id = (SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT)
+                      FROM events)
+    """,
+)
+def txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM-FILTER point-lookup pruning on the transaction-log
+    format (``TxTable.build_bloom_index`` — the public Parquet
+    column-index / Delta bloom-index design). The table is loaded in
+    four appends chunked by ``user_id % 4``, so every file's
+    ``event_id`` [min, max] spans nearly the full key range —
+    min/max stats CANNOT prune a point lookup here (the adversarial
+    layout for range stats, and the normal one for any high-cardinality
+    key not clustered on). The bloom index answers per-file "is this
+    exact value possibly here", so the equality scan opens only the
+    file(s) actually holding the key.
+
+    Self-asserting (the zorder_pruning_stats discipline): raises unless
+    the bloom pruned at least one range-surviving file AND the lookup
+    read strictly fewer files than the table holds; the row content is
+    value-hash-checked against the relational oracle, which also pins
+    NO FALSE NEGATIVE (a dropped true row changes the hash).
+
+    100 TB: the index is O(bitmap) log metadata per file, built
+    executor-side in one column-only scan per build; the probe is
+    O(files) driver arithmetic + ONE file read instead of a full-table
+    equality scan. Blooms key by physical column id, so they survive
+    renames (tests/test_txlog_bloom.py)."""
+    from .sources import txlog as _txlog
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = os.path.join(_fresh_dir("txlog_bloom", sf_dir), "tbl")
+    t = _txlog.TxTable.create(
+        spark,
+        root,
+        ev.filter(F.col("user_id") % 4 == 0),
+        stat_cols=["event_id", "user_id", "value"],
+    )
+    for chunk in (1, 2, 3):
+        t.append(ev.filter(F.col("user_id") % 4 == chunk))
+    t.build_bloom_index("event_id", fpp=0.001)
+    probe = int(
+        ev.agg(F.floor(F.max("event_id") / 2.0).cast("bigint")).first()[0]
+    )
+    df, st = t.scan({"event_id": (probe, probe)})
+    if not (
+        st["files_bloom_pruned"] >= 1
+        and st["files_read"] < st["files_total"]
+    ):
+        raise AssertionError(
+            f"bloom pruning ineffective: read {st['files_read']}/"
+            f"{st['files_total']} files ({st['files_bloom_pruned']} "
+            "bloom-pruned) for a point lookup on an unclustered key"
+        )
+    return df.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        quantize(F.col("value"), "val"),
+        F.lit(True).alias("bloom_pruned_ok"),
+    )

@@ -353,6 +353,21 @@ class TxTable:
         elif "txn" in action:
             t = action["txn"]
             txns[t["app_id"]] = max(t["batch_id"], txns.get(t["app_id"], -1))
+        elif "bloomidx" in action:
+            # advisory per-file bloom filter (see build_bloom_index):
+            # attaches to the LIVE add entry, so checkpoints carry it
+            # for free and a removed file's bloom dies with the entry.
+            # A bloom for a path not live at this point in the replay
+            # (concurrently removed, or restore re-added the pre-bloom
+            # entry) is dropped — pruning metadata, never correctness.
+            b = action["bloomidx"]
+            entry = live.get(b["path"])
+            if entry is not None:
+                entry.setdefault("blooms", {})[b["col"]] = {
+                    "m": b["m"],
+                    "k": b["k"],
+                    "bits": b["bits"],
+                }
         return meta
 
     def _state_at(self, version: int) -> tuple[dict, dict, dict, dict]:
@@ -681,7 +696,47 @@ class TxTable:
                 for c, (lo, hi) in phys_preds.items()
             )
         ]
-        stats = {"files_total": len(live), "files_read": len(keep)}
+        # bloom file skipping for EQUALITY predicates (lo == hi) on
+        # indexed columns: hash the probe value ONCE with the exact
+        # build-side JVM expressions (xxhash64 over the declared type),
+        # then test each surviving file's bitmap driver-side — O(files)
+        # metadata work, no false negatives (build_bloom_index)
+        eq_targets = [
+            (c, pc)
+            for (c, (lo, hi)), pc in zip(
+                preds.items(), self._to_phys(meta, preds.keys())
+            )
+            if lo == hi and any(pc in a.get("blooms", {}) for a in keep)
+        ]
+        bloom_pruned = 0
+        if eq_targets:
+            exprs = []
+            for c, pc in eq_targets:
+                lit = F.lit(preds[c][0]).cast(schema[c].dataType)
+                exprs.append(F.xxhash64(lit).alias(f"h1_{pc}"))
+                exprs.append(
+                    F.xxhash64(lit, F.lit(self._BLOOM_SALT)).alias(f"h2_{pc}")
+                )
+            h = self.spark.range(1).select(*exprs).first()
+            survived = []
+            for a in keep:
+                hit = all(
+                    self._bloom_maybe_contains(
+                        a["blooms"][pc], h[f"h1_{pc}"], h[f"h2_{pc}"]
+                    )
+                    for _, pc in eq_targets
+                    if pc in a.get("blooms", {})
+                )
+                if hit:
+                    survived.append(a)
+                else:
+                    bloom_pruned += 1
+            keep = survived
+        stats = {
+            "files_total": len(live),
+            "files_read": len(keep),
+            "files_bloom_pruned": bloom_pruned,
+        }
         df = self._read_files(
             schema, [a["path"] for a in keep], dvs, self._col_mapping(meta)
         )
@@ -1000,6 +1055,7 @@ class TxTable:
         stream_txn: tuple[str, int] | None = None,
         dv: dict | None = None,
         dv_targets: tuple | list = (),
+        extras: list[dict] | None = None,
     ) -> int:
         """Optimistic-concurrency commit loop: conflict-check against
         everything committed since ``read_version``, then put-if-absent
@@ -1027,6 +1083,8 @@ class TxTable:
                     {"txn": {"app_id": stream_txn[0], "batch_id": stream_txn[1]}}
                 )
             )
+        for x in extras or []:
+            lines.append(json.dumps(x))
         lines.append(
             json.dumps(
                 {
@@ -1623,6 +1681,156 @@ class TxTable:
         return self._commit(
             "optimize", adds, [a["path"] for a in small], None, read_version=rv
         )
+
+    _BLOOM_SALT = "__txbloom2__"
+
+    def build_bloom_index(self, col: str, fpp: float = 0.01) -> int:
+        """Per-file BLOOM FILTER index on ``col`` — point-lookup file
+        skipping past what ``[min, max]`` stats can do (the public
+        Parquet column-index / Delta bloom-index design). Range stats
+        prune only when files are VALUE-CLUSTERED on the column; for a
+        high-cardinality key spread across time-ordered files every
+        range overlaps every probe, and an equality lookup reads the
+        whole table. The bloom answers "is this exact value possibly in
+        this file" with fpp false-positive rate and NO false negatives.
+
+        Mechanics: one commit of advisory ``bloomidx`` actions, one per
+        live file missing a bloom on the column. Bits build EXECUTOR-
+        side in ONE job — scan only the indexed physical column of the
+        un-indexed files, hash twice JVM-side (``xxhash64(v)`` /
+        ``xxhash64(v, salt)``), then one ``applyInPandas`` group per
+        file packs Kirsch-Mitzenmacher double-hashed positions
+        (pos_i = h1 + i·h2 mod 2⁶⁴ mod m) into a numpy bitmap: O(rows)
+        where the file lives, O(bitmap) back to the log. Sizing:
+        m = ⌈−n·ln fpp / ln²2⌉ bits (byte-rounded, floor 64),
+        k = max(1, round(m/n · ln 2)).
+
+        Soundness notes: DV-deleted rows are INCLUDED (bits hash the
+        physical content — false positives only); a file predating an
+        ``alter_add_column`` reads all-NULL and gets an empty bloom,
+        which correctly prunes it for every non-null probe; blooms key
+        by PHYSICAL column name, so they survive renames and can never
+        serve a dropped-then-re-added column; rewrites (optimize/
+        update/merge) produce new paths with no bloom — unindexed until
+        the next build, conservative. The commit conflicts with nothing
+        but metadata changes (a concurrently removed file's bloom is
+        dropped at replay — see ``_apply_action``). Files with every
+        value NULL (or no rows) form no group and get an explicit empty
+        bloom so they are not re-scanned by the next build."""
+        import base64
+        import math
+
+        if not 0.0 < fpp < 0.5:
+            raise ValueError(f"build_bloom_index: fpp out of (0, 0.5): {fpp}")
+        rv = self.version()
+        meta, live, _, _ = self._state_at(rv)
+        phys = self._to_phys(meta, [col])[0]
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        field = next((x for x in schema.fields if x.name == col), None)
+        if field is None:
+            raise ValueError(
+                f"build_bloom_index: no column {col!r} in {schema.fieldNames()}"
+            )
+        todo = sorted(
+            a["path"]
+            for a in live.values()
+            if phys not in a.get("blooms", {})
+        )
+        if not todo:
+            return rv
+        src = self.spark.read.schema(
+            T.StructType([T.StructField(phys, field.dataType, True)])
+        ).parquet(*[os.path.join(self.root, r) for r in todo])
+        hashed = (
+            src.select(self._rel_path_col().alias("__rel"), F.col(phys).alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .select(
+                "__rel",
+                F.xxhash64("__v").alias("h1"),
+                F.xxhash64("__v", F.lit(self._BLOOM_SALT)).alias("h2"),
+            )
+        )
+        fpp_f = float(fpp)
+
+        def _pack(pdf):
+            import base64 as b64
+            import math as m_
+
+            import numpy as np
+            import pandas as pd
+
+            n = len(pdf)
+            m = max(64, int(m_.ceil(-n * m_.log(fpp_f) / (m_.log(2) ** 2))))
+            m = ((m + 7) // 8) * 8
+            k = max(1, round(m / n * m_.log(2)))
+            h1 = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            for i in range(k):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                np.bitwise_or.at(
+                    bits,
+                    (idx >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+                )
+            return pd.DataFrame(
+                {
+                    "path": [pdf["__rel"].iloc[0]],
+                    "m": [m],
+                    "k": [k],
+                    "bits": [b64.b64encode(bits.tobytes()).decode("ascii")],
+                }
+            )
+
+        packed = hashed.groupBy("__rel").applyInPandas(
+            _pack, "path string, m int, k int, bits string"
+        ).collect()
+        extras = [
+            {
+                "bloomidx": {
+                    "path": r["path"],
+                    "col": phys,
+                    "m": r["m"],
+                    "k": r["k"],
+                    "bits": r["bits"],
+                }
+            }
+            for r in packed
+        ]
+        built = {r["path"] for r in packed}
+        empty = base64.b64encode(b"\0" * 8).decode("ascii")
+        for rel in todo:
+            if rel not in built:
+                extras.append(
+                    {
+                        "bloomidx": {
+                            "path": rel,
+                            "col": phys,
+                            "m": 64,
+                            "k": 1,
+                            "bits": empty,
+                        }
+                    }
+                )
+        return self._commit(
+            "bloomidx", [], [], None, read_version=rv, extras=extras
+        )
+
+    @staticmethod
+    def _bloom_maybe_contains(bloom: dict, h1: int, h2: int) -> bool:
+        """Driver-side membership probe mirroring ``_pack``'s position
+        arithmetic exactly (uint64 wraparound, mod m, LSB-first bits)."""
+        import base64
+
+        bits = base64.b64decode(bloom["bits"])
+        m, k = bloom["m"], bloom["k"]
+        u1 = h1 & 0xFFFFFFFFFFFFFFFF
+        u2 = h2 & 0xFFFFFFFFFFFFFFFF
+        for i in range(k):
+            idx = ((u1 + i * u2) & 0xFFFFFFFFFFFFFFFF) % m
+            if not (bits[idx >> 3] >> (idx & 7)) & 1:
+                return False
+        return True
 
     def alter_add_column(self, name: str, ddl_type: str) -> int:
         """Schema evolution as a metadata transaction: append a NULLABLE

@@ -56,6 +56,10 @@ _OP = st.one_of(
     # toggles v <-> v2; every later op addresses the CURRENT name and
     # all visible state / CDF replay must be unaffected
     st.tuples(st.just("rename")),
+    # advisory bloom index on k (r8): must never change ANY visible
+    # state or the CDF, while later point scans stay exact across
+    # whatever rewrites/restores/renames follow
+    st.tuples(st.just("bloom")),
 )
 
 
@@ -125,6 +129,8 @@ def _apply_table(spark, t: TxTable, model_before: dict, op, vname: str) -> None:
     elif kind == "maintain":
         t._write_checkpoint(t.version())
         t.vacuum(retention_sec=0.0)
+    elif kind == "bloom":
+        t.build_bloom_index("k", fpp=0.01)
 
 
 @SET
