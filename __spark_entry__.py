@@ -55,6 +55,7 @@ _PRIORITY = [
     "exact_value_percentiles",
     "heavy_hitter_tokens",
     "txlog_bloom_lookup",
+    "txlog_clone_branch",
     # (b) plans rewritten this round (window elimination) + ADVICE
     "mann_whitney_value_drift",
     "rfm_segments",

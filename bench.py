@@ -159,6 +159,8 @@ HEADLINE = [
     "heavy_hitter_tokens",
     # round 8: bloom file-skipping point lookup on the table format
     "txlog_bloom_lookup",
+    # round 8: shallow clone zero-copy branch lifecycle
+    "txlog_clone_branch",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

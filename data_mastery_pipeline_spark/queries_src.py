@@ -2189,3 +2189,120 @@ def txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.col("value"), "val"),
         F.lit(True).alias("bloom_pruned_ok"),
     )
+
+
+@query(
+    "txlog_clone_branch",
+    """
+    WITH base AS (
+      SELECT event_type, value FROM events WHERE user_id % 3 = 0
+    ),
+    src_now AS (
+      SELECT * FROM base
+      WHERE NOT (value BETWEEN 0 AND 15)
+        AND NOT (value BETWEEN 90 AND 100)
+    ),
+    clone_now AS (
+      SELECT * FROM base
+      WHERE NOT (value BETWEEN 0 AND 15)
+        AND NOT (value BETWEEN 30 AND 60)
+      UNION ALL
+      SELECT event_type, value FROM events
+      WHERE user_id % 3 = 1 AND event_type = 'purchase'
+    )
+    SELECT 'source' AS branch, event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value
+    FROM src_now GROUP BY event_type
+    UNION ALL
+    SELECT 'clone', event_type,
+           CAST(count(*) AS BIGINT),
+           floor(sum(value) * 100 + 0.5) / 100.0
+    FROM clone_now GROUP BY event_type
+    """,
+)
+def txlog_clone_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE as a zero-copy dev/test branch
+    (``TxTable.clone_to`` — the public Delta CLONE design): the clone's
+    v0 references the source's data files by absolute path, copying
+    nothing but metadata (plus deleted-rows-sized DV sidecars,
+    namespace-translated). Lifecycle under one oracle: source takes a
+    merge-on-read DV delete → clone (which CARRIES the DVs) → clone
+    diverges (rewrite delete + append) → source diverges the other way
+    (another delete) — the final per-type aggregates of BOTH branches
+    must match the relational model, so a leak in either direction
+    (clone DML bleeding into source files, source DML bleeding into
+    the clone's borrowed snapshot) fails the value-hash.
+
+    Self-asserting: raises unless the freshly-cloned table holds ZERO
+    data files of its own (the zero-copy fact) while reading the full
+    source row count through the borrowed references.
+
+    100 TB: cloning a 100 TB table is ONE metadata commit — the
+    branch-for-experiment workflow costs nothing until the branch
+    actually rewrites data, and then only what it touches (its DML
+    stages under its own root, progressively localizing)."""
+    import glob as _glob
+
+    from .sources import txlog as _txlog
+
+    ev = load_table(spark, "events", sf_dir)
+    src_root = os.path.join(_fresh_dir("txclone_src", sf_dir), "tbl")
+    src = _txlog.TxTable.create(
+        spark,
+        src_root,
+        ev.filter(F.col("user_id") % 3 == 0).select(
+            "event_id", "event_type", "value"
+        ),
+        stat_cols=["event_id", "value"],
+    )
+    src.delete_where("value", 0.0, 15.0, mode="dv")
+    n_src = src.read().count()
+
+    clone_root = os.path.join(_fresh_dir("txclone_dst", sf_dir), "tbl")
+    clone = src.clone_to(clone_root)
+    own = {
+        os.path.relpath(p, clone_root)
+        for p in _glob.glob(
+            os.path.join(clone_root, "data", "**", "*.parquet"),
+            recursive=True,
+        )
+    }
+    _, _, _, clone_dvs = clone._state_at(clone.version())
+    sidecars = {p for e in clone_dvs.values() for p in e["paths"]}
+    if own - sidecars:
+        raise AssertionError(
+            f"clone copied data files: {sorted(own - sidecars)[:3]} — "
+            "only namespace-translated DV sidecars may be staged"
+        )
+    if clone.read().count() != n_src:
+        raise AssertionError("clone does not read like its source")
+
+    clone.delete_where("value", 30.0, 60.0)
+    clone.append(
+        ev.filter(
+            (F.col("user_id") % 3 == 1)
+            & (F.col("event_type") == "purchase")
+        ).select("event_id", "event_type", "value")
+    )
+    src.delete_where("value", 90.0, 100.0)
+    if src.read().count() >= n_src:
+        raise AssertionError("source delete did not apply")
+
+    out = []
+    for branch, t in (("source", src), ("clone", clone)):
+        out.append(
+            t.read()
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                quantize(F.sum("value"), "sum_value"),
+            )
+            .select(
+                F.lit(branch).alias("branch"),
+                "event_type",
+                "n_rows",
+                "sum_value",
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -592,9 +592,19 @@ class TxTable:
         """Expression turning ``_metadata.file_path`` (``file:`` +
         abspath) into the log-relative path — a fixed-offset substring,
         computed per row JVM-side (no UDF). The offset is exact because
-        every scanned file lives under ``self.root``."""
+        every scanned file lives under ``self.root`` — except files a
+        SHALLOW CLONE references by ABSOLUTE path (:meth:`clone_to`),
+        whose log identity is that absolute path: those strip only the
+        ``file:`` scheme, so the computed identity equals the log path
+        in both cases and every path-keyed mechanism (DV write + read
+        anti-join, restrict filters, bloom build) stays consistent on
+        mixed local/foreign scans."""
         prefix = "file:" + os.path.abspath(self.root) + "/"
-        return F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})")
+        fp = F.col("_metadata.file_path")
+        return F.when(
+            fp.startswith(prefix),
+            F.expr(f"substring(_metadata.file_path, {len(prefix) + 1})"),
+        ).otherwise(F.expr("substring(_metadata.file_path, 6)"))
 
     def _dv_frame(self, dvs: dict, restrict: set[str] | None = None):
         """The live deletion-vector relation ``(path, pos)`` — one scan
@@ -2194,6 +2204,95 @@ class TxTable:
             meta=meta_v if meta_v != meta_now else None,
             dv=dv_actions or None,
         )
+
+    def clone_to(
+        self, dest_root: str, version: int | None = None
+    ) -> "TxTable":
+        """SHALLOW CLONE (the public Delta ``CLONE`` design): a NEW
+        table at ``dest_root`` whose v0 references THIS table's data
+        files at ``version`` — zero data copied, one metadata commit.
+        The clone is a full peer afterwards: its own log, its own
+        history, fully writable; its DML rewrites land under its own
+        root, progressively localizing whatever it touches, while
+        untouched data keeps reading from the source files.
+
+        Mechanics: cloned add entries (and deletion-vector sidecar
+        references — clones CARRY the source's live DVs) switch to
+        ABSOLUTE paths. ``os.path.join(root, p)`` passes absolutes
+        through, and ``_rel_path_col`` returns the absolute identity
+        for foreign files, so every path-keyed mechanism — DV write and
+        read anti-join, scan restricts, bloom builds, rewrite removes —
+        works unchanged on mixed local/foreign tables. Blooms ride the
+        cloned entries (same file content, same bits — sound).
+
+        The one shared-fate caveat, same as the public formats': the
+        clone borrows the source's PHYSICAL files, so a ``vacuum`` on
+        the source after the source itself stops referencing them (its
+        own rewrite + history expiry) can delete files the clone still
+        reads. Cloning is a branch, not a backup; ``optimize`` on the
+        clone localizes (copies) everything it still shares when
+        isolation is needed. A clone's own vacuum never touches foreign
+        files (it walks only its own data dir)."""
+        v = self.version() if version is None else version
+        meta, live, _, dvs = self._state_at(v)
+        os.makedirs(os.path.join(dest_root, _LOG_DIR), exist_ok=True)
+        clone = object.__new__(type(self))
+        clone.spark, clone.root = self.spark, dest_root
+        if clone._latest_version() >= 0:
+            raise ConflictError(f"table already exists at {dest_root!r}")
+
+        def _abs(rel: str) -> str:
+            return os.path.abspath(os.path.join(self.root, rel))
+
+        adds = []
+        for a in sorted(live.values(), key=lambda a: a["path"]):
+            b = dict(a)
+            b["path"] = _abs(a["path"])
+            adds.append(b)
+        dv_action = None
+        if dvs:
+            # live DVs come along, but their sidecar ROWS carry the
+            # SOURCE's path identities — rewrite them into the clone's
+            # namespace (absolute) and stage fresh sidecars under the
+            # clone root. Sidecars are deleted-rows-sized: this is the
+            # one bounded copy a shallow clone performs.
+            files: dict[str, int] = {}
+            for e in dvs.values():
+                for k, n in e["files"].items():
+                    ak = _abs(k)
+                    files[ak] = files.get(ak, 0) + n
+            old = sorted({p for e in dvs.values() for p in e["paths"]})
+            kv: list = []
+            seen: set = set()
+            for e in dvs.values():
+                for k in e["files"]:
+                    if k not in seen:
+                        seen.add(k)
+                        kv += [F.lit(k), F.lit(_abs(k))]
+            pmap = F.create_map(*kv)
+            rows = (
+                self.spark.read.schema(self._DV_SCHEMA)
+                .parquet(*[os.path.join(self.root, p) for p in old])
+                .select(pmap[F.col("path")].alias("path"), "pos")
+                .filter(F.col("path").isNotNull())
+            )
+            entries = clone._write_stage(rows, [])
+            if entries:
+                dv_action = {
+                    "paths": sorted(e["path"] for e in entries),
+                    "files": files,
+                    "num_deleted": sum(files.values()),
+                }
+        clone._commit(
+            "clone",
+            adds,
+            [],
+            None,
+            read_version=-1,
+            meta=dict(meta),
+            dv=dv_action,
+        )
+        return clone
 
     def expire(self, keep_last: int) -> list[int]:
         """Truncate log history: checkpoint the current version, then
