@@ -93,6 +93,16 @@ _INSERT = re.compile(
     rf"^\s*INSERT\s+INTO\s+({_ID})\s+(VALUES\s+.*|SELECT\b.*|WITH\b.*)$",
     re.I | re.S,
 )
+_CLONE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+({_ID})\s+SHALLOW\s+CLONE\s+({_ID})"
+    rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+({_STR})\s*$",
+    re.I,
+)
+_BLOOM = re.compile(
+    rf"^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+({_ID})\s*\(\s*({_ID})\s*\)"
+    rf"(?:\s+FPP\s+({_NUM}))?\s*$",
+    re.I,
+)
 _SELECT = re.compile(r"^\s*(SELECT|WITH)\b", re.I)
 # SQL time travel inside SELECTs: `FROM t VERSION AS OF n` — rewritten
 # to a snapshot view before spark.sql sees the text
@@ -246,6 +256,21 @@ class TxSqlSession:
         m = _RESTORE.match(text)
         if m:
             return self._table(m.group(1)).restore(int(m.group(2)))
+        m = _CLONE.match(text)
+        if m:
+            name, src, ver, loc = m.groups()
+            clone = self._table(src).clone_to(
+                loc[1:-1].replace("''", "'"),
+                version=int(ver) if ver is not None else None,
+            )
+            self.register(name, clone)
+            return clone
+        m = _BLOOM.match(text)
+        if m:
+            name, col, fpp = m.groups()
+            return self._table(name).build_bloom_index(
+                col, fpp=float(fpp) if fpp is not None else 0.01
+            )
         m = _INSERT.match(text)
         if m:
             t = self._table(m.group(1))
@@ -294,5 +319,7 @@ class TxSqlSession:
             "<range>, UPDATE t SET … WHERE <range>, MERGE INTO t USING "
             "<src> s ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN "
             "NOT MATCHED THEN INSERT *, ALTER TABLE t RENAME/DROP/ADD "
-            "COLUMN, RESTORE TABLE t TO VERSION AS OF n"
+            "COLUMN, RESTORE TABLE t TO VERSION AS OF n, CREATE TABLE "
+            "t2 SHALLOW CLONE t [VERSION AS OF n] LOCATION 'path', "
+            "CREATE BLOOMFILTER INDEX ON t (col) [FPP p]"
         )

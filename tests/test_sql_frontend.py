@@ -210,3 +210,42 @@ def test_sql_time_travel_version_as_of(spark, tmp_path):
         "LEFT ANTI JOIN t cur ON o.id = cur.id"
     ).first()["n"]
     assert gone == 6
+
+
+def test_sql_shallow_clone_and_bloom_index(spark, tmp_path):
+    from data_mastery_pipeline_spark.txsql import TxSqlSession
+
+    sql_t, api_t = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+    dest = str(tmp_path / "sql_clone")
+    ss.sql(f"CREATE TABLE t2 SHALLOW CLONE t LOCATION '{dest}'")
+    # the clone registers and serves SQL immediately; divergence holds
+    ss.sql("DELETE FROM t2 WHERE v BETWEEN 0 AND 5")
+    assert ss.sql("SELECT count(*) AS n FROM t").first()["n"] == 12
+    assert ss.sql("SELECT count(*) AS n FROM t2").first()["n"] == 6
+    # API equivalence: clone_to at the same version reads identically
+    api_clone = api_t.clone_to(str(tmp_path / "api_clone"))
+    api_clone.delete_where("v", 0.0, 5.0)
+    assert _state(ss._table("t2")) == _state(api_clone)
+    # bloom index via SQL: equality scan prunes like the API build
+    ss.sql("CREATE BLOOMFILTER INDEX ON t2 (id) FPP 0.001")
+    df, st = ss._table("t2").scan({"id": (10, 10)})
+    assert df.count() == 1
+    api_clone.build_bloom_index("id", fpp=0.001)
+    df2, st2 = api_clone.scan({"id": (10, 10)})
+    assert st["files_bloom_pruned"] == st2["files_bloom_pruned"]
+
+
+def test_sql_clone_version_as_of_and_refusals(spark, tmp_path):
+    from data_mastery_pipeline_spark.txsql import TxSqlSession
+
+    sql_t, _ = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+    ss.sql("DELETE FROM t WHERE v BETWEEN 0 AND 5")
+    dest = str(tmp_path / "v0_clone")
+    ss.sql(f"CREATE TABLE t0 SHALLOW CLONE t VERSION AS OF 0 LOCATION '{dest}'")
+    assert ss.sql("SELECT count(*) AS n FROM t0").first()["n"] == 12
+    from data_mastery_pipeline_spark.txsql import UnsupportedSqlError as _E
+
+    with pytest.raises(_E):
+        ss.sql("CREATE TABLE x DEEP CLONE t LOCATION '/tmp/nope'")
