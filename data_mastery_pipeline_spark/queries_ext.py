@@ -12,6 +12,8 @@ in-query tolerance certificates.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -533,7 +535,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
     cents = ivf.train_centroids(emb, n_cells=8, max_train_rows=20_000)
-    ivf_out = ivf.ivf_topk(emb, cents, qv, k=10, n_probes=3).select("vec_id")
+    # index BUILD: cell-partitioned layout (process-private dir — a
+    # FIXED path raced concurrent drive/test processes overwriting the
+    # index mid-read), so the probe filter PRUNES PARTITIONS instead of
+    # re-assigning cells over the full table per query — the measured
+    # form of the module's 100 TB claim (same pattern as IVF-PQ)
+    from .queries_src import _fresh_dir
+
+    cells = ivf.materialize_cells(
+        emb, cents, os.path.join(_fresh_dir("ivfflat", sf_dir), "cells")
+    )
+    ivf_out = ivf.ivf_topk(cells, cents, qv, k=10, n_probes=3).select("vec_id")
     exact = _exact_cosine_topk(spark, sf_dir, qv)
     # lazy recall certificate: a 1-row broadcast aggregate, not a
     # construction-time .count() (which would execute training + both
@@ -582,24 +594,22 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table size."""
     from .similarity import ivf, pq
 
-    import os
-    import tempfile
-
     qv = _query_vec(spark, sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
     cents = ivf.train_centroids(emb, n_cells=8, max_train_rows=20_000)
     books = pq.train_pq(emb, cents, m=4, ksub=16)
     # index BUILD: Arrow-vectorized encode, materialized cell-
     # partitioned (the real index layout — the ADC probe filter prunes
-    # partitions; a fixed per-sf path so repeat runs overwrite instead
-    # of accumulating)
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_ivfpq",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    # partitions). Process-private dir via _fresh_dir: a FIXED per-sf
+    # path raced concurrent drive/test processes (one overwrites the
+    # index while the other reads it mid-query); _fresh_dir replaces
+    # the previous call's dir within a process, so repeat bench runs
+    # don't accumulate either.
+    from .queries_src import _fresh_dir
+
     codes = pq.materialize_codes(
-        pq.encode_pq_arrow(emb, cents, books), idx
+        pq.encode_pq_arrow(emb, cents, books),
+        os.path.join(_fresh_dir("ivfpq", sf_dir), "codes"),
     )
     pq_out = pq.ivfpq_topk(
         codes, emb, cents, books, qv, k=10, n_probes=4, refine=6

@@ -50,7 +50,12 @@ def _kmeans_fit(X, k: int, seed: int, max_iter: int = 25):
         tot = float(d2.sum())
         if tot <= 0.0:  # all remaining points coincide with a center
             break
-        centers.append(X[np.searchsorted(np.cumsum(d2), rng.rand() * tot)])
+        # min() guards the last-ulp case where cumsum[-1] < d2.sum()
+        # (float association) and searchsorted would return n
+        idx = min(
+            int(np.searchsorted(np.cumsum(d2), rng.rand() * tot)), n - 1
+        )
+        centers.append(X[idx])
         d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
     C = np.asarray(centers)
     xsq = (X * X).sum(axis=1)
@@ -168,12 +173,38 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's n_probes
     nearest cells. The cell filter is pushable — on a cell-partitioned
-    table it prunes partitions."""
+    table it prunes partitions. If ``df`` already carries a ``cell``
+    column (a :func:`materialize_cells` index), assignment is skipped
+    and the filter prunes the materialized layout instead of
+    re-deriving cells per query."""
     probes = _probe_cells(list(query_vec), centroids, n_probes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    src = (
+        df
+        if "cell" in df.columns
+        else assign_cells(df, centroids, vec_col)
+    )
     scored = (
-        assign_cells(df, centroids, vec_col)
-        .filter(F.col("cell").isin(probes))
+        src.filter(F.col("cell").isin(probes))
         .select(F.col(id_col), cosine(F.col(vec_col).cast("array<double>"), q).alias("cos"))
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def materialize_cells(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Write ``df`` + its cell assignment CELL-PARTITIONED and read it
+    back — the at-scale IVF-Flat layout the module docstring promises:
+    a query's probe filter becomes a partition-pruning predicate
+    (PartitionFilters in the scan), so search reads
+    ``n_probes / n_cells`` of the data instead of assigning cells over
+    the full table per query. The assignment job runs ONCE per index
+    build (same contract as pq.materialize_codes)."""
+    assign_cells(df, centroids, vec_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    return df.sparkSession.read.parquet(path)
