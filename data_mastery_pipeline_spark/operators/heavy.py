@@ -101,9 +101,13 @@ def exact_topk(
     """Exact top-``k`` most frequent values of ``df[col]`` with the
     two-pass MG design (module docstring). Returns
     ``(col, n, guarantee_ok)`` ordered (n DESC, col) — values exact by
-    recount; ``guarantee_ok`` TRUE iff the k-th recount exceeds
-    N/(cap+1), the condition under which no non-candidate can belong
-    to the true top-k.
+    recount; ``guarantee_ok`` TRUE iff BOTH (a) exactly ``k`` candidate
+    rows came back AND (b) the k-th recount exceeds N/(cap+1) —
+    together the condition under which no non-candidate can belong to
+    the true top-k. (b) alone is not enough: with fewer than ``k``
+    candidates the missing slots of the true top-k are non-candidates
+    by definition (caught by the --mg scale probe: 5 heavy tokens over
+    a unique-tail stream returned 5 rows for k=20 with a truthy (b)).
 
     The pass-1 summary is localCheckpointed (it is ≤ P·cap + P rows)
     so candidates and the stream-length sentinel read materialized
@@ -117,13 +121,16 @@ def exact_topk(
         .agg(F.count("*").alias("n"))
     )
     top = counts.orderBy(F.desc("n"), F.col(col)).limit(k)
-    kth = top.agg(F.min("n").alias("__kth"))
+    kth = top.agg(
+        F.min("n").alias("__kth"), F.count("*").alias("__k_got")
+    )
     return (
         top.crossJoin(F.broadcast(kth))
         .crossJoin(F.broadcast(total))
         .withColumn(
             "guarantee_ok",
-            F.col("__kth") * (cap + 1) > F.col("__N"),
+            (F.col("__k_got") == k)
+            & (F.col("__kth") * (cap + 1) > F.col("__N")),
         )
-        .drop("__kth", "__N")
+        .drop("__kth", "__k_got", "__N")
     )

@@ -843,7 +843,8 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY n DESC, tok LIMIT 20
     )
     SELECT tok, n,
-           (SELECT min(n) FROM top) * 1025
+           (SELECT count(*) FROM top) = 20
+           AND (SELECT min(n) FROM top) * 1025
              > (SELECT CAST(count(*) AS BIGINT) FROM toks) AS guarantee_ok
     FROM top
     """,
@@ -853,9 +854,10 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/heavy.py): per-partition Misra-Gries candidate sketches
     (cap=1024 counters, O(cap) memory regardless of vocabulary size),
     then an exact candidate-only recount. The `guarantee_ok` column
-    certifies from measured quantities (20th count · (cap+1) > N) that
-    the exact-top-k condition held — the oracle recomputes both the
-    exact top-20 AND the certificate arithmetic.
+    certifies from measured quantities (exactly 20 candidates returned
+    AND 20th count · (cap+1) > N) that the exact-top-k condition held —
+    the oracle recomputes both the exact top-20 AND the certificate
+    arithmetic.
 
     100 TB: `top_tokens`' groupBy shuffles one row per distinct token
     per map partition — fine for words, fatal for URL/n-gram keys with

@@ -266,6 +266,12 @@ def main() -> None:
     if args and args[0] == "--containment-hot":
         containment_hot_probe([int(a) for a in args[1:]] or [1, 2, 4, 16])
         return
+    if args and args[0] == "--mg":
+        mg_probe([int(a) for a in args[1:]] or [1, 4, 16])
+        return
+    if args and args[0] == "--bloom":
+        bloom_probe([int(a) for a in args[1:]] or [4, 8, 16])
+        return
     if args and args[0] == "--txlog":
         txlog_probe([int(a) for a in args[1:]] or [1, 2, 4])
         return
@@ -765,6 +771,127 @@ def dv_probe(ks) -> None:
             ),
             flush=True,
         )
+
+
+
+def mg_probe(ks) -> None:
+    """Misra-Gries heavy-hitters scale claim MEASURED: pass-1 output is
+    O(P·cap) rows regardless of stream size, while the exact top-20 by
+    recount stays value-equal to the full groupBy at every
+    amplification. The moved-data column is the claim: a groupBy
+    shuffles one row per (distinct token, map partition); MG moves
+    ≤ cap+1 rows per partition, period."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.operators import heavy
+    from data_mastery_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe_mg")
+    spark.range(10).count()
+    CAP, K = 1024, 20
+    for k in ks:
+        # synthetic long-tail stream — the regime MG exists for (the
+        # corpus has only ~46 distinct tokens, which a groupBy handles
+        # trivially): 10 hot tokens at n/20 occurrences each, plus a
+        # UNIQUE tail token per remaining row, so distinct ≈ n/2 and
+        # the groupBy's shuffle carries the key space itself
+        n = 50_000 * k
+        toks = (
+            spark.range(n)
+            .select(
+                F.when(
+                    F.col("id") % 2 == 0,
+                    F.concat(
+                        F.lit("hot"),
+                        ((F.col("id") / 2).cast("long") % 25).cast("string"),
+                    ),
+                )
+                .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+                .alias("tok")
+            )
+            .repartition(32)
+            .localCheckpoint()
+        )
+        n_stream = toks.count()
+        n_distinct = toks.distinct().count()
+        summary = heavy.mg_summarize(toks, "tok", CAP)
+        n_pass1 = summary.count()
+        t0 = time.time()
+        got = heavy.exact_topk(toks, "tok", k=K, cap=CAP).collect()
+        t_mg = round(time.time() - t0, 2)
+        t0 = time.time()
+        exact = (
+            toks.groupBy("tok").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.col("tok")).limit(K).collect()
+        )
+        t_gb = round(time.time() - t0, 2)
+        equal = [(r["tok"], r["n"]) for r in got] == [
+            (r["tok"], r["n"]) for r in exact
+        ]
+        print(json.dumps({
+            "probe": "mg", "k": k, "stream_rows": n_stream,
+            "distinct_tokens": n_distinct, "pass1_rows": n_pass1,
+            "cap": CAP, "topk_equal_exact": equal,
+            "guarantee_ok": bool(got and got[0]["guarantee_ok"]),
+            "mg_wall_sec": t_mg, "groupby_wall_sec": t_gb,
+        }))
+
+
+def bloom_probe(ks) -> None:
+    """Bloom file-skipping scale claim MEASURED: as the table grows
+    (more unclustered files), a point lookup's files_read stays O(1)
+    under the bloom index while range stats alone read everything —
+    the files_read column vs files_total IS the claim."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.session import get_spark
+    from data_mastery_pipeline_spark.sources.txlog import TxTable
+
+    spark = get_spark(app_name="scale_probe_bloom")
+    spark.range(10).count()
+    for n_files in ks:
+        root = tempfile.mkdtemp(prefix="bloomprobe_")
+        try:
+            n_rows = 5000 * n_files
+            base = spark.range(n_rows).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 97).cast("double").alias("v"),
+            )
+            # chunk by k % n_files: every file spans ~the full key range
+            t = TxTable.create(
+                spark, os.path.join(root, "tbl"),
+                base.filter(F.col("k") % n_files == 0).coalesce(1),
+                stat_cols=["k", "v"],
+            )
+            for c in range(1, n_files):
+                t.append(
+                    base.filter(F.col("k") % n_files == c).coalesce(1)
+                )
+            probe = n_rows // 2 + 1
+            df0, st0 = t.scan({"k": (probe, probe)})  # stats only
+            t0 = time.time()
+            t.build_bloom_index("k", fpp=0.001)
+            t_build = round(time.time() - t0, 2)
+            df1, st1 = t.scan({"k": (probe, probe)})
+            n_hit = df1.count()
+            print(json.dumps({
+                "probe": "bloom", "files_total": st1["files_total"],
+                "rows": n_rows,
+                "files_read_stats_only": st0["files_read"],
+                "files_read_with_bloom": st1["files_read"],
+                "files_bloom_pruned": st1["files_bloom_pruned"],
+                "rows_found": n_hit,
+                "index_build_sec": t_build,
+            }))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
 
 if __name__ == "__main__":
     main()
