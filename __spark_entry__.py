@@ -45,6 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #       every read/write path), then standing anchors.
 _PRIORITY = [
     # (a) round-8 additions
+    "txlog_replace_where",
+    "scd2_dimension_history",
     "mv_minmax",
     "mv_join_view",
     "txlog_column_mapping",

@@ -161,6 +161,10 @@ HEADLINE = [
     "txlog_bloom_lookup",
     # round 8: shallow clone zero-copy branch lifecycle
     "txlog_clone_branch",
+    # round 8: atomic predicate overwrite (Delta replaceWhere shape)
+    "txlog_replace_where",
+    # round 8: SCD2 dimension maintained from the change feed
+    "scd2_dimension_history",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

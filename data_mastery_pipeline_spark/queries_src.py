@@ -2306,3 +2306,203 @@ def txlog_clone_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1])
+
+
+@query(
+    "txlog_replace_where",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_id % 6 = 1
+    ),
+    after_dv AS (
+      SELECT * FROM base WHERE NOT (value >= 0.0 AND value <= 5.0)
+    ),
+    kept AS (
+      SELECT * FROM after_dv WHERE NOT (value >= 10.0 AND value <= 20.0)
+    ),
+    final AS (
+      SELECT * FROM kept
+      UNION ALL
+      SELECT * FROM (VALUES (9300001, 3, 'click', 12.5),
+                            (9300002, 4, 'purchase', 15.75),
+                            (9300003, 5, 'view', 19.0))
+        AS t(event_id, user_id, event_type, value)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic predicate overwrite (sources/txlog.py:replace_where, r8 —
+    the public Delta ``replaceWhere`` / dynamic-partition-overwrite
+    pattern; the reference's consumer re-lands a day's slice per run,
+    kafka_consumer_s3.py:86-118, with NO replacement semantics — a
+    re-run duplicates the day). Lifecycle: create → merge-on-read DV
+    delete (so the keep side must respect live deletion vectors) →
+    REPLACE the value slice [10, 20] with a corrected 3-row load.
+    Self-asserting: an out-of-slice incoming row refuses loudly
+    (nothing commits), the swap is ONE commit, and RE-RUNNING the same
+    load leaves the table bit-identical (the idempotent daily batch —
+    the property append-based re-loads structurally cannot have). The
+    driver-checked observable is the final per-type aggregate: the
+    slice's disappearance AND the corrected rows ride the value-hash.
+
+    100 TB: cost is O(files overlapping the slice) — stats-pruned like
+    delete_where, so a one-day replace of a date-clustered table
+    touches one day's files; the SQL surface is
+    ``INSERT INTO t REPLACE WHERE … VALUES …`` (txsql)."""
+    from .sources import txlog as _txlog
+
+    base = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 6 == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    root = os.path.join(_fresh_dir("txlog_replace", sf_dir), "tbl")
+    t = _txlog.TxTable.create(spark, root, base)
+    t.delete_where("value", 0.0, 5.0, mode="dv")
+    load = spark.createDataFrame(
+        [
+            (9300001, 3, "click", 12.5),
+            (9300002, 4, "purchase", 15.75),
+            (9300003, 5, "view", 19.0),
+        ],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    v_pre = t.version()
+    try:
+        t.replace_where(
+            "value",
+            10.0,
+            20.0,
+            spark.createDataFrame(
+                [(9300009, 9, "error", 500.0)],
+                "event_id long, user_id long, event_type string, value double",
+            ),
+        )
+        raise RuntimeError("out-of-slice row must refuse")
+    except RuntimeError:
+        raise
+    except Exception:
+        pass  # the documented refusal
+    if t.version() != v_pre:
+        raise RuntimeError("refused replace must commit nothing")
+    v1 = t.replace_where("value", 10.0, 20.0, load)
+    if v1 != v_pre + 1:
+        raise RuntimeError("replace must be ONE commit")
+    first = t.read()
+    t.replace_where("value", 10.0, 20.0, load)  # the idempotent re-run
+    again = t.read()
+    if (
+        again.exceptAll(first).limit(1).count()
+        or first.exceptAll(again).limit(1).count()
+    ):
+        raise RuntimeError("re-running the same load must be idempotent")
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "scd2_dimension_history",
+    """
+    WITH base AS (
+      SELECT user_id, floor(sum(value) * 100 + 0.5) / 100.0 AS score
+      FROM events WHERE user_id % 3 = 0 GROUP BY user_id
+    ),
+    ev AS (
+      SELECT user_id, score, CAST(0 AS BIGINT) AS v, 1 AS ins FROM base
+      UNION ALL
+      SELECT user_id, score + 1000.0, CAST(1 AS BIGINT), 1
+      FROM base WHERE user_id % 6 = 0
+      UNION ALL
+      SELECT * FROM (VALUES (CAST(9000001 AS BIGINT), 11.5, CAST(1 AS BIGINT), 1),
+                            (9000002, 22.25, 1, 1),
+                            (9000001, NULL, 2, 0),
+                            (9000001, 99.0, 3, 1))
+        AS t(user_id, score, v, ins)
+    ),
+    seq AS (
+      SELECT user_id, score, v, ins,
+             lead(v) OVER (PARTITION BY user_id ORDER BY v) AS next_v
+      FROM ev
+    )
+    SELECT user_id, score, v AS valid_from, next_v AS valid_to,
+           next_v IS NULL AS is_current
+    FROM seq WHERE ins = 1
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 dimension from the change feed (scd.py, r8 — the
+    public DLT "APPLY CHANGES … STORED AS SCD TYPE 2" surface; the
+    reference keeps current state only, silver_processor.py). Source
+    lifecycle: per-user score table → keyed merge (updates + 2 new
+    users) → delete (tombstone) → re-insert (rebirth). TWO incremental
+    applies (one mid-history, one at head) maintain the dimension;
+    the oracle assembles the intervals from the LOGICAL events alone —
+    so rewrite churn leaking through the CDF netting (a merge re-emits
+    every neighbor row in a rewritten file) would mint phantom
+    intervals and fail the value-hash. Self-asserting: a replayed
+    apply is exactly-once (None, no commit) and current() is row-equal
+    to the source's live rows.
+
+    100 TB: the apply reads O(changed files) of feed and touches only
+    the CURRENT rows of CHANGED keys in the target (broadcast
+    semi-join); per-key lead() windows, never a global sort. The
+    snapshot-diff alternative scans the full dimension twice per
+    sync."""
+    from .scd import Scd2Dimension
+    from .sources import txlog as _txlog
+
+    base = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") % 3 == 0)
+        .groupBy("user_id")
+        .agg(quantize(F.sum("value"), "score"))
+    )
+    root = _fresh_dir("scd2_dim", sf_dir)
+    src = _txlog.TxTable.create(spark, os.path.join(root, "src"), base)
+    updates = (
+        base.filter(F.col("user_id") % 6 == 0)
+        .select("user_id", (F.col("score") + 1000.0).alias("score"))
+        .unionByName(
+            spark.createDataFrame(
+                [(9000001, 11.5), (9000002, 22.25)],
+                "user_id long, score double",
+            )
+        )
+    )
+    src.merge_upsert(updates, "user_id")  # v1
+    dim = Scd2Dimension.create(
+        spark, src, os.path.join(root, "dim"), "user_id", "user_score"
+    )
+    if dim.apply() != 1:  # first window: full history so far
+        raise RuntimeError("first apply must reflect source v1")
+    src.delete_where("user_id", 9000001, 9000001)  # v2 tombstone
+    src.merge_upsert(
+        spark.createDataFrame([(9000001, 99.0)], "user_id long, score double"),
+        "user_id",
+    )  # v3 rebirth
+    if dim.apply() != 3:  # second window: incremental
+        raise RuntimeError("second apply must reflect source v3")
+    if dim.apply() is not None:
+        raise RuntimeError("replayed apply must be exactly-once (None)")
+    cur = dim.current().select("user_id", "score")
+    live = src.read()
+    if (
+        cur.exceptAll(live).limit(1).count()
+        or live.exceptAll(cur).limit(1).count()
+    ):
+        raise RuntimeError("current() != source live rows")
+    return dim.read().orderBy("user_id", "valid_from")

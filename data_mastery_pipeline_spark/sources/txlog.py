@@ -1038,6 +1038,10 @@ class TxTable:
                     "merge",
                     "update",
                     "update_dv",
+                    # replace rewrites "everything inside the slice": an
+                    # interleaved add overlapping the predicate would be
+                    # silently half-replaced
+                    "replace",
                     # restore computes its file diff against a snapshot:
                     # an interleaved append's rows would silently
                     # survive the restore (predicate None → any add
@@ -1530,6 +1534,82 @@ class TxTable:
             for p, n in e["files"].items():
                 out[p] = out.get(p, 0) + n
         return out
+
+    def replace_where(self, col: str, lo, hi, df: DataFrame) -> int:
+        """Atomic predicate overwrite — the public Delta ``replaceWhere``
+        / dynamic-partition-overwrite pattern (the reference's daily
+        re-load shape: `kafka_consumer_s3.py` re-lands a day's slice
+        per run). ONE commit deletes every row with ``col BETWEEN lo
+        AND hi`` and inserts ``df``; readers see the swap atomically
+        (snapshot isolation), and re-running the same load replaces the
+        slice again instead of duplicating it — the idempotent daily
+        batch.
+
+        Every INCOMING row must satisfy the predicate, enforced with a
+        conditional ``raise_error`` riding the staging write (zero
+        extra passes, the CHECK-constraint mechanism): a row outside
+        the replaced slice would survive the NEXT replace of the same
+        slice and silently break the re-load idempotence this op exists
+        for — Delta refuses the same way. A NULL predicate value on an
+        incoming row refuses too (it is not inside any slice); NULL
+        values already in the table are KEPT, like ``delete_where``
+        (ANSI: NULL never matches).
+
+        Concurrency: ``replace`` joins the delete/merge conflict class
+        — interleaved adds overlapping the predicate, or removes/DVs on
+        rewritten files, raise :class:`ConflictError`. CDF: the commit's
+        remove/add actions feed :meth:`changes` generically (old slice
+        rows as deletes — DV-adjusted — new rows as inserts).
+
+        100 TB: cost is O(files overlapping the slice) — with
+        date-clustered layout (ingest order or ``optimize(cluster_by)``)
+        a one-day replace touches one day's files, never the table."""
+        rv = self.version()
+        meta, live, _, dvs = self._state_at(rv)
+        mapping = self._col_mapping(meta)
+        (pcol,) = self._to_phys(meta, [col])
+        incoming = self._conform(df, meta)
+        inside = F.coalesce(
+            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)),
+            F.lit(False),
+        )
+        first = incoming.schema.fields[0]
+        msg = (
+            f"replace_where: incoming row outside "
+            f"{col!r} BETWEEN {lo!r} AND {hi!r}"
+        )
+        guarded = incoming.withColumn(
+            first.name,
+            F.when(
+                ~inside, F.raise_error(F.lit(msg)).cast(first.dataType)
+            ).otherwise(F.col(first.name)),
+        )
+        hit_rels = sorted(
+            a["path"]
+            for a in live.values()
+            if _overlaps(a["stats"], pcol, lo, hi)
+        )
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        if hit_rels:
+            keep = self._read_files(schema, hit_rels, dvs, mapping).filter(
+                ~F.coalesce(
+                    (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)),
+                    F.lit(False),
+                )
+            )
+            new_data = keep.unionByName(guarded)
+        else:
+            new_data = guarded
+        adds = self._write_stage(new_data, meta["stat_cols"], mapping)
+        if not adds and not hit_rels:
+            return rv  # empty slice replaced with nothing — no commit
+        return self._commit(
+            "replace",
+            adds,
+            hit_rels,
+            {pcol: (lo, hi)},
+            read_version=rv,
+        )
 
     def merge_upsert(
         self,

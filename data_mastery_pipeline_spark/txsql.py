@@ -93,6 +93,13 @@ _INSERT = re.compile(
     rf"^\s*INSERT\s+INTO\s+({_ID})\s+(VALUES\s+.*|SELECT\b.*|WITH\b.*)$",
     re.I | re.S,
 )
+# Delta's atomic-slice-overwrite SQL: INSERT INTO t REPLACE WHERE
+# <range> VALUES …|SELECT … — dispatches to TxTable.replace_where
+_INSERT_REPLACE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+({_ID})\s+REPLACE\s+WHERE\s+(.*?)\s+"
+    r"(VALUES\s+.*|SELECT\b.*|WITH\b.*)$",
+    re.I | re.S,
+)
 _CLONE = re.compile(
     rf"^\s*CREATE\s+TABLE\s+({_ID})\s+SHALLOW\s+CLONE\s+({_ID})"
     rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+({_STR})\s*$",
@@ -213,6 +220,29 @@ class TxSqlSession:
         for name, t in self._tables.items():
             t.read().createOrReplaceTempView(name)
 
+    def _insert_rows(self, t: TxTable, body: str) -> DataFrame:
+        """Evaluate an INSERT body (VALUES/SELECT/WITH) and coerce it to
+        the table schema: arity checked loudly, then ANSI
+        store-assignment positional casts (a bad value errors at
+        runtime under ANSI, never silently)."""
+        self._refresh_views()  # SELECT sources may read registered tables
+        if body.upper().startswith("VALUES"):
+            cols = ", ".join(t.read().columns)
+            body = f"SELECT * FROM ({body}) AS __v({cols})"
+        rows = self.spark.sql(body)
+        schema = t.read().schema
+        if len(rows.columns) != len(schema.fields):
+            raise UnsupportedSqlError(
+                f"INSERT arity {len(rows.columns)} != table arity "
+                f"{len(schema.fields)}"
+            )
+        return rows.select(
+            *[
+                rows[c].cast(f.dataType).alias(f.name)
+                for c, f in zip(rows.columns, schema.fields)
+            ]
+        )
+
     def sql(self, text: str):
         text = text.strip().rstrip(";")
         m = _DELETE.match(text)
@@ -271,30 +301,17 @@ class TxSqlSession:
             return self._table(name).build_bloom_index(
                 col, fpp=float(fpp) if fpp is not None else 0.01
             )
+        m = _INSERT_REPLACE.match(text)
+        if m:
+            t = self._table(m.group(1))
+            col, lo, hi = _parse_range(m.group(2))
+            return t.replace_where(
+                col, lo, hi, self._insert_rows(t, m.group(3).strip())
+            )
         m = _INSERT.match(text)
         if m:
             t = self._table(m.group(1))
-            body = m.group(2).strip()
-            self._refresh_views()  # SELECT sources may read registered tables
-            if body.upper().startswith("VALUES"):
-                cols = ", ".join(t.read().columns)
-                body = f"SELECT * FROM ({body}) AS __v({cols})"
-            rows = self.spark.sql(body)
-            schema = t.read().schema
-            if len(rows.columns) != len(schema.fields):
-                raise UnsupportedSqlError(
-                    f"INSERT arity {len(rows.columns)} != table arity "
-                    f"{len(schema.fields)}"
-                )
-            # ANSI store-assignment: positional cast to the table types
-            # (a bad value errors at runtime under ANSI, never silently)
-            casted = rows.select(
-                *[
-                    rows[c].cast(f.dataType).alias(f.name)
-                    for c, f in zip(rows.columns, schema.fields)
-                ]
-            )
-            return t.append(casted)
+            return t.append(self._insert_rows(t, m.group(2).strip()))
         if _SELECT.match(text):
             self._refresh_views()
 
@@ -315,7 +332,8 @@ class TxSqlSession:
             return self.spark.sql(_VERSION_AS_OF.sub(_tt, text))
         raise UnsupportedSqlError(
             f"unsupported statement: {text[:80]!r}… — supported: SELECT/"
-            "WITH, INSERT INTO t VALUES …|SELECT …, DELETE FROM t WHERE "
+            "WITH, INSERT INTO t [REPLACE WHERE <range>] VALUES …|SELECT "
+            "…, DELETE FROM t WHERE "
             "<range>, UPDATE t SET … WHERE <range>, MERGE INTO t USING "
             "<src> s ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN "
             "NOT MATCHED THEN INSERT *, ALTER TABLE t RENAME/DROP/ADD "

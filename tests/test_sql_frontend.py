@@ -194,6 +194,46 @@ def test_sql_insert_values_and_select(spark, tmp_path):
         ss.sql("INSERT INTO t SELECT 1, 'a'")
 
 
+def test_sql_insert_replace_where_matches_dataframe(spark, tmp_path):
+    """INSERT INTO t REPLACE WHERE <range> … dispatches to
+    replace_where: SQL and DataFrame paths produce identical states,
+    re-running the same statement is idempotent, and out-of-slice rows
+    refuse."""
+    from data_mastery_pipeline_spark.txsql import TxSqlSession
+
+    sql_t, api_t = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+    stmt = (
+        "INSERT INTO t REPLACE WHERE v BETWEEN 1 AND 3 "
+        "VALUES (200, 'r', 1.5), (201, 'r', 2.5)"
+    )
+    ss.sql(stmt)
+    api_t.replace_where(
+        "v",
+        1,
+        3,
+        spark.createDataFrame(
+            [(200, "r", 1.5), (201, "r", 2.5)], "id long, grp string, v double"
+        ),
+    )
+    assert _state(sql_t) == _state(api_t)
+    ss.sql(stmt)  # idempotent re-load
+    api_t.replace_where(
+        "v",
+        1,
+        3,
+        spark.createDataFrame(
+            [(200, "r", 1.5), (201, "r", 2.5)], "id long, grp string, v double"
+        ),
+    )
+    assert _state(sql_t) == _state(api_t)
+    with pytest.raises(Exception, match="outside"):
+        ss.sql(
+            "INSERT INTO t REPLACE WHERE v BETWEEN 1 AND 3 "
+            "VALUES (300, 'x', 50.0)"
+        )
+
+
 def test_sql_time_travel_version_as_of(spark, tmp_path):
     from data_mastery_pipeline_spark.txsql import TxSqlSession
 

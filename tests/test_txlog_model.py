@@ -60,6 +60,15 @@ _OP = st.one_of(
     # state or the CDF, while later point scans stay exact across
     # whatever rewrites/restores/renames follow
     st.tuples(st.just("bloom")),
+    # atomic predicate overwrite (r8 replace_where): delete the value
+    # slice AND insert fresh in-slice rows in one commit; interleaves
+    # with DV state like delete/update, so it joins the soak
+    st.tuples(
+        st.just("replace"),
+        _V,
+        st.integers(0, 6),
+        st.lists(st.integers(0, 6), max_size=3),
+    ),
 )
 
 
@@ -89,6 +98,14 @@ def _apply_model(model: dict, op) -> None:
             else:
                 k = max(model, default=-1) + 1000 + i
                 model[k] = ("m", float(v))
+    elif kind == "replace":
+        lo, hi = float(op[1]), float(op[1] + op[2])
+        base = max(model, default=-1)  # BEFORE the delete: mirrors
+        # _apply_table's model_before key generation
+        for k in [k for k, (_, v) in model.items() if lo <= v <= hi]:
+            del model[k]
+        for i, d in enumerate(op[3]):
+            model[base + 2001 + i] = ("r", min(hi, lo + float(d)))
     # optimize / maintain: no visible change
 
 
@@ -124,6 +141,14 @@ def _apply_table(spark, t: TxTable, model_before: dict, op, vname: str) -> None:
                 k = max(model_before, default=-1) + 1000 + i
             rows[k] = (k, "m", float(v))
         t.merge_upsert(spark.createDataFrame(sorted(rows.values()), ddl), "k")
+    elif kind == "replace":
+        lo, hi = float(op[1]), float(op[1] + op[2])
+        base = max(model_before, default=-1)
+        rows = [
+            (base + 2001 + i, "r", min(hi, lo + float(d)))
+            for i, d in enumerate(op[3])
+        ]
+        t.replace_where(vname, lo, hi, spark.createDataFrame(rows, ddl))
     elif kind == "optimize":
         t.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 20)
     elif kind == "maintain":
