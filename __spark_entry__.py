@@ -47,6 +47,9 @@ _PRIORITY = [
     # (a) round-8 additions
     "txlog_replace_where",
     "scd2_dimension_history",
+    "ann_index_incremental",
+    "key_fd_discovery",
+    "table_checksum_buckets",
     "mv_minmax",
     "mv_join_view",
     "txlog_column_mapping",

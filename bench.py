@@ -165,6 +165,11 @@ HEADLINE = [
     "txlog_replace_where",
     # round 8: SCD2 dimension maintained from the change feed
     "scd2_dimension_history",
+    # round 8: incremental IVF index maintenance (O(new vectors) append)
+    "ann_index_incremental",
+    # round 8: one-pass key/FD audit and anti-entropy bucket checksums
+    "key_fd_discovery",
+    "table_checksum_buckets",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -67,3 +67,67 @@ def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = True)
         .select("r.*")
         .orderBy("column")
     )
+
+
+def fd_audit(
+    df: DataFrame,
+    keys: list[tuple[str, ...]],
+    fds: list[tuple[tuple[str, ...], str]],
+) -> DataFrame:
+    """Candidate-key and functional-dependency audit — the profiling
+    step schema-discovery and data-contract tools run before trusting
+    a key for a merge or a dimension join (public FD-discovery
+    literature: TANE/HyFD verify exactly these count-distinct
+    identities; this is the declarative verification half, not the
+    combinatorial search).
+
+    ``keys``: column tuples to test for key-ness — a tuple is a key
+    iff count(DISTINCT cols) == count(*) (and no NULLs, which the
+    count-distinct identity subsumes only when callers audit NULL-free
+    columns — pair with :func:`profile`'s null counts).
+    ``fds``: (lhs columns, rhs column) pairs — lhs → rhs holds iff
+    count(DISTINCT lhs+rhs) == count(DISTINCT lhs).
+
+    Output: one row per check —
+    ``(check_name, n_groups, n_distinct, holds)`` where for keys n_groups =
+    total rows / n_distinct = distinct key tuples, and for FDs
+    n_groups = distinct lhs / n_distinct = distinct (lhs, rhs) combos
+    (their difference counts the violating lhs-value surplus).
+
+    Scale: ONE aggregate pass over the scan — every check is a
+    count-distinct in the same Aggregate (Catalyst expands distinct
+    aggregates; at extreme widths swap approx_count_distinct for the
+    same identities within rsd, the profile() trade). No per-check
+    jobs, no collect beyond the single result row inlined as literals
+    into a unioned one-row-per-check relation.
+    """
+    aggs = [F.count("*").alias("__n")]
+    for i, cols in enumerate(keys):
+        aggs.append(F.countDistinct(*cols).alias(f"__k{i}"))
+    for j, (lhs, rhs) in enumerate(fds):
+        aggs.append(F.countDistinct(*lhs).alias(f"__l{j}"))
+        aggs.append(
+            F.countDistinct(*(list(lhs) + [rhs])).alias(f"__p{j}")
+        )
+    one = df.agg(*aggs)
+    # unpivot the single counter row with stack(): ONE execution of the
+    # aggregate feeding every check row lazily (a union of per-check
+    # selects would re-run the scan once per check)
+    tuples = []
+    for i, cols in enumerate(keys):
+        name = "key:" + ",".join(cols)
+        tuples.append(
+            f"'{name}', CAST(__n AS BIGINT), CAST(__k{i} AS BIGINT), "
+            f"__k{i} = __n"
+        )
+    for j, (lhs, rhs) in enumerate(fds):
+        name = "fd:" + ",".join(lhs) + "->" + rhs
+        tuples.append(
+            f"'{name}', CAST(__l{j} AS BIGINT), CAST(__p{j} AS BIGINT), "
+            f"__p{j} = __l{j}"
+        )
+    n = len(tuples)
+    return one.selectExpr(
+        f"stack({n}, {', '.join(tuples)}) "
+        "AS (check_name, n_groups, n_distinct, holds)"
+    )

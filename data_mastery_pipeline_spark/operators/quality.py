@@ -119,3 +119,59 @@ def with_observed_metrics(
             F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
         )
     return df.observe(obs, *metrics), obs
+
+
+def bucket_checksums(
+    df: DataFrame, cols: Sequence[Column | str], n_buckets: int = 64
+) -> DataFrame:
+    """Anti-entropy table checksums — verify two copies of a table
+    (a replica, a shallow-clone branch, a migrated dataset, a
+    different ENGINE's copy) hold identical content by exchanging
+    ``n_buckets`` summary rows instead of the table (the Merkle-bucket
+    reconciliation of Dynamo/Cassandra repair, flattened to one
+    level).
+
+    Per row: a portable content hash (md5 over the '|'-joined
+    canonical column renderings — callers pass deterministic-text
+    expressions: ints, strings, dates, quantized cents; never raw
+    doubles, whose text forms differ across engines). Rows land in
+    ``pmod(hash, n_buckets)`` buckets; each bucket aggregates
+    ``n_rows``, ``xor_sum`` (order- and partition-independent, never
+    overflows) and ``mod_sum`` (catches the duplicate-pair XOR
+    cancellation). Two copies match iff all bucket rows match; a
+    mismatch names which 1/n_buckets slice to drill into —
+    reconciliation I/O is O(diverged slice), not O(table).
+
+    Scale: one narrow projection + one n_buckets-ary aggregate (map-
+    side combinable, no shuffle beyond the final n_buckets rows). The
+    48-bit md5-prefix hash keeps every value exactly representable in
+    a BIGINT on both engines (the simhash md5-portable discipline).
+    """
+    # NULLs render as an explicit sentinel: concat_ws silently DROPS
+    # nulls, so ('a', NULL, 'b') and ('a', 'b', NULL) would otherwise
+    # canonicalize identically — an integrity checker must not have
+    # content-ambiguous hashes (oracle side mirrors with coalesce)
+    canon = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(
+                (F.col(c) if isinstance(c, str) else c).cast("string"),
+                F.lit("␀NULL"),
+            )
+            for c in cols
+        ],
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("bigint")
+    return (
+        df.select(
+            F.pmod(h, F.lit(n_buckets)).cast("int").alias("bucket"),
+            h.alias("__h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(__h)").alias("xor_sum"),
+            F.sum(F.col("__h") % F.lit(1_000_003)).alias("mod_sum"),
+        )
+        .orderBy("bucket")
+    )

@@ -1314,3 +1314,129 @@ def user_value_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "key_fd_discovery",
+    """
+    WITH e AS (
+      SELECT count(*) AS n,
+             count(DISTINCT event_id) AS k0,
+             count(DISTINCT (user_id, event_type)) AS k1,
+             count(DISTINCT event_id) AS l0,
+             count(DISTINCT (event_id, user_id)) AS p0,
+             count(DISTINCT user_id) AS l1,
+             count(DISTINCT (user_id, event_type)) AS p1
+      FROM events
+    ),
+    o AS (
+      SELECT count(*) AS n,
+             count(DISTINCT o_orderkey) AS k0,
+             count(DISTINCT o_orderkey) AS l0,
+             count(DISTINCT (o_orderkey, o_custkey)) AS p0,
+             count(DISTINCT o_custkey) AS l1,
+             count(DISTINCT (o_custkey, o_orderpriority)) AS p1
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'events' AS tbl, 'key:event_id' AS check_name,
+             CAST(n AS BIGINT) AS n_groups, CAST(k0 AS BIGINT) AS n_distinct,
+             n = k0 AS holds FROM e
+      UNION ALL SELECT 'events', 'key:user_id,event_type',
+             CAST(n AS BIGINT), CAST(k1 AS BIGINT), n = k1 FROM e
+      UNION ALL SELECT 'events', 'fd:event_id->user_id',
+             CAST(l0 AS BIGINT), CAST(p0 AS BIGINT), l0 = p0 FROM e
+      UNION ALL SELECT 'events', 'fd:user_id->event_type',
+             CAST(l1 AS BIGINT), CAST(p1 AS BIGINT), l1 = p1 FROM e
+      UNION ALL SELECT 'orders', 'key:o_orderkey',
+             CAST(n AS BIGINT), CAST(k0 AS BIGINT), n = k0 FROM o
+      UNION ALL SELECT 'orders', 'fd:o_orderkey->o_custkey',
+             CAST(l0 AS BIGINT), CAST(p0 AS BIGINT), l0 = p0 FROM o
+      UNION ALL SELECT 'orders', 'fd:o_custkey->o_orderpriority',
+             CAST(l1 AS BIGINT), CAST(p1 AS BIGINT), l1 = p1 FROM o
+    ) ORDER BY tbl, check_name
+    """,
+)
+def key_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key + functional-dependency audit
+    (operators/profile.py:fd_audit) — the data-contract verification
+    every merge key and dimension join should pass before being
+    trusted (the declarative half of public FD discovery, TANE/HyFD's
+    count-distinct identities). Audits events (event_id IS a key;
+    (user_id, event_type) is NOT; event_id→user_id holds;
+    user_id→event_type fails) and orders (o_orderkey key;
+    o_orderkey→o_custkey; o_custkey→o_orderpriority fails) — the
+    holds/violation arithmetic rides the value-hash.
+
+    Scale: ONE aggregate pass per table (every check a count-distinct
+    in the same Aggregate, map-side combinable); the result unpivots
+    lazily via stack() — no per-check jobs, no collect."""
+    from .operators.profile import fd_audit
+
+    ev = fd_audit(
+        load_table(spark, "events", sf_dir),
+        keys=[("event_id",), ("user_id", "event_type")],
+        fds=[(("event_id",), "user_id"), (("user_id",), "event_type")],
+    ).select(F.lit("events").alias("tbl"), "*")
+    orders = fd_audit(
+        load_table(spark, "orders", sf_dir),
+        keys=[("o_orderkey",)],
+        fds=[
+            (("o_orderkey",), "o_custkey"),
+            (("o_custkey",), "o_orderpriority"),
+        ],
+    ).select(F.lit("orders").alias("tbl"), "*")
+    return ev.unionByName(orders).orderBy("tbl", "check_name")
+
+
+@query(
+    "table_checksum_buckets",
+    """
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5(concat_ws('|',
+               CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+               l_returnflag, l_linestatus,
+               CAST(CAST(l_shipdate AS DATE) AS VARCHAR),
+               CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    AS VARCHAR))), 1, 12) AS BIGINT) AS hv
+      FROM lineitem
+    )
+    SELECT CAST(hv % 64 AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(hv) AS xor_sum,
+           CAST(sum(hv % 1000003) AS BIGINT) AS mod_sum
+    FROM h GROUP BY 1 ORDER BY bucket
+    """,
+)
+def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy bucket checksums
+    (operators/quality.py:bucket_checksums): verify two copies of a
+    table — a replica, a shallow-clone branch, another ENGINE's copy —
+    by exchanging 64 summary rows instead of the table (Dynamo/
+    Cassandra Merkle-repair, one level). Here the 'other engine' is
+    literally the oracle: DuckDB recomputes the same portable
+    md5-prefix hashes over the same canonical row text, so the
+    value-hash match IS a cross-engine content-equality proof of the
+    whole lineitem relation. Canonical text uses only deterministic
+    renderings (ints, strings, DATE, price cents — never raw doubles).
+
+    100 TB: one narrow projection + one 64-ary map-side-combinable
+    aggregate; reconciliation drills only into mismatched buckets —
+    I/O is O(diverged slice), not O(table)."""
+    from .operators.quality import bucket_checksums
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return bucket_checksums(
+        li,
+        [
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+            F.col("l_shipdate").cast("date"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ],
+        n_buckets=64,
+    )

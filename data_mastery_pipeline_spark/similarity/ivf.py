@@ -208,3 +208,37 @@ def materialize_cells(
         "cell"
     ).parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def append_cells(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL index maintenance: assign ONLY the new batch to the
+    frozen centroids and append it into the existing cell-partitioned
+    layout. Cost is O(new vectors) — resident cells are never read or
+    rewritten (dynamic partition append: a batch touching 3 cells
+    writes files under 3 partition dirs), which is the difference
+    between "re-embed + rebuild nightly" and "index keeps up with
+    ingest" at 100 TB of embeddings.
+
+    The frozen-centroid caveat (the public FAISS/IVF operational rule):
+    appended vectors are bucketed by TRAINING-time geometry, so a
+    distribution shift degrades recall without any error — watch
+    :func:`cell_sizes` (a new modality flooding one cell is the
+    signature) and re-train + rebuild when imbalance drifts. Recall
+    certificates (ann_index_incremental) make the degradation visible
+    the moment it crosses the floor."""
+    assign_cells(df, centroids, vec_col).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def cell_sizes(index_df: DataFrame) -> DataFrame:
+    """Per-cell resident counts — the ops gauge for the frozen-centroid
+    drift caveat on :func:`append_cells` (one shuffle over the index,
+    n_cells output rows)."""
+    return index_df.groupBy("cell").count().orderBy("cell")

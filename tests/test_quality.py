@@ -176,3 +176,73 @@ def test_pack_greedy_concat_and_split_semantics(spark):
     assert got[("a", 4)] == (13, 1)
     # src b packs independently from offset 0
     assert got[("b", 1)] == (0, 0)
+
+
+def test_fd_audit_identities(spark):
+    from data_mastery_pipeline_spark.operators.profile import fd_audit
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "a"), (3, 20, "b"), (4, 20, "c")],
+        "id long, grp long, tag string",
+    )
+    out = {
+        r["check_name"]: (r["n_groups"], r["n_distinct"], r["holds"])
+        for r in fd_audit(
+            df,
+            keys=[("id",), ("grp",)],
+            fds=[(("id",), "grp"), (("grp",), "tag")],
+        ).collect()
+    }
+    assert out["key:id"] == (4, 4, True)
+    assert out["key:grp"] == (4, 2, False)
+    assert out["fd:id->grp"] == (4, 4, True)
+    # grp=20 maps to two tags -> violated, surplus of exactly 1 combo
+    assert out["fd:grp->tag"] == (2, 3, False)
+
+
+def test_fd_audit_is_one_scan(spark):
+    """Every check folds into ONE aggregate over one scan — the stack()
+    unpivot must not re-execute the source per check."""
+    from data_mastery_pipeline_spark.operators.profile import fd_audit
+
+    df = spark.range(100).selectExpr("id", "id % 7 AS g")
+    plan = fd_audit(
+        df, keys=[("id",)], fds=[(("id",), "g")]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
+
+
+def test_bucket_checksums_layout_invariant_and_sensitive(spark):
+    from data_mastery_pipeline_spark.operators.quality import (
+        bucket_checksums,
+    )
+
+    rows = [(i, f"s{i % 5}") for i in range(500)]
+    a = spark.createDataFrame(rows, "id long, s string").repartition(13)
+    b = spark.createDataFrame(list(reversed(rows)), "id long, s string").coalesce(1)
+    ca = sorted(tuple(r) for r in bucket_checksums(a, ["id", "s"], 16).collect())
+    cb = sorted(tuple(r) for r in bucket_checksums(b, ["id", "s"], 16).collect())
+    assert ca == cb  # order- and layout-independent
+    assert sum(r[1] for r in ca) == 500
+    mutated = spark.createDataFrame(
+        rows[:-1] + [(499, "MUTATED")], "id long, s string"
+    )
+    cm = sorted(
+        tuple(r) for r in bucket_checksums(mutated, ["id", "s"], 16).collect()
+    )
+    assert cm != ca  # a single-row change flips at least one bucket
+
+
+def test_bucket_checksums_null_position_disambiguated(spark):
+    """concat_ws drops NULLs silently — the canonical text must render
+    them explicitly or ('a', NULL, 'b') and ('a', 'b', NULL) hash
+    identically (review r8)."""
+    from data_mastery_pipeline_spark.operators.quality import (
+        bucket_checksums,
+    )
+
+    a = spark.createDataFrame([("a", None, "b")], "x string, y string, z string")
+    b = spark.createDataFrame([("a", "b", None)], "x string, y string, z string")
+    ca = sorted(tuple(r) for r in bucket_checksums(a, ["x", "y", "z"], 4).collect())
+    cb = sorted(tuple(r) for r in bucket_checksums(b, ["x", "y", "z"], 4).collect())
+    assert ca != cb

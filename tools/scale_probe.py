@@ -275,6 +275,9 @@ def main() -> None:
     if args and args[0] == "--txlog":
         txlog_probe([int(a) for a in args[1:]] or [1, 2, 4])
         return
+    if args and args[0] == "--replace":
+        replace_probe([int(a) for a in args[1:]] or [1, 2, 4])
+        return
     if args and args[0] == "--dv":
         dv_probe([int(a) for a in args[1:]] or [1, 2, 4])
         return
@@ -892,6 +895,81 @@ def bloom_probe(ks) -> None:
             }))
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+
+def replace_probe(ks) -> None:
+    """Blast-radius probe for replace_where (r8): a FIXED one-slice
+    daily re-load replaces the same value range while the table grows
+    k× with appends disjoint from the slice. The scale claim under
+    test: files rewritten by the replace are a function of the SLICE
+    only — constant as the table grows — because stats pruning bounds
+    the keep-side rewrite exactly like delete_where (the Delta
+    replaceWhere cost model). Run: python tools/scale_probe.py
+    --replace 1 2 4"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.session import get_spark
+    from data_mastery_pipeline_spark.sources.txlog import TxTable
+
+    spark = get_spark(app_name="scale_probe_replace")
+    spark.range(10).count()
+    n_rows_per_file = 5_000
+
+    def batch(lo_val: float, tag: int):
+        return (
+            spark.range(n_rows_per_file)
+            .select(
+                (F.col("id") + tag * n_rows_per_file).alias("k"),
+                F.lit(f"t{tag}").alias("grp"),
+                (F.col("id") % 100 + F.lit(lo_val)).alias("v"),
+            )
+            .coalesce(1)
+        )
+
+    def load(tag: int):
+        # the corrected slice: 1000 rows, all inside [0, 100)
+        return (
+            spark.range(1_000)
+            .select(
+                (F.col("id") + 10_000_000 + tag * 1_000).alias("k"),
+                F.lit("reload").alias("grp"),
+                (F.col("id") % 100).cast("double").alias("v"),
+            )
+            .coalesce(1)
+        )
+
+    for k in ks:
+        root = tempfile.mkdtemp(prefix="replace_probe_") + "/tbl"
+        try:
+            t = TxTable.create(spark, root, batch(0.0, 0))  # in-slice file
+            tag = 1
+            for _ in range(4 * k):  # the growing out-of-slice table
+                t.append(batch(1_000.0 + 200.0 * tag, tag))
+                tag += 1
+            files_before = len(t.snapshot_adds())
+            t0 = time.time()
+            t.replace_where("v", 0.0, 99.0, load(k))
+            wall = time.time() - t0
+            hist = t.history()[-1]
+            print(
+                json.dumps(
+                    {
+                        "k": k,
+                        "table_files": files_before,
+                        "table_rows": (4 * k + 1) * n_rows_per_file,
+                        "replace_files_rewritten": hist["n_removes"],
+                        "replace_wall_sec": round(wall, 2),
+                    }
+                ),
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
