@@ -50,6 +50,7 @@ _PRIORITY = [
     "ann_index_incremental",
     "key_fd_discovery",
     "table_checksum_buckets",
+    "wap_publish_flow",
     "mv_minmax",
     "mv_join_view",
     "txlog_column_mapping",

@@ -170,6 +170,8 @@ HEADLINE = [
     # round 8: one-pass key/FD audit and anti-entropy bucket checksums
     "key_fd_discovery",
     "table_checksum_buckets",
+    # round 8: write-audit-publish staging over shallow clone + CDF
+    "wap_publish_flow",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -2506,3 +2506,96 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         raise RuntimeError("current() != source live rows")
     return dim.read().orderBy("user_id", "valid_from")
+
+
+@query(
+    "wap_publish_flow",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_id % 9 = 0
+    ),
+    final AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT * FROM (VALUES (9500001, 1, 'click', 50.5),
+                            (9500002, 2, 'view', 60.25),
+                            (9600001, 3, 'purchase', 70.0))
+        AS t(event_id, user_id, event_type, value)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+)
+def wap_publish_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (wap.py, r8 — the public Iceberg/Nessie
+    staging pattern, composed from this format's own primitives:
+    shallow clone + CDF + exactly-once watermarked append). Lifecycle:
+    cut a zero-copy branch → land a batch containing a bad row → AUDIT
+    on the branch (quarantine-delete the bad row — the branch is a
+    full table, every operator works) → publish the net survivors →
+    land + publish a second batch incrementally. Self-asserting: the
+    source shows NOTHING before the first publish (staging isolation),
+    a replayed publish commits nothing (exactly-once), and a branch
+    that retracts inherited base rows REFUSES to publish with the
+    source untouched. The driver-checked observable is the final
+    source aggregate: base + both batches minus the quarantined row.
+
+    100 TB: branch open is one metadata commit (zero copy); publish
+    reads O(branch delta) and appends O(net rows); the production
+    table is never rewritten and never exposes unaudited data."""
+    from .sources import txlog as _txlog
+    from .wap import WapBranch
+
+    base = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 9 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    root = _fresh_dir("wap_flow", sf_dir)
+    src = _txlog.TxTable.create(spark, os.path.join(root, "src"), base)
+    wap = WapBranch.open(src, os.path.join(root, "branch"))
+    ddl = "event_id long, user_id long, event_type string, value double"
+    wap.branch.append(
+        spark.createDataFrame(
+            [
+                (9500001, 1, "click", 50.5),
+                (9500002, 2, "view", 60.25),
+                (9500009, 9, "error", 6666.0),  # the audit's catch
+            ],
+            ddl,
+        )
+    )
+    n_before = src.read().count()
+    if n_before != base.count():
+        raise RuntimeError("staging leaked into the source before publish")
+    wap.branch.delete_where("value", 6666.0, 6666.0)  # audit quarantine
+    if wap.publish() is None:
+        raise RuntimeError("first publish must commit")
+    v = src.version()
+    if wap.publish() is not None or src.version() != v:
+        raise RuntimeError("replayed publish must be exactly-once")
+    wap.branch.append(
+        spark.createDataFrame([(9600001, 3, "purchase", 70.0)], ddl)
+    )
+    if wap.publish() is None:
+        raise RuntimeError("incremental publish must commit")
+    # a branch that retracts inherited base data cannot publish
+    wap.branch.delete_where("event_id", 0, 100)
+    try:
+        wap.publish()
+        raise RuntimeError("base-row retraction must refuse to publish")
+    except ValueError:
+        pass  # the documented refusal; source untouched
+    return (
+        src.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
