@@ -168,7 +168,29 @@ class Scd2Dimension:
         if want <= have:
             return None
         attrs = self._attrs()
-        events = self._events(self.source.changes(have, want), attrs)
+        clash = {"__w", "__state", "__net", "__version", "__run", "__next_v"}
+        bad = sorted(clash & set(attrs) | clash & {self.key})
+        if bad:
+            raise ValueError(
+                f"scd2 {self.name!r}: source columns {bad} collide with "
+                "internal aliases — rename them first"
+            )
+        from .checkpointing import release, truncate_lineage
+
+        # ONE evaluation of the CDF fold: the events relation feeds the
+        # affected-keys probe AND the interval sequence (two subtrees of
+        # one plan — uncut, the O(changed files) feed scans twice)
+        events = truncate_lineage(
+            self._events(self.source.changes(have, want), attrs)
+        )
+        try:
+            return self._apply_events(events, attrs, want)
+        finally:
+            release(events)
+
+    def _apply_events(
+        self, events: DataFrame, attrs: list[str], want: int
+    ) -> int:
         # existing CURRENT rows of affected keys join the sequence as
         # pseudo-events at their valid_from (< every new event version,
         # since valid_from ≤ have) so one lead() closes them too

@@ -2137,14 +2137,21 @@ class TxTable:
 
     # -- maintenance ------------------------------------------------------
 
-    def vacuum(self, retention_sec: float = 3600.0) -> list[str]:
+    def vacuum(
+        self, retention_sec: float = 3600.0, dry_run: bool = False
+    ) -> list[str]:
         """Delete data files referenced by NO replayable log version
         (crashed-writer stages, files whose every referencing version
         was expired) once older than ``retention_sec`` — the age gate
         keeps an IN-FLIGHT writer's staged-but-not-yet-committed files
         safe, exactly Delta's vacuum contract. Never touches anything
         any surviving log version references, so time travel over the
-        retained history stays intact. Returns removed rel paths."""
+        retained history stays intact. Returns removed rel paths.
+
+        ``dry_run=True`` (the public VACUUM DRY RUN surface) reports
+        exactly what a real run would reclaim right now — nothing is
+        unlinked, no dir is reaped — so operators can audit the blast
+        radius before committing to it."""
         vs, cs = self._list_log()
         referenced: set[str] = set()
         for c in cs:
@@ -2176,9 +2183,14 @@ class TxTable:
                     continue
                 if now - os.path.getmtime(abspath) < retention_sec:
                     continue
+                if dry_run:
+                    removed.append(rel)
+                    continue
                 os.unlink(abspath)
                 removed.append(rel)
                 emptied_dirs.add(dirpath)
+        if dry_run:
+            return sorted(removed)
         # a txn dir left with no parquet files (fully-vacuumed orphan
         # stage) goes entirely, marker files included — when either
         # (a) THIS run's unlink pass emptied it (its parquet was
@@ -2214,6 +2226,53 @@ class TxTable:
                 if just_emptied or now - max(mtimes) >= retention_sec:
                     shutil.rmtree(d)
         return sorted(removed)
+
+    def maintenance_advice(
+        self,
+        small_file_bytes: int = 32 << 20,
+        retention_sec: float = 3600.0,
+    ) -> dict:
+        """Ops gauge: what maintenance would pay off right now —
+        derived ENTIRELY from driver-side log metadata plus one data-dir
+        listing (the vacuum dry-run); no table scan. Returns counters
+        (live files, small files under ``small_file_bytes``, dv-debt
+        rows and the files carrying them, vacuum-reclaimable orphans)
+        plus an ``actions`` list naming the verb to run (optimize /
+        vacuum) — the policy loop a deployment's scheduler would poll.
+
+        100 TB: everything here is O(files) metadata the log already
+        holds; the decision to compact is made WITHOUT reading data,
+        and each recommended verb carries its own bounded blast radius
+        (optimize's small-file selector, vacuum's retention gate)."""
+        _, live, _, _ = self._state_at(self.version())
+        sizes = [a["size"] for a in live.values()]
+        small = [s for s in sizes if s < small_file_bytes]
+        debt = self.dv_stats()
+        orphans = self.vacuum(retention_sec, dry_run=True)
+        actions = []
+        if len(small) > 1:
+            actions.append(
+                f"optimize: compact {len(small)} files under "
+                f"{small_file_bytes} bytes"
+            )
+        if debt:
+            actions.append(
+                f"optimize: materialize {sum(debt.values())} dv-deleted "
+                f"rows across {len(debt)} files"
+            )
+        if orphans:
+            actions.append(
+                f"vacuum: {len(orphans)} unreferenced data files "
+                "reclaimable"
+            )
+        return {
+            "n_live_files": len(sizes),
+            "n_small_files": len(small),
+            "dv_debt_rows": sum(debt.values()),
+            "dv_debt_files": len(debt),
+            "n_vacuum_orphans": len(orphans),
+            "actions": actions,
+        }
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE TO VERSION — the public time-travel restore:

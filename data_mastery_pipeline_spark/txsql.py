@@ -110,6 +110,11 @@ _BLOOM = re.compile(
     rf"(?:\s+FPP\s+({_NUM}))?\s*$",
     re.I,
 )
+_VACUUM = re.compile(
+    rf"^\s*VACUUM\s+({_ID})(?:\s+RETAIN\s+({_NUM})\s+SECONDS)?"
+    r"(\s+DRY\s+RUN)?\s*$",
+    re.I,
+)
 _SELECT = re.compile(r"^\s*(SELECT|WITH)\b", re.I)
 # SQL time travel inside SELECTs: `FROM t VERSION AS OF n` — rewritten
 # to a snapshot view before spark.sql sees the text
@@ -301,6 +306,13 @@ class TxSqlSession:
             return self._table(name).build_bloom_index(
                 col, fpp=float(fpp) if fpp is not None else 0.01
             )
+        m = _VACUUM.match(text)
+        if m:
+            name, retain, dry = m.groups()
+            return self._table(name).vacuum(
+                retention_sec=float(retain) if retain is not None else 3600.0,
+                dry_run=dry is not None,
+            )
         m = _INSERT_REPLACE.match(text)
         if m:
             t = self._table(m.group(1))
@@ -339,5 +351,6 @@ class TxSqlSession:
             "NOT MATCHED THEN INSERT *, ALTER TABLE t RENAME/DROP/ADD "
             "COLUMN, RESTORE TABLE t TO VERSION AS OF n, CREATE TABLE "
             "t2 SHALLOW CLONE t [VERSION AS OF n] LOCATION 'path', "
-            "CREATE BLOOMFILTER INDEX ON t (col) [FPP p]"
+            "CREATE BLOOMFILTER INDEX ON t (col) [FPP p], "
+            "VACUUM t [RETAIN n SECONDS] [DRY RUN]"
         )

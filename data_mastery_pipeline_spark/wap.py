@@ -81,28 +81,44 @@ class WapBranch:
             for c in feed.columns
             if c not in ("_change_type", "_commit_version")
         ]
+        if {"__net", "__i"} & set(cols):
+            raise ValueError(
+                "WAP publish: source columns named __net/__i collide "
+                "with internal aliases — rename them first"
+            )
         w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )
-        net = feed.groupBy(*cols).agg(F.sum(w).cast("long").alias("__net"))
-        # a net retraction can only mean the branch deleted rows it
-        # inherited from the source — bounded probe, loud refusal
-        if net.filter(F.col("__net") < 0).limit(1).count():
-            raise ValueError(
-                "WAP publish: the branch delta retracts rows inherited "
-                "from the source (a branch delete/update reached into "
-                "cloned base files) — WAP stages additions; retract "
-                "published data through the source's own DML"
-            )
-        rows = (
-            net.filter(F.col("__net") > 0)
-            .withColumn(
-                "__i", F.explode(F.sequence(F.lit(1), F.col("__net")))
-            )  # re-expand multiplicity: net is a signed MULTISET
-            .drop("__net", "__i")
+        from .checkpointing import release, truncate_lineage
+
+        # ONE evaluation of the delta fold — it feeds the retraction
+        # probe AND the publish rows (uncut, the O(branch delta) feed
+        # would scan twice)
+        net = truncate_lineage(
+            feed.groupBy(*cols).agg(F.sum(w).cast("long").alias("__net"))
         )
-        # an all-deleted batch (zero net rows) still commits: the empty
-        # append carries the watermark, so later publishes never
-        # re-read the dead range. None here means a REPLAY/concurrent
-        # publisher already carried this head — nothing to add.
-        return self.source.append_stream_batch(rows, self._app, head)
+        try:
+            # a net retraction can only mean the branch deleted rows it
+            # inherited from the source — bounded probe, loud refusal
+            if net.filter(F.col("__net") < 0).limit(1).count():
+                raise ValueError(
+                    "WAP publish: the branch delta retracts rows "
+                    "inherited from the source (a branch delete/update "
+                    "reached into cloned base files) — WAP stages "
+                    "additions; retract published data through the "
+                    "source's own DML"
+                )
+            rows = (
+                net.filter(F.col("__net") > 0)
+                .withColumn(
+                    "__i", F.explode(F.sequence(F.lit(1), F.col("__net")))
+                )  # re-expand multiplicity: net is a signed MULTISET
+                .drop("__net", "__i")
+            )
+            # an all-deleted batch (zero net rows) still commits: the
+            # empty append carries the watermark, so later publishes
+            # never re-read the dead range. None here means a REPLAY/
+            # concurrent publisher already carried this head.
+            return self.source.append_stream_batch(rows, self._app, head)
+        finally:
+            release(net)

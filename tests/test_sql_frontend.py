@@ -289,3 +289,22 @@ def test_sql_clone_version_as_of_and_refusals(spark, tmp_path):
 
     with pytest.raises(_E):
         ss.sql("CREATE TABLE x DEEP CLONE t LOCATION '/tmp/nope'")
+
+
+def test_sql_vacuum_dry_run_and_real(spark, tmp_path):
+    from data_mastery_pipeline_spark.txsql import TxSqlSession
+
+    sql_t, _ = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+    ss.sql("DELETE FROM t WHERE v BETWEEN 0 AND 100")  # orphans files
+    would = ss.sql("VACUUM t RETAIN 0 SECONDS DRY RUN")
+    assert would  # the delete orphaned at least one file
+    import os as _os
+
+    root = sql_t.root
+    for rel in would:
+        assert _os.path.exists(_os.path.join(root, rel))  # dry: untouched
+    real = ss.sql("VACUUM t RETAIN 0 SECONDS")
+    assert real == would
+    for rel in real:
+        assert not _os.path.exists(_os.path.join(root, rel))

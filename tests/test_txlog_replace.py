@@ -161,3 +161,41 @@ def test_replace_after_rename_uses_logical_name(spark, root):
     )
     got = sorted((r.k, r.amount) for r in t.read().collect())
     assert got == [(2, 9.0), (10, 1.5)]
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, root):
+    """DRY RUN returns exactly what a real vacuum would reclaim, and
+    touches nothing."""
+    import os as _os
+
+    t = TxTable.create(spark, root, _df(spark, [(1, "a", 1.0)]))
+    t.delete_where("v", 0.0, 5.0)  # orphans the original file
+    would = t.vacuum(retention_sec=0.0, dry_run=True)
+    assert would  # the pre-delete file is unreferenced
+    for rel in would:
+        assert _os.path.exists(_os.path.join(root, rel))  # still there
+    real = t.vacuum(retention_sec=0.0)
+    assert real == would
+    for rel in real:
+        assert not _os.path.exists(_os.path.join(root, rel))
+
+
+def test_maintenance_advice_names_the_right_verbs(spark, root):
+    t = TxTable.create(
+        spark, root, _df(spark, [(1, "a", 1.0), (2, "b", 200.0)]).coalesce(1)
+    )
+    for i in range(3):  # accrete small files
+        t.append(_df(spark, [(10 + i, "c", 300.0 + i)]).coalesce(1))
+    t.delete_where("v", 200.0, 200.0, mode="dv")  # dv debt
+    t.delete_where("v", 300.0, 300.0)  # rewrite -> orphan candidate
+    adv = t.maintenance_advice(small_file_bytes=32 << 20, retention_sec=0.0)
+    assert adv["n_small_files"] >= 3
+    assert adv["dv_debt_rows"] == 1 and adv["dv_debt_files"] == 1
+    assert adv["n_vacuum_orphans"] >= 1
+    kinds = " ".join(adv["actions"])
+    assert "compact" in kinds and "dv-deleted" in kinds and "vacuum" in kinds
+    # a compact, debt-paying, vacuumed table quiets down
+    t.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 20)
+    t.vacuum(retention_sec=0.0)
+    adv2 = t.maintenance_advice(small_file_bytes=1, retention_sec=3600.0)
+    assert adv2["dv_debt_rows"] == 0 and adv2["n_vacuum_orphans"] == 0
