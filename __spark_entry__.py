@@ -44,7 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (c) the txlog family re-greens (column mapping threaded through
 #       every read/write path), then standing anchors.
 _PRIORITY = [
-    # (a) round-8 additions
+    # (a) round-8 additions (session 4: monitoring/scorecard/sketch/DQ)
+    "ks_test_drift",
+    "cusum_revenue_shift",
+    "woe_iv_value_deciles",
+    "countmin_token_counts",
+    "expectation_suite",
     "txlog_replace_where",
     "scd2_dimension_history",
     "ann_index_incremental",

@@ -172,6 +172,13 @@ HEADLINE = [
     "table_checksum_buckets",
     # round 8: write-audit-publish staging over shallow clone + CDF
     "wap_publish_flow",
+    # round 8 session 4: distribution monitoring, scorecard analytics,
+    # Count-Min sketch, declarative expectation suite
+    "ks_test_drift",
+    "cusum_revenue_shift",
+    "woe_iv_value_deciles",
+    "countmin_token_counts",
+    "expectation_suite",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -41,6 +41,7 @@ _PURE_MODULES = (
     "data_mastery_pipeline_spark.queries_stats",
     "data_mastery_pipeline_spark.queries_tpch",
     "data_mastery_pipeline_spark.queries_gov",
+    "data_mastery_pipeline_spark.queries_insight",
 )
 
 # queries_gov entries whose CONSTRUCTION executes work (table-format
@@ -78,6 +79,8 @@ _GLOBAL_WINDOW_OK: dict[str, str] = {
     "(calendar-bounded)",
     "kaplan_meier_retention": "running product/sum over per-TIME-BUCKET "
     "tick relation (horizon-bounded survival curve grid)",
+    "cusum_revenue_shift": "CUSUM running sums/mins over the per-DAY "
+    "revenue aggregate (calendar-bounded)",
 }
 
 
