@@ -50,6 +50,8 @@ _PRIORITY = [
     "woe_iv_value_deciles",
     "countmin_token_counts",
     "expectation_suite",
+    "seasonal_decompose_daily",
+    "event_transition_matrix",
     "txlog_replace_where",
     "scd2_dimension_history",
     "ann_index_incremental",

@@ -179,6 +179,8 @@ HEADLINE = [
     "woe_iv_value_deciles",
     "countmin_token_counts",
     "expectation_suite",
+    "seasonal_decompose_daily",
+    "event_transition_matrix",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -434,3 +434,137 @@ def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return X.run_suite(orders, suite)
+
+
+@query(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(o_totalprice) AS DOUBLE) AS x
+      FROM orders GROUP BY o_orderdate
+    ),
+    t AS (
+      SELECT day, x,
+             avg(x) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend,
+             CAST(dayofweek(day) + 1 AS INTEGER) AS dow
+      FROM daily
+    ),
+    s AS (
+      SELECT dow, avg(x - trend) AS seasonal
+      FROM t GROUP BY dow
+    )
+    SELECT t.day,
+           floor(t.x * 100 + 0.5) / 100.0 AS revenue,
+           floor(t.trend * 100 + 0.5) / 100.0 AS trend,
+           floor(s.seasonal * 100 + 0.5) / 100.0 AS seasonal,
+           floor((t.x - t.trend - s.seasonal) * 100 + 0.5) / 100.0
+             AS residual
+    FROM t JOIN s ON s.dow = t.dow
+    ORDER BY t.day
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series: trend = centered 7-row moving average, seasonal = mean
+    detrended value per weekday, residual = the rest (the
+    moving-average step of STL without loess — deterministic, hence
+    oracle-able to the cent). The residual column is what anomaly
+    detection SHOULD score once a weekly cycle exists —
+    daily_revenue_anomalies' raw z-score flags every Sunday otherwise.
+
+    Weekday convention: Spark dayofweek (1=Sunday) vs DuckDB (0=Sunday)
+    — the oracle shifts +1 (the documented engine gotcha).
+
+    100 TB: facts fold to the per-DAY relation first; the ROWS-frame
+    windows run on that calendar-bounded series (allowlisted single
+    partition, ≤365·years rows); the weekday means are a 7-row
+    broadcast join back."""
+    daily = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").cast("double").alias("x"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.withColumn("trend", F.avg("x").over(w)).withColumn(
+        "dow", F.dayofweek("day").cast("int")
+    )
+    s = t.groupBy("dow").agg(
+        F.avg(F.col("x") - F.col("trend")).alias("seasonal")
+    )
+    return (
+        t.join(F.broadcast(s), "dow")
+        .select(
+            "day",
+            quantize(F.col("x"), "revenue"),
+            quantize(F.col("trend"), "trend"),
+            quantize(F.col("seasonal"), "seasonal"),
+            quantize(
+                F.col("x") - F.col("trend") - F.col("seasonal"), "residual"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (
+      SELECT cur, CAST(sum(n) AS DOUBLE) AS row_total FROM c GROUP BY cur
+    )
+    SELECT c.cur, c.nxt, c.n,
+           floor(c.n / t.row_total * 1000000 + 0.5) / 1000000.0 AS p
+    FROM c JOIN tot t ON t.cur = c.cur
+    ORDER BY c.cur, c.nxt
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: P(next event type | current), the behavioral model behind
+    next-action prediction and funnel-leak diagnosis (the matrix form
+    of event_path_trigrams' path counts). Successor pairs via lead()
+    ordered by (ts, event_id) — the unique tie-break keeps the chain
+    deterministic under same-timestamp events on BOTH engines.
+
+    100 TB: the lead() window is PARTITIONED by user (millions of
+    small partitions — the scale-safe window shape); pair counts
+    map-side combine to the |types|² relation, and row-normalization
+    joins the broadcast per-current totals. No global sort, no
+    single-task stage."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, "events", sf_dir)
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("cur").agg(
+        F.sum("n").cast("double").alias("row_total")
+    )
+    return (
+        pairs.join(F.broadcast(tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            quantize(F.col("n") / F.col("row_total"), "p", 6),
+        )
+        .orderBy("cur", "nxt")
+    )

@@ -12,7 +12,9 @@ import pytest
 
 from data_mastery_pipeline_spark.queries_insight import (
     cusum_revenue_shift,
+    event_transition_matrix,
     ks_test_drift,
+    seasonal_decompose_daily,
     woe_iv_value_deciles,
 )
 
@@ -126,3 +128,44 @@ def test_woe_iv_properties(spark, events_pd):
         woe = math.log((g / gt) / (b / bt))
         assert abs(r["woe"] - woe) < 1e-4 + 1e-12
         assert abs(r["iv_contrib"] - (g / gt - b / bt) * woe) < 1e-6 + 1e-12
+
+
+def test_seasonal_decompose_reconstructs_series(spark, orders_pd):
+    out = seasonal_decompose_daily(spark, SF_SMOKE).toPandas()
+    daily = (
+        orders_pd.groupby("o_orderdate")["o_totalprice"].sum().sort_index()
+    )
+    assert len(out) == len(daily)
+    # trend+seasonal+residual == revenue (to quantization)
+    recon = out["trend"] + out["seasonal"] + out["residual"]
+    np.testing.assert_allclose(recon, out["revenue"], atol=0.021)
+    # trend matches a pandas centered 7-row rolling mean
+    trend = daily.rolling(7, center=True, min_periods=1).mean()
+    np.testing.assert_allclose(
+        out.sort_values("day")["trend"], trend.to_numpy(), atol=0.011
+    )
+    # seasonal: one value per weekday
+    assert out.groupby(out["day"].map(lambda d: d.weekday()))[
+        "seasonal"
+    ].nunique().max() == 1
+
+
+def test_transition_matrix_rows_normalize(spark, events_pd):
+    out = event_transition_matrix(spark, SF_SMOKE).toPandas()
+    sums = out.groupby("cur")["p"].sum()
+    np.testing.assert_allclose(sums, 1.0, atol=1e-4)
+    # pair counts match a pandas recomputation
+    ev = events_pd.sort_values(["user_id", "ts", "event_id"])
+    ev["nxt"] = ev.groupby("user_id")["event_type"].shift(-1)
+    truth = (
+        ev.dropna(subset=["nxt"])
+        .groupby(["event_type", "nxt"])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    m = out.merge(
+        truth, left_on=["cur", "nxt"], right_on=["event_type", "nxt"]
+    )
+    assert len(m) == len(out) == len(truth)
+    assert (m["n_x"] == m["n_y"]).all()

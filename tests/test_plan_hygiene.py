@@ -81,6 +81,8 @@ _GLOBAL_WINDOW_OK: dict[str, str] = {
     "tick relation (horizon-bounded survival curve grid)",
     "cusum_revenue_shift": "CUSUM running sums/mins over the per-DAY "
     "revenue aggregate (calendar-bounded)",
+    "seasonal_decompose_daily": "centered 7-row MA over the per-DAY "
+    "revenue aggregate (calendar-bounded)",
 }
 
 
