@@ -52,6 +52,8 @@ _PRIORITY = [
     "expectation_suite",
     "seasonal_decompose_daily",
     "event_transition_matrix",
+    "association_rules",
+    "txlog_auto_maintain",
     "txlog_replace_where",
     "scd2_dimension_history",
     "ann_index_incremental",

@@ -181,6 +181,8 @@ HEADLINE = [
     "expectation_suite",
     "seasonal_decompose_daily",
     "event_transition_matrix",
+    "association_rules",
+    "txlog_auto_maintain",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -568,3 +568,120 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur", "nxt")
     )
+
+
+@query(
+    "association_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem
+    ),
+    freq AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n_item
+      FROM items GROUP BY item HAVING count(*) >= 3
+    ),
+    fitems AS (
+      SELECT i.basket, i.item, f.n_item
+      FROM items i JOIN freq f ON f.item = i.item
+    ),
+    pairs AS (
+      SELECT a.item AS part_a, b.item AS part_b,
+             CAST(count(*) AS BIGINT) AS n_pair,
+             CAST(min(a.n_item) AS BIGINT) AS n_a,
+             CAST(min(b.n_item) AS BIGINT) AS n_b
+      FROM fitems a JOIN fitems b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item HAVING count(*) >= 2
+    ),
+    tot AS (
+      SELECT CAST(count(DISTINCT basket) AS DOUBLE) AS n_baskets
+      FROM items
+    )
+    SELECT part_a, part_b, n_pair,
+           floor(n_pair / n_baskets * 1000000 + 0.5) / 1000000.0
+             AS support,
+           floor(CAST(n_pair AS DOUBLE) / n_a * 10000 + 0.5) / 10000.0
+             AS conf_a_b,
+           floor(CAST(n_pair AS DOUBLE) / n_b * 10000 + 0.5) / 10000.0
+             AS conf_b_a,
+           floor(n_pair * n_baskets / (CAST(n_a AS DOUBLE) * n_b)
+                 * 10000 + 0.5) / 10000.0 AS lift
+    FROM pairs, tot
+    ORDER BY lift DESC, part_a, part_b LIMIT 25
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (items =
+    distinct parts per order): support, both-direction confidence, and
+    lift for co-purchased part pairs — the classic retail-analytics
+    query family (Apriori's 2-itemset layer). Top-25 by lift with a
+    deterministic (part_a, part_b) tie-break.
+
+    100 TB: the Apriori pruning step is the scale design — items
+    below min support (≥3 baskets) are semi-joined OUT before the
+    pairwise self-join, so the quadratic step runs only on frequent
+    items within small baskets (TPC-H baskets ≤7 items; pair count
+    grows linearly with baskets, measured by the spatial-join-style
+    probe argument). The self-join shuffles on basket key (equi-join,
+    no cartesian); pair counts and per-item counts map-side combine;
+    top-25 is TakeOrderedAndProject, never a global sort."""
+    items = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    freq = (
+        items.groupBy("item")
+        .agg(F.count("*").alias("n_item"))
+        .filter(F.col("n_item") >= 3)
+    )
+    fitems = items.join(freq, "item")
+    a = fitems.select(
+        "basket",
+        F.col("item").alias("part_a"),
+        F.col("n_item").alias("n_a"),
+    )
+    b = fitems.select(
+        "basket",
+        F.col("item").alias("part_b"),
+        F.col("n_item").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count("*").alias("n_pair"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
+        .filter(F.col("n_pair") >= 2)
+    )
+    tot = items.agg(
+        F.countDistinct("basket").cast("double").alias("n_baskets")
+    )
+    j = pairs.crossJoin(F.broadcast(tot))
+    np_d = F.col("n_pair").cast("double")
+    return (
+        j.select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            quantize(F.col("n_pair") / F.col("n_baskets"), "support", 6),
+            quantize(np_d / F.col("n_a"), "conf_a_b", 4),
+            quantize(np_d / F.col("n_b"), "conf_b_a", 4),
+            quantize(
+                F.col("n_pair")
+                * F.col("n_baskets")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                "lift",
+                4,
+            ),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(25)
+    )

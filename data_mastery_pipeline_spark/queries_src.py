@@ -2599,3 +2599,86 @@ def wap_publish_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "txlog_auto_maintain",
+    """
+    WITH base AS (
+      SELECT * FROM events
+      WHERE event_id % 2 = 0 OR event_id % 10 IN (1, 3, 5)
+    ),
+    kept AS (
+      SELECT * FROM base
+      WHERE NOT coalesce(value BETWEEN 5.0 AND 15.0, FALSE)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM kept GROUP BY event_type ORDER BY event_type
+    """,
+)
+def txlog_auto_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance POLICY lifecycle (Delta auto-optimize shape): build
+    a table with deliberate debt — a multi-file create plus three tiny
+    appends (small-file debt) and a merge-on-read DV delete (vector
+    debt) — then ONE `auto_maintain()` call reads the O(files)
+    maintenance_advice gauge and executes the verbs it names
+    (optimize + purge_deletes). Self-asserting: both verbs must run,
+    the DV debt must hit zero, the advice gauge must come back clean,
+    and the log-metadata row count (num_records is additive across
+    rewrites — no scan) must be invariant across maintenance. The
+    final table state aggregates against the relational oracle, so a
+    maintenance verb that corrupted ANY row fails the value-hash, not
+    just the asserts.
+
+    Scale: the decision layer is driver metadata only; the execution
+    layer rewrites exactly the advised files (small ones + DV
+    carriers), never the table. A 100 TB table with one cold small
+    file and one hot vector rewrites two files."""
+    from .sources import txlog as _txlog
+
+    ev = load_table(spark, "events", sf_dir)
+    root = os.path.join(_fresh_dir("txmaint", sf_dir), "tbl")
+    t = _txlog.TxTable.create(
+        spark,
+        root,
+        ev.filter(F.col("event_id") % 2 == 0),
+        stat_cols=["event_id", "value"],
+    )
+    for m in (1, 3, 5):  # three tiny appends -> small-file debt
+        t.append(ev.filter(F.col("event_id") % 10 == m).coalesce(1))
+    t.delete_where("value", 5.0, 15.0, mode="dv")  # -> DV debt
+    if sum(t.dv_stats().values()) == 0:
+        raise RuntimeError("setup failed: expected DV debt")
+    recs_before = sum(
+        a["num_records"] for a in t.snapshot_adds()
+    ) - sum(t.dv_stats().values())
+    report = t.auto_maintain(retention_sec=3600.0)
+    for verb in ("optimize", "purge_deletes"):
+        if verb not in report["executed"]:
+            raise RuntimeError(f"advice named {verb} but it did not run")
+    if sum(t.dv_stats().values()) != 0:
+        raise RuntimeError("DV debt survived auto_maintain")
+    after = t.maintenance_advice(retention_sec=3600.0)
+    if after["dv_debt_rows"] != 0 or after["n_small_files"] > 1:
+        raise RuntimeError(f"gauge still dirty after maintain: {after}")
+    recs_after = sum(a["num_records"] for a in t.snapshot_adds())
+    if recs_after != recs_before:
+        raise RuntimeError(
+            f"maintenance changed the row multiset: "
+            f"{recs_before} -> {recs_after}"
+        )
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -1772,6 +1772,86 @@ class TxTable:
             "optimize", adds, [a["path"] for a in small], None, read_version=rv
         )
 
+    def purge_deletes(
+        self,
+        min_dv_rows: int = 1,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Materialize merge-on-read deletions: rewrite every live file
+        carrying ≥ ``min_dv_rows`` deletion-vector rows (dropping the
+        DV'd rows), regardless of file size — the half of DV debt
+        :meth:`optimize` does not reach (it only selects SMALL files,
+        so a large file with a heavy vector stays merge-on-read
+        forever). Same commit shape as optimize: remove inputs + add
+        rewrites, visible row multiset unchanged (dataChange=false →
+        invisible to the change feed), concurrent appends untouched,
+        concurrent removes of an input conflict."""
+        rv = self.version()
+        meta, live, _, dvs = self._state_at(rv)
+        debt = self.dv_stats()
+        targets = [
+            live[p]
+            for p, n in debt.items()
+            if n >= min_dv_rows and p in live
+        ]
+        if not targets:
+            return rv
+        src = self._read_files(
+            T.StructType.fromJson(json.loads(meta["schema_json"])),
+            [a["path"] for a in targets],
+            dvs,
+            self._col_mapping(meta),
+        )
+        n_out = max(
+            1,
+            math.ceil(
+                sum(a["size"] for a in targets) / target_file_bytes
+            ),
+        )
+        adds = self._write_stage(
+            src.coalesce(n_out), meta["stat_cols"], self._col_mapping(meta)
+        )
+        return self._commit(
+            "optimize",
+            adds,
+            [a["path"] for a in targets],
+            None,
+            read_version=rv,
+        )
+
+    def auto_maintain(
+        self,
+        small_file_bytes: int = 32 << 20,
+        retention_sec: float = 3600.0,
+        min_dv_rows: int = 1,
+    ) -> dict:
+        """The policy loop over :meth:`maintenance_advice`: EXECUTE
+        whatever the advice names (Delta auto-optimize shape — the
+        scheduler calls one verb instead of polling the gauge and
+        dispatching by hand). Small files → :meth:`optimize`; DV debt
+        → :meth:`purge_deletes`; reclaimable orphans → :meth:`vacuum`.
+        Returns the advice that triggered, the verbs run, and the
+        resulting version. Decisions come from O(files) driver
+        metadata; only the rewrites the advice justifies touch data."""
+        advice = self.maintenance_advice(
+            small_file_bytes=small_file_bytes, retention_sec=retention_sec
+        )
+        executed: list[str] = []
+        if advice["n_small_files"] > 1:
+            self.optimize(small_file_bytes=small_file_bytes)
+            executed.append("optimize")
+        if advice["dv_debt_rows"] >= min_dv_rows:
+            self.purge_deletes(min_dv_rows=min_dv_rows)
+            executed.append("purge_deletes")
+        if advice["n_vacuum_orphans"] > 0:
+            self.vacuum(retention_sec)
+            executed.append("vacuum")
+        return {
+            "advice": advice,
+            "executed": executed,
+            "version": self.version(),
+        }
+
     _BLOOM_SALT = "__txbloom2__"
 
     def build_bloom_index(self, col: str, fpp: float = 0.01) -> int:
