@@ -54,6 +54,8 @@ _PRIORITY = [
     "event_transition_matrix",
     "association_rules",
     "txlog_auto_maintain",
+    "bm25_index_search",
+    "bm25_search",
     "txlog_replace_where",
     "scd2_dimension_history",
     "ann_index_incremental",

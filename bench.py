@@ -197,6 +197,13 @@ HEADLINE = [
 #                            partitioned_roundtrip / merge paths
 #   txlog_ivm_cdc            ~25 s: two CDC stream drains + exactly-once
 #                            merges — every leg timed elsewhere
+#   bm25_index_search        ~64 s at sf0.1: a full index LIFECYCLE
+#                            (txlog staging + backfill + 2 incremental
+#                            refreshes + delete + scan-vs-index
+#                            self-assert) — the serving-path legs are
+#                            bm25_search (scoring) and txlog entries
+#                            (storage); the lifecycle is correctness
+#                            coverage, not a throughput unit
 #                            (txlog_stream_cdf drains the same feed,
 #                            txlog_acid_roundtrip times the merge path);
 #                            the cost is fixed micro-batch machinery,

@@ -506,7 +506,7 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(doc_filter: str = "TRUE") -> str:
     tf_cols = ",\n             ".join(
         f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -526,7 +526,7 @@ def _bm25_sql() -> str:
       SELECT doc_id, len(t) AS dl,
              {tf_cols}
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-            FROM documents)
+            FROM documents WHERE {doc_filter})
     ), s AS (
       SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {df_cols}
       FROM d
@@ -577,16 +577,11 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(_BM25_TERMS))
         ],
     )
-    score = None
-    for i in range(len(_BM25_TERMS)):
-        idf = F.log(
-            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
-        )
-        term = idf * (F.col(f"tf{i}") * (_BM25_K1 + 1.0)) / (
-            F.col(f"tf{i}")
-            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-        score = term if score is None else score + term
+    from .search import bm25_score
+
+    # shared expression tree with the index serving path (search.py) —
+    # bit-identical doubles between scan-served and index-served BM25
+    score = bm25_score(list(_BM25_TERMS))
     any_tf = sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS)))
     return (
         d.crossJoin(F.broadcast(stats))

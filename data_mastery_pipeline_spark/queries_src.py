@@ -2682,3 +2682,105 @@ def txlog_auto_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "bm25_index_search",
+    __import__(
+        "data_mastery_pipeline_spark.queries_ops", fromlist=["_bm25_sql"]
+    )._bm25_sql(doc_filter="doc_id NOT BETWEEN 100 AND 299"),
+)
+def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the INCREMENTAL inverted index (search.py) —
+    the Lucene postings + delete-set design on the repo's own table
+    format — through a full index lifecycle: stage 2/3 of the corpus
+    into a txlog source → build (CDF backfill) → append the remaining
+    third → refresh (O(new docs): only the late batch tokenizes) →
+    DELETE a doc range → refresh (tombstones only, postings untouched)
+    → query. The oracle recomputes BM25 relationally over the final
+    live corpus, so the value-hash proves the served scores — netting,
+    generations, tombstone filtering and all. Self-asserting on top:
+    (a) the index-served top-20 must EQUAL the full-scan BM25 (shared
+    bm25_score expression tree — bit-identical doubles) computed
+    directly on the source table; (b) the term probe must open fewer
+    postings files than exist (the term-clustered min/max stats are
+    the index — no probe, no point).
+
+    Scale: a query reads only the probed term's postings files plus
+    the tiny doclens/tombstone relations; a refresh tokenizes only the
+    CDF window. Neither ever re-reads the corpus — that is the entire
+    argument for serving from an index at 100 TB."""
+    from . import search as searchmod
+    from .functions import text as textfn
+    from .queries_ops import _BM25_TERMS
+    from .sources import txlog as _txlog
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = _fresh_dir("searchidx", sf_dir)
+    src = _txlog.TxTable.create(
+        spark,
+        os.path.join(base, "src"),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        stat_cols=["doc_id"],
+    )
+    idx = searchmod.SearchIndex.create(
+        spark, src, os.path.join(base, "idx")
+    )
+    idx.refresh()  # backfill
+    src.append(docs.filter(F.col("doc_id") % 3 == 0))  # late batch
+    idx.refresh()  # incremental: only the new third tokenizes
+    src.delete_where("doc_id", 100, 299)
+    if idx.refresh() is None:
+        raise RuntimeError("delete window must advance the index")
+    if idx.refresh() is not None:
+        raise RuntimeError("replayed refresh must be a no-op")
+
+    terms = list(_BM25_TERMS)
+    served = idx.query(terms, k=20)
+
+    # (a) index-served == full-scan BM25 on the identical live corpus
+    toks = textfn.tokens("text")
+    d = src.read().select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[
+            # NB: a second lambda param would make PySpark's HOF pass
+            # the array INDEX as arg 2 — one-arg lambda only; F.filter
+            # is invoked inside the comprehension so t binds eagerly
+            F.size(F.filter(toks, lambda x: x == F.lit(t)))
+            .cast("double")
+            .alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(terms)))
+    scanned = (
+        d.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", searchmod.bm25_score(terms).alias("raw_score"))
+        .orderBy(F.col("raw_score").desc(), "doc_id")
+        .limit(20)
+    )
+    a = [(r["doc_id"], r["raw_score"]) for r in served.collect()]
+    b = [(r["doc_id"], r["raw_score"]) for r in scanned.collect()]
+    if a != b:
+        raise RuntimeError(f"index-served != scan-served BM25: {a} {b}")
+
+    # (b) the probe must actually prune postings files
+    _, pstats = idx.postings.scan({"term": (terms[0], terms[0])})
+    if not pstats["files_read"] < pstats["files_total"]:
+        raise RuntimeError(f"term probe did not prune: {pstats}")
+
+    return served.select(
+        "doc_id", quantize(F.col("raw_score"), "score", decimals=6)
+    )

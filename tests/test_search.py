@@ -1,0 +1,148 @@
+"""SearchIndex (search.py): incremental postings/tombstone maintenance
+equals a from-scratch rebuild after every DML shape — append, delete,
+UPDATE (generation handling: fresh postings must outlive the tombstone
+that kills their predecessors), vacuum_tombstones, replay."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_mastery_pipeline_spark.search import SearchIndex
+from data_mastery_pipeline_spark.sources.txlog import TxTable
+
+DDL = "doc_id long, text string"
+
+DOCS = [
+    (1, "spark shuffles data across the cluster"),
+    (2, "the index serves bm25 without a scan"),
+    (3, "tombstones kill dead generations"),
+    (4, "spark spark spark everywhere"),
+    (5, "a short doc"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, DDL)
+
+
+@pytest.fixture()
+def stack(spark, tmp_path):
+    src = TxTable.create(
+        spark, str(tmp_path / "src"), _df(spark, DOCS), stat_cols=["doc_id"]
+    )
+    idx = SearchIndex.create(spark, src, str(tmp_path / "idx"))
+    idx.refresh()
+    return src, idx
+
+
+def _served(idx, terms, k=10):
+    return [
+        (r["doc_id"], round(r["raw_score"], 9))
+        for r in idx.query(terms, k).collect()
+    ]
+
+
+def _rebuilt(spark, src, tmp_path, terms, tag, k=10):
+    fresh = SearchIndex.create(
+        spark, src, str(tmp_path / f"rebuild_{tag}")
+    )
+    fresh.refresh()
+    return _served(fresh, terms, k)
+
+
+def test_backfill_and_basic_ranking(stack):
+    src, idx = stack
+    out = _served(idx, ["spark"])
+    assert [d for d, _ in out] == [4, 1]  # tf=3 short doc first
+    assert all(s > 0 for _, s in out)
+
+
+def test_incremental_append_equals_rebuild(spark, tmp_path, stack):
+    src, idx = stack
+    src.append(_df(spark, [(6, "spark index spark")]))
+    assert idx.refresh() is not None
+    assert idx.refresh() is None  # replay no-op
+    assert _served(idx, ["spark", "index"]) == _rebuilt(
+        spark, src, tmp_path, ["spark", "index"], "append"
+    )
+
+
+def test_delete_tombstones_equal_rebuild(spark, tmp_path, stack):
+    src, idx = stack
+    src.delete_where("doc_id", 4, 4)
+    idx.refresh()
+    out = _served(idx, ["spark"])
+    assert [d for d, _ in out] == [1]
+    assert out == _rebuilt(spark, src, tmp_path, ["spark"], "delete")
+    # corpus stats shrank with the delete (doc 4 out of N/avgdl)
+
+
+def test_update_new_generation_outlives_tombstone(spark, tmp_path, stack):
+    src, idx = stack
+    # rewrite doc 5's text entirely: CDF emits delete(old)+insert(new)
+    src.update_where(
+        "doc_id", 5, 5, {"text": F.lit("spark now lives here")}
+    )
+    idx.refresh()
+    out = _served(idx, ["spark"])
+    assert 5 in [d for d, _ in out]  # new generation visible
+    served_short = _served(idx, ["short"])
+    assert served_short == []  # old generation dead
+    assert out == _rebuilt(spark, src, tmp_path, ["spark"], "update")
+
+
+def test_vacuum_tombstones_preserves_results(spark, tmp_path, stack):
+    src, idx = stack
+    src.delete_where("doc_id", 1, 2)
+    src.update_where("doc_id", 3, 3, {"text": F.lit("fresh text")})
+    idx.refresh()
+    before = _served(idx, ["spark", "fresh", "tombstones"])
+    folded = idx.vacuum_tombstones()
+    assert folded["tombstones_folded"] > 0
+    assert idx.tombstones.read().count() == 0
+    after = _served(idx, ["spark", "fresh", "tombstones"])
+    assert before == after
+    # second vacuum is a no-op
+    assert idx.vacuum_tombstones() == {"tombstones_folded": 0}
+
+
+def test_rewrite_churn_nets_out(spark, tmp_path, stack):
+    """optimize() rewrites files (delete+insert churn in the CDF);
+    netting must keep the index refresh a no-op on content."""
+    src, idx = stack
+    for i in range(3):
+        src.append(_df(spark, [(10 + i, "padding doc")]))
+    src.optimize(small_file_bytes=1 << 30, target_file_bytes=1 << 30)
+    idx.refresh()
+    # incremental state == from-scratch rebuild: un-netted churn would
+    # mint duplicate postings and inflate tf/df (N/avgdl changed with
+    # the appends, so scores are compared to the rebuild, not to a
+    # pre-append baseline)
+    for terms in (["spark"], ["padding"]):
+        assert _served(idx, terms) == _rebuilt(
+            spark, src, tmp_path, terms, f"churn_{terms[0]}"
+        )
+
+
+def test_term_probe_prunes_postings_files(spark, tmp_path):
+    # enough distinct terms that range-clustered postings span files
+    # with disjoint term ranges
+    rows = [
+        (i, " ".join(f"w{j:03d}" for j in range(i % 37, i % 37 + 12)))
+        for i in range(300)
+    ]
+    src = TxTable.create(
+        spark, str(tmp_path / "src"), _df(spark, rows), stat_cols=["doc_id"]
+    )
+    idx = SearchIndex.create(spark, src, str(tmp_path / "idx"))
+    idx.refresh()
+    _, st = idx.postings.scan({"term": ("w010", "w010")})
+    assert st["files_read"] < st["files_total"]
+
+
+def test_query_for_absent_term_is_empty(stack):
+    src, idx = stack
+    assert _served(idx, ["zzzznotaterm"]) == []

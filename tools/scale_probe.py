@@ -281,6 +281,9 @@ def main() -> None:
     if args and args[0] == "--dv":
         dv_probe([int(a) for a in args[1:]] or [1, 2, 4])
         return
+    if args and args[0] == "--countmin":
+        countmin_probe([int(a) for a in args[1:]] or [1, 4, 16])
+        return
     if args and args[0] == "--spatial":
         spatial_probe([int(a) for a in args[1:]] or [1, 2, 4, 8])
         return
@@ -969,6 +972,58 @@ def replace_probe(ks) -> None:
             )
         finally:
             shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+def countmin_probe(ks) -> None:
+    """Count-Min scale claim MEASURED: the counter table stays ≤ d·w
+    rows while the token stream grows k× (the sketch's whole point —
+    shuffle and state bounded regardless of stream size), and the
+    top-20 estimates stay exact-or-over with bounded overshoot."""
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.functions import text as textfn
+    from data_mastery_pipeline_spark.operators import sketches
+    from data_mastery_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="countmin_probe")
+    spark.range(10).count()
+    D, W = 4, 256
+    for k in ks:
+        docs = amplified(spark, k)
+        toks = docs.select(F.explode(textfn.tokens("text")).alias("tok"))
+        n_occ = toks.count()
+        t0 = time.time()
+        counters = sketches.countmin_counters(toks, "tok", D, W)
+        n_cells = counters.count()
+        t_build = time.time() - t0
+        top = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "tok")
+            .limit(20)
+        )
+        est = sketches.countmin_estimate(counters, top, "tok", D, W)
+        j = top.join(est, "tok").select(
+            F.sum(F.when(F.col("cm_est") < F.col("n"), 1).otherwise(0)).alias(
+                "under"
+            ),
+            F.max(F.col("cm_est") - F.col("n")).alias("max_over"),
+        ).first()
+        print(
+            json.dumps(
+                {
+                    "k": k,
+                    "occurrences": n_occ,
+                    "counter_cells": n_cells,
+                    "cells_bound": D * W,
+                    "undercounts": j["under"],
+                    "max_overshoot": int(j["max_over"]),
+                    "eps_n_bound": round(2.718281828 / W * n_occ, 1),
+                    "build_wall_sec": round(t_build, 2),
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
