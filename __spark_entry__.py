@@ -55,7 +55,7 @@ _PRIORITY = [
     "association_rules",
     "txlog_auto_maintain",
     "bm25_index_search",
-    "bm25_search",
+    "bm25_search",  # moved up: its scorer is now the shared bm25_score
     "txlog_replace_where",
     "scd2_dimension_history",
     "ann_index_incremental",
@@ -113,7 +113,6 @@ _PRIORITY = [
     "text_quality",
     "lang_id",
     "tfidf_top_terms",
-    "bm25_search",
     "contamination_check",
     "shared_substring_spans",
     "incremental_minhash_dedup",

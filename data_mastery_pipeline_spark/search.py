@@ -148,65 +148,77 @@ class SearchIndex:
         already current everywhere."""
         advanced = None
         want_pin = self.source.version()
-        win = self._window(self.postings, want_pin)
-        if win:
-            have, want = win
-            net = self._net(self.source.changes(have, want))
-            ins = net.filter(F.col("net") > 0)
-            toks = textfn.tokens("text")
-            dl = F.when(
-                F.col("text").isNull(), F.lit(0)
-            ).otherwise(F.size(toks)).cast("long")
-            rows = (
-                ins.select(
-                    "doc_id",
-                    dl.alias("dl"),
-                    F.explode(toks).alias("term"),
+        # one netted delta per DISTINCT lag window, persisted so the
+        # aligned common case (all three tables current to the same
+        # watermark) reads the CDF once, not three times; unpersisted
+        # before return (the weather_dag localCheckpoint lesson)
+        nets: dict[tuple[int, int], DataFrame] = {}
+
+        def _net_for(win: tuple[int, int]) -> DataFrame:
+            if win not in nets:
+                nets[win] = self._net(
+                    self.source.changes(win[0], win[1])
+                ).persist()
+            return nets[win]
+
+        toks = textfn.tokens("text")
+        dl = (
+            F.when(F.col("text").isNull(), F.lit(0))
+            .otherwise(F.size(toks))
+            .cast("long")
+        )
+        try:
+            win = self._window(self.postings, want_pin)
+            if win:
+                have, want = win
+                ins = _net_for(win).filter(F.col("net") > 0)
+                rows = (
+                    ins.select(
+                        "doc_id",
+                        dl.alias("dl"),
+                        F.explode(toks).alias("term"),
+                    )
+                    .groupBy("term", "doc_id", "dl")
+                    .agg(F.count("*").cast("long").alias("tf"))
+                    .withColumn("gen", F.lit(want).cast("long"))
                 )
-                .groupBy("term", "doc_id", "dl")
-                .agg(F.count("*").cast("long").alias("tf"))
-                .withColumn("gen", F.lit(want).cast("long"))
-            )
-            # term-clustered write: min/max term stats per file become
-            # the probe index for scan()
-            rows = rows.repartitionByRange(8, "term").sortWithinPartitions(
-                "term"
-            )
-            self.postings.append_stream_batch(rows, self._APP, want)
-            advanced = want
-        win = self._window(self.doclens, want_pin)
-        if win:
-            have, want = win
-            net = self._net(self.source.changes(have, want))
-            ins = net.filter(F.col("net") > 0)
-            toks = textfn.tokens("text")
-            dl = F.when(
-                F.col("text").isNull(), F.lit(0)
-            ).otherwise(F.size(toks)).cast("long")
-            self.doclens.append_stream_batch(
-                ins.select(
-                    "doc_id",
-                    dl.alias("dl"),
-                    F.lit(want).cast("long").alias("gen"),
-                ),
-                self._APP,
-                want,
-            )
-            advanced = want
-        win = self._window(self.tombstones, want_pin)
-        if win:
-            have, want = win
-            net = self._net(self.source.changes(have, want))
-            dels = net.filter(F.col("net") < 0)
-            self.tombstones.append_stream_batch(
-                dels.select(
-                    "doc_id",
-                    F.lit(want).cast("long").alias("killed_upto"),
-                ).distinct(),
-                self._APP,
-                want,
-            )
-            advanced = want
+                # term-clustered write: min/max term stats per file
+                # become the probe index for scan()
+                rows = rows.repartitionByRange(
+                    8, "term"
+                ).sortWithinPartitions("term")
+                self.postings.append_stream_batch(rows, self._APP, want)
+                advanced = want
+            win = self._window(self.doclens, want_pin)
+            if win:
+                have, want = win
+                ins = _net_for(win).filter(F.col("net") > 0)
+                self.doclens.append_stream_batch(
+                    ins.select(
+                        "doc_id",
+                        dl.alias("dl"),
+                        F.lit(want).cast("long").alias("gen"),
+                    ),
+                    self._APP,
+                    want,
+                )
+                advanced = want
+            win = self._window(self.tombstones, want_pin)
+            if win:
+                have, want = win
+                dels = _net_for(win).filter(F.col("net") < 0)
+                self.tombstones.append_stream_batch(
+                    dels.select(
+                        "doc_id",
+                        F.lit(want).cast("long").alias("killed_upto"),
+                    ).distinct(),
+                    self._APP,
+                    want,
+                )
+                advanced = want
+        finally:
+            for df in nets.values():
+                df.unpersist()
         return advanced
 
     # -- query ------------------------------------------------------------
