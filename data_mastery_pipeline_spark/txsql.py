@@ -115,6 +115,20 @@ _VACUUM = re.compile(
     r"(\s+DRY\s+RUN)?\s*$",
     re.I,
 )
+# OPTIMIZE t [ZORDER BY (c1[, c2...]) | CLUSTER BY (c)] — the public
+# formats' compaction statement, dispatching to TxTable.optimize
+_OPTIMIZE = re.compile(
+    rf"^\s*OPTIMIZE\s+({_ID})"
+    rf"(?:\s+ZORDER\s+BY\s+\(\s*({_ID}(?:\s*,\s*{_ID})*)\s*\)"
+    rf"|\s+CLUSTER\s+BY\s+\(\s*({_ID})\s*\))?\s*$",
+    re.I,
+)
+# MAINTAIN t — the policy verb (auto_maintain): execute whatever the
+# maintenance gauge advises (optimize / purge_deletes / vacuum)
+_MAINTAIN = re.compile(rf"^\s*MAINTAIN\s+({_ID})\s*$", re.I)
+_DESCRIBE_HISTORY = re.compile(
+    rf"^\s*DESCRIBE\s+HISTORY\s+({_ID})\s*$", re.I
+)
 _SELECT = re.compile(r"^\s*(SELECT|WITH)\b", re.I)
 # SQL time travel inside SELECTs: `FROM t VERSION AS OF n` — rewritten
 # to a snapshot view before spark.sql sees the text
@@ -313,6 +327,21 @@ class TxSqlSession:
                 retention_sec=float(retain) if retain is not None else 3600.0,
                 dry_run=dry is not None,
             )
+        m = _OPTIMIZE.match(text)
+        if m:
+            name, zcols, ccol = m.groups()
+            kw = {}
+            if zcols:
+                kw["zorder_by"] = [c.strip() for c in zcols.split(",")]
+            elif ccol:
+                kw["cluster_by"] = ccol
+            return self._table(name).optimize(**kw)
+        m = _MAINTAIN.match(text)
+        if m:
+            return self._table(m.group(1)).auto_maintain()
+        m = _DESCRIBE_HISTORY.match(text)
+        if m:
+            return self._table(m.group(1)).history_df()
         m = _INSERT_REPLACE.match(text)
         if m:
             t = self._table(m.group(1))
@@ -352,5 +381,7 @@ class TxSqlSession:
             "COLUMN, RESTORE TABLE t TO VERSION AS OF n, CREATE TABLE "
             "t2 SHALLOW CLONE t [VERSION AS OF n] LOCATION 'path', "
             "CREATE BLOOMFILTER INDEX ON t (col) [FPP p], "
-            "VACUUM t [RETAIN n SECONDS] [DRY RUN]"
+            "VACUUM t [RETAIN n SECONDS] [DRY RUN], "
+            "OPTIMIZE t [ZORDER BY (c1, c2) | CLUSTER BY (c)], "
+            "MAINTAIN t, DESCRIBE HISTORY t"
         )

@@ -308,3 +308,34 @@ def test_sql_vacuum_dry_run_and_real(spark, tmp_path):
     assert real == would
     for rel in real:
         assert not _os.path.exists(_os.path.join(root, rel))
+
+
+def test_sql_optimize_maintain_describe_history(spark, tmp_path):
+    from data_mastery_pipeline_spark.txsql import TxSqlSession
+
+    sql_t, api_t = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+    ddl = "id long, grp string, v double"
+    for t in (sql_t, api_t):  # debt: tiny appends + a DV delete
+        for i in range(3):
+            t.append(
+                spark.createDataFrame([(100 + i, "x", float(i))], ddl)
+            )
+        t.delete_where("id", 100, 100, mode="dv")
+
+    ss.sql("OPTIMIZE t")
+    api_t.optimize()
+    assert _state(sql_t) == _state(api_t)
+
+    report = ss.sql("MAINTAIN t")
+    assert isinstance(report, dict) and "executed" in report
+    assert sum(sql_t.dv_stats().values()) == 0  # purge ran via policy
+    assert _state(sql_t) == _state(api_t)
+
+    hist = ss.sql("DESCRIBE HISTORY t")
+    ops = [r["op"] for r in hist.collect()]
+    assert "optimize" in ops and ops.count("append") >= 3
+
+    before = _state(sql_t)
+    ss.sql("OPTIMIZE t ZORDER BY (id, v)")  # parses, commits, no-loss
+    assert _state(sql_t) == before
