@@ -56,6 +56,7 @@ _PRIORITY = [
     "txlog_auto_maintain",
     "bm25_index_search",
     "bm25_search",  # moved up: its scorer is now the shared bm25_score
+    "hybrid_search_rrf",
     "txlog_replace_where",
     "scd2_dimension_history",
     "ann_index_incremental",

@@ -183,6 +183,7 @@ HEADLINE = [
     "event_transition_matrix",
     "association_rules",
     "txlog_auto_maintain",
+    "hybrid_search_rrf",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -570,6 +570,123 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_rrf_sql() -> str:
+    from .queries_ops import _bm25_sql
+
+    return f"""
+    WITH br AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM ({_bm25_sql(k=50)})
+    ),
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    aleg AS (
+      SELECT vec_id,
+             floor((list_cosine_similarity(embedding::DOUBLE[],
+                                           (SELECT qv FROM q)))
+                   * 10000 + 0.5) / 10000.0 AS cos
+      FROM embeddings ORDER BY cos DESC, vec_id LIMIT 50
+    ),
+    ar AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS r
+      FROM aleg
+    ),
+    fused AS (
+      SELECT coalesce(br.doc_id, ar.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + br.r), 0.0)
+               + coalesce(1.0 / (60 + ar.r), 0.0) AS rrf
+      FROM br FULL OUTER JOIN ar ON br.doc_id = ar.doc_id
+    )
+    SELECT doc_id, floor(rrf * 1000000 + 0.5) / 1000000.0 AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@query("hybrid_search_rrf", _hybrid_rrf_sql())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 fused with exact-cosine
+    semantic top-50 by reciprocal-rank fusion (RRF, k=60 — the
+    Cormack/Clarke constant): score(d) = Σ_legs 1/(60 + rank_leg(d)).
+    RRF is the standard production hybrid because it needs no score
+    calibration between legs — only ranks. Embedded docs are vec_id
+    0-499 (the embeddings table); docs outside the embedded set can
+    still win on the lexical leg alone (full outer fusion).
+
+    Ranks are taken over the QUANTIZED leg scores with doc-id
+    tie-breaks, so both engines rank identically (raw-double ordering
+    at the 50-boundary is identical anyway — shared expression trees).
+
+    100 TB: each leg is an existing scale path (BM25 one scan + top-k
+    here, or the search.py index; cosine via the IVF index) — fusion
+    itself touches 2×50 rows: two ≤50-row rank windows (constant
+    cardinality, allowlisted) and a 100-row outer join. Fusion cost is
+    independent of corpus size by construction."""
+    from .queries_ext import _exact_cosine_topk, _query_vec
+    from .queries_ops import _BM25_TERMS
+    from .search import bm25_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = textfn.tokens("text")
+    terms = list(_BM25_TERMS)
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(toks, lambda x: x == F.lit(t)))
+            .cast("double")
+            .alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    any_tf = sum(F.col(f"tf{i}") for i in range(len(terms)))
+    b50 = (
+        d.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select(
+            "doc_id",
+            quantize(bm25_score(terms), "score", 6),
+            bm25_score(terms).alias("raw"),
+        )
+        .orderBy(F.col("raw").desc(), "doc_id")
+        .limit(50)
+    )
+    w_b = Window.orderBy(F.col("score").desc(), "doc_id")
+    br = b50.select("doc_id", F.row_number().over(w_b).alias("r1"))
+    a50 = _exact_cosine_topk(
+        spark, sf_dir, _query_vec(spark, sf_dir), k=50
+    )
+    w_a = Window.orderBy(F.col("cos").desc(), "vec_id")
+    ar = a50.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_a).alias("r2"),
+    )
+    fused = br.join(ar, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("r1")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r2")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", quantize(F.col("rrf"), "rrf_score", 6))
+    )
+
+
 @query(
     "association_rules",
     """

@@ -506,7 +506,7 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def _bm25_sql(doc_filter: str = "TRUE") -> str:
+def _bm25_sql(doc_filter: str = "TRUE", k: int = 20) -> str:
     tf_cols = ",\n             ".join(
         f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -534,7 +534,7 @@ def _bm25_sql(doc_filter: str = "TRUE") -> str:
     SELECT doc_id, floor(({score}) * 1000000 + 0.5) / 1000000.0 AS score
     FROM d, s
     WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
-    ORDER BY ({score}) DESC, doc_id LIMIT 20
+    ORDER BY ({score}) DESC, doc_id LIMIT {k}
     """
 
 
