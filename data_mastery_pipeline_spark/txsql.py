@@ -126,6 +126,13 @@ _OPTIMIZE = re.compile(
 # MAINTAIN t — the policy verb (auto_maintain): execute whatever the
 # maintenance gauge advises (optimize / purge_deletes / vacuum)
 _MAINTAIN = re.compile(rf"^\s*MAINTAIN\s+({_ID})\s*$", re.I)
+# CREATE TABLE t LOCATION 'p' AS SELECT ... — CTAS onto the format;
+# the new table auto-registers under its name
+_CTAS = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+({_ID})\s+LOCATION\s+({_STR})\s+AS\s+"
+    r"(SELECT\b.*|WITH\b.*)$",
+    re.I | re.S,
+)
 _DESCRIBE_HISTORY = re.compile(
     rf"^\s*DESCRIBE\s+HISTORY\s+({_ID})\s*$", re.I
 )
@@ -327,6 +334,20 @@ class TxSqlSession:
                 retention_sec=float(retain) if retain is not None else 3600.0,
                 dry_run=dry is not None,
             )
+        m = _CTAS.match(text)
+        if m:
+            name, loc, sel = m.groups()
+            if name in self._tables:
+                raise UnsupportedSqlError(
+                    f"table {name!r} is already registered"
+                )
+            self._refresh_views()
+            df = self.spark.sql(sel)
+            t = TxTable.create(
+                self.spark, loc[1:-1].replace("''", "'"), df
+            )
+            self.register(name, t)
+            return t
         m = _OPTIMIZE.match(text)
         if m:
             name, zcols, ccol = m.groups()
@@ -383,5 +404,6 @@ class TxSqlSession:
             "CREATE BLOOMFILTER INDEX ON t (col) [FPP p], "
             "VACUUM t [RETAIN n SECONDS] [DRY RUN], "
             "OPTIMIZE t [ZORDER BY (c1, c2) | CLUSTER BY (c)], "
-            "MAINTAIN t, DESCRIBE HISTORY t"
+            "MAINTAIN t, DESCRIBE HISTORY t, "
+            "CREATE TABLE t LOCATION 'path' AS SELECT …"
         )

@@ -339,3 +339,35 @@ def test_sql_optimize_maintain_describe_history(spark, tmp_path):
     before = _state(sql_t)
     ss.sql("OPTIMIZE t ZORDER BY (id, v)")  # parses, commits, no-loss
     assert _state(sql_t) == before
+
+
+def test_sql_ctas_creates_and_registers(spark, tmp_path):
+    from data_mastery_pipeline_spark.txsql import (
+        TxSqlSession,
+        UnsupportedSqlError,
+    )
+
+    sql_t, _ = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+    loc = str(tmp_path / "ctas_t")
+    t2 = ss.sql(
+        f"CREATE TABLE t2 LOCATION '{loc}' AS "
+        "SELECT grp, count(*) AS n FROM t GROUP BY grp"
+    )
+    # the new table is a real TxTable, auto-registered and queryable
+    out = ss.sql("SELECT grp, n FROM t2 ORDER BY grp")
+    want = sorted(
+        (r["grp"], r["n"])
+        for r in sql_t.read().groupBy("grp").count()
+        .withColumnRenamed("count", "n").collect()
+    )
+    assert sorted((r["grp"], r["n"]) for r in out.collect()) == want
+    assert t2.version() == 0
+    # DML works on the CTAS result (it is a full table, not a view)
+    ss.sql("DELETE FROM t2 WHERE grp = 'g0'")
+    assert all(r["grp"] != "g0" for r in t2.read().collect())
+    # duplicate registration refuses
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedSqlError):
+        ss.sql(f"CREATE TABLE t2 LOCATION '{loc}2' AS SELECT 1 AS x")
