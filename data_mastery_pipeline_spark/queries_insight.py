@@ -15,6 +15,15 @@ monitoring needs distribution-level tests):
                            exact value decile (`operators/ranks`'
                            distributed NTILE), the credit-scorecard
                            feature-screening statistic.
+- ``seasonal_decompose_daily`` / ``event_transition_matrix`` /
+  ``association_rules`` — classical decomposition, Markov transitions,
+                           market-basket rules.
+- ``countmin_token_counts`` — Count-Min sketch with a cross-engine
+                           oracle over the sketch itself
+                           (operators/sketches.py).
+- ``expectation_suite``  — declarative data-quality gates compiled to
+                           minimal passes (operators/expectations.py).
+- ``hybrid_search_rrf``  — BM25 + cosine reciprocal-rank fusion.
 
 Every query carries a full value-hash DuckDB oracle; doubles go
 through registry.quantize so cross-engine IEEE formatting cannot
