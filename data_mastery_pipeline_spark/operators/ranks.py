@@ -178,6 +178,56 @@ def exact_ntile(
     return d.withColumn(out, tile.cast("int")).drop(_B, _LOC, _OFF, _TOT)
 
 
+def with_prefix_sums(
+    df: DataFrame,
+    order_by: list[tuple[str, str]],
+    weights: list[str],
+    outs: list[str],
+    inclusive: bool = True,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Several running sums over ONE ordering in ONE bucketing pass:
+    one approxQuantile sketch, one bucket-partitioned window stage,
+    one triangle-offset join computing every weight's per-bucket
+    offsets together — k statistics for ~the cost of one (the KS test
+    needs both sample ECDFs on the same value order)."""
+    if len(weights) != len(outs):
+        raise ValueError("weights and outs must pair up")
+    d = _with_ordered_buckets(df, order_by, n_buckets)
+    totals = d.groupBy(_B).agg(
+        *[F.sum(w).alias(f"{_CNT}_{i}") for i, w in enumerate(weights)]
+    )
+    a, b = totals.alias("a"), totals.alias("b")
+    off = (
+        a.join(b, F.col("b." + _B) < F.col("a." + _B), "left")
+        .groupBy(F.col("a." + _B).alias(_B))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b.{_CNT}_{i}"), F.lit(0)).alias(
+                    f"{_OFF}_{i}"
+                )
+                for i in range(len(weights))
+            ]
+        )
+    )
+    w_loc = (
+        Window.partitionBy(_B)
+        .orderBy(*_order_exprs(order_by))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for i, (wcol, out) in enumerate(zip(weights, outs)):
+        d = d.withColumn(f"{_LOC}_{i}", F.sum(wcol).over(w_loc))
+    d = d.join(F.broadcast(off), _B, "left")
+    for i, (wcol, out) in enumerate(zip(weights, outs)):
+        local = F.col(f"{_LOC}_{i}")
+        if not inclusive:
+            local = local - F.col(wcol)
+        d = d.withColumn(out, F.col(f"{_OFF}_{i}") + local).drop(
+            f"{_LOC}_{i}", f"{_OFF}_{i}"
+        )
+    return d.drop(_B)
+
+
 def with_prefix_sum(
     df: DataFrame,
     order_by: list[tuple[str, str]],

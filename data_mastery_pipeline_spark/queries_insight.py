@@ -107,8 +107,9 @@ def ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g").cast("double").alias("t1"),
         (F.count("*") - F.sum("g")).cast("double").alias("t2"),
     )
-    grp = ranks.with_prefix_sum(grp, [("v", "asc")], "t1", out="c1")
-    grp = ranks.with_prefix_sum(grp, [("v", "asc")], "t2", out="c2")
+    grp = ranks.with_prefix_sums(
+        grp, [("v", "asc")], ["t1", "t2"], ["c1", "c2"]
+    )
     tot = grp.agg(
         F.sum("t1").cast("double").alias("n1"),
         F.sum("t2").cast("double").alias("n2"),

@@ -109,3 +109,39 @@ def test_empty_input(spark):
     assert (
         ranks.exact_ntile(d, [("v", "asc"), ("id", "asc")], 4).count() == 0
     )
+
+
+def test_with_prefix_sums_matches_singles(spark):
+    from data_mastery_pipeline_spark.operators import ranks
+    from pyspark.sql import functions as F
+
+    rows = [(float(i % 7), float(i % 3), float(1)) for i in range(200)]
+    rows += [(None, 1.0, 1.0)]  # NULL order key
+    df = spark.createDataFrame(rows, "v double, w1 double, w2 double")
+    multi = ranks.with_prefix_sums(
+        df, [("v", "asc")], ["w1", "w2"], ["c1", "c2"]
+    )
+    s1 = ranks.with_prefix_sum(df, [("v", "asc")], "w1", out="c1")
+    s2 = ranks.with_prefix_sum(df, [("v", "asc")], "w2", out="c2")
+
+    def _grp(d, col):
+        # ties share no deterministic intra-order: compare per-v final
+        # cumulative (max) values which are order-invariant
+        return sorted(
+            (
+                tuple(r)
+                for r in d.groupBy("v").agg(F.max(col).alias("m")).collect()
+            ),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    assert _grp(multi, "c1") == _grp(s1, "c1")
+    assert _grp(multi, "c2") == _grp(s2, "c2")
+    # exclusive form agrees too
+    me = ranks.with_prefix_sums(
+        df, [("v", "asc")], ["w1"], ["e1"], inclusive=False
+    )
+    se = ranks.with_prefix_sum(
+        df, [("v", "asc")], "w1", out="e1", inclusive=False
+    )
+    assert _grp(me, "e1") == _grp(se, "e1")
