@@ -281,6 +281,9 @@ def main() -> None:
     if args and args[0] == "--dv":
         dv_probe([int(a) for a in args[1:]] or [1, 2, 4])
         return
+    if args and args[0] == "--assoc":
+        assoc_probe([int(a) for a in args[1:]] or [1, 2, 4])
+        return
     if args and args[0] == "--countmin":
         countmin_probe([int(a) for a in args[1:]] or [1, 4, 16])
         return
@@ -972,6 +975,67 @@ def replace_probe(ks) -> None:
             )
         finally:
             shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+def assoc_probe(ks) -> None:
+    """association_rules scale claim MEASURED: replicating the basket
+    relation k× (disjoint order keys, same per-basket size ≤7) grows
+    the candidate PAIR count linearly — the Apriori semi-join keeps
+    the quadratic term bounded by basket size, never corpus size."""
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.session import get_spark
+    from data_mastery_pipeline_spark.tables import load_table
+
+    spark = get_spark(app_name="assoc_probe")
+    spark.range(10).count()
+    stride = 100_000_000
+    for k in ks:
+        li = load_table(spark, "lineitem", SF_DIR).select(
+            "l_orderkey", "l_partkey"
+        )
+        parts = [li] + [
+            li.select(
+                (F.col("l_orderkey") + r * stride).alias("l_orderkey"),
+                "l_partkey",
+            )
+            for r in range(1, k)
+        ]
+        items = parts[0]
+        for p in parts[1:]:
+            items = items.unionByName(p)
+        items = items.select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        ).distinct()
+        n_baskets = items.select("basket").distinct().count()
+        freq = (
+            items.groupBy("item")
+            .agg(F.count("*").alias("n_item"))
+            .filter(F.col("n_item") >= 3)
+        )
+        fitems = items.join(freq, "item")
+        t0 = time.time()
+        a = fitems.select("basket", F.col("item").alias("pa"))
+        b = fitems.select("basket", F.col("item").alias("pb"))
+        n_pairs = (
+            a.join(b, "basket")
+            .filter(F.col("pa") < F.col("pb"))
+            .count()
+        )
+        wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "k": k,
+                    "baskets": n_baskets,
+                    "candidate_pairs": n_pairs,
+                    "pairs_per_basket": round(n_pairs / n_baskets, 2),
+                    "pair_wall_sec": round(wall, 2),
+                }
+            ),
+            flush=True,
+        )
 
 
 def countmin_probe(ks) -> None:
