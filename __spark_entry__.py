@@ -51,6 +51,7 @@ _PRIORITY = [
     "countmin_token_counts",
     "expectation_suite",
     "seasonal_decompose_daily",
+    "seasonal_residual_anomalies",
     "event_transition_matrix",
     "association_rules",
     "txlog_auto_maintain",

@@ -184,6 +184,7 @@ HEADLINE = [
     "association_rules",
     "txlog_auto_maintain",
     "hybrid_search_rrf",
+    "seasonal_residual_anomalies",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -83,6 +83,8 @@ _GLOBAL_WINDOW_OK: dict[str, str] = {
     "revenue aggregate (calendar-bounded)",
     "seasonal_decompose_daily": "centered 7-row MA over the per-DAY "
     "revenue aggregate (calendar-bounded)",
+    "seasonal_residual_anomalies": "same per-DAY decomposition windows "
+    "as seasonal_decompose_daily (calendar-bounded)",
     "hybrid_search_rrf": "row_number over two fixed ≤50-row top-k leg "
     "relations (constant cardinality at any data volume)",
 }
