@@ -146,3 +146,48 @@ def test_term_probe_prunes_postings_files(spark, tmp_path):
 def test_query_for_absent_term_is_empty(stack):
     src, idx = stack
     assert _served(idx, ["zzzznotaterm"]) == []
+
+
+def test_crash_between_table_commits_resumes_cleanly(spark, tmp_path, stack):
+    """The exactly-once-per-table claim: if a refresh dies after the
+    postings commit but before doclens/tombstones (simulated by
+    advancing only the postings watermark), the NEXT refresh folds the
+    lagging tables' windows without double-applying postings."""
+    src, idx = stack
+    src.append(_df(spark, [(7, "resume doc spark")]))
+    want = src.version()
+
+    # simulate the crash: run ONLY the postings leg of refresh()
+    from pyspark.sql import functions as F
+    from data_mastery_pipeline_spark.functions import text as textfn
+
+    last = idx.postings.last_stream_batch(idx._APP)
+    have = -1 if last is None else last  # NB: `or -1` would turn a
+    # legitimate watermark of 0 into a full-history replay
+    net = idx._net(src.changes(have, want))
+    ins = net.filter(F.col("net") > 0)
+    toks = textfn.tokens("text")
+    rows = (
+        ins.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("gen", F.lit(want).cast("long"))
+    )
+    idx.postings.append_stream_batch(rows, idx._APP, want)
+    assert idx.doclens.last_stream_batch(idx._APP) != want  # lagging
+
+    # resume: refresh must advance doclens/tombstones, not re-append
+    # postings (its watermark already covers the window)
+    n_postings = idx.postings.read().count()
+    assert idx.refresh() == want
+    assert idx.postings.read().count() == n_postings  # no double-apply
+    assert idx.doclens.last_stream_batch(idx._APP) == want
+    assert idx.tombstones.last_stream_batch(idx._APP) == want
+    # the index now equals a from-scratch rebuild
+    assert _served(idx, ["resume", "spark"]) == _rebuilt(
+        spark, src, tmp_path, ["resume", "spark"], "crashresume"
+    )
