@@ -79,6 +79,8 @@ def run_suite(df: DataFrame, checks: list) -> DataFrame:
     """Execute a suite; returns (check_name, violations, passed),
     one row per expectation, in suite order (order by check_name for
     deterministic comparison)."""
+    if not checks:
+        raise ValueError("empty expectation suite")
     row_checks = [c for c in checks if isinstance(c, RowCheck)]
     parts: list[DataFrame] = []
     if row_checks:
