@@ -55,6 +55,7 @@ _PRIORITY = [
     "event_transition_matrix",
     "association_rules",
     "txlog_auto_maintain",
+    "catalog_consistent_reads",
     "bm25_index_search",
     "bm25_search",  # moved up: its scorer is now the shared bm25_score
     "hybrid_search_rrf",

@@ -185,6 +185,7 @@ HEADLINE = [
     "txlog_auto_maintain",
     "hybrid_search_rrf",
     "seasonal_residual_anomalies",
+    "catalog_consistent_reads",
 ]
 # Deliberately NOT benched (documented, not silent — each is a
 # composition whose costly legs are already timed by other entries):

@@ -2784,3 +2784,79 @@ def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return served.select(
         "doc_id", quantize(F.col("raw_score"), "score", decimals=6)
     )
+
+
+@query(
+    "catalog_consistent_reads",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_a,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_b
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def catalog_consistent_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE snapshot consistency (catalog.py — the Nessie/Unity
+    catalog-commit design): two member tables hold the same event
+    slice; maintenance appends the second half to A, then to B, then
+    PUBLISHES one catalog commit. Self-asserting at every seam: with
+    A's table log already advanced, catalog readers still see the OLD
+    consistent pair (equal row counts — the single-table-format gap
+    this closes); only the publish flips both together; catalog time
+    travel re-reads the previous pair. Final answer joins per-type
+    counts from A with per-type cents from B through catalog reads —
+    a partial-publish leak would desynchronize n vs cents against the
+    relational oracle.
+
+    Scale: the catalog log carries O(tables) bytes per publish (one
+    hard-link put-if-absent — txlog's commit discipline one level up);
+    table data never moves on this path."""
+    from .catalog import TableCatalog
+    from .sources import txlog as _txlog
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    even, odd = (
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    )
+    base = _fresh_dir("catalog", sf_dir)
+    ta = _txlog.TxTable.create(spark, os.path.join(base, "a"), even)
+    tb = _txlog.TxTable.create(spark, os.path.join(base, "b"), even)
+    cat = TableCatalog(spark, os.path.join(base, "cat"))
+    cat.register("a", ta).register("b", tb)
+    v0 = cat.publish()
+
+    ta.append(odd)  # A's table log advances...
+    a_cat, b_cat = cat.read("a").count(), cat.read("b").count()
+    if a_cat != b_cat:
+        raise RuntimeError(
+            f"catalog pair desynchronized mid-flight: {a_cat} vs {b_cat}"
+        )
+    if ta.read().count() == a_cat:
+        raise RuntimeError("table log did not advance — test is vacuous")
+    tb.append(odd)
+    v1 = cat.publish()
+    if cat.read("a").count() != cat.read("b").count():
+        raise RuntimeError("published pair desynchronized")
+    # catalog time travel still reads the old consistent pair
+    if cat.read("a", catalog_version=v0).count() != a_cat:
+        raise RuntimeError("catalog time travel broke")
+
+    a_agg = (
+        cat.read("a")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b_agg = (
+        cat.read("b")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents_b")
+        )
+    )
+    return a_agg.join(b_agg, "event_type").orderBy("event_type")
