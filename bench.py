@@ -147,6 +147,7 @@ HEADLINE = [
     "txlog_column_mapping",
     "txlog_sql_dml",
     "ann_ivfpq_topk",
+    "ann_ivfpq_serve",  # prebuilt-index probe: min-of-3 = serve-only
     # round 8: calendar gap-fill with LOCF (spine explode + partitioned
     # window)
     "gap_fill_daily",

@@ -88,8 +88,15 @@ def _with_ordered_buckets(
         (-F.col(key) if desc else F.col(key)).cast("double"),
     )
     probs = [i / p for i in range(1, p)]
+    # NaN-free split points: approxQuantile can return NaN when the
+    # column holds NaNs; a NaN split is a dead comparison and breaks
+    # sorted() portability.
     splits = sorted(
-        {s for s in keyed.approxQuantile(_B + "_k", probs, 0.01)}
+        {
+            s
+            for s in keyed.approxQuantile(_B + "_k", probs, 0.01)
+            if s == s  # not NaN
+        }
     )
     non_null = (
         reduce(
@@ -102,11 +109,19 @@ def _with_ordered_buckets(
         else F.lit(1)
     )
     # NULL keys: ASC → before everything (bucket 0, matching Spark's
-    # NULLS FIRST); DESC → after everything (last bucket, NULLS LAST)
+    # NULLS FIRST); DESC → after everything (last bucket, NULLS LAST).
+    # NaN keys: Spark sorts NaN GREATER than every value, so NaN rows
+    # go last under ASC (bucket len+2, free there) and FIRST under
+    # DESC (bucket 0, free there) — the sign-flip trick can't route
+    # them (-NaN is still NaN, and NaN > split is true for every
+    # split, which would drop DESC NaNs into the last value bucket).
     null_bucket = F.lit(len(splits) + 2) if desc else F.lit(0)
+    nan_bucket = F.lit(0) if desc else F.lit(len(splits) + 2)
     return keyed.withColumn(
         _B,
-        F.when(F.col(_B + "_k").isNull(), null_bucket).otherwise(non_null),
+        F.when(F.col(_B + "_k").isNull(), null_bucket)
+        .when(F.isnan(_B + "_k"), nan_bucket)
+        .otherwise(non_null),
     ).drop(_B + "_k")
 
 
@@ -146,6 +161,114 @@ def with_global_row_number(
         .withColumn(out, (F.col(_OFF) + F.col(_LOC)).cast("long"))
         .drop(_B, _LOC, _OFF, _TOT)
     )
+
+
+def with_global_row_number_salted(
+    df: DataFrame,
+    order_by: list[tuple[str, str]],
+    out: str = "rn",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """``row_number`` for callers that do NOT need rank-tie bucketing
+    — the skew-hardened variant the module header's hot-bucket caveat
+    promises. ``order_by`` must be exactly ``[(key, dir), (tie, dir)]``
+    with ``tie`` unique (the total order row_number needs anyway).
+
+    `with_global_row_number` keeps equal keys in ONE bucket (rank
+    semantics require it), so a key heavier than rows/n_buckets makes
+    one hot window task. Here equal-key rows MAY split across buckets,
+    sub-bucketed by tie-break ranges: a hot key's rows are ordered
+    among themselves purely by the tie, so slicing them at tie split
+    points preserves the global (key, tie) order exactly. Hot keys are
+    detected from DUPLICATE approxQuantile split points (a value
+    holding ≥ ~2/n_buckets of the mass repeats in the quantile list) —
+    detection is balance-only: a missed hot key degrades parallelism,
+    never correctness. Output is IDENTICAL to the unsalted form (the
+    total order makes the numbering unique)."""
+    if len(order_by) != 2:
+        raise ValueError(
+            "salted row_number needs exactly [(key, dir), (tie, dir)]"
+        )
+    (key, kdir), (tie, tdir) = order_by
+    kdesc, tdesc = kdir == "desc", tdir == "desc"
+    p = _n_buckets(df, n_buckets)
+    kd, td = _B + "_k", _B + "_t"
+    keyed = df.withColumn(
+        kd, (-F.col(key) if kdesc else F.col(key)).cast("double")
+    ).withColumn(
+        td, (-F.col(tie) if tdesc else F.col(tie)).cast("double")
+    )
+    probs = [i / p for i in range(1, p)]
+    qs = [s for s in keyed.approxQuantile(kd, probs, 0.01) if s == s]
+    splits = sorted(set(qs))
+    hot = sorted({v for v in splits if qs.count(v) >= 2})
+    tie_splits = sorted(
+        {s for s in keyed.approxQuantile(td, probs, 0.01) if s == s}
+    )
+    ts_n = len(tie_splits)
+    base = (
+        reduce(
+            lambda acc, s: acc
+            + F.when(F.col(kd) > F.lit(s), 1).otherwise(0),
+            splits,
+            F.lit(1),
+        )
+        if splits
+        else F.lit(1)
+    )
+    null_bucket = F.lit(len(splits) + 2) if kdesc else F.lit(0)
+    nan_bucket = F.lit(0) if kdesc else F.lit(len(splits) + 2)
+    base = (
+        F.when(F.col(kd).isNull(), null_bucket)
+        .when(F.isnan(kd), nan_bucket)
+        .otherwise(base)
+    )
+    # sub-bucket: 0 for non-hot rows (they share their base bucket's
+    # window); hot-key rows slice by tie range into 2..ts_n+2, with
+    # NULL/NaN ties routed to the extreme sub matching Spark's sort
+    # position for the ORIGINAL tie direction (NULLS FIRST under ASC /
+    # LAST under DESC; NaN greatest → last under ASC, first under DESC)
+    tie_rank = reduce(
+        lambda acc, s: acc + F.when(F.col(td) > F.lit(s), 1).otherwise(0),
+        tie_splits,
+        F.lit(2),
+    )
+    null_sub = F.lit(1) if not tdesc else F.lit(ts_n + 3)
+    nan_sub = F.lit(ts_n + 3) if not tdesc else F.lit(1)
+    sub = F.when(
+        F.col(kd).isin([float(v) for v in hot]) if hot else F.lit(False),
+        F.when(F.col(td).isNull(), null_sub)
+        .when(F.isnan(td), nan_sub)
+        .otherwise(tie_rank),
+    ).otherwise(F.lit(0))
+    # composite id: lexicographic (base, sub) flattened — valid because
+    # a hot value is always the MAX key of its base bucket (it is a
+    # split point, and rows sort into the bucket counting splits
+    # strictly below them), so sub>0 rows order after their bucket's
+    # sub=0 rows in (key, tie) order
+    width = ts_n + 4
+    d = keyed.withColumn(_B, base * width + sub).drop(kd, td)
+    if _SALTED_BUCKET_PROBE is not None:
+        _SALTED_BUCKET_PROBE.append(
+            {
+                r[_B]: r["n"]
+                for r in d.groupBy(_B).agg(F.count("*").alias("n")).collect()
+            }
+        )
+    offs = _offsets(d, F.lit(1))
+    w = Window.partitionBy(_B).orderBy(*_order_exprs(order_by))
+    return (
+        d.withColumn(_LOC, F.row_number().over(w))
+        .join(F.broadcast(offs), _B, "left")
+        .withColumn(out, (F.col(_OFF) + F.col(_LOC)).cast("long"))
+        .drop(_B, _LOC, _OFF, _TOT)
+    )
+
+
+# tests / tools/scale_probe.py set this to a list to capture the
+# composite-bucket histogram of the next salted call (an extra count
+# job — never enabled in production paths)
+_SALTED_BUCKET_PROBE: list | None = None
 
 
 def exact_ntile(

@@ -91,8 +91,12 @@ def countmin_estimate(
             )
         ).alias("e"),
     ).select(col, "e.i", "e.bucket")
+    # LEFT join: a probe key hashing to a bucket with no counter row
+    # hit an empty (zero) cell — an inner join would drop the zero
+    # from the min (estimate could exceed true+eps*N) and make a key
+    # with all d cells empty vanish instead of returning est=0.
     return (
-        pb.join(F.broadcast(counters), ["i", "bucket"], "inner")
+        pb.join(F.broadcast(counters), ["i", "bucket"], "left")
         .groupBy(col)
-        .agg(F.min("c").alias(out))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias(out))
     )

@@ -626,6 +626,83 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# build-once-per-process IVF-PQ serving index, keyed by sf_dir: the
+# serving analog of bm25_index_search's lifecycle/serve split. The
+# training + encode + cell-partitioned write run on FIRST use; every
+# later call is probe-only (ADC over the pruned codes partitions +
+# shortlist re-rank) — what a query node actually pays per request.
+_IVFPQ_SERVING: dict = {}
+
+
+def _ivfpq_serving_index(spark: SparkSession, sf_dir: str):
+    from .similarity import ivf, pq
+
+    if sf_dir not in _IVFPQ_SERVING:
+        import atexit
+        import shutil
+        import tempfile
+
+        emb = load_table(spark, "embeddings", sf_dir)
+        cents = ivf.train_centroids(emb, n_cells=8, max_train_rows=20_000)
+        books = pq.train_pq(emb, cents, m=4, ksub=16)
+        d = tempfile.mkdtemp(prefix="dmps_ivfpq_serve_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        path = os.path.join(d, "codes")
+        pq.materialize_codes(pq.encode_pq_arrow(emb, cents, books), path)
+        _IVFPQ_SERVING[sf_dir] = (cents, books, path)
+    cents, books, path = _IVFPQ_SERVING[sf_dir]
+    return cents, books, spark.read.parquet(path)
+
+
+@query(
+    "ann_ivfpq_serve",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id,
+               floor((list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q))) * 10000 + 0.5) / 10000.0 AS cos
+        FROM embeddings
+    )
+    SELECT vec_id, cos, TRUE AS serve_recall_ok
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def ann_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ SERVING path — probes a PREBUILT index (r8 verdict task:
+    ann_ivfpq_topk folds train+encode+write into every invocation, so
+    the per-request cost a query node pays was invisible). The index
+    artifacts (centroids, codebooks, cell-partitioned codes table) are
+    built once per process by `_ivfpq_serving_index` and reused; this
+    query is the request-time work only: per-cell LUT ADC over the
+    partition-pruned codes relation, then exact re-rank of the
+    shortlist via a broadcast id join. Same recall certificate as the
+    lifecycle query: driver-checked output is the exact top-10 plus
+    ``serve_recall_ok`` (real serve path recalls ≥ 5 of 10). Bench's
+    min-of-3 re-timing reports the warm serve-only latency.
+
+    100 TB: request cost is O(codes in n_probes cells) + O(k·refine)
+    full-vector reads — independent of corpus size and of index build
+    cost, which amortizes across every query between refreshes."""
+    from .similarity import pq
+
+    qv = _query_vec(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents, books, codes = _ivfpq_serving_index(spark, sf_dir)
+    pq_out = pq.ivfpq_topk(
+        codes, emb, cents, books, qv, k=10, n_probes=4, refine=6
+    ).select("vec_id")
+    exact = _exact_cosine_topk(spark, sf_dir, qv)
+    hits = (
+        exact.join(pq_out, "vec_id", "left_semi")
+        .agg(F.count("*").alias("__n_hit"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(hits))
+        .withColumn("serve_recall_ok", F.col("__n_hit") >= 5)
+        .drop("__n_hit")
+    )
+
+
 @query(
     "ann_index_incremental",
     """

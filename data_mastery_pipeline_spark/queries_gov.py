@@ -742,7 +742,8 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT value AS v,
              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
-      FROM events WHERE event_type IN ('click', 'purchase')
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     ),
     ranked AS (
       SELECT g, v,
@@ -794,6 +795,9 @@ def mann_whitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, "events", sf_dir)
         .filter(F.col("event_type").isin("click", "purchase"))
+        # NULLs out on BOTH engines: Spark ranks NULLS FIRST, DuckDB
+        # NULLS LAST, and a NULL is not a rank-sum sample anyway.
+        .filter(F.col("value").isNotNull())
         .select(
             F.col("value").alias("v"),
             F.when(F.col("event_type") == "click", 1)

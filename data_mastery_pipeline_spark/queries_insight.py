@@ -47,7 +47,8 @@ from .tables import load_table
     WITH s AS (
       SELECT value AS v,
              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
-      FROM events WHERE event_type IN ('click', 'purchase')
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     ),
     grp AS (
       SELECT v,
@@ -96,6 +97,11 @@ def ks_test_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, "events", sf_dir)
         .filter(F.col("event_type").isin("click", "purchase"))
+        # NULL values are excluded on BOTH engines: the two engines
+        # order NULLs oppositely (Spark NULLS FIRST vs DuckDB NULLS
+        # LAST in the cumulative sums), and a NULL is not a sample
+        # point of either ECDF anyway.
+        .filter(F.col("value").isNotNull())
         .select(
             F.col("value").alias("v"),
             F.when(F.col("event_type") == "click", 1)
@@ -318,8 +324,10 @@ def woe_iv_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
     ),
     est AS (
-      SELECT pb.tok, min(cm.c) AS cm_est
-      FROM pb JOIN cm ON cm.i = pb.i AND cm.bucket = pb.bucket
+      -- LEFT join + coalesce(0): empty cells are zeros, not absent
+      -- (mirrors sketches.countmin_estimate)
+      SELECT pb.tok, min(coalesce(cm.c, 0)) AS cm_est
+      FROM pb LEFT JOIN cm ON cm.i = pb.i AND cm.bucket = pb.bucket
       GROUP BY pb.tok
     )
     SELECT t.tok, t.n, e.cm_est,

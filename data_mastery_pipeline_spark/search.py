@@ -141,13 +141,45 @@ class SearchIndex:
         return None if want <= have else (have, want)
 
     def refresh(self) -> int | None:
-        """Fold source changes into the index. Each of the three tables
-        advances its own watermark to the current source version, so a
-        replay or crash-resume re-commits nothing (exactly-once per
-        table). Returns the reflected source version, or None if
-        already current everywhere."""
+        """Fold source changes into the index, exactly-once per table,
+        in TWO phases. Netting (insert+delete cancel) is only valid
+        when every table applies the identical window: after a crash
+        between the three commits, a doc inserted in the crashed
+        window and deleted before the resume would net to nothing in
+        the lagging tombstone leg's wider window, while the crashed
+        postings commit is already durable — served-forever garbage
+        (symmetrically, re-inserted postings would be lost). So:
+
+        1. **Repair**: if the three watermarks disagree (a prior
+           refresh crashed mid-commit), each lagging table first folds
+           its OWN sub-window up to the max already-committed
+           watermark — exactly the changes the leader durably applied
+           — restoring alignment before any new changes are netted.
+        2. **Advance**: all tables, now aligned, fold the identical
+           window (aligned_mark, current_source_version] sharing one
+           persisted net.
+
+        In the common no-crash case phase 1 is a no-op and phase 2 is
+        a single shared-net pass. Returns the reflected source
+        version, or None if already current everywhere."""
+        marks = []
+        for t in (self.postings, self.doclens, self.tombstones):
+            last = t.last_stream_batch(self._APP)
+            marks.append(-1 if last is None else last)
         advanced = None
+        if max(marks) > min(marks):  # phase 1: crash repair
+            advanced = self._fold(max(marks))
         want_pin = self.source.version()
+        if want_pin > max(marks):  # phase 2: aligned advance
+            got = self._fold(want_pin)
+            advanced = got if got is not None else advanced
+        return advanced
+
+    def _fold(self, want_pin: int) -> int | None:
+        """One fold pass: each table applies its own lag window up to
+        ``want_pin``. Callers guarantee windows are safe to net — see
+        refresh()'s two-phase contract."""
+        advanced = None
         # one netted delta per DISTINCT lag window, persisted so the
         # aligned common case (all three tables current to the same
         # watermark) reads the CDF once, not three times; unpersisted

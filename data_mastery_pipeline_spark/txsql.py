@@ -246,6 +246,24 @@ class TxSqlSession:
         for name, t in self._tables.items():
             t.read().createOrReplaceTempView(name)
 
+    def _rewrite_time_travel(self, text: str) -> str:
+        """Rewrite each `t VERSION AS OF n` to a snapshot view
+        `__t_v<n>` over read(version=n) — history readable from plain
+        SQL (the public formats' TABLE … VERSION AS OF surface).
+        Shared by the SELECT and CTAS paths."""
+
+        def _tt(m: "re.Match") -> str:
+            name, v = m.group(1), int(m.group(2))
+            if name not in self._tables:
+                return m.group(0)
+            view = f"__{name}_v{v}"
+            self._tables[name].read(version=v).createOrReplaceTempView(
+                view
+            )
+            return view
+
+        return _VERSION_AS_OF.sub(_tt, text)
+
     def _insert_rows(self, t: TxTable, body: str) -> DataFrame:
         """Evaluate an INSERT body (VALUES/SELECT/WITH) and coerce it to
         the table schema: arity checked loudly, then ANSI
@@ -342,7 +360,10 @@ class TxSqlSession:
                     f"table {name!r} is already registered"
                 )
             self._refresh_views()
-            df = self.spark.sql(sel)
+            # the CTAS body takes the same time-travel rewrite as a
+            # plain SELECT — `CREATE TABLE … AS SELECT … VERSION AS OF
+            # n` must work wherever the bare SELECT does
+            df = self.spark.sql(self._rewrite_time_travel(sel))
             t = TxTable.create(
                 self.spark, loc[1:-1].replace("''", "'"), df
             )
@@ -376,22 +397,7 @@ class TxSqlSession:
             return t.append(self._insert_rows(t, m.group(2).strip()))
         if _SELECT.match(text):
             self._refresh_views()
-
-            # time travel: each `t VERSION AS OF n` becomes a snapshot
-            # view `__t_v<n>` over read(version=n) — history readable
-            # from plain SQL (the public formats' TABLE ... VERSION AS
-            # OF surface)
-            def _tt(m: "re.Match") -> str:
-                name, v = m.group(1), int(m.group(2))
-                if name not in self._tables:
-                    return m.group(0)
-                view = f"__{name}_v{v}"
-                self._tables[name].read(version=v).createOrReplaceTempView(
-                    view
-                )
-                return view
-
-            return self.spark.sql(_VERSION_AS_OF.sub(_tt, text))
+            return self.spark.sql(self._rewrite_time_travel(text))
         raise UnsupportedSqlError(
             f"unsupported statement: {text[:80]!r}… — supported: SELECT/"
             "WITH, INSERT INTO t [REPLACE WHERE <range>] VALUES …|SELECT "

@@ -145,3 +145,107 @@ def test_with_prefix_sums_matches_singles(spark):
         df, [("v", "asc")], "w1", out="e1", inclusive=False
     )
     assert _grp(me, "e1") == _grp(se, "e1")
+
+
+@pytest.fixture(scope="module")
+def nan_df(spark):
+    """Values mixing NaN, NULL, and finite keys: Spark's sort places
+    NULLs first (ASC) / last (DESC) and NaN GREATER than every finite
+    value in both directions — the bucketing must agree."""
+    random.seed(11)
+    nan = float("nan")
+    rows = [
+        (i, random.choice([1.0, 2.5, nan, None, 7.0, nan, -3.0]))
+        for i in range(500)
+    ]
+    return spark.createDataFrame(rows, "id long, v double").cache()
+
+
+@pytest.mark.parametrize("direction", ["asc", "desc"])
+def test_row_number_with_nan_keys(nan_df, direction):
+    got = ranks.with_global_row_number(
+        nan_df, [("v", direction), ("id", "asc")], out="rn", n_buckets=6
+    )
+    order = (
+        F.col("v").asc() if direction == "asc" else F.col("v").desc()
+    )
+    ref = nan_df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(order, F.col("id")))
+    )
+    assert _by_id(got, "rn") == _by_id(ref, "rn")
+
+
+@pytest.mark.parametrize("direction", ["asc", "desc"])
+def test_ntile_with_nan_keys(nan_df, direction):
+    got = ranks.exact_ntile(
+        nan_df, [("v", direction), ("id", "asc")], 7, out="tile",
+        n_buckets=4,
+    )
+    order = (
+        F.col("v").asc() if direction == "asc" else F.col("v").desc()
+    )
+    ref = nan_df.withColumn(
+        "tile", F.ntile(7).over(Window.orderBy(order, F.col("id")))
+    )
+    assert _by_id(got, "tile") == _by_id(ref, "tile")
+
+
+@pytest.fixture(scope="module")
+def skew_df(spark):
+    """60% of rows share one key — the hot-bucket degenerate case the
+    module header documents for the rank-semantics form."""
+    random.seed(23)
+    rows = [
+        (i, 42.0 if random.random() < 0.6
+         else random.choice([1.0, 2.0, 50.0, 99.0, None]))
+        for i in range(3000)
+    ]
+    return spark.createDataFrame(rows, "id long, v double").cache()
+
+
+@pytest.mark.parametrize("kdir,tdir", [
+    ("asc", "asc"), ("desc", "asc"), ("asc", "desc"), ("desc", "desc"),
+])
+def test_salted_row_number_equals_unsalted(skew_df, kdir, tdir):
+    order = [("v", kdir), ("id", tdir)]
+    got = ranks.with_global_row_number_salted(
+        skew_df, order, out="rn", n_buckets=8
+    )
+    ref = ranks.with_global_row_number(skew_df, order, out="rn",
+                                       n_buckets=8)
+    assert _by_id(got, "rn") == _by_id(ref, "rn")
+
+
+def test_salted_row_number_splits_the_hot_key(spark, skew_df):
+    """The point of the variant: the hot key's rows must NOT all share
+    one window partition. Count distinct internal buckets among
+    hot-key rows via the composite bucket expression (re-derived from
+    the plan by running the bucketing stage alone)."""
+    from pyspark.sql import functions as F2
+
+    got = ranks.with_global_row_number_salted(
+        skew_df, [("v", "asc"), ("id", "asc")], out="rn", n_buckets=8
+    )
+    # correctness of numbering over the hot key specifically
+    hot_rows = got.filter("v = 42.0").select("rn").collect()
+    rns = sorted(r["rn"] for r in hot_rows)
+    assert rns == list(range(rns[0], rns[0] + len(rns)))  # contiguous
+    # unsalted: the documented degenerate case — ONE bucket holds all
+    # hot rows
+    w_in = ranks._with_ordered_buckets(
+        skew_df, [("v", "asc")], 8
+    ).filter("v = 42.0").select(ranks._B).distinct().count()
+    assert w_in == 1
+    # salted: the hot key's rows spread over several window buckets,
+    # and the largest bucket holds well under the hot key's full mass
+    ranks._SALTED_BUCKET_PROBE = probe = []
+    try:
+        ranks.with_global_row_number_salted(
+            skew_df, [("v", "asc"), ("id", "asc")], out="rn", n_buckets=8
+        )
+    finally:
+        ranks._SALTED_BUCKET_PROBE = None
+    hist = probe[0]
+    n_hot = skew_df.filter("v = 42.0").count()
+    assert len(hist) > 4
+    assert max(hist.values()) < 0.5 * n_hot

@@ -148,6 +148,74 @@ def test_query_for_absent_term_is_empty(stack):
     assert _served(idx, ["zzzznotaterm"]) == []
 
 
+def _crash_after_postings_leg(spark, src, idx):
+    """Simulate a refresh that died after the postings commit but
+    before doclens/tombstones: run ONLY the postings leg, advancing
+    only the postings watermark. Returns the crashed-window version."""
+    from data_mastery_pipeline_spark.functions import text as textfn
+
+    want = src.version()
+    last = idx.postings.last_stream_batch(idx._APP)
+    have = -1 if last is None else last
+    net = idx._net(src.changes(have, want))
+    ins = net.filter(F.col("net") > 0)
+    toks = textfn.tokens("text")
+    rows = (
+        ins.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("gen", F.lit(want).cast("long"))
+    )
+    idx.postings.append_stream_batch(rows, idx._APP, want)
+    assert idx.doclens.last_stream_batch(idx._APP) != want  # lagging
+    return want
+
+
+def test_crash_then_delete_before_resume(spark, tmp_path, stack):
+    """A doc inserted in the crashed window and DELETED before the
+    resume: the lagging tombstone leg's window spans insert+delete,
+    which net to nothing — but the crashed postings commit is already
+    durable. The two-phase resume must still tombstone it (repair
+    phase folds exactly the crashed window), or the doc is served
+    forever and vacuum bakes it in as live."""
+    src, idx = stack
+    src.append(_df(spark, [(7, "orphan spark doc")]))
+    _crash_after_postings_leg(spark, src, idx)
+    src.delete_where("doc_id", 7, 7)  # interleaved DML before resume
+    idx.refresh()
+    assert _served(idx, ["orphan"]) == []
+    assert _served(idx, ["spark"]) == _rebuilt(
+        spark, src, tmp_path, ["spark"], "crashdel"
+    )
+    # vacuum must not resurrect the orphaned postings
+    idx.vacuum_tombstones()
+    assert _served(idx, ["orphan"]) == []
+
+
+def test_crash_then_reinsert_before_resume(spark, tmp_path, stack):
+    """The symmetric hazard: a doc deleted in the crashed window and
+    RE-INSERTED with identical text before the resume. Netting over
+    the lagging legs' wide window cancels the pair — no tombstone —
+    while the resumed postings leg adds fresh postings next to the
+    still-live old generation, doubling tf/df. Two-phase resume keeps
+    incremental == rebuild."""
+    src, idx = stack
+    src.delete_where("doc_id", 4, 4)
+    src.append(_df(spark, [(8, "window filler")]))
+    _crash_after_postings_leg(spark, src, idx)
+    # interleaved DML: re-insert doc 4 with the SAME text
+    src.append(_df(spark, [(4, "spark spark spark everywhere")]))
+    idx.refresh()
+    for terms in (["spark"], ["filler"]):
+        assert _served(idx, terms) == _rebuilt(
+            spark, src, tmp_path, terms, f"crashreins_{terms[0]}"
+        )
+
+
 def test_crash_between_table_commits_resumes_cleanly(spark, tmp_path, stack):
     """The exactly-once-per-table claim: if a refresh dies after the
     postings commit but before doclens/tombstones (simulated by

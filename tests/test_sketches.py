@@ -86,3 +86,25 @@ def test_probe_for_absent_key_reads_collision_mass_only(spark, toks):
     assert len(rows) <= 1
     if rows:
         assert rows[0]["cm_est"] >= 0
+
+
+def test_absent_key_estimates_zero_not_missing(spark):
+    """A probe key whose cells are all empty must return est=0 (and a
+    key sharing SOME empty cell must take the zero into its min) — the
+    inner-join form dropped empty cells from the min entirely."""
+    stream = spark.createDataFrame([("aaa",)] * 5, "tok string")
+    counters = sketches.countmin_counters(stream, "tok", D, W)
+    probes = spark.createDataFrame(
+        [("aaa",), ("never-seen-key",)], "tok string"
+    )
+    est = {
+        r["tok"]: r["cm_est"]
+        for r in sketches.countmin_estimate(
+            counters, probes, "tok", D, W
+        ).collect()
+    }
+    assert est["aaa"] == 5
+    # present in the output, and exactly zero: with one distinct
+    # stream key only 4 of 1024 cells are non-empty, so every probe
+    # hash row of the unseen key lands on an empty cell
+    assert est["never-seen-key"] == 0

@@ -371,3 +371,23 @@ def test_sql_ctas_creates_and_registers(spark, tmp_path):
 
     with _pytest.raises(UnsupportedSqlError):
         ss.sql(f"CREATE TABLE t2 LOCATION '{loc}2' AS SELECT 1 AS x")
+
+
+def test_sql_ctas_with_time_travel(spark, tmp_path):
+    """CREATE TABLE … AS SELECT … VERSION AS OF n must take the same
+    time-travel rewrite as a plain SELECT (it used to hit spark.sql
+    unrewritten and die on the parser)."""
+    from data_mastery_pipeline_spark.txsql import TxSqlSession
+
+    sql_t, _ = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+    ss.sql("DELETE FROM t WHERE id BETWEEN 0 AND 8")  # v1 shrinks t
+    # the bare SELECT works — the CTAS of the SAME body must too
+    v0 = ss.sql("SELECT count(*) AS n FROM t VERSION AS OF 0").collect()
+    assert v0[0]["n"] == 12
+    t2 = ss.sql(
+        f"CREATE TABLE t_v0 LOCATION '{tmp_path / 'ctas_tt'}' AS "
+        "SELECT id, grp, v FROM t VERSION AS OF 0"
+    )
+    assert t2.read().count() == 12  # the pre-delete snapshot
+    assert sql_t.read().count() == 3  # live table unchanged

@@ -21,6 +21,10 @@ from data_mastery_pipeline_spark.tables import TABLE_NAMES as TABLES
 # --only q1,q2,... : restrict to a comma-separated query subset (skips
 # the entry smoke) — for fast re-verification of just-touched queries.
 ONLY: set[str] | None = None
+_extra = [a for a in sys.argv[1:] if a.startswith("-") and a != "--only"]
+if _extra or "--help" in sys.argv or "-h" in sys.argv:
+    sys.exit("usage: drive_contract.py [--only q1,q2,...]   "
+             "(no flags = full drive: entry smoke + every oracle)")
 if "--only" in sys.argv:
     i = sys.argv.index("--only")
     if i + 1 >= len(sys.argv) or not sys.argv[i + 1].strip():

@@ -287,6 +287,9 @@ def main() -> None:
     if args and args[0] == "--countmin":
         countmin_probe([int(a) for a in args[1:]] or [1, 4, 16])
         return
+    if args and args[0] == "--ranks-skew":
+        ranks_skew_probe([int(a) for a in args[1:]] or [1, 4, 16])
+        return
     if args and args[0] == "--spatial":
         spatial_probe([int(a) for a in args[1:]] or [1, 2, 4, 8])
         return
@@ -1084,6 +1087,67 @@ def countmin_probe(ks) -> None:
                     "max_overshoot": int(j["max_over"]),
                     "eps_n_bound": round(2.718281828 / W * n_occ, 1),
                     "build_wall_sec": round(t_build, 2),
+                }
+            ),
+            flush=True,
+        )
+
+
+def ranks_skew_probe(ks) -> None:
+    """The ranks hot-bucket claim MEASURED: a 60%-one-key dataset (the
+    degenerate case the module header documents) growing k×. The
+    unsalted rank-semantics form funnels the hot key into ONE window
+    task (its per-row cost grows with k); the salted row_number variant
+    keeps the largest window bucket a small, k-stable fraction of the
+    hot key — the evidence that the hot-key case stays parallel."""
+    from pyspark.sql import functions as F
+
+    from data_mastery_pipeline_spark.operators import ranks
+    from data_mastery_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="ranks_skew_probe")
+    spark.range(10).count()
+    base_n = 200_000
+    for k in ks:
+        n = base_n * k
+        df = (
+            spark.range(n)
+            .select(
+                F.col("id"),
+                F.when((F.col("id") * 2654435761 % 10) < 6, F.lit(42.0))
+                .otherwise((F.col("id") % 97).cast("double"))
+                .alias("v"),
+            )
+            .localCheckpoint()
+        )
+        order = [("v", "asc"), ("id", "asc")]
+        t0 = time.time()
+        unsalted = ranks.with_global_row_number(df, order, out="rn")
+        unsalted.write.format("noop").mode("overwrite").save()
+        t_unsalted = time.time() - t0
+        ranks._SALTED_BUCKET_PROBE = probe = []
+        try:
+            t0 = time.time()
+            salted = ranks.with_global_row_number_salted(df, order, out="rn")
+            salted.write.format("noop").mode("overwrite").save()
+            t_salted = time.time() - t0
+        finally:
+            ranks._SALTED_BUCKET_PROBE = None
+        hist = probe[0]
+        n_hot = df.filter("v = 42.0").count()
+        print(
+            json.dumps(
+                {
+                    "k": k,
+                    "rows": n,
+                    "hot_rows": n_hot,
+                    "unsalted_wall_sec": round(t_unsalted, 2),
+                    "salted_wall_sec": round(t_salted, 2),
+                    "salted_buckets": len(hist),
+                    "salted_max_bucket": max(hist.values()),
+                    "salted_max_bucket_share_of_hot": round(
+                        max(hist.values()) / n_hot, 3
+                    ),
                 }
             ),
             flush=True,
