@@ -32,6 +32,8 @@ drift (same expression tree on both sides).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -893,3 +895,140 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(25)
     )
+
+
+# streaming drift monitor bin edges (0..500 step 50 → 12 bins; events
+# value spans 0.01–490 and the +35 update shifts mass across edges)
+_PSI_EDGES = [float(x) for x in range(0, 501, 50)]
+_SQL_PSI_BIN = " + ".join(
+    f"(CASE WHEN value >= {e} THEN 1 ELSE 0 END)" for e in _PSI_EDGES
+)
+
+
+@query(
+    "stream_psi_drift",
+    f"""
+    WITH base AS (
+      SELECT event_id, value FROM events WHERE event_id % 6 IN (0, 1)
+    ),
+    updated AS (
+      SELECT CASE WHEN coalesce(value BETWEEN 20.0 AND 50.0, FALSE)
+                  THEN value + 35.0 ELSE value END AS value
+      FROM base
+    ),
+    unioned AS (
+      SELECT value FROM updated
+      UNION ALL
+      SELECT value FROM events WHERE event_id % 6 = 2
+    ),
+    final AS (
+      SELECT value FROM unioned
+      WHERE NOT coalesce(value BETWEEN 0.0 AND 5.0, FALSE)
+    ),
+    spine AS (SELECT CAST(unnest(range(12)) AS INT) AS bin),
+    refh AS (
+      SELECT {_SQL_PSI_BIN} AS bin, CAST(count(*) AS BIGINT) AS n
+      FROM base WHERE value IS NOT NULL GROUP BY 1
+    ),
+    curh AS (
+      SELECT {_SQL_PSI_BIN} AS bin, CAST(count(*) AS BIGINT) AS n
+      FROM final WHERE value IS NOT NULL GROUP BY 1
+    ),
+    j AS (
+      SELECT s.bin, coalesce(r.n, 0) AS ref_n, coalesce(c.n, 0) AS cur_n
+      FROM spine s
+      LEFT JOIN refh r ON r.bin = s.bin
+      LEFT JOIN curh c ON c.bin = s.bin
+    ),
+    tot AS (
+      SELECT CAST(sum(ref_n) AS DOUBLE) AS rt,
+             CAST(sum(cur_n) AS DOUBLE) AS ct
+      FROM j
+    ),
+    contrib AS (
+      SELECT bin, ref_n, cur_n,
+             ((cur_n + 0.5) / (ct + 6.0) - (ref_n + 0.5) / (rt + 6.0))
+             * ln(((cur_n + 0.5) / (ct + 6.0))
+                  / ((ref_n + 0.5) / (rt + 6.0))) AS c
+      FROM j, tot
+    ),
+    total AS (SELECT sum(c) AS p FROM contrib)
+    SELECT bin, ref_n, cur_n,
+           floor(c * 1000000 + 0.5) / 1000000.0 AS psi_contrib,
+           floor(p * 1000000 + 0.5) / 1000000.0 AS psi,
+           floor(p * 1000000 + 0.5) / 1000000.0 > 0.2 AS drift_detected
+    FROM contrib, total ORDER BY bin
+    """,
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor (streaming/drift.py) — the monitoring
+    family's batch PSI re-composed as a continuous query over the
+    txlog CDC feed: per-bin histogram state maintained by signed folds
+    with an exactly-once merge per micro-batch, PSI vs a reference
+    window PINNED at table version 0, and a per-trigger PSI log, all
+    exactly-once (a replayed batch no-ops the merge and recomputes the
+    identical PSI). The lifecycle here: create (reference state) →
+    shift updates (+35 on 20–50, DV mode) → append a new slice →
+    delete the low tail → drain the feed with availableNow.
+
+    Self-asserting equality twin: the maintained histogram must equal
+    direct binning of the final snapshot (any missed/duplicated CDC
+    fold fails loudly), and the LAST logged PSI must equal the PSI
+    recomputed from final state. The driver-checked output is the
+    per-bin PSI relation, which DuckDB recomputes by mirroring the DML
+    algebraically — so the value hash proves binning, smoothing, and
+    the PSI arithmetic end-to-end.
+
+    100 TB: per trigger the source side reads O(changed files), the
+    fold is one hash aggregate to ≤12 bin cells, and the merge
+    rewrites O(files) of a 12-row table — monitoring cost rides the
+    CHANGES, never a rescan (module docstring)."""
+    from .queries_src import _fresh_dir
+    from .sources import txlog as _txlog
+    from .streaming import drift as _drift
+
+    ev = load_table(spark, "events", sf_dir)
+    base_dir = _fresh_dir("psidrift", sf_dir)
+    src = _txlog.TxTable.create(
+        spark,
+        os.path.join(base_dir, "src"),
+        ev.filter(F.col("event_id") % 6 < 2).repartition(4, "event_id"),
+        stat_cols=["event_id", "value"],
+    )
+    mon = _drift.DriftMonitor(
+        spark,
+        src,
+        os.path.join(base_dir, "mon"),
+        "value",
+        edges=_PSI_EDGES,
+        ref_version=0,
+    )
+    src.update_where(
+        "value", 20.0, 50.0, {"value": F.col("value") + 35.0}, mode="dv"
+    )
+    src.append(ev.filter(F.col("event_id") % 6 == 2))
+    src.delete_where("value", 0.0, 5.0)
+
+    _txlog.register(spark)
+    q = (
+        spark.readStream.format("txlog_feed")
+        .option("root", os.path.join(base_dir, "src"))
+        .option("mode", "cdf")
+        .load()
+        .writeStream.foreachBatch(mon.sink())
+        .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mon.assert_consistent()
+    out = mon.current_psi()
+    qpsi = F.floor(F.col("psi") * 1_000_000 + F.lit(0.5)) / 1_000_000.0
+    return out.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        quantize(F.col("psi_contrib"), "psi_contrib", 6),
+        qpsi.alias("psi"),
+        (qpsi > 0.2).alias("drift_detected"),
+    ).orderBy("bin")

@@ -766,3 +766,77 @@ def test_fanout_guard_single_row_batch_is_healthy(spark):
         one, "ts", tolerance_seconds=60, max_expected_matches_per_row=64
     )
     assert est <= 1.0
+
+
+def test_drift_monitor_multibatch_exactly_once(spark, tmp_path):
+    """streaming/drift.py across REAL micro-batch boundaries: two
+    drains with new DML between them (each its own trigger), one PSI
+    log row per trigger, maintained bins == direct binning after every
+    drain, and a same-checkpoint replay that delivers nothing new
+    no-ops both the merge and the log (exactly-once end to end)."""
+    import os
+
+    from data_mastery_pipeline_spark.sources import txlog as _txlog
+    from data_mastery_pipeline_spark.streaming import drift
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    src_root = str(tmp_path / "src")
+    src = _txlog.TxTable.create(
+        spark,
+        src_root,
+        ev.filter(F.col("event_id") % 4 == 0).repartition(2, "event_id"),
+        stat_cols=["event_id", "value"],
+    )
+    mon = drift.DriftMonitor(
+        spark,
+        src,
+        str(tmp_path / "mon"),
+        "value",
+        edges=[float(x) for x in range(0, 501, 50)],
+        ref_version=0,
+    )
+    _txlog.register(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog_feed")
+            .option("root", src_root)
+            .option("mode", "cdf")
+            .load()
+            .writeStream.foreachBatch(mon.sink())
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # trigger 1: the reference state itself → PSI ≈ 0
+    mon.assert_consistent()
+    log1 = mon.psi_log.read().collect()
+    assert len(log1) == 1
+    assert abs(log1[0]["psi"]) < 1e-6  # cur == ref
+
+    # trigger 2: shift mass up hard, delete the low bins
+    src.update_where(
+        "value", 0.0, 200.0, {"value": F.col("value") + 250.0}, mode="dv"
+    )
+    src.delete_where("value", 200.0, 250.0)
+    drain()
+    mon.assert_consistent()
+    log2 = sorted(
+        mon.psi_log.read().collect(), key=lambda r: r["batch_id"]
+    )
+    assert len(log2) == 2
+    assert log2[1]["batch_id"] > log2[0]["batch_id"]
+    assert log2[1]["psi"] > log2[0]["psi"]  # drift grew
+    assert log2[1]["psi"] > 0.2  # the shift is detected
+    one = mon.current_psi().select("drift_detected").distinct().collect()
+    assert [r["drift_detected"] for r in one] == [True]
+
+    # replay: nothing new on the feed → no third log row, bins stable
+    bins_before = sorted(
+        tuple(r) for r in mon.bins.read().collect()
+    )
+    drain()
+    assert mon.psi_log.read().count() == 2
+    assert sorted(tuple(r) for r in mon.bins.read().collect()) == bins_before
