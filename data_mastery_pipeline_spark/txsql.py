@@ -136,6 +136,28 @@ _CTAS = re.compile(
 _DESCRIBE_HISTORY = re.compile(
     rf"^\s*DESCRIBE\s+HISTORY\s+({_ID})\s*$", re.I
 )
+# CREATE MATERIALIZED VIEW mv [LOCATION 'p'] AS
+#   SELECT <dim [AS a]>, ..., SUM(<expr>) AS <m> FROM t GROUP BY ...
+# — dispatches onto mv.SumCountView (incremental refresh, the cents
+# measure convention of the MV family); REFRESH MATERIALIZED VIEW mv
+# folds the CDF since the last refresh. SELECTs see the MV under its
+# name at its CURRENT (possibly stale) refresh state — refresh is
+# explicit, the lakehouse MV convention.
+_CREATE_MV = re.compile(
+    rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+({_ID})\s+"
+    rf"(?:LOCATION\s+({_STR})\s+)?AS\s+SELECT\s+(.+?)\s+FROM\s+({_ID})"
+    r"\s+GROUP\s+BY\s+(.+?)\s*$",
+    re.I | re.S,
+)
+_REFRESH_MV = re.compile(
+    rf"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+({_ID})\s*$", re.I
+)
+_SUM_ITEM = re.compile(r"^\s*SUM\s*\((.+)\)\s+AS\s+(" + _ID + r")\s*$",
+                       re.I | re.S)
+_ALIAS_ITEM = re.compile(
+    rf"^\s*(.+?)\s+AS\s+({_ID})\s*$", re.I | re.S
+)
+_BARE_ID = re.compile(rf"^\s*({_ID})\s*$")
 _SELECT = re.compile(r"^\s*(SELECT|WITH)\b", re.I)
 # SQL time travel inside SELECTs: `FROM t VERSION AS OF n` — rewritten
 # to a snapshot view before spark.sql sees the text
@@ -191,9 +213,9 @@ def _rsplit_where(text: str) -> tuple[str, str]:
     return text[:pos].rstrip(), text[pos + 5 :].strip()
 
 
-def _split_assignments(text: str) -> dict[str, str]:
-    """``a = expr, b = expr`` → {a: expr}; commas inside parens or
-    string literals stay (quote-aware, review r8)."""
+def _split_commas(text: str) -> list[str]:
+    """Top-level comma split; commas inside parens or string literals
+    stay (quote-aware, review r8)."""
     parts: list[str] = []
     depth = 0
     in_q = False
@@ -212,6 +234,12 @@ def _split_assignments(text: str) -> dict[str, str]:
         else:
             cur.append(ch)
     parts.append("".join(cur))
+    return parts
+
+
+def _split_assignments(text: str) -> dict[str, str]:
+    """``a = expr, b = expr`` → {a: expr}."""
+    parts = _split_commas(text)
     out: dict[str, str] = {}
     for p in parts:
         m = re.match(rf"^\s*({_ID})\s*=\s*(.+?)\s*$", p, re.S)
@@ -229,6 +257,8 @@ class TxSqlSession:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._tables: dict[str, TxTable] = {}
+        # name → (SumCountView, exposed measure alias for sum_cents)
+        self._mvs: dict[str, tuple] = {}
 
     def register(self, name: str, table: TxTable) -> "TxSqlSession":
         self._tables[name] = table
@@ -245,6 +275,10 @@ class TxSqlSession:
     def _refresh_views(self) -> None:
         for name, t in self._tables.items():
             t.read().createOrReplaceTempView(name)
+        for name, (view, alias) in self._mvs.items():
+            view.read().withColumnRenamed(
+                "sum_cents", alias
+            ).createOrReplaceTempView(name)
 
     def _rewrite_time_travel(self, text: str) -> str:
         """Rewrite each `t VERSION AS OF n` to a snapshot view
@@ -352,6 +386,76 @@ class TxSqlSession:
                 retention_sec=float(retain) if retain is not None else 3600.0,
                 dry_run=dry is not None,
             )
+        m = _CREATE_MV.match(text)
+        if m:
+            name, loc, select_list, src_name, group_by = m.groups()
+            if name in self._tables or name in self._mvs:
+                raise UnsupportedSqlError(
+                    f"name {name!r} is already registered"
+                )
+            src = self._table(src_name)
+            dims: dict[str, str] = {}
+            measure: tuple[str, str] | None = None
+            for item in _split_commas(select_list):
+                ms = _SUM_ITEM.match(item)
+                if ms:
+                    if measure is not None:
+                        raise UnsupportedSqlError(
+                            "exactly one SUM(...) measure is supported"
+                        )
+                    measure = (ms.group(1).strip(), ms.group(2))
+                    continue
+                ma = _ALIAS_ITEM.match(item)
+                if ma:
+                    dims[ma.group(2)] = ma.group(1).strip()
+                    continue
+                mb = _BARE_ID.match(item)
+                if mb:
+                    dims[mb.group(1)] = mb.group(1)
+                    continue
+                raise UnsupportedSqlError(
+                    f"MV select item needs an alias: {item.strip()!r}"
+                )
+            if measure is None:
+                raise UnsupportedSqlError(
+                    "MV needs a SUM(<expr>) AS <name> measure (maintained "
+                    "as integer cents — the MV family convention)"
+                )
+            if not dims:
+                raise UnsupportedSqlError("MV needs at least one dimension")
+            if measure[1] == "n_rows" or measure[1] in dims:
+                raise UnsupportedSqlError(
+                    f"measure alias {measure[1]!r} collides with a dim "
+                    "or the implicit n_rows count"
+                )
+            n_group = len(_split_commas(group_by))
+            if n_group != len(dims):
+                raise UnsupportedSqlError(
+                    f"GROUP BY lists {n_group} items but the select list "
+                    f"has {len(dims)} dimensions"
+                )
+            from .mv import SumCountView, view_root
+
+            root = (
+                loc[1:-1].replace("''", "'")
+                if loc
+                else view_root(src.root, name)
+            )
+            view = SumCountView.create(
+                self.spark, src, root, name, dims, measure[0]
+            )
+            view.refresh()  # CREATE materializes at the current source
+            self._mvs[name] = (view, measure[1])
+            return view
+        m = _REFRESH_MV.match(text)
+        if m:
+            name = m.group(1)
+            if name not in self._mvs:
+                raise UnsupportedSqlError(
+                    f"unknown materialized view {name!r} "
+                    f"(registered: {sorted(self._mvs)})"
+                )
+            return self._mvs[name][0].refresh()
         m = _CTAS.match(text)
         if m:
             name, loc, sel = m.groups()
@@ -411,5 +515,8 @@ class TxSqlSession:
             "VACUUM t [RETAIN n SECONDS] [DRY RUN], "
             "OPTIMIZE t [ZORDER BY (c1, c2) | CLUSTER BY (c)], "
             "MAINTAIN t, DESCRIBE HISTORY t, "
-            "CREATE TABLE t LOCATION 'path' AS SELECT …"
+            "CREATE TABLE t LOCATION 'path' AS SELECT …, "
+            "CREATE MATERIALIZED VIEW mv [LOCATION 'path'] AS SELECT "
+            "dims…, SUM(expr) AS m FROM t GROUP BY dims…, "
+            "REFRESH MATERIALIZED VIEW mv"
         )

@@ -391,3 +391,118 @@ def test_sql_ctas_with_time_travel(spark, tmp_path):
     )
     assert t2.read().count() == 12  # the pre-delete snapshot
     assert sql_t.read().count() == 3  # live table unchanged
+
+
+def test_sql_materialized_view_matches_dataframe_api(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    """CREATE/REFRESH MATERIALIZED VIEW dispatch onto mv.SumCountView —
+    the SQL MV and an API-built view over an identical source, driven
+    through the same DML, must hold identical state at every step (the
+    DML-verbs equality discipline applied to the MV family)."""
+    from data_mastery_pipeline_spark.mv import SumCountView, view_root
+    from data_mastery_pipeline_spark.txsql import (
+        TxSqlSession,
+        UnsupportedSqlError,
+    )
+
+    sql_t, api_t = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+    ss.sql(
+        "CREATE MATERIALIZED VIEW grp_mv AS "
+        "SELECT grp, SUM(v) AS v_cents FROM t GROUP BY grp"
+    )
+    api_view = SumCountView.create(
+        spark, api_t, view_root(api_t.root, "grp_mv"), "grp_mv",
+        {"grp": "grp"}, "v",
+    )
+    api_view.refresh()
+
+    def _mv_state_sql():
+        return sorted(
+            (r["grp"], r["n_rows"], r["v_cents"])
+            for r in ss.sql(
+                "SELECT grp, n_rows, v_cents FROM grp_mv"
+            ).collect()
+        )
+
+    def _mv_state_api():
+        return sorted(
+            (r["grp"], r["n_rows"], r["sum_cents"])
+            for r in api_view.read().collect()
+        )
+
+    # CREATE materializes immediately
+    assert _mv_state_sql() == _mv_state_api()
+    assert len(_mv_state_sql()) == 3
+
+    # DML on the source; SQL MV is STALE until explicit refresh
+    before = _mv_state_sql()
+    ss.sql("DELETE FROM t WHERE v BETWEEN 0 AND 3")
+    api_t.delete_where("v", 0, 3)
+    assert _mv_state_sql() == before  # stale by design
+    ss.sql("REFRESH MATERIALIZED VIEW grp_mv")
+    api_view.refresh()
+    assert _mv_state_sql() == _mv_state_api()
+
+    ss.sql("UPDATE t SET v = v + 100 WHERE v BETWEEN 6 AND 9")
+    api_t.update_where("v", 6, 9, {"v": F.col("v") + 100})
+    ss.sql("REFRESH MATERIALIZED VIEW grp_mv")
+    api_view.refresh()
+    assert _mv_state_sql() == _mv_state_api()
+    # refresh with nothing new is a no-op (returns None)
+    assert ss.sql("REFRESH MATERIALIZED VIEW grp_mv") is None
+
+    # grammar guards
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedSqlError):
+        ss.sql("REFRESH MATERIALIZED VIEW nope")
+    with _pytest.raises(UnsupportedSqlError):
+        ss.sql(
+            "CREATE MATERIALIZED VIEW grp_mv AS "
+            "SELECT grp, SUM(v) AS c FROM t GROUP BY grp"
+        )  # duplicate name
+    with _pytest.raises(UnsupportedSqlError):
+        ss.sql(
+            "CREATE MATERIALIZED VIEW m2 AS "
+            "SELECT grp FROM t GROUP BY grp"
+        )  # no measure
+
+
+def test_sql_mv_expression_dims_and_location(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    """Expression dims (CASE ... AS alias) and explicit LOCATION."""
+    from data_mastery_pipeline_spark.txsql import TxSqlSession
+
+    sql_t, _ = _mk_pair(spark, tmp_path)
+    ss = TxSqlSession(spark).register("t", sql_t)
+    loc = str(tmp_path / "mv_loc")
+    ss.sql(
+        f"CREATE MATERIALIZED VIEW band_mv LOCATION '{loc}' AS "
+        "SELECT CASE WHEN v < 6 THEN 'lo' ELSE 'hi' END AS band, "
+        "SUM(v) AS v_cents FROM t GROUP BY band"
+    )
+    import os
+
+    assert os.path.isdir(loc)
+    got = sorted(
+        (r["band"], r["n_rows"], r["v_cents"])
+        for r in ss.sql("SELECT * FROM band_mv").collect()
+    )
+    want = sorted(
+        (r["band"], r["n"], r["c"])
+        for r in sql_t.read()
+        .groupBy(
+            F.when(F.col("v") < 6, "lo").otherwise("hi").alias("band")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("v") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .collect()
+    )
+    assert got == want
