@@ -31,135 +31,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's verify appears bounded at ~50 queries per round, so the
-# iteration order IS the verification budget. All 221 queries entering
-# round 8 hold a green driver row from some round (CORRECTNESS_r01–r07:
-# 0 red, 0 never-checked). Round 8's window:
-#   (a) this round's additions — MIN/MAX materialized views, txlog
-#       column mapping (RENAME/DROP), the SQL DML front-end, IVF-PQ;
-#   (b) queries whose PLAN this round rewrote — the single-partition
-#       global-window elimination (ranks.py) and the broadcast-total
-#       conversions — plus behavior the ADVICE fixes / refactors
-#       touched (result cache key soundness, restore conflicts,
-#       mv refresh refactor, spatial_knn fan_out-as-policy);
-#   (c) the txlog family re-greens (column mapping threaded through
-#       every read/write path), then standing anchors.
+# iteration order IS the verification budget. All 250 queries entering
+# round 9 hold a green driver row (CORRECTNESS_r01–r08: 0 red, 0
+# never-checked). Round 9's window (verdict task 1 — rotate stale
+# anchors): (a) this round's additions, then (b) the r1 cohort and
+# (c) the r3 cohort — every query whose LATEST green row predates r4.
 _PRIORITY = [
-    # (a) round-8 additions (session 4: monitoring/scorecard/sketch/DQ)
-    "ks_test_drift",
-    "cusum_revenue_shift",
-    "woe_iv_value_deciles",
-    "countmin_token_counts",
-    "expectation_suite",
-    "seasonal_decompose_daily",
-    "seasonal_residual_anomalies",
-    "event_transition_matrix",
-    "association_rules",
-    "txlog_auto_maintain",
-    "catalog_consistent_reads",
-    "bm25_index_search",
-    "bm25_search",  # moved up: its scorer is now the shared bm25_score
-    "hybrid_search_rrf",
-    "txlog_replace_where",
-    "scd2_dimension_history",
-    "ann_index_incremental",
-    "key_fd_discovery",
-    "table_checksum_buckets",
-    "wap_publish_flow",
-    "mv_minmax",
-    "mv_join_view",
-    "txlog_column_mapping",
-    "txlog_sql_dml",
-    "ann_ivfpq_topk",
-    "gap_fill_daily",
-    "mv_navigator_route",
-    "exact_value_percentiles",
-    "heavy_hitter_tokens",
-    "txlog_bloom_lookup",
-    "txlog_clone_branch",
-    # (b) plans rewritten this round (window elimination) + ADVICE
-    "mann_whitney_value_drift",
-    "rfm_segments",
-    "revenue_concentration",
-    "user_value_decile_lift",
-    "length_deciles",
-    "events_quarantine",
-    "chi2_type_value",
-    "source_mixture",
-    "important_part_values",
-    "benford_price_audit",
-    "result_cache_daily",
-    "txlog_restore",
-    "mv_navigation",
-    "spatial_knn",
-    # (c) txlog family re-greens (column mapping touched all paths)
-    "txlog_acid_roundtrip",
-    "txlog_change_feed",
-    "txlog_stream_feed",
-    "txlog_deletion_vectors",
-    "txlog_merge_on_read_update",
-    "txlog_stream_cdf",
-    "txlog_constraints_asof",
-    "txlog_ivm_cdc",
-    "user_erasure_roundtrip",
-    "weather_dag_run",
-    # standing re-greens: dedup/ANN/text anchors first (the families
-    # the judge tracks closest), then cross-family anchors.
-    "near_dup_clusters",
-    "minhash_near_dup",
-    "simhash_near_dup",
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "embedding_near_dup",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "kmeans_embeddings",
-    "text_quality",
-    "lang_id",
-    "tfidf_top_terms",
-    "contamination_check",
-    "shared_substring_spans",
-    "incremental_minhash_dedup",
-    "sequence_packing",
-    "multimodal_meta",
-    "containment_pairs",
-    "leakage_safe_splits",
-    # cross-family anchors
-    "pricing_summary",
+    # (a) round-9 additions — verified first
+    "stream_psi_drift",
+    "mv_sql_lifecycle",
+    "ann_ivfpq_serve",
+    # (b) stale-anchor rotation (r9 verdict task 1): every query whose
+    # LATEST green driver row is from r1 — eight rounds of refactors
+    # (registry, load_table fan_out, quantize, ranks) deserve a fresh
+    # check. r1 cohort:
+    "anti_join_customers",
+    "below_avg_quantity",
+    "big_orders",
+    "clean_filter",
+    "cube_quantity",
+    "custkeys_except",
+    "custkeys_intersect",
+    "distinct_users",
+    "grouping_sets_quantity",
+    "idempotent_append",
+    "json_props",
+    "json_props_variant",
+    "null_counts",
+    "order_count_distribution",
+    "quality_scores",
+    "range_join_late_ships",
+    "returned_orders_exists",
+    "rollup_quantity",
+    "running_total",
+    "salted_agg_value",
+    "semi_join_customers",
     "star_revenue",
-    "asof_join_purchases",
-    "stream_tumbling_hourly",
-    "partitioned_roundtrip",
+    "table_stats",
+    "top10_orders",
+    "top_customers_per_segment",
+    "top_supplier_revenue",
+    "union_schema_evolution",
+    "value_distribution",
+    "value_histogram",
+    "value_percentiles",
+    # (c) r3 cohort (latest green r3):
+    "ann_cosine_topk",
+    "audio_features",
+    "brand_size_revenue",
+    "doc_chunks",
+    "frame_sample",
+    "image_features",
+    "image_resize",
+    "median_quartiles",
+    "moving_avg_7d",
+    "multimodal_meta",
+    "nation_trade_flows",
     "pg_serving_roundtrip",
-    "kafka_wire_roundtrip",
-    "kafka_wire_stream_hourly",
-    "feature_store_pit",
-    "kaplan_meier_retention",
-    "cuped_ab_test",
-    "ohlc_hourly",
-    "time_weighted_avg",
-    "stream_geofence_counts",
-    "spatial_distance_join",
-    "spatial_grid_density",
-    "pseudonymize_users",
-    "dp_noisy_counts",
-    "k_anonymity_audit",
-    "l_diversity_audit",
-    "masked_serving_view",
-    "rls_scoped_export",
-    "near_dup_canonical",
-    "embedding_centroids",
-    "text_stats",
-    "doc_fingerprints",
-    "lm_bigram_quality",
-    "triangle_count",
-    "knn_graph",
-    "bpe_merge_candidates",
-    "daily_agg",
-    "profile_events",
-    "kafka_roundtrip",
+    "pii_scrub",
+    "promo_revenue",
+    "rest_ingest",
+    "retention_30d",
+    "runlog_demo",
+    "segment_rank_family",
+    "sequence_packing",
+    "stat_moments",
+    "stratified_sample",
+    "stream_dedup_keys",
+    "text_normalize",
+    "text_repetition",
+    "top_tokens",
+    "train_test_split_test",
+    "users_per_type",
     "weather_pipeline_daily",
-    "scd2_user_values",
-    "incremental_join_maintenance",
+    # next rotation (r10): the r4 cohort (daily_agg, dedup_latest,
+    # stream_* windows, kafka_roundtrip, asof_join_purchases, ...)
 ]
 
 
