@@ -41,6 +41,7 @@ _PRIORITY = [
     "stream_psi_drift",
     "mv_sql_lifecycle",
     "ann_ivfpq_serve",
+    "table_analyze_stats",
     # (b) stale-anchor rotation (r9 verdict task 1): every query whose
     # LATEST green driver row is from r1 — eight rounds of refactors
     # (registry, load_table fan_out, quantize, ranks) deserve a fresh

@@ -216,6 +216,15 @@ HEADLINE = [
 #                            foreachBatch lake appends; the transport
 #                            and streaming legs are kafka_wire_roundtrip
 #                            + kafka_wire_stream_hourly's entries
+#   stream_psi_drift         ~30 s: txlog lifecycle (create + 3 DML) +
+#                            a checkpointed stream drain + per-trigger
+#                            PSI commits — fixed micro-batch machinery
+#                            (the txlog_stream_cdf argument); the PSI
+#                            arithmetic itself is a 12-row relation
+#   mv_sql_lifecycle         ~15 s: CREATE MV (full aggregate) + 2 DML
+#                            + refresh — each leg benched via mv_minmax
+#                            / mv_join_view / txlog_sql_dml; the SQL
+#                            front-end adds only a regex parse
 #   k_anonymity_audit /      each one hash aggregate over customer —
 #   l_diversity_audit /      the shuffle class dp_noisy_counts times;
 #   masked_serving_view /    masked view is a pure projection,

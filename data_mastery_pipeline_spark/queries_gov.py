@@ -1600,3 +1600,75 @@ def feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "label_us", "evt_7d", "last_value"
     ).orderBy("event_id")
+
+
+@query(
+    "table_analyze_stats",
+    """
+    WITH per AS (
+      SELECT 'o_custkey' AS col,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_count
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate',
+             CAST(count(DISTINCT o_orderdate) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders
+    ),
+    rc AS (SELECT CAST(count(*) AS BIGINT) AS row_count FROM orders)
+    SELECT col, row_count, ndv, null_count,
+           greatest(1, CAST(floor(CAST(row_count AS DOUBLE) / ndv)
+                            AS BIGINT)) AS est_eq_rows
+    FROM per, rc ORDER BY col
+    """,
+)
+def table_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE loop (cbo.py, r9): one aggregate pass computes
+    row count, per-column NDV, and null counts; the System-R equality
+    selectivity estimate (rows/NDV) rides each column — the statistics
+    that feed `cbo.stats_informed_join`'s broadcast decision (the
+    up-front CBO call AQE can only make after both shuffle map stages
+    have already run; plan-pinned in tests/test_cbo.py). exact=True
+    here so DuckDB can recompute the NDVs bit-for-bit; the default HLL
+    mode is the 100 TB path (±2%, no second shuffle), with accuracy
+    pinned in tests.
+
+    100 TB: the pass is map-side combined (count/NDV-sketch/null-sum
+    fold per task, one 1-row reduce); widths come from the observed
+    schema — no row materialization on the driver beyond that row."""
+    from . import cbo
+
+    cols = ["o_custkey", "o_orderpriority", "o_orderstatus", "o_orderdate"]
+    stats = cbo.analyze(
+        load_table(spark, "orders", sf_dir).select(*cols), exact=True
+    )
+    rows = [
+        (
+            c,
+            stats.row_count,
+            stats.ndv[c],
+            stats.null_count[c],
+            cbo.estimate_rows(stats, eq_filters=[c]),
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col string, row_count bigint, ndv bigint, null_count bigint, "
+        "est_eq_rows bigint",
+    ).orderBy("col")
