@@ -42,6 +42,7 @@ _PRIORITY = [
     "mv_sql_lifecycle",
     "ann_ivfpq_serve",
     "table_analyze_stats",
+    "head_edit_join_tight",
     # (b) stale-anchor rotation (r9 verdict task 1): every query whose
     # LATEST green driver row is from r1 — eight rounds of refactors
     # (registry, load_table fan_out, quantize, ranks) deserve a fresh

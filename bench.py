@@ -67,6 +67,7 @@ HEADLINE = [
     "bm25_search",
     "incremental_minhash_dedup",
     "prefix_edit_near_dups",
+    "head_edit_join_tight",  # ED-Join prefix filter (tight k)
     # round 5 batch 4: format breadth + scan-reduction (late batch)
     "orc_roundtrip",
     "csv_quarantine_roundtrip",
@@ -315,7 +316,27 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.time() - t, 3)
 
+    # SPARK_GRAFT_BENCH_SKIP=a,b,c — drop named entries from this run,
+    # LOUDLY (recorded in the output JSON, never silent). For scale
+    # captures on amplified data where a fixed-machinery entry (e.g.
+    # the single-socket kafka wire transport) can't take k× volume.
+    skip = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")
+        if s.strip()
+    }
+    unknown_skip = skip - set(HEADLINE)
+    if unknown_skip:
+        raise SystemExit(
+            f"bench: SPARK_GRAFT_BENCH_SKIP names non-headline entries: "
+            f"{sorted(unknown_skip)}"
+        )
+    if skip:
+        detail["skipped_entries"] = sorted(skip)
+
     for name in HEADLINE:
+        if name in skip:
+            continue
         if name not in QUERIES:
             # loud, not a silent skip (the gen_plans rule): a headline
             # entry missing from the registry means the benched surface

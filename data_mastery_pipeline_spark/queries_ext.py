@@ -1545,6 +1545,18 @@ def prefix_edit_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     -1 beyond, so the kept rows are value-identical to the DuckDB
     oracle's 2-arg + filter form.
 
+    QUADRATIC BY CONSTRUCTION — measured and adjudicated (r9): at the
+    10× scale capture this entry grew 34× (pairs grow k²; both sides
+    scale). ED-Join prefix filtering (dedup/editjoin.py) was built and
+    MEASURED as the fix: at this loose threshold (k=8 of 64 chars) on
+    the templated corpus the "rarest" 4-grams still carry df≈650, so
+    prefix candidates (3.07M) EXCEED the blocked join's pairs (2.4M) —
+    filtering loses, brute stays the right plan. The honest 100 TB
+    routes: tight thresholds → `head_edit_join_tight` (ED-Join,
+    measured 7.4× candidate cut at k=2); loose thresholds → the
+    approximate minhash/simhash family, which is sub-quadratic by
+    design.
+
     ASCII-head scope: Spark's levenshtein counts CODEPOINTS, DuckDB's
     counts BYTES (verified: levenshtein('的是在','的是了') = 1 vs 3), so
     the oracle-checked query gates to heads where char length ==
@@ -1589,6 +1601,59 @@ def prefix_edit_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
         .filter(F.col("edit_dist").between(0, 8))
+    )
+
+
+@query(
+    "head_edit_join_tight",
+    """
+    WITH base AS (
+        SELECT doc_id, lang, substr(trim(text), 1, 64) AS head
+        FROM documents
+        WHERE length(substr(trim(text), 1, 64))
+              = strlen(substr(trim(text), 1, 64))
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+    FROM base a JOIN base b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 2
+    """,
+)
+def head_edit_join_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ED-Join edit-distance similarity join at a TIGHT threshold
+    (k=2 over 64-char heads — the near-identical-title regime), the
+    regime where q-gram prefix filtering genuinely breaks the
+    quadratic (dedup/editjoin.py, Xiao et al. VLDB'08): candidates are
+    pairs sharing one of their k·q+1 = 9 globally-RAREST 4-grams — a
+    provable superset of all pairs within distance 2 — then banded
+    Levenshtein verifies. Measured on this corpus: 2.4M blocked-join
+    pairs → 326k candidates (7.4×); the cut grows with gram diversity.
+    Strings too short for the prefix theorem (< q·(k+1) chars) take an
+    exact blocked fallback. The oracle is the brute join, so the value
+    hash proves candidate COMPLETENESS, not just precision (equality
+    also property-tested against brute in tests/test_editjoin.py,
+    including the short path, d == k boundaries, and set-semantics
+    duplicate grams).
+
+    100 TB: one vocab-bounded gram-frequency aggregate, one per-doc
+    top-9 window (partitioned by doc), one rare-key equi-join, and a
+    verification pass that tracks the TRUE pair count — vs the blocked
+    join's corpus²/blocks. Loose thresholds stay with minhash/simhash
+    (see prefix_edit_near_dups' adjudication note)."""
+    from .dedup import editjoin
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.substring(F.trim(F.col("text")), 1, 64).alias("head"),
+        )
+        .filter(F.length("head") == F.octet_length("head"))
+    )
+    return editjoin.edit_near_pairs(
+        base, k=2, q=4, id_col="doc_id", text_col="head", block_col="lang"
     )
 
 

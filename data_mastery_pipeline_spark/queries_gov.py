@@ -425,23 +425,55 @@ def spatial_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3 nearest customers per supplier — the spatial kNN baseline:
-    broadcast the (small) probe side, exact haversine, per-probe top-k
-    via the rank window (Catalyst rewrites it to WindowGroupLimit, so
-    only k rows per probe survive the partial sort). Deterministic
-    c_custkey tie-break on equal distances.
+    """3 nearest customers per supplier — EXACT grid-accelerated kNN
+    (r9: the brute cross-product baseline grew 100× at the 10× scale
+    capture — both sides scale, so all-pairs is k²; this is the
+    documented scale path made the primary plan). Two phases, exact by
+    a ring-radius guarantee:
 
-    100 TB: correct shape while probes stay broadcastable (the ANN
-    brute-force twin of similarity/brute.py); corpus-sized probe sets
-    switch to the grid join with expanding-ring radii or IVF cells —
-    the documented scale path, same as ann_ivf_topk."""
-    # the probe cross-product sorts rows×probes rows map-side (the
-    # partial WindowGroupLimit below) — a single-row-group customer
-    # scan would run that sort in ONE task; fan the corpus side out
-    # through load_table's policy flag (r8: the sanctioned mechanism,
-    # not a per-site parallelism patch)
+    1. **Grid candidates**: `spatial.grid_distance_join` pairs each
+       supplier with the customers within R=1000 km (cell join, probe
+       side exploded to neighbor cells and broadcast). If a supplier
+       has ≥ 3 candidates inside R, its true top-3 all lie within R
+       and the candidate set contains EVERY customer within R — the
+       windowed top-3 over candidates IS the exact answer.
+    2. **Sparse fallback**: suppliers with < 3 customers within R
+       (anti join on the qualified set — rare at density, all of them
+       at tiny SFs) brute-force against the full customer relation;
+       that branch's cross product is |sparse| × corpus, not
+       |probes| × corpus.
+
+    Same deterministic c_custkey tie-break both phases (ties at equal
+    distance sit on the same side of the R cut, so phase choice can't
+    reorder them). Oracle unchanged: the full brute kNN.
+
+    100 TB: phase-1 cost is corpus × (avg candidates per cell
+    neighborhood) — linear in each side — and the per-probe top-k is
+    a partitioned WindowGroupLimit. Probe sets too large to broadcast
+    switch broadcast_right off (shuffled cell equi-join + AQE skew
+    handling), the grid_distance_join contract."""
+    # fan the corpus side out through load_table's policy flag (r8:
+    # the sanctioned mechanism) — the per-probe partial top-k sort
+    # otherwise runs in one task on a single-row-group scan
     c = _cust_points(spark, sf_dir, fan_out=True).drop("c_acctbal")
-    s = _supp_points(spark, sf_dir).select(
+    s = _supp_points(spark, sf_dir)
+    radius_km = 1000.0
+    w = Window.partitionBy("s_suppkey").orderBy("dist_km", "c_custkey")
+
+    cand = spatial.grid_distance_join(c, s, radius_km)
+    near = (
+        cand.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+    )
+    qualified = (
+        near.groupBy("s_suppkey")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 3)
+        .select("s_suppkey")
+    )
+    near_full = near.join(F.broadcast(qualified), "s_suppkey", "left_semi")
+
+    sparse = s.join(F.broadcast(qualified), "s_suppkey", "left_anti").select(
         "s_suppkey",
         F.col("lat").alias("s_lat"),
         F.col("lon").alias("s_lon"),
@@ -449,17 +481,21 @@ def spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = spatial.haversine_km(
         F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")
     )
-    w = Window.partitionBy("s_suppkey").orderBy("dist", "c_custkey")
-    return (
-        c.crossJoin(F.broadcast(s))
-        .withColumn("dist", dist)
+    brute = (
+        c.crossJoin(F.broadcast(sparse))
+        .withColumn("dist_km", dist)
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 3)
+    )
+    pick = ["s_suppkey", "rn", "c_custkey", "dist_km"]
+    return (
+        near_full.select(*pick)
+        .unionByName(brute.select(*pick))
         .select(
             "s_suppkey",
             "rn",
             "c_custkey",
-            quantize(F.col("dist"), "dist_km"),
+            quantize(F.col("dist_km"), "dist_km"),
         )
         .orderBy("s_suppkey", "rn")
     )

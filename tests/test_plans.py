@@ -11,19 +11,21 @@ from __future__ import annotations
 
 import pytest
 
-import data_mastery_pipeline_spark.queries  # noqa: F401
-import data_mastery_pipeline_spark.queries_adv  # noqa: F401
-import data_mastery_pipeline_spark.queries_ext  # noqa: F401
-import data_mastery_pipeline_spark.queries_stats  # noqa: F401
 from data_mastery_pipeline_spark import plans
+from data_mastery_pipeline_spark.allqueries import register_all
 from data_mastery_pipeline_spark.registry import QUERIES
+
+register_all()  # deterministic registry regardless of which test
+# files ran first — a query built below may lazily import a
+# registering module, which used to mutate QUERIES mid-iteration when
+# this file ran in isolation (-k selection)
 
 from conftest import SF_ORACLE
 
 
 @pytest.fixture(scope="module")
 def q(spark):
-    return {name: fn(spark, SF_ORACLE) for name, fn in QUERIES.items()}
+    return {name: fn(spark, SF_ORACLE) for name, fn in list(QUERIES.items())}
 
 
 def test_clean_filter_pushes_predicates_to_scan(q):
