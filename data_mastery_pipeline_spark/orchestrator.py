@@ -44,6 +44,15 @@ class Stage:
     deps: tuple[str, ...] = ()
     retries: int = 0
     retry_delay_sec: float = 0.0
+    # wall budget per ATTEMPT (the reference's execution_timeout at
+    # weather_pipeline_dag.py:20-30). Enforced for real: the attempt
+    # runs under a Spark job group and a blown budget cancels the
+    # group — in-flight Spark jobs abort and the attempt fails as
+    # retryable, Airflow's timeout-then-retry posture. (Pure-Python
+    # stage bodies that never touch Spark can't be preempted —
+    # documented Python limit; their overrun is still detected and
+    # audited the moment they return.)
+    execution_timeout_sec: float | None = None
 
 
 class DagError(ValueError):
@@ -76,22 +85,70 @@ def _topo_order(stages: Sequence[Stage]) -> list[Stage]:
     return order
 
 
+class ExecutionTimeout(RuntimeError):
+    """A stage attempt exceeded its ``execution_timeout_sec``."""
+
+
+def _attempt(spark, s: Stage, results: dict, group: str):
+    """One attempt of a stage body, under its wall budget. Runs the
+    body in a worker thread tagged with a Spark job group; a blown
+    budget cancels the group (aborting in-flight Spark jobs) and
+    raises ExecutionTimeout."""
+    if not s.execution_timeout_sec:
+        return s.fn(results)
+    import threading
+
+    box: dict = {}
+
+    def _run():
+        spark.sparkContext.setJobGroup(group, s.name, True)
+        try:
+            box["out"] = s.fn(results)
+        except BaseException as ex:  # noqa: BLE001 — re-raised below
+            box["err"] = ex
+        finally:
+            spark.sparkContext.clearJobGroup()
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    t.join(s.execution_timeout_sec)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        t.join(5.0)  # grace for the cancellation to surface
+        raise ExecutionTimeout(
+            f"stage {s.name!r} exceeded {s.execution_timeout_sec}s"
+        )
+    if "err" in box:
+        raise box["err"]
+    return box["out"]
+
+
 def run_dag(
     spark: SparkSession,
     stages: Sequence[Stage],
     pipeline_name: str = "dag",
+    on_failure: Callable[[tuple], None] | None = None,
+    sleeper: Callable[[float], None] = time.sleep,
 ) -> tuple[dict, DataFrame]:
     """Execute the DAG; returns (results map, audit DataFrame).
 
     Semantics (each pinned by test):
     - stages run in a deterministic topological order;
     - a failing stage is retried up to ``retries`` times (audit records
-      the attempt count), then marked ``failure``;
+      the attempt count), then marked ``failure``; ``retry_delay_sec``
+      waits between attempts through ``sleeper`` (injectable — tests
+      assert the delays without sleeping; the reference waits 5 min);
+    - an attempt that blows ``execution_timeout_sec`` is cancelled at
+      the Spark job level and counts as a retryable failure;
     - every stage downstream of a non-success — transitively — is
       ``skipped`` with the offending upstream named in its audit row;
+    - ``on_failure`` (the reference's notification task,
+      weather_pipeline_dag.py:226-249) is invoked once per FAILED
+      stage with its audit row — notify-then-continue, never abort; a
+      raising notifier is itself contained and audited against the
+      pipeline;
     - the run never raises for a stage failure: the audit IS the
-      outcome (the caller decides severity), matching the reference's
-      email-then-continue posture rather than a hard abort."""
+      outcome (the caller decides severity)."""
     order = _topo_order(stages)
     state: dict[str, str] = {}
     results: dict[str, object] = {}
@@ -115,11 +172,14 @@ def run_dag(
         while attempts <= s.retries:
             attempts += 1
             try:
-                result, rows = s.fn(results)
+                result, rows = _attempt(
+                    spark, s, results,
+                    f"{pipeline_name}:{s.name}:a{attempts}",
+                )
             except Exception as ex:  # noqa: BLE001 — audit, don't abort
                 err = f"{type(ex).__name__}: {ex}"
                 if attempts <= s.retries and s.retry_delay_sec > 0:
-                    time.sleep(s.retry_delay_sec)
+                    sleeper(s.retry_delay_sec)
                 continue
             results[s.name] = result
             state[s.name] = "success"
@@ -136,9 +196,24 @@ def run_dag(
             break
         else:
             state[s.name] = "failure"
-            rows_out.append(
-                (pipeline_name, s.name, "failure", attempts, None, err)
-            )
+            row = (pipeline_name, s.name, "failure", attempts, None, err)
+            rows_out.append(row)
+            if on_failure is not None:
+                try:
+                    on_failure(row)
+                except Exception as nex:  # noqa: BLE001 — notifier
+                    # failures must not fail the pipeline (the
+                    # reference's notify-then-continue posture)
+                    rows_out.append(
+                        (
+                            pipeline_name,
+                            "__notifier__",
+                            "failure",
+                            1,
+                            None,
+                            f"{type(nex).__name__}: {nex}",
+                        )
+                    )
     return results, spark.createDataFrame(rows_out, AUDIT_SCHEMA)
 
 
@@ -218,3 +293,93 @@ def weather_dag(
         Stage("gold_daily", gold_daily, deps=("quality_gate", "silver")),
         Stage("gold_hourly", gold_hourly, deps=("quality_gate", "silver")),
     ]
+
+
+# ---------------------------------------------- schedule semantics
+
+# the reference's schedule (weather_pipeline_dag.py: `0 * * * *`,
+# catchup=False) — kept here as data so deployments can hand it to
+# cron_next/due_runs
+WEATHER_SCHEDULE = "0 * * * *"
+
+
+def _parse_field(f: str, lo: int, hi: int) -> set[int]:
+    vals: set[int] = set()
+    for part in f.split(","):
+        step = 1
+        rng = part
+        if "/" in part:
+            rng, step_s = part.split("/")
+            step = int(step_s)
+        if rng == "*":
+            a, b = lo, hi
+        elif "-" in rng:
+            a_s, b_s = rng.split("-")
+            a, b = int(a_s), int(b_s)
+        else:
+            a = b = int(rng)
+        if not (lo <= a <= b <= hi):
+            raise ValueError(f"cron field out of range: {part!r}")
+        vals.update(range(a, b + 1, step))
+    return vals
+
+
+def cron_next(expr: str, after):
+    """Next fire time STRICTLY after ``after`` for a 5-field cron
+    expression (minute hour day-of-month month day-of-week; *, */n,
+    lists, ranges; dow 0=Sunday with 7≡0; standard cron OR-rule when
+    both day fields are restricted). The wall-clock SEMANTICS of the
+    reference's schedule, engine-computable — the waiting itself stays
+    with the deployment's scheduler (module docstring)."""
+    from datetime import timedelta
+
+    m, h, dom, mon, dow = expr.split()
+    mins = _parse_field(m, 0, 59)
+    hrs = _parse_field(h, 0, 23)
+    doms = _parse_field(dom, 1, 31)
+    mons = _parse_field(mon, 1, 12)
+    dows = {d % 7 for d in _parse_field(dow, 0, 7)}
+    dom_star, dow_star = dom == "*", dow == "*"
+    t = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
+    # bound: any satisfiable schedule fires within 4 years (leap-day
+    # schedules are the extreme); day-level skipping keeps this cheap
+    end = t + timedelta(days=4 * 366)
+    while t < end:
+        dow_ok = t.isoweekday() % 7 in dows
+        dom_ok = t.day in doms
+        day_ok = t.month in mons and (
+            dom_ok
+            if dow_star
+            else dow_ok
+            if dom_star
+            else (dom_ok or dow_ok)
+        )
+        if not day_ok:
+            t = (t + timedelta(days=1)).replace(hour=0, minute=0)
+            continue
+        if t.hour not in hrs:
+            t = (t + timedelta(hours=1)).replace(minute=0)
+            continue
+        if t.minute in mins:
+            return t
+        t += timedelta(minutes=1)
+    raise ValueError(f"unsatisfiable cron expression: {expr!r}")
+
+
+def due_runs(expr: str, last_run, now, catchup: bool = False):
+    """Fire times in (last_run, now]: the reference's catchup=False
+    yields only the LATEST missed slot (one run covers the gap);
+    catchup=True yields every missed slot in order. Empty if nothing
+    is due. With ``max_active_runs=1`` semantics the caller executes
+    these sequentially — which run_dag's synchronous loop gives for
+    free."""
+    out = []
+    t = last_run
+    while True:
+        t = cron_next(expr, t)
+        if t > now:
+            break
+        out.append(t)
+    if not catchup and out:
+        return [out[-1]]
+    return out
