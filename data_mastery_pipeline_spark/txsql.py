@@ -136,6 +136,17 @@ _CTAS = re.compile(
 _DESCRIBE_HISTORY = re.compile(
     rf"^\s*DESCRIBE\s+HISTORY\s+({_ID})\s*$", re.I
 )
+# ANALYZE TABLE t [EXACT] — one-pass cbo.analyze() over the table's
+# current snapshot; stats land in the session's StatsCatalog (an
+# in-session dict unless the session was built with a stats_root, in
+# which case they persist as JSON) and DESCRIBE STATS t reads them
+# back as a relation.
+_ANALYZE = re.compile(
+    rf"^\s*ANALYZE\s+TABLE\s+({_ID})(\s+EXACT)?\s*$", re.I
+)
+_DESCRIBE_STATS = re.compile(
+    rf"^\s*DESCRIBE\s+STATS\s+({_ID})\s*$", re.I
+)
 # CREATE MATERIALIZED VIEW mv [LOCATION 'p'] AS
 #   SELECT <dim [AS a]>, ..., SUM(<expr>) AS <m> FROM t GROUP BY ...
 # — dispatches onto mv.SumCountView (incremental refresh, the cents
@@ -254,11 +265,19 @@ class TxSqlSession:
     docstring has the grammar). DML/DDL return the committed version;
     SELECT returns a DataFrame over per-call snapshot views."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, stats_root: str | None = None):
         self.spark = spark
         self._tables: dict[str, TxTable] = {}
         # name → (SumCountView, exposed measure alias for sum_cents)
         self._mvs: dict[str, tuple] = {}
+        # ANALYZE TABLE results; persisted as JSON when stats_root set
+        self._stats: dict[str, object] = {}
+        if stats_root is not None:
+            from .cbo import StatsCatalog
+
+            self._stats_catalog = StatsCatalog(stats_root)
+        else:
+            self._stats_catalog = None
 
     def register(self, name: str, table: TxTable) -> "TxSqlSession":
         self._tables[name] = table
@@ -488,6 +507,44 @@ class TxSqlSession:
         m = _DESCRIBE_HISTORY.match(text)
         if m:
             return self._table(m.group(1)).history_df()
+        m = _ANALYZE.match(text)
+        if m:
+            from .cbo import analyze
+
+            name = m.group(1)
+            stats = analyze(
+                self._table(name).read(), exact=m.group(2) is not None
+            )
+            self._stats[name] = stats
+            if self._stats_catalog is not None:
+                self._stats_catalog.put(name, stats)
+            return stats
+        m = _DESCRIBE_STATS.match(text)
+        if m:
+            name = m.group(1)
+            stats = self._stats.get(name)
+            if stats is None and self._stats_catalog is not None:
+                stats = self._stats_catalog.get(name)
+            if stats is None:
+                raise UnsupportedSqlError(
+                    f"no statistics for {name!r} — run ANALYZE TABLE "
+                    f"{name} first"
+                )
+            rows = [
+                (
+                    c,
+                    stats.row_count,
+                    stats.ndv[c],
+                    stats.null_count[c],
+                    float(stats.avg_col_bytes[c]),
+                )
+                for c in sorted(stats.ndv)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "col string, row_count bigint, ndv bigint, "
+                "null_count bigint, avg_col_bytes double",
+            )
         m = _INSERT_REPLACE.match(text)
         if m:
             t = self._table(m.group(1))
@@ -518,5 +575,6 @@ class TxSqlSession:
             "CREATE TABLE t LOCATION 'path' AS SELECT …, "
             "CREATE MATERIALIZED VIEW mv [LOCATION 'path'] AS SELECT "
             "dims…, SUM(expr) AS m FROM t GROUP BY dims…, "
-            "REFRESH MATERIALIZED VIEW mv"
+            "REFRESH MATERIALIZED VIEW mv, ANALYZE TABLE t [EXACT], "
+            "DESCRIBE STATS t"
         )

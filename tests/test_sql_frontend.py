@@ -506,3 +506,33 @@ def test_sql_mv_expression_dims_and_location(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_sql_analyze_and_describe_stats(spark, tmp_path):
+    """ANALYZE TABLE → cbo.analyze over the snapshot; DESCRIBE STATS
+    reads it back as a relation; stats persist to the StatsCatalog
+    when the session carries a stats_root."""
+    from data_mastery_pipeline_spark.cbo import StatsCatalog
+    from data_mastery_pipeline_spark.txsql import (
+        TxSqlSession,
+        UnsupportedSqlError,
+    )
+
+    sql_t, _ = _mk_pair(spark, tmp_path)
+    root = str(tmp_path / "stats")
+    ss = TxSqlSession(spark, stats_root=root).register("t", sql_t)
+    with pytest.raises(UnsupportedSqlError):
+        ss.sql("DESCRIBE STATS t")  # nothing analyzed yet
+    stats = ss.sql("ANALYZE TABLE t EXACT")
+    assert stats.row_count == 12
+    got = {r["col"]: r for r in ss.sql("DESCRIBE STATS t").collect()}
+    assert got["id"]["ndv"] == 12 and got["grp"]["ndv"] == 3
+    assert got["id"]["null_count"] == 0
+    assert all(r["row_count"] == 12 for r in got.values())
+    # persisted: a fresh catalog on the same root sees it
+    assert StatsCatalog(root).get("t").ndv["grp"] == 3
+    # stats reflect the snapshot at ANALYZE time, not live state
+    ss.sql("DELETE FROM t WHERE id BETWEEN 0 AND 5")
+    assert ss.sql("DESCRIBE STATS t").collect()[0]["row_count"] == 12
+    ss.sql("ANALYZE TABLE t EXACT")
+    assert ss.sql("DESCRIBE STATS t").collect()[0]["row_count"] == 6
