@@ -31,68 +31,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's verify appears bounded at ~50 queries per round, so the
-# iteration order IS the verification budget. All 250 queries entering
-# round 9 hold a green driver row (CORRECTNESS_r01–r08: 0 red, 0
-# never-checked). Round 9's window (verdict task 1 — rotate stale
-# anchors): (a) this round's additions, then (b) the r1 cohort and
-# (c) the r3 cohort — every query whose LATEST green row predates r4.
+# iteration order IS the verification budget. All 252 queries entering
+# round 10 hold a green driver row (CORRECTNESS_r01–r09: 0 red, 0
+# never-checked). Round 10's window (r9 verdict task 4 — rotate the r4
+# cohort, the largest stale one): (a) this round's additions/re-scopes,
+# then (b) the r4 cohort (43 queries whose LATEST green row is r4),
+# then (c) the 13 remaining r3-era anchors.
 _PRIORITY = [
-    # (a) round-9 additions — verified first
-    "stream_psi_drift",
-    "mv_sql_lifecycle",
-    "ann_ivfpq_serve",
-    "table_analyze_stats",
-    "head_edit_join_tight",
-    # (b) stale-anchor rotation (r9 verdict task 1): every query whose
-    # LATEST green driver row is from r1 — eight rounds of refactors
-    # (registry, load_table fan_out, quantize, ranks) deserve a fresh
-    # check. r1 cohort:
-    "anti_join_customers",
-    "below_avg_quantity",
-    "big_orders",
-    "clean_filter",
-    "cube_quantity",
-    "custkeys_except",
-    "custkeys_intersect",
-    "distinct_users",
-    "grouping_sets_quantity",
-    "idempotent_append",
-    "json_props",
-    "json_props_variant",
-    "null_counts",
-    "order_count_distribution",
-    "quality_scores",
-    "range_join_late_ships",
-    "returned_orders_exists",
-    "rollup_quantity",
-    "running_total",
-    "salted_agg_value",
-    "semi_join_customers",
-    "star_revenue",
-    "table_stats",
-    "top10_orders",
-    "top_customers_per_segment",
-    "top_supplier_revenue",
-    "union_schema_evolution",
-    "value_distribution",
-    "value_histogram",
-    "value_percentiles",
-    # (c) r3 cohort (latest green r3):
-    "ann_cosine_topk",
-    "audio_features",
-    "brand_size_revenue",
-    "doc_chunks",
-    "frame_sample",
-    "image_features",
-    "image_resize",
-    "median_quartiles",
-    "moving_avg_7d",
-    "multimodal_meta",
-    "nation_trade_flows",
-    "pg_serving_roundtrip",
-    "pii_scrub",
-    "promo_revenue",
-    "rest_ingest",
+    # (a) round-10 additions — verified first
+    "edit_near_dups_lsh",  # re-scoped off the quadratic path (r9 weak)
+    # (b) r4 cohort (latest green row r4):
+    "asof_join_purchases",
+    "boilerplate_ngram_share",
+    "clicks_near_purchases",
+    "daily_agg",
+    "day_night_agg",
+    "dedup_latest",
+    "derived_columns",
+    "dominant_part_suppliers",
+    "dup_groups",
+    "event_path_trigrams",
+    "forecast_revenue_change",
+    "gap_fill_ffill",
+    "hourly_agg",
+    "incremental_daily_agg",
+    "incremental_minhash_dedup",
+    "kafka_roundtrip",
+    "kll_value_quantiles",
+    "lag_delta",
+    "late_order_priorities",
+    "latest_per_user",
+    "linear_attribution",
+    "local_supplier_volume",
+    "national_market_share",
+    "pagerank_event_types",
+    "partitioned_roundtrip",
+    "pivot_event_values",
+    "product_profit_by_nation",
+    "purchase_attribution",
+    "semantic_search_meta",
+    "snapshot_diff",
+    "stream_interval_join",
+    "stream_session_30m",
+    "stream_sliding_halfhour",
+    "stream_tumbling_hourly",
+    "stream_user_sessions",
+    "supplier_part_variety",
+    "temperature_resample",
+    "theta_audience_overlap",
+    "unpivot_daily_measures",
+    "user_sessions_batch",
+    "user_value_runs",
+    "weekday_forecast_backtest",
+    "weekly_rollup",
+    # (c) remaining r3-era anchors (latest green r3):
     "retention_30d",
     "runlog_demo",
     "segment_rank_family",
@@ -106,8 +98,7 @@ _PRIORITY = [
     "train_test_split_test",
     "users_per_type",
     "weather_pipeline_daily",
-    # next rotation (r10): the r4 cohort (daily_agg, dedup_latest,
-    # stream_* windows, kafka_roundtrip, asof_join_purchases, ...)
+    # next rotation (r11): the r5 cohort
 ]
 
 

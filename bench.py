@@ -66,7 +66,10 @@ HEADLINE = [
     "shared_substring_spans",
     "bm25_search",
     "incremental_minhash_dedup",
-    "prefix_edit_near_dups",
+    # r10: replaced prefix_edit_near_dups (brute blocked join, 34× at
+    # the 10× capture — adjudicated quadratic r9) with the MinHash-LSH
+    # prefilter + banded-Levenshtein path (same exact-brute oracle)
+    "edit_near_dups_lsh",
     "head_edit_join_tight",  # ED-Join prefix filter (tight k)
     # round 5 batch 4: format breadth + scan-reduction (late batch)
     "orc_roundtrip",

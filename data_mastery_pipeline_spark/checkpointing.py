@@ -21,13 +21,45 @@ Spark's own semantics — pin one dir per job.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 
-def truncate_lineage(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+def truncate_lineage(
+    df: DataFrame,
+    checkpoint_dir: str | None = None,
+    footprint: str = "bounded",
+) -> DataFrame:
     """Materialize ``df`` and cut its logical plan (see module docstring
     for the local-vs-reliable trade-off). Eager in both modes: the frame
-    is computed here, consumers read blocks/files."""
+    is computed here, consumers read blocks/files.
+
+    ``footprint`` declares how the checkpointed frame scales (r9
+    verdict task 3 — the 10× capture GC-thrashed a 16 g heap on a
+    DESERIALIZED localCheckpoint cache, and a heap that must grow with
+    data is wrong on ANY single node):
+
+    - ``"bounded"`` (default): the frame is O(partitions)/O(groups)/
+      O(sketch) — NOT O(data). Spark's default local-checkpoint level
+      (MEMORY_AND_DISK_DESER) is fine: fast object reads, trivial mass.
+    - ``"data"``: the frame is data-sized (a shuffled corpus, per-doc
+      signatures, an edge list). Stored SERIALIZED with disk spill
+      (MEMORY_AND_DISK): blocks live in the unified storage pool — a
+      FIXED fraction of the heap — and evict to local disk beyond it,
+      so heap usage is bounded by the pool no matter the data volume,
+      and the block mass is a few byte arrays instead of millions of
+      live row objects (the GC-thrash mechanism). Warm reads stay
+      memory-speed while the frame fits; past the pool the cost is a
+      local-disk read, not a GC death spiral.
+
+    Callers checkpointing anything that grows with the input MUST pass
+    ``footprint="data"`` — tests/test_plan_hygiene pins the known
+    data-sized sites.
+    """
+    if footprint not in ("bounded", "data"):
+        raise ValueError(f"footprint must be 'bounded' or 'data', got {footprint!r}")
     if checkpoint_dir is None:
+        if footprint == "data":
+            return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
         return df.localCheckpoint()
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:

@@ -98,7 +98,7 @@ def connected_components(
     fixed job overhead. The collect is bounded by the threshold (default
     10k edges ≈ 160 KB), NEVER data-sized; 0 disables the local finish
     entirely (pure distributed iteration, used by the worst-case tests)."""
-    ckpt = lambda df: truncate_lineage(df, checkpoint_dir)  # noqa: E731
+    ckpt = lambda df: truncate_lineage(df, checkpoint_dir, footprint="data")  # noqa: E731
     # checkpoint the DIRECTED edges first, then mirror: union-then-
     # checkpoint would evaluate the (possibly expensive) edge plan twice
     # d holds each undirected edge ONCE (a<b normalized); propagation

@@ -159,3 +159,105 @@ def edit_near_pairs(
         .filter(F.col("edit_dist").between(0, k))
     )
     return long_pairs.unionByName(short_pairs)
+
+
+def edit_near_pairs_lsh(
+    base: DataFrame,
+    k: int = 8,
+    q: int = 4,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "head",
+    block_col: str = "lang",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LOOSE-threshold edit-distance near-dup pairs: MinHash-LSH over
+    character q-grams generates candidates, banded Levenshtein
+    verifies. Returns (id_a, id_b, edit_dist int), id_a < id_b, same
+    block, edit_dist ≤ k.
+
+    Why this path exists: ED-Join prefix filtering (edit_near_pairs
+    above) provably breaks the quadratic at TIGHT thresholds, but at
+    loose k its k·q+1 prefix is so wide that candidates exceed the
+    blocked join's pairs — measured on the sf1 corpus at k=8, q=4:
+    3.07 M prefix candidates vs 2.4 M brute pairs, i.e. filtering
+    LOSES (r9 adjudication). The loose regime belongs to the
+    approximate family instead:
+
+    **Candidate generation (sub-quadratic).** Strings within edit
+    distance k share all but ≤ k·q of their distinct q-grams per side,
+    so their gram-set Jaccard is ≥ (n − kq)/(n + kq) in the worst case
+    and far higher for real edits (measured on the sf0.1 corpus: every
+    true d ≤ 8 pair over 64-char heads has J ≥ 0.92). MinHash-LSH with
+    ``bands`` bands of ``num_hashes/bands`` rows catches a pair with
+    probability 1 − (1 − J^rows)^bands — at J = 0.92, 16 bands × 4
+    rows: 1 − (1 − 0.716)^16 ≈ 1 − 3e-9. Identical heads (the d = 0
+    mass) have J = 1 and are caught with probability exactly 1.
+    Bucket keys are 64-bit band hashes, so unrelated-doc collisions
+    are vanishing and candidate volume tracks the TRUE near-dup count,
+    not corpus²/blocks — the same scale shape as verified_near_dups.
+
+    **Verification (exact).** Banded ``levenshtein(a, b, k)`` over the
+    candidates — O(|s|·k) per pair, exact at ≤ k — then the block and
+    |len diff| ≤ k filters. Every emitted pair is therefore truly
+    within k; the LSH stage only bounds RECALL, and the recall
+    certificate is measured, not assumed: the sf0.01 driver oracle is
+    the exact brute join (value-hash ⇒ recall 1.0 there), the sf0.1
+    measurement found 79/79 true pairs recovered, and
+    tests/test_editjoin.py pins equality-to-brute on a synthetic
+    mutation corpus with controlled d ≤ k structure.
+
+    100 TB: one narrow map for signatures (per-row fold, zero
+    shuffle), one banding shuffle of 64-int signatures, bucket-local
+    pair expansion, one verify join bounded by true-pair volume. No
+    stage touches corpus². ``max_bucket=None`` keeps full banding
+    recall (the oracle-checked configuration); cap only when
+    mass-identical content that belongs to exact dedup first would
+    blow up one bucket.
+    """
+    from . import minhash
+
+    b = base.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(text_col).alias("s"),
+        F.length(text_col).alias("n"),
+    )
+    gram_hashes = F.transform(
+        _grams(F.col("s"), q),
+        lambda g: F.xxhash64(g).bitwiseAND(F.lit(minhash._MASK31)),
+    )
+    sig = minhash.signatures_and_sets(
+        b, id_col="id", num_hashes=num_hashes, shingle_col=gram_hashes
+    ).select("id", "minhash")
+    cand = minhash.lsh_candidate_pairs(
+        sig,
+        id_col="id",
+        num_hashes=num_hashes,
+        bands=bands,
+        max_bucket=max_bucket,
+    )
+    sa = b.select(
+        F.col("id").alias("id_a"),
+        F.col("blk").alias("blk_a"),
+        F.col("s").alias("s_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = b.select(
+        F.col("id").alias("id_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("s").alias("s_b"),
+        F.col("n").alias("n_b"),
+    )
+    dist = F.levenshtein(F.col("s_a"), F.col("s_b"), k)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.abs(F.col("n_a") - F.col("n_b")) <= k)
+        )
+        .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
+        .filter(F.col("edit_dist").between(0, k))
+    )

@@ -95,10 +95,17 @@ def signatures_and_sets(
     k: int = 3,
     num_hashes: int = 64,
     max_set_size: int | None = None,
+    shingle_col: Column | None = None,
 ) -> DataFrame:
     """(id, minhash[num_hashes], sh_set) as ONE narrow projection over
     each row's shingle-hash array — signatures and the verification
     sketch come from the same array, no aggregation anywhere.
+
+    ``shingle_col`` overrides the default token-shingle hasher with a
+    caller-supplied ``array<bigint>`` of 31-bit element hashes — the
+    hook that lets the edit-distance LSH prefilter (dedup/editjoin.py)
+    minhash CHARACTER q-grams through the identical signature fold
+    instead of duplicating it.
 
     ``max_set_size`` bounds sh_set to the k SMALLEST hashes — a bottom-k
     (KMV) sketch. Memory bound per doc downstream: 64 ints +
@@ -132,9 +139,10 @@ def signatures_and_sets(
     # 64 folds per row over the shingle array is the pipeline's heaviest
     # map — guard against low-split sources (single-row-group files, few
     # huge gzips) serializing it on a handful of cores
+    shingles = shingle_col if shingle_col is not None else shingle_hashes(text_col, k)
     return (
         fan_out(df)
-        .select(F.col(id_col), shingle_hashes(text_col, k).alias("__sh"))
+        .select(F.col(id_col), shingles.alias("__sh"))
         .select(F.col(id_col), F.expr(arr).alias("minhash"), sh.alias("sh_set"))
     )
 
@@ -206,11 +214,18 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding over a signature table.
 
     Returns (id_a, id_b) with id_a < id_b, distinct across bands.
+
+    ``max_bucket=None`` disables the bucket cap — full banding recall
+    (same trade as simhash_near_dups: a dropped overfull bucket can
+    hide a qualifying pair, so oracle-checked-by-value callers must
+    not cap; the quadratic fan-out of a degenerate bucket is then the
+    caller's documented trade, and mass-identical content belongs to
+    exact dedup first anyway).
     """
     banded = band_table(sig, id_col, num_hashes, bands)
 
@@ -223,7 +238,9 @@ def lsh_candidate_pairs(
     # second shuffle.
     w = Window.partitionBy("band", "bh")
     gated = banded.withColumn("n", F.count("*").over(w)).filter(
-        (F.col("n") > 1) & (F.col("n") <= max_bucket)
+        (F.col("n") > 1)
+        if max_bucket is None
+        else ((F.col("n") > 1) & (F.col("n") <= max_bucket))
     )
     buckets = (
         gated.groupBy("band", "bh")
@@ -283,6 +300,7 @@ def verified_near_dups(
     ss = truncate_lineage(
         signatures_and_sets(df, text_col, id_col, k, num_hashes, max_set_size),
         checkpoint_dir,
+        footprint="data",
     )
     pairs = lsh_candidate_pairs(
         ss.select(id_col, "minhash"), id_col, num_hashes, bands
@@ -336,10 +354,12 @@ def cross_near_dups(
     ss_i = truncate_lineage(
         signatures_and_sets(index, text_col, id_col, k, num_hashes, max_set_size),
         checkpoint_dir,
+        footprint="data",
     )
     ss_n = truncate_lineage(
         signatures_and_sets(incoming, text_col, id_col, k, num_hashes, max_set_size),
         checkpoint_dir,
+        footprint="data",
     )
     def _capped(banded: DataFrame) -> DataFrame:
         big = (

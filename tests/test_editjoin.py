@@ -129,3 +129,69 @@ def test_other_thresholds(spark, k, q):
         for i, e in enumerate([0, 1, k, k + 1, 3 * k])
     ]
     assert _fast(spark, rows, k=k, q=q) == _brute(spark, rows, k=k)
+
+
+def _lsh(spark, rows, k=8, q=4):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return sorted(
+        tuple(r)
+        for r in editjoin.edit_near_pairs_lsh(
+            df, k=k, q=q, id_col="doc_id", text_col="head",
+            block_col="lang",
+        ).collect()
+    )
+
+
+def test_lsh_matches_brute_on_template_corpus(spark):
+    """The loose-k LSH path (r10 re-scope of the quadratic entry):
+    recall certificate on a FIXED template-mutation corpus shaped like
+    the real one — exact copies (J=1, caught with probability exactly
+    1), small localized edits (high gram Jaccard), plus far strings
+    and cross-block twins. MinHash is deterministic (seeded hash
+    family, xxhash64), so this pins recall 1.0 on this corpus forever;
+    precision is structural (banded-Levenshtein verify)."""
+    rng = random.Random(11)
+    bases = [
+        "".join(rng.choice(string.ascii_lowercase + "   ") for _ in range(64))
+        for _ in range(5)
+    ]
+    rows, i = [], 0
+    for bi, t in enumerate(bases):
+        rows.append((i, "en", t)); i += 1
+        rows.append((i, "en", t)); i += 1                      # d=0 twin
+        s = list(t); s[10] = "q"; s[11] = "z"                  # d<=2
+        rows.append((i, "en", "".join(s))); i += 1
+        s = list(t); s[20:26] = "qzqzqz"                       # d<=6 localized
+        rows.append((i, "en", "".join(s))); i += 1
+        rows.append((i, "fr", t)); i += 1                      # other block
+    got = _lsh(spark, rows)
+    want = _brute(spark, rows)
+    assert got == want
+    assert len(want) >= 5 * 6  # each family pairs up within its block
+
+
+def test_lsh_precision_is_structural(spark):
+    """Anagram-ish heads share every 4-gram-derived bucket risk but sit
+    far in edit distance — verification must drop them; and identical
+    text in different blocks must not pair."""
+    a = "the quick brown fox jumps over the lazy dog and runs far away now"[:64]
+    b = a[32:] + a[:32]  # same char mass, large edit distance
+    rows = [(1, "en", a), (2, "en", b), (3, "de", a)]
+    got = _lsh(spark, rows)
+    assert got == _brute(spark, rows)
+    assert not any((1, 3) == (p[0], p[1]) for p in got)
+
+
+def test_lsh_subset_of_brute_under_scattered_edits(spark):
+    """Adversarial scattered mutations (each edit lands anywhere, so a
+    d=8 pair can destroy ~half its distinct grams): the LSH stage may
+    MISS such pairs — that is the documented recall trade — but must
+    never emit a false pair and never mistake the distance."""
+    rng = random.Random(99)
+    t = "".join(rng.choice(string.ascii_lowercase) for _ in range(64))
+    rows = [(i, "en", _mutate(rng, t, e)) for i, e in enumerate([0, 0, 4, 8, 12])]
+    got = set(_lsh(spark, rows))
+    want = set(_brute(spark, rows))
+    assert got <= want
+    # the J=1 twin is caught with probability exactly 1
+    assert (0, 1, 0) in got

@@ -298,11 +298,11 @@ def test_round4_analytics_queries_plan_shape(q):
         assert plans.cartesian_product_count(q[name]) == 0, name
 
 
-def test_prefix_edit_near_dups_blocks_via_broadcast(q):
-    # same shape as the Jaccard block join: broadcast build side, no
-    # cartesian — the lang/length predicates ride the join condition
-    df = q["prefix_edit_near_dups"]
-    assert plans.broadcast_join_count(df) >= 1
+def test_edit_near_dups_lsh_no_cartesian(q):
+    # r10 re-scope: candidate generation is MinHash-LSH banding (the
+    # sub-quadratic shape), never a cross/cartesian product — the old
+    # prefix_edit_near_dups broadcast block-join grew 34× at 10× data
+    df = q["edit_near_dups_lsh"]
     assert plans.cartesian_product_count(df) == 0
 
 

@@ -1,7 +1,7 @@
 """Cross-engine Unicode contracts (review r6).
 
 Spark's ``levenshtein`` counts CODEPOINTS; DuckDB's counts BYTES
-(levenshtein('的是在','的是了') = 1 vs 3).  prefix_edit_near_dups gates
+(levenshtein('的是在','的是了') = 1 vs 3).  edit_near_dups_lsh gates
 to ASCII heads (char length == byte length) on BOTH engines — the only
 regime where the two metrics coincide.  This test runs the REGISTERED
 query function and its REGISTERED oracle SQL over a fixture that
@@ -41,8 +41,8 @@ def cjk_docs_dir(spark, tmp_path_factory):
     return str(d)
 
 
-def test_prefix_edit_ascii_gate_parity(spark, cjk_docs_dir):
-    sdf = QUERIES["prefix_edit_near_dups"](spark, cjk_docs_dir)
+def test_edit_lsh_ascii_gate_parity(spark, cjk_docs_dir):
+    sdf = QUERIES["edit_near_dups_lsh"](spark, cjk_docs_dir)
     srows = sorted(tuple(r) for r in sdf.collect())
 
     con = duckdb.connect()
@@ -50,7 +50,7 @@ def test_prefix_edit_ascii_gate_parity(spark, cjk_docs_dir):
         "CREATE VIEW documents AS SELECT * FROM "
         f"'{cjk_docs_dir}/documents.parquet/*.parquet'"
     )
-    orows = sorted(con.sql(ORACLE["prefix_edit_near_dups"]).fetchall())
+    orows = sorted(con.sql(ORACLE["edit_near_dups_lsh"]).fetchall())
 
     assert srows == orows, (srows, orows)
     # the ASCII pair surfaces with its true distance; the CJK pair is
