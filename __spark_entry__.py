@@ -40,6 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # (a) round-10 additions — verified first
     "edit_near_dups_lsh",  # re-scoped off the quadratic path (r9 weak)
+    "cbo_broadcast_enrichment",  # ANALYZE→CBO loop wired into a query
+    "stream_ks_drift",  # streaming KS monitor (PSI twin, r9 task 6)
     # (b) r4 cohort (latest green row r4):
     "asof_join_purchases",
     "boilerplate_ngram_share",

@@ -246,3 +246,35 @@ def _parse_bytes(raw: str) -> int:
         if raw.endswith(suffix):
             return int(float(raw[: -len(suffix)])) * m
     return int(raw) * mult
+
+
+def derived_stats_for_agg(
+    base: TableStats,
+    group_cols: list[str],
+    n_agg_cols: int = 1,
+    agg_col_bytes: float = 8.0,
+) -> TableStats:
+    """Estimated stats for ``base.groupBy(group_cols).agg(...)`` — the
+    DERIVED-relation leg of the CBO loop. Catalyst's sizeInBytes for
+    an aggregate tracks the CHILD's size (a groupBy that collapses a
+    100 TB fact to NDV rows still plans as a sort-merge join); the
+    catalog knows better: output rows = min(∏ NDV(group col),
+    base rows) — the standard independence estimate — and output width
+    = the group columns' observed widths plus ``n_agg_cols`` numeric
+    aggregates. Feed the result to :func:`stats_informed_join` as the
+    dim side's stats."""
+    rows = 1
+    for c in group_cols:
+        rows *= max(1, base.ndv.get(c, base.row_count))
+        if rows >= base.row_count:
+            rows = base.row_count
+            break
+    widths = {c: base.avg_col_bytes.get(c, 8.0) for c in group_cols}
+    for i in range(n_agg_cols):
+        widths[f"__agg_{i}"] = agg_col_bytes
+    return TableStats(
+        row_count=int(rows),
+        ndv={c: min(base.ndv.get(c, rows), rows) for c in group_cols},
+        null_count={c: 0 for c in group_cols},
+        avg_col_bytes=widths,
+    )

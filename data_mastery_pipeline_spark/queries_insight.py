@@ -1032,3 +1032,126 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         qpsi.alias("psi"),
         (qpsi > 0.2).alias("drift_detected"),
     ).orderBy("bin")
+
+
+@query(
+    "stream_ks_drift",
+    """
+    WITH base AS (
+      SELECT event_id, value FROM events WHERE event_id % 6 IN (0, 1)
+    ),
+    updated AS (
+      SELECT CASE WHEN coalesce(value BETWEEN 20.0 AND 50.0, FALSE)
+                  THEN value + 35.0 ELSE value END AS value
+      FROM base
+    ),
+    unioned AS (
+      SELECT value FROM updated
+      UNION ALL
+      SELECT value FROM events WHERE event_id % 6 = 2
+    ),
+    final AS (
+      SELECT value FROM unioned
+      WHERE NOT coalesce(value BETWEEN 0.0 AND 5.0, FALSE)
+    ),
+    refc AS (
+      SELECT value AS v, CAST(count(*) AS DOUBLE) AS rw
+      FROM base WHERE value IS NOT NULL GROUP BY 1
+    ),
+    curc AS (
+      SELECT value AS v, CAST(count(*) AS DOUBLE) AS cw
+      FROM final WHERE value IS NOT NULL GROUP BY 1
+    ),
+    u AS (
+      SELECT coalesce(r.v, c.v) AS v,
+             coalesce(r.rw, 0) AS rw, coalesce(c.cw, 0) AS cw
+      FROM refc r FULL OUTER JOIN curc c ON r.v = c.v
+    ),
+    cum AS (
+      SELECT sum(rw) OVER (ORDER BY v) AS cr,
+             sum(cw) OVER (ORDER BY v) AS cc
+      FROM u
+    ),
+    tot AS (
+      SELECT CAST(sum(rw) AS DOUBLE) AS nr,
+             CAST(sum(cw) AS DOUBLE) AS nc
+      FROM u
+    )
+    SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+           floor(max(abs(cr / nr - cc / nc)) * 1000000 + 0.5)
+             / 1000000.0 AS d_stat,
+           floor(max(abs(cr / nr - cc / nc))
+                 * sqrt(nr * nc / (nr + nc)) * 10000 + 0.5)
+             / 10000.0 AS ks_lambda,
+           max(abs(cr / nr - cc / nc))
+             * sqrt(nr * nc / (nr + nc)) > 1.358 AS drift_detected
+    FROM cum, tot GROUP BY nr, nc
+    """,
+)
+def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING two-sample KS drift monitor
+    (streaming/drift.py::KsDriftMonitor, r10) — the distribution-SHAPE
+    statistic on the same exactly-once CDC state machinery as
+    stream_psi_drift (r9): distinct-value counts maintained by signed
+    folds (+1 insert / −1 delete) with a per-micro-batch exactly-once
+    merge, the reference value-count relation MATERIALIZED once at
+    table version 0, and the per-trigger D/λ appended to a ks_log —
+    so the monitor sees shape changes PSI's fixed bins smooth away.
+    Same DML lifecycle as the PSI twin: shift updates (+35 on 20–50,
+    DV mode) → append a new slice → delete the low tail → availableNow
+    drain.
+
+    ECDFs never sort rows: both cumulative counts ride ONE prefix-sum
+    pass over the distinct-value union (ranks.with_prefix_sums —
+    bucket-partitioned windows + broadcast triangle offsets), the
+    batch ks_test_drift plan the r7 verdict adjudicated scale-correct.
+    State is bounded by the metric's distinct-value domain (quantize
+    via bin_expr first for unbounded domains — module docstring).
+
+    Self-asserting: maintained value counts must equal direct counting
+    of the final snapshot, and the LAST logged D must equal the D
+    recomputed from final state. The driver-checked output is the
+    1-row KS relation, which DuckDB recomputes by mirroring the DML
+    algebraically — binning-free, so the value hash proves the fold,
+    the ECDF prefix sums, and the statistic end-to-end."""
+    from .queries_src import _fresh_dir
+    from .sources import txlog as _txlog
+    from .streaming import drift as _drift
+
+    ev = load_table(spark, "events", sf_dir)
+    base_dir = _fresh_dir("ksdrift", sf_dir)
+    src = _txlog.TxTable.create(
+        spark,
+        os.path.join(base_dir, "src"),
+        ev.filter(F.col("event_id") % 6 < 2).repartition(4, "event_id"),
+        stat_cols=["event_id", "value"],
+    )
+    mon = _drift.KsDriftMonitor(
+        spark, src, os.path.join(base_dir, "mon"), "value", ref_version=0
+    )
+    src.update_where(
+        "value", 20.0, 50.0, {"value": F.col("value") + 35.0}, mode="dv"
+    )
+    src.append(ev.filter(F.col("event_id") % 6 == 2))
+    src.delete_where("value", 0.0, 5.0)
+
+    _txlog.register(spark)
+    q = (
+        spark.readStream.format("txlog_feed")
+        .option("root", os.path.join(base_dir, "src"))
+        .option("mode", "cdf")
+        .load()
+        .writeStream.foreachBatch(mon.sink())
+        .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mon.assert_consistent()
+    return mon.current_ks().select(
+        "n_ref",
+        "n_cur",
+        quantize(F.col("d_stat"), "d_stat", 6),
+        quantize(F.col("ks_lambda"), "ks_lambda", 4),
+        "drift_detected",
+    )

@@ -2943,3 +2943,104 @@ def catalog_consistent_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return a_agg.join(b_agg, "event_type").orderBy("event_type")
+
+
+@query(
+    "cbo_broadcast_enrichment",
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    dim AS (
+      SELECT event_type,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(count(cents) AS BIGINT) AS c
+      FROM ev GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN e.cents * d.c > d.s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_avg,
+           floor((CAST(d.s AS DOUBLE) / d.c) * 100 + 0.5) / 100.0
+             AS avg_value
+    FROM ev e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.s, d.c
+    ORDER BY e.event_type
+    """,
+)
+def cbo_broadcast_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE→CBO loop wired into a real query path (r9 verdict
+    task 5 — previously only the ANALYZE verb and tests touched the
+    stats catalog). Lifecycle: create a txlog table from events →
+    ``auto_maintain()`` auto-ANALYZEs it into the table's own
+    StatsCatalog (``<root>/_stats``, stamped with the analyzed
+    version) → a DERIVED dim (groupBy event_type over the txlog read)
+    joins the fact through ``cbo.stats_informed_join`` with its
+    cardinality estimated FROM THE CATALOG
+    (``cbo.derived_stats_for_agg``: output rows = NDV(event_type),
+    width from observed column widths) — the broadcast decision static
+    planning cannot make (Catalyst sizes an aggregate by its CHILD)
+    and AQE only makes after paying both shuffle map stages. Plan
+    pinned in tests/test_cbo.py::test_registered_query_broadcasts_from_catalog_stats.
+
+    Self-asserting lifecycle: the maintenance cycle must report the
+    ANALYZE ran, the stamped stats version must match the table
+    version, a second cycle must SKIP the re-ANALYZE (stats are
+    fresh), and the catalog's NDV estimate must be small enough that
+    the informed join actually chose broadcast.
+
+    Exactness: the above-average comparison is pure integer arithmetic
+    (cents·count > sum_cents) — no float summation-order divergence
+    between engines can flip a boundary row; only the reported average
+    itself is quantized. Stats are HLL-approximate (the 100 TB path) —
+    they steer the PLAN, never the values, so the oracle is unaffected.
+
+    100 TB: ANALYZE is one map-side-combined pass riding maintenance;
+    the dim aggregate shuffles ~NDV rows; the fact side never
+    shuffles for the join (broadcast), which is the entire point."""
+    from . import cbo
+    from .sources import txlog as _txlog
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    root = os.path.join(_fresh_dir("txcbo", sf_dir), "tbl")
+    t = _txlog.TxTable.create(spark, root, ev, stat_cols=["cents"])
+    report = t.auto_maintain(retention_sec=3600.0)
+    if "analyze" not in report["executed"]:
+        raise RuntimeError(f"auto_maintain skipped ANALYZE: {report}")
+    if t.stats_version() != t.version():
+        raise RuntimeError("stats version stamp out of step with table")
+    again = t.auto_maintain(retention_sec=3600.0)
+    if "analyze" in again["executed"]:
+        raise RuntimeError("fresh stats were re-ANALYZEd (wasted pass)")
+    stats = t.table_stats()
+    dim_stats = cbo.derived_stats_for_agg(stats, ["event_type"], n_agg_cols=2)
+    if dim_stats.estimated_bytes() > 1 << 20:
+        raise RuntimeError(
+            f"catalog NDV estimate too large to broadcast: {dim_stats}"
+        )
+    fact = t.read()
+    dim = fact.groupBy("event_type").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count("cents").cast("bigint").alias("c"),
+    )
+    joined = cbo.stats_informed_join(fact, dim, "event_type", right_stats=dim_stats)
+    return (
+        joined.groupBy("event_type", "s", "c")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("cents") * F.col("c") > F.col("s"), 1).otherwise(0)
+            ).cast("bigint").alias("n_above_avg"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_above_avg",
+            quantize(F.col("s").cast("double") / F.col("c"), "avg_value", 2),
+        )
+        .orderBy("event_type")
+    )

@@ -1824,6 +1824,7 @@ class TxTable:
         small_file_bytes: int = 32 << 20,
         retention_sec: float = 3600.0,
         min_dv_rows: int = 1,
+        analyze: bool = True,
     ) -> dict:
         """The policy loop over :meth:`maintenance_advice`: EXECUTE
         whatever the advice names (Delta auto-optimize shape — the
@@ -1832,7 +1833,16 @@ class TxTable:
         → :meth:`purge_deletes`; reclaimable orphans → :meth:`vacuum`.
         Returns the advice that triggered, the verbs run, and the
         resulting version. Decisions come from O(files) driver
-        metadata; only the rewrites the advice justifies touch data."""
+        metadata; only the rewrites the advice justifies touch data.
+
+        ``analyze=True`` closes the ANALYZE→CBO loop as part of the
+        same maintenance cycle (r9 verdict task 5): one extra
+        map-side-combined aggregate pass refreshes the table's
+        :class:`cbo.StatsCatalog` entry (``<root>/_stats``) whenever
+        the table version moved since the last ANALYZE — so catalog
+        stats ride maintenance instead of taxing every write, and
+        :func:`cbo.stats_informed_join` consumers always see stats no
+        older than one maintenance cycle."""
         advice = self.maintenance_advice(
             small_file_bytes=small_file_bytes, retention_sec=retention_sec
         )
@@ -1846,11 +1856,55 @@ class TxTable:
         if advice["n_vacuum_orphans"] > 0:
             self.vacuum(retention_sec)
             executed.append("vacuum")
+        if analyze and self.stats_version() != self.version():
+            self.analyze_table()
+            executed.append("analyze")
         return {
             "advice": advice,
             "executed": executed,
             "version": self.version(),
         }
+
+    # -- ANALYZE → CBO loop -------------------------------------------------
+
+    _STATS_DIR = "_stats"
+    _STATS_NAME = "table"
+
+    def stats_catalog(self):
+        """The table's own :class:`cbo.StatsCatalog`, rooted at
+        ``<root>/_stats`` — stats live WITH the data (vacuum never
+        walks outside ``_data``, so they are safe from reaping)."""
+        from ..cbo import StatsCatalog
+
+        return StatsCatalog(os.path.join(self.root, self._STATS_DIR))
+
+    def analyze_table(self, exact: bool = False):
+        """ANALYZE the current snapshot into the table's catalog (one
+        aggregate pass: count / NDV / nulls / widths — cbo.analyze)
+        and stamp the analyzed table version next to it, so stale
+        stats are detectable. Returns the TableStats."""
+        cat = self.stats_catalog()
+        stats = cat.analyze(self._STATS_NAME, self.read(), exact=exact)
+        with open(
+            os.path.join(self.root, self._STATS_DIR, "version.json"), "w"
+        ) as fh:
+            json.dump({"version": self.version()}, fh)
+        return stats
+
+    def table_stats(self):
+        """Catalog stats from the last ANALYZE, or None. Callers can
+        compare :meth:`stats_version` with :meth:`version` to judge
+        staleness (the auto_maintain hook keeps them in step)."""
+        return self.stats_catalog().get(self._STATS_NAME)
+
+    def stats_version(self) -> int | None:
+        """Table version the stored stats were computed at (None if
+        never analyzed)."""
+        p = os.path.join(self.root, self._STATS_DIR, "version.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return int(json.load(fh)["version"])
 
     _BLOOM_SALT = "__txbloom2__"
 

@@ -289,3 +289,203 @@ class DriftMonitor:
                 raise ValueError(
                     f"last logged PSI {log['psi']} != recomputed {want}"
                 )
+
+
+# ---------------------------------------------------------------------------
+# KS drift monitor (r9 verdict task 6): same state machinery, the
+# distribution-SHAPE statistic. PSI needs binning; KS bounds the max
+# ECDF gap anywhere — the streaming twin of queries_insight's batch
+# ks_test_drift, with the ECDF computed by the SAME prefix-sum ranks
+# (ranks.with_prefix_sums — bucket-partitioned windows + broadcast
+# triangle offsets, never a single-task global sort).
+#
+# State here is the DISTINCT-VALUE count relation (v, n_rows)
+# maintained by signed folds — exact, so the logged statistic equals a
+# batch recomputation bit-for-bit under any batch boundaries. The
+# state is bounded by the metric's distinct-value domain: right for
+# monitoring metrics, which are quantized/bounded by nature (prices in
+# cents, latencies in ms buckets); for a genuinely unbounded domain,
+# quantize with bin_expr first and accept binned-KS semantics.
+# ---------------------------------------------------------------------------
+
+VALS_SCHEMA = "v double, n_rows bigint"
+KS_LOG_SCHEMA = (
+    "batch_id bigint, d_stat double, ks_lambda double, n_rows bigint"
+)
+
+KS_CRITICAL_05 = 1.358  # asymptotic two-sample critical value, α=0.05
+
+
+def value_counts(df: DataFrame, value_col: str) -> DataFrame:
+    """Distinct-value counts (v, n_rows), NULLs excluded (a NULL is
+    not a sample point of the ECDF; also the engines order NULLs
+    oppositely — the batch ks_test_drift rule)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+
+
+def delta_value_counts(batch_df: DataFrame, value_col: str) -> DataFrame:
+    """One micro-batch of CDC rows → per-value signed count delta."""
+    w = ivm.signed_weight()
+    return (
+        batch_df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(F.sum(w).cast("bigint").alias("n_rows"))
+    )
+
+
+def ks_stats(cur_vals: DataFrame, ref_vals: DataFrame) -> DataFrame:
+    """ONE-row two-sample KS relation between two distinct-value count
+    relations: (n_ref, n_cur, d_stat, ks_lambda, drift_detected).
+    Both ECDFs ride one prefix-sum pass over the value union
+    (ranks.with_prefix_sums); D is a plain max over that relation."""
+    from ..operators import ranks
+
+    j = (
+        cur_vals.select("v", F.col("n_rows").alias("cur_w"))
+        .join(
+            ref_vals.select("v", F.col("n_rows").alias("ref_w")),
+            "v",
+            "full_outer",
+        )
+        .select(
+            "v",
+            F.coalesce("cur_w", F.lit(0)).cast("double").alias("cur_w"),
+            F.coalesce("ref_w", F.lit(0)).cast("double").alias("ref_w"),
+        )
+    )
+    c = ranks.with_prefix_sums(
+        j, [("v", "asc")], ["ref_w", "cur_w"], ["c_ref", "c_cur"]
+    )
+    tot = c.agg(
+        F.sum("ref_w").cast("double").alias("n_ref"),
+        F.sum("cur_w").cast("double").alias("n_cur"),
+    )
+    g = c.crossJoin(F.broadcast(tot))
+    gap = F.abs(F.col("c_ref") / F.col("n_ref") - F.col("c_cur") / F.col("n_cur"))
+    lam = F.max(gap) * F.sqrt(
+        F.col("n_ref") * F.col("n_cur") / (F.col("n_ref") + F.col("n_cur"))
+    )
+    return g.groupBy("n_ref", "n_cur").agg(
+        F.max(gap).alias("d_stat"), lam.alias("ks_lambda")
+    ).select(
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        "d_stat",
+        "ks_lambda",
+        (F.col("ks_lambda") > KS_CRITICAL_05).alias("drift_detected"),
+    )
+
+
+class KsDriftMonitor:
+    """Streaming two-sample KS monitor over the CDC feed — the
+    DriftMonitor lifecycle with distinct-value state and the prefix-sum
+    ECDF statistic. The reference value-count relation is MATERIALIZED
+    once at monitor creation (its own txlog table — unlike PSI's ≤B
+    bins it is not driver-collectable in general), so per trigger the
+    cost is the change fold + one prefix-sum pass over the value
+    union, never a source rescan."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: TxTable,
+        root: str,
+        value_col: str,
+        ref_version: int = 0,
+        app_id: str = "ksdriftmon",
+    ):
+        import os
+
+        self.spark = spark
+        self.source = source
+        self.value_col = value_col
+        self.app_id = app_id
+        self.vals = TxTable.create(
+            spark,
+            os.path.join(root, "vals"),
+            spark.createDataFrame([], VALS_SCHEMA),
+            stat_cols=["v"],
+        )
+        self.ref_vals = TxTable.create(
+            spark,
+            os.path.join(root, "ref_vals"),
+            value_counts(source.read(version=ref_version), value_col),
+            stat_cols=["v"],
+        )
+        self.ks_log = TxTable.create(
+            spark,
+            os.path.join(root, "ks_log"),
+            spark.createDataFrame([], KS_LOG_SCHEMA),
+            stat_cols=["batch_id"],
+        )
+
+    def sink(self):
+        vals, ref, log = self.vals, self.ref_vals, self.ks_log
+        value_col, app_id = self.value_col, self.app_id
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            spark = batch_df.sparkSession
+            delta = delta_value_counts(batch_df, value_col)
+            cur = vals.read().select("v", F.col("n_rows").alias("__cur"))
+            merged = delta.join(cur, "v", "left").select(
+                "v",
+                (F.coalesce(F.col("__cur"), F.lit(0)) + F.col("n_rows"))
+                .cast("bigint")
+                .alias("n_rows"),
+            )
+            vals.merge_upsert(
+                merged, "v", stream_txn=(app_id + "_vals", batch_id)
+            )
+            row = ks_stats(
+                vals.read().filter(F.col("n_rows") != 0), ref.read()
+            ).first()
+            log.append_stream_batch(
+                spark.createDataFrame(
+                    [
+                        (
+                            int(batch_id),
+                            float(row["d_stat"]),
+                            float(row["ks_lambda"]),
+                            int(row["n_cur"]),
+                        )
+                    ],
+                    KS_LOG_SCHEMA,
+                ),
+                app_id + "_log",
+                batch_id,
+            )
+
+        return _sink
+
+    def current_ks(self) -> DataFrame:
+        return ks_stats(
+            self.vals.read().filter(F.col("n_rows") != 0),
+            self.ref_vals.read(),
+        )
+
+    def assert_consistent(self) -> None:
+        """The maintained value counts must equal direct counting of
+        the source's CURRENT snapshot, and the last logged D must
+        equal the D recomputed from final state."""
+        direct = value_counts(self.source.read(), self.value_col)
+        mine = self.vals.read().filter(F.col("n_rows") != 0)
+        if (
+            mine.exceptAll(direct).limit(1).count()
+            or direct.exceptAll(mine).limit(1).count()
+        ):
+            raise ValueError(
+                "maintained value counts diverged from direct counting"
+            )
+        log = self.ks_log.read().orderBy(F.desc("batch_id")).limit(1).first()
+        if log is not None:
+            want = self.current_ks().first()["d_stat"]
+            if not math.isclose(
+                log["d_stat"], want, rel_tol=1e-9, abs_tol=1e-12
+            ):
+                raise ValueError(
+                    f"last logged KS D {log['d_stat']} != recomputed {want}"
+                )

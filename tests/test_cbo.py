@@ -123,3 +123,84 @@ def test_neither_side_qualifies_falls_back(spark, orders, lineitem, tmp_path):
     # falls back to a PLAIN join (Catalyst/AQE may still pick their own
     # strategy — the point is no stats-forced hint) and stays correct
     assert out.count() == lineitem.count()
+
+
+def test_derived_stats_for_agg(spark, orders):
+    base = cbo.analyze(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        exact=True,
+    )
+    d = cbo.derived_stats_for_agg(base, ["o_orderpriority"], n_agg_cols=2)
+    assert d.row_count == 5  # NDV of the group key
+    assert d.estimated_bytes() < 1024
+    # grouping by a unique key can never exceed the base row count
+    d2 = cbo.derived_stats_for_agg(
+        base, ["o_orderkey", "o_orderpriority"], n_agg_cols=1
+    )
+    assert d2.row_count == base.row_count
+
+
+def test_txlog_auto_maintain_runs_analyze(spark, tmp_path):
+    from data_mastery_pipeline_spark.sources.txlog import TxTable
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("event_type"),
+        (F.col("id") * 3).alias("cents"),
+    )
+    t = TxTable.create(spark, str(tmp_path / "tbl"), df, stat_cols=["cents"])
+    assert t.table_stats() is None and t.stats_version() is None
+    rep = t.auto_maintain()
+    assert "analyze" in rep["executed"]
+    stats = t.table_stats()
+    assert stats is not None and stats.row_count == 100
+    assert t.stats_version() == t.version()
+    # fresh stats: a second maintenance cycle must not re-ANALYZE
+    assert "analyze" not in t.auto_maintain()["executed"]
+    # a write moves the version -> the next cycle re-ANALYZEs
+    t.append(df.limit(10))
+    rep3 = t.auto_maintain()
+    assert "analyze" in rep3["executed"]
+    assert t.table_stats().row_count == 110
+    assert t.stats_version() == t.version()
+
+
+def test_registered_query_broadcasts_from_catalog_stats(spark, tmp_path):
+    """The r9 verdict task-5 'done' gate: a registered query's join is
+    broadcast FROM CATALOG STATS on a derived relation AQE would
+    shuffle first. This pins the exact plan decision
+    cbo_broadcast_enrichment makes, at a threshold below the scan size
+    and with AQE's rescue disabled."""
+    from data_mastery_pipeline_spark.sources.txlog import TxTable
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 7).cast("string").alias("event_type"),
+        (F.col("id") * 13 % 1000).alias("cents"),
+    )
+    t = TxTable.create(spark, str(tmp_path / "tbl"), df, stat_cols=["cents"])
+    t.auto_maintain()
+    dim_stats = cbo.derived_stats_for_agg(
+        t.table_stats(), ["event_type"], n_agg_cols=2
+    )
+    assert dim_stats.row_count == 7
+    fact = t.read()
+    dim = fact.groupBy("event_type").agg(
+        F.sum("cents").alias("s"), F.count("cents").alias("c")
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plain = fact.join(dim, "event_type")
+        assert inspect.broadcast_join_count(plain) == 0
+        assert "SortMergeJoin" in inspect.formatted_plan(plain)
+        informed = cbo.stats_informed_join(
+            fact, dim, "event_type", right_stats=dim_stats
+        )
+        assert inspect.broadcast_join_count(informed) >= 1
+        a = sorted(map(tuple, plain.groupBy("event_type").count().collect()))
+        b = sorted(map(tuple, informed.groupBy("event_type").count().collect()))
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

@@ -51,7 +51,9 @@ _GOV_ACTION = {
     "mv_navigation",
     "result_cache_daily",
     "stream_geofence_counts",
-    "spatial_knn",  # fan_out probe materializes; plan pinned in test_gov
+    # fan_out probe materializes; grid-vs-brute EQUALITY pinned in
+    # test_gov.py, the fan-out plan behavior in test_sources.py
+    "spatial_knn",
 }
 
 _PURE = sorted(

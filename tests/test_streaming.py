@@ -840,3 +840,67 @@ def test_drift_monitor_multibatch_exactly_once(spark, tmp_path):
     drain()
     assert mon.psi_log.read().count() == 2
     assert sorted(tuple(r) for r in mon.bins.read().collect()) == bins_before
+
+
+def test_ks_drift_monitor_multibatch_exactly_once(spark, tmp_path):
+    """KsDriftMonitor (r10) across REAL micro-batch boundaries — the
+    PSI twin's contract for the shape statistic: one ks_log row per
+    trigger, maintained value counts == direct counting after every
+    drain, D grows when mass shifts, and a same-checkpoint replay
+    no-ops both the merge and the log."""
+    import os
+
+    from data_mastery_pipeline_spark.sources import txlog as _txlog
+    from data_mastery_pipeline_spark.streaming import drift
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    src_root = str(tmp_path / "src")
+    src = _txlog.TxTable.create(
+        spark,
+        src_root,
+        ev.filter(F.col("event_id") % 4 == 0).repartition(2, "event_id"),
+        stat_cols=["event_id", "value"],
+    )
+    mon = drift.KsDriftMonitor(
+        spark, src, str(tmp_path / "mon"), "value", ref_version=0
+    )
+    _txlog.register(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog_feed")
+            .option("root", src_root)
+            .option("mode", "cdf")
+            .load()
+            .writeStream.foreachBatch(mon.sink())
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # trigger 1: the reference state itself → D == 0 exactly
+    mon.assert_consistent()
+    log1 = mon.ks_log.read().collect()
+    assert len(log1) == 1
+    assert log1[0]["d_stat"] == 0.0  # identical samples: every gap is 0
+
+    # trigger 2: shift mass up hard, delete a band
+    src.update_where(
+        "value", 0.0, 200.0, {"value": F.col("value") + 250.0}, mode="dv"
+    )
+    src.delete_where("value", 200.0, 250.0)
+    drain()
+    mon.assert_consistent()
+    log2 = sorted(mon.ks_log.read().collect(), key=lambda r: r["batch_id"])
+    assert len(log2) == 2
+    assert log2[1]["d_stat"] > log2[0]["d_stat"]
+    row = mon.current_ks().first()
+    assert row["drift_detected"]  # a 250-point shift is unmissable
+    assert 0.0 < row["d_stat"] <= 1.0
+
+    # replay: nothing new on the feed → no third log row, state stable
+    vals_before = sorted(tuple(r) for r in mon.vals.read().collect())
+    drain()
+    assert mon.ks_log.read().count() == 2
+    assert sorted(tuple(r) for r in mon.vals.read().collect()) == vals_before

@@ -103,5 +103,15 @@ def test_auto_maintain_noop_on_healthy_table(spark, root):
         _df(spark, [(i, "a", float(i)) for i in range(10)]).coalesce(1),
     )
     report = t.auto_maintain(retention_sec=3600.0)
-    assert report["executed"] == []
+    # physically healthy, but never ANALYZEd: the first cycle owes the
+    # stats catalog one aggregate pass (r10 ANALYZE->CBO hook) and
+    # nothing else; the second cycle is the true no-op
+    assert report["executed"] == ["analyze"]
     assert report["version"] == t.version()
+    assert t.stats_version() == t.version()
+    again = t.auto_maintain(retention_sec=3600.0)
+    assert again["executed"] == []
+    # the hook is also suppressible (a caller that wants the pure
+    # physical-maintenance verbs)
+    t2 = TxTable(spark, t.root)
+    assert "analyze" not in t2.auto_maintain(analyze=False)["executed"]
