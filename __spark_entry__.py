@@ -42,6 +42,7 @@ _PRIORITY = [
     "edit_near_dups_lsh",  # re-scoped off the quadratic path (r9 weak)
     "cbo_broadcast_enrichment",  # ANALYZE→CBO loop wired into a query
     "stream_ks_drift",  # streaming KS monitor (PSI twin, r9 task 6)
+    "stream_cusum_drift",  # streaming CUSUM — the family's third leg
     # (b) r4 cohort (latest green row r4):
     "asof_join_purchases",
     "boilerplate_ngram_share",

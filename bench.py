@@ -233,6 +233,9 @@ HEADLINE = [
 #                            + per-trigger commits); the KS statistic
 #                            is one prefix-sum pass over the
 #                            distinct-value union, timed in ks_test_drift
+#   stream_cusum_drift       ~25 s: same lifecycle class; the CUSUM
+#                            recursion runs on the calendar-bounded
+#                            day relation, timed in cusum_revenue_shift
 #   mv_sql_lifecycle         ~15 s: CREATE MV (full aggregate) + 2 DML
 #                            + refresh — each leg benched via mv_minmax
 #                            / mv_join_view / txlog_sql_dml; the SQL

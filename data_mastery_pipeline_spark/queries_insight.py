@@ -1155,3 +1155,143 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.col("ks_lambda"), "ks_lambda", 4),
         "drift_detected",
     )
+
+
+@query(
+    "stream_cusum_drift",
+    """
+    WITH base AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    ),
+    updated AS (
+      SELECT day,
+             CASE WHEN day >= DATE '1996-01-01'
+                  THEN cents + 500000 ELSE cents END AS cents
+      FROM base
+    ),
+    unioned AS (
+      SELECT day, cents FROM updated
+      UNION ALL
+      SELECT CAST(o_orderdate AS DATE),
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      FROM orders WHERE o_orderkey % 3 = 2
+    ),
+    final AS (
+      SELECT day, cents FROM unioned
+      WHERE NOT coalesce(cents BETWEEN 0 AND 500000, FALSE)
+    ),
+    refdaily AS (
+      SELECT day, CAST(sum(cents) AS DOUBLE) / 100.0 AS x
+      FROM base GROUP BY day
+    ),
+    s AS (
+      SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM refdaily
+    ),
+    daily AS (
+      SELECT day, CAST(sum(cents) AS DOUBLE) / 100.0 AS x
+      FROM final GROUP BY day HAVING sum(cents) != 0
+    ),
+    y AS (
+      SELECT day, x, mu, sd,
+             sum(x - mu - sd / 2.0) OVER w AS y_pos,
+             sum(mu - sd / 2.0 - x) OVER w AS y_neg
+      FROM daily, s
+      WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    c AS (
+      SELECT day, x, sd,
+             y_pos - least(0.0, min(y_pos) OVER w) AS s_pos,
+             y_neg - least(0.0, min(y_neg) OVER w) AS s_neg
+      FROM y
+      WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT day,
+           floor(x * 100 + 0.5) / 100.0 AS revenue,
+           floor(s_pos / sd * 100 + 0.5) / 100.0 AS cusum_up_sigma,
+           floor(s_neg / sd * 100 + 0.5) / 100.0 AS cusum_down_sigma,
+           greatest(s_pos, s_neg) > 4.0 * sd AS alarm
+    FROM c ORDER BY day
+    """,
+)
+def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM monitor
+    (streaming/drift.py::CusumDriftMonitor, r10) — the third leg of
+    the streaming monitoring family (PSI r9 = binned mass, KS r10 =
+    distribution shape, CUSUM = sustained LOCATION shift in a
+    time-ordered series): per-day revenue state maintained from the
+    txlog CDC feed by signed folds in INTEGER CENTS (exact commutative
+    algebra — any batch boundary yields the identical state), merged
+    exactly-once per trigger; (μ, σ) pinned from the daily series at
+    table version 0; per-trigger max CUSUM statistics appended
+    exactly-once to a cusum_log. Lifecycle: create (reference) →
+    sustained +5000.00 shift on every 1996+ order (DV update — the
+    regime change CUSUM exists to catch) → append a new order slice →
+    delete the small-order band → availableNow drain.
+
+    Self-asserting: maintained day sums must equal direct summing of
+    the final snapshot, and the last logged max must equal the max
+    recomputed from final state. The driver-checked output is the full
+    per-day CUSUM relation (the batch cusum_revenue_shift arithmetic
+    against the PINNED reference), which DuckDB recomputes by
+    mirroring the DML algebraically.
+
+    100 TB: per trigger the fold is one hash aggregate of the CHANGE
+    rows to day cells, the merge rewrites O(files) of a
+    calendar-bounded table, and the recursion runs on ≤365·years rows
+    (the plan-hygiene allowlist class). Zero-sum day cells are
+    indistinguishable from deleted days in signed-fold state — both
+    drop (revenue is positive, so a netted-to-zero day IS a deleted
+    day; mirrored via HAVING in the oracle)."""
+    from .queries_src import _fresh_dir
+    from .sources import txlog as _txlog
+    from .streaming import drift as _drift
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    base_dir = _fresh_dir("cusumdrift", sf_dir)
+    src = _txlog.TxTable.create(
+        spark,
+        os.path.join(base_dir, "src"),
+        orders.filter(F.col("o_orderkey") % 3 < 2).repartition(4, "o_orderkey"),
+        stat_cols=["day", "cents"],
+    )
+    mon = _drift.CusumDriftMonitor(
+        spark, src, os.path.join(base_dir, "mon"), "day", "cents",
+        ref_version=0,
+    )
+    # ISO day strings order chronologically, so the string range IS the
+    # date range (day is stored as string for portable file stats)
+    src.update_where(
+        "day", "1996-01-01", "9999-12-31",
+        {"cents": F.col("cents") + 500000}, mode="dv",
+    )
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    src.delete_where("cents", 0, 500000)
+
+    _txlog.register(spark)
+    q = (
+        spark.readStream.format("txlog_feed")
+        .option("root", os.path.join(base_dir, "src"))
+        .option("mode", "cdf")
+        .load()
+        .writeStream.foreachBatch(mon.sink())
+        .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mon.assert_consistent()
+    return mon.current_cusum().select(
+        "day",
+        quantize(F.col("revenue"), "revenue"),
+        quantize(F.col("cusum_up_sigma"), "cusum_up_sigma"),
+        quantize(F.col("cusum_down_sigma"), "cusum_down_sigma"),
+        "alarm",
+    ).orderBy("day")

@@ -1675,6 +1675,13 @@ class TxTable:
                     "operators.cleaning.dedup_latest) before merging"
                 )
             lo, hi = bounds["lo"], bounds["hi"]
+            if not isinstance(lo, (int, float, str)):
+                # temporal/other non-JSON key bounds: record ISO forms
+                # (ISO order == temporal order, so the logged range
+                # stays a sound conflict-detection interval). File
+                # stats skip these types at harvest anyway, so hit
+                # detection below is already conservative-all.
+                lo, hi = str(lo), str(hi)
             # a file with NO key stats (e.g. all-NULL key column —
             # parquet writes no min/max) cannot be proven disjoint;
             # rewriting it is CORRECT either way (the anti-join only

@@ -489,3 +489,226 @@ class KsDriftMonitor:
                 raise ValueError(
                     f"last logged KS D {log['d_stat']} != recomputed {want}"
                 )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift monitor (r10): the LOCATION-shift sequential test on the
+# same exactly-once CDC state machinery — completes the streaming
+# monitoring family (PSI = binned mass, KS = distribution shape,
+# CUSUM = sustained mean shift in a time-ordered series, long before
+# any single day trips a z-score).
+#
+# State is the per-DAY sum relation (day, x_cents) maintained by
+# signed folds in INTEGER CENTS (exact, commutative — any batch
+# boundary yields the same state), merged exactly-once per trigger.
+# μ/σ are pinned from the reference version's daily series at monitor
+# creation (a 1-row aggregate — driver-collectable like PSI's bins).
+# Per trigger the CUSUM recursion is recomputed over the maintained
+# state — calendar-bounded (≤365·years rows regardless of data
+# volume, the plan-hygiene allowlist class) — and the max statistics
+# are appended to a cusum_log exactly-once.
+# ---------------------------------------------------------------------------
+
+# day is an ISO string (not date): parquet footer stats skip temporal
+# types, so a string key keeps the state-table merges file-PRUNABLE
+# (ISO order == chronological order); outputs cast to date
+DAYS_SCHEMA = "day string, x_cents bigint"
+CUSUM_LOG_SCHEMA = (
+    "batch_id bigint, max_up double, max_down double, "
+    "alarm boolean, n_days bigint"
+)
+
+
+def day_sums(df: DataFrame, day_col: str, cents_col: str) -> DataFrame:
+    """Per-day integer-cents sums (day, x_cents); NULL days excluded
+    (not points of the series)."""
+    return (
+        df.filter(F.col(day_col).isNotNull())
+        .groupBy(
+            F.col(day_col).cast("date").cast("string").alias("day")
+        )
+        .agg(F.sum(cents_col).cast("bigint").alias("x_cents"))
+    )
+
+
+def delta_day_sums(
+    batch_df: DataFrame, day_col: str, cents_col: str
+) -> DataFrame:
+    """One micro-batch of CDC rows → per-day signed cents delta."""
+    w = ivm.signed_weight()
+    return (
+        batch_df.filter(F.col(day_col).isNotNull())
+        .groupBy(
+            F.col(day_col).cast("date").cast("string").alias("day")
+        )
+        .agg(F.sum(F.col(cents_col) * w).cast("bigint").alias("x_cents"))
+    )
+
+
+def cusum_table(days: DataFrame, mu: float, sd: float) -> DataFrame:
+    """Two-sided CUSUM (Page 1954; slack k = σ/2, decision h = 4σ —
+    the batch cusum_revenue_shift recursion via its closed form
+    S_i = Y_i − min(0, min_{j≤i} Y_j)) over a per-day relation against
+    a PINNED (μ, σ). Returns (day, revenue, cusum_up, cusum_down,
+    alarm) ordered by day. Unpartitioned running windows are justified
+    here: the input is calendar-bounded by construction."""
+    from pyspark.sql import Window
+
+    x = F.col("x_cents").cast("double") / 100.0
+    k = sd / 2.0
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = days.select(F.col("day").cast("date").alias("day"), x.alias("x"))
+    d = d.withColumn("y_pos", F.sum(F.col("x") - mu - k).over(w)).withColumn(
+        "y_neg", F.sum(mu - k - F.col("x")).over(w)
+    )
+    d = d.withColumn(
+        "s_pos", F.col("y_pos") - F.least(F.lit(0.0), F.min("y_pos").over(w))
+    ).withColumn(
+        "s_neg", F.col("y_neg") - F.least(F.lit(0.0), F.min("y_neg").over(w))
+    )
+    # σ units, not raw sums: a raw cumsum of ~1e9 quantized at 2dp
+    # would demand 11 significant digits of cross-engine double
+    # agreement (measured: one boundary flip at sf0.01); the σ ratio
+    # needs ~6 and is the standard CUSUM reporting unit anyway
+    return d.select(
+        "day",
+        F.col("x").alias("revenue"),
+        (F.col("s_pos") / sd).alias("cusum_up_sigma"),
+        (F.col("s_neg") / sd).alias("cusum_down_sigma"),
+        (F.greatest("s_pos", "s_neg") > 4.0 * sd).alias("alarm"),
+    ).orderBy("day")
+
+
+class CusumDriftMonitor:
+    """Streaming CUSUM monitor over the CDC feed — DriftMonitor's
+    lifecycle with per-day integer-cents state and the sequential
+    location statistic. The source table must carry (day_col,
+    cents_col) directly (precompute cents at table-build time so the
+    fold stays exact integer algebra)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: TxTable,
+        root: str,
+        day_col: str,
+        cents_col: str,
+        ref_version: int = 0,
+        app_id: str = "cusumdriftmon",
+    ):
+        import os
+
+        self.spark = spark
+        self.source = source
+        self.day_col = day_col
+        self.cents_col = cents_col
+        self.app_id = app_id
+        self.days = TxTable.create(
+            spark,
+            os.path.join(root, "days"),
+            spark.createDataFrame([], DAYS_SCHEMA),
+            stat_cols=["day"],
+        )
+        self.cusum_log = TxTable.create(
+            spark,
+            os.path.join(root, "cusum_log"),
+            spark.createDataFrame([], CUSUM_LOG_SCHEMA),
+            stat_cols=["batch_id"],
+        )
+        ref = (
+            day_sums(source.read(version=ref_version), day_col, cents_col)
+            .select((F.col("x_cents").cast("double") / 100.0).alias("x"))
+            .agg(F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd"))
+            .first()
+        )
+        if ref["mu"] is None or ref["sd"] is None or ref["sd"] == 0.0:
+            raise ValueError(
+                "CUSUM reference window needs >= 2 days with variance "
+                f"(got mu={ref['mu']}, sd={ref['sd']}) — pick a ref_version "
+                "with a real daily series"
+            )
+        self.mu = float(ref["mu"])
+        self.sd = float(ref["sd"])
+
+    def sink(self):
+        days, log = self.days, self.cusum_log
+        day_col, cents_col, app_id = self.day_col, self.cents_col, self.app_id
+        mu, sd = self.mu, self.sd
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            spark = batch_df.sparkSession
+            delta = delta_day_sums(batch_df, day_col, cents_col)
+            cur = days.read().select("day", F.col("x_cents").alias("__cur"))
+            merged = delta.join(cur, "day", "left").select(
+                "day",
+                (F.coalesce(F.col("__cur"), F.lit(0)) + F.col("x_cents"))
+                .cast("bigint")
+                .alias("x_cents"),
+            )
+            days.merge_upsert(
+                merged, "day", stream_txn=(app_id + "_days", batch_id)
+            )
+            c = cusum_table(
+                days.read().filter(F.col("x_cents") != 0), mu, sd
+            )
+            row = c.agg(
+                F.max("cusum_up_sigma").alias("up"),
+                F.max("cusum_down_sigma").alias("down"),
+                F.max(F.col("alarm").cast("int")).alias("alarm"),
+                F.count("*").cast("bigint").alias("n_days"),
+            ).first()
+            log.append_stream_batch(
+                spark.createDataFrame(
+                    [
+                        (
+                            int(batch_id),
+                            float(row["up"]),
+                            float(row["down"]),
+                            bool(row["alarm"]),
+                            int(row["n_days"]),
+                        )
+                    ],
+                    CUSUM_LOG_SCHEMA,
+                ),
+                app_id + "_log",
+                batch_id,
+            )
+
+        return _sink
+
+    def current_cusum(self) -> DataFrame:
+        return cusum_table(
+            self.days.read().filter(F.col("x_cents") != 0), self.mu, self.sd
+        )
+
+    def assert_consistent(self) -> None:
+        """Maintained day sums must equal direct summing of the
+        source's CURRENT snapshot; the last logged maxima must equal
+        the maxima recomputed from final state."""
+        direct = day_sums(self.source.read(), self.day_col, self.cents_col)
+        direct = direct.filter(F.col("x_cents") != 0)
+        mine = self.days.read().filter(F.col("x_cents") != 0)
+        if (
+            mine.exceptAll(direct).limit(1).count()
+            or direct.exceptAll(mine).limit(1).count()
+        ):
+            raise ValueError(
+                "maintained day sums diverged from direct summing"
+            )
+        log = (
+            self.cusum_log.read().orderBy(F.desc("batch_id")).limit(1).first()
+        )
+        if log is not None:
+            want = (
+                self.current_cusum()
+                .agg(F.max("cusum_up_sigma").alias("up"))
+                .first()["up"]
+            )
+            if not math.isclose(
+                log["max_up"], want, rel_tol=1e-9, abs_tol=1e-12
+            ):
+                raise ValueError(
+                    f"last logged CUSUM {log['max_up']} != recomputed {want}"
+                )

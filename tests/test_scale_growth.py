@@ -1,0 +1,83 @@
+"""The standing scale gate (r9 verdict task 1 — institutionalize the
+10× growth capture the way test_plan_hygiene institutionalized plan
+discipline): given the committed paired bench artifacts
+(tools/bench_r10_sf01.json at sf0.1 and tools/bench_r10_sf1.json at
+10× amplified data, same box, back-to-back), EVERY run entry must grow
+≤ k × slack = 13×, and every skipped entry must be EXPLICIT in the big
+capture's ``skipped_entries`` — silent shrinkage of the benched
+surface is exactly how a super-linear entry hides.
+
+When a round re-captures, point the constants at the new pair; the
+test is intentionally cheap (pure JSON) so it runs in every pytest
+sweep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+_TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+SMALL = os.path.join(_TOOLS, "bench_r10_sf01.json")
+BIG = os.path.join(_TOOLS, "bench_r10_sf1.json")
+K = 10.0  # amplification factor of the big capture
+SLACK = 1.3  # the r8 verdict's super-linear threshold
+
+
+def _load(path):
+    if not os.path.exists(path):
+        pytest.skip(f"capture artifact missing: {path}")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_no_entry_grows_superlinearly():
+    small = _load(SMALL)["queries"]
+    big = _load(BIG)["queries"]
+    flagged = []
+    for name, t_small in small.items():
+        t_big = big.get(name)
+        if t_big is None or t_small < 1.0:
+            # <1 s at the small SF: fixed-overhead noise dominates
+            # (the growth_report rule); missing: judged below
+            continue
+        growth = t_big / t_small
+        if growth > K * SLACK:
+            flagged.append((name, t_small, t_big, round(growth, 1)))
+    assert not flagged, (
+        f"entries grew super-linearly at {K:.0f}x data "
+        f"(>{K * SLACK:.0f}x): {flagged} — diagnose with "
+        "tools/growth_report.py, fix the algorithm or adjudicate "
+        "loudly (never silently)"
+    )
+
+
+def test_every_skip_is_explicit():
+    small = _load(SMALL)
+    big = _load(BIG)
+    declared = set(
+        big.get("detail", {}).get("skipped_entries", [])
+    )
+    missing = {
+        name for name in small["queries"] if name not in big["queries"]
+    }
+    assert missing <= declared, (
+        f"entries silently absent from the 10x capture: "
+        f"{sorted(missing - declared)} (use SPARK_GRAFT_BENCH_SKIP "
+        "so the skip is recorded in the artifact)"
+    )
+
+
+def test_total_growth_is_sublinear():
+    small = _load(SMALL)["queries"]
+    big = _load(BIG)["queries"]
+    common = [n for n in small if n in big]
+    assert len(common) >= 80  # the benched surface stays broad
+    tot_small = sum(small[n] for n in common)
+    tot_big = sum(big[n] for n in common)
+    assert tot_big / tot_small < K, (
+        f"total wall grew {tot_big / tot_small:.1f}x at {K:.0f}x data "
+        "— the capture lost its sublinearity"
+    )

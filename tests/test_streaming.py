@@ -904,3 +904,69 @@ def test_ks_drift_monitor_multibatch_exactly_once(spark, tmp_path):
     drain()
     assert mon.ks_log.read().count() == 2
     assert sorted(tuple(r) for r in mon.vals.read().collect()) == vals_before
+
+
+def test_cusum_drift_monitor_multibatch_exactly_once(spark, tmp_path):
+    """CusumDriftMonitor (r10): one cusum_log row per trigger,
+    maintained integer-cents day state == direct summing after every
+    drain, a sustained shift raises the statistic, and a
+    same-checkpoint replay no-ops merge and log."""
+    import os
+
+    from data_mastery_pipeline_spark.sources import txlog as _txlog
+    from data_mastery_pipeline_spark.streaming import drift
+
+    orders = load_table(spark, "orders", SF_SMOKE).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    src_root = str(tmp_path / "src")
+    src = _txlog.TxTable.create(
+        spark,
+        src_root,
+        orders.filter(F.col("o_orderkey") % 2 == 0).repartition(2),
+        stat_cols=["day", "cents"],
+    )
+    mon = drift.CusumDriftMonitor(
+        spark, src, str(tmp_path / "mon"), "day", "cents", ref_version=0
+    )
+    _txlog.register(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog_feed")
+            .option("root", src_root)
+            .option("mode", "cdf")
+            .load()
+            .writeStream.foreachBatch(mon.sink())
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # trigger 1: reference state → no sustained deviation
+    mon.assert_consistent()
+    log1 = mon.cusum_log.read().collect()
+    assert len(log1) == 1
+
+    # trigger 2: a sustained +50k shift on the late half of the series
+    src.update_where(
+        "day", "1996-01-01", "9999-12-31",
+        {"cents": F.col("cents") + 5_000_000}, mode="dv",
+    )
+    drain()
+    mon.assert_consistent()
+    log2 = sorted(mon.cusum_log.read().collect(), key=lambda r: r["batch_id"])
+    assert len(log2) == 2
+    assert log2[1]["max_up"] > log2[0]["max_up"]  # the shift registered
+    assert log2[1]["alarm"]  # far beyond 4 sigma
+
+    # replay: no new feed data → no third log row, day state stable
+    days_before = sorted(tuple(r) for r in mon.days.read().collect())
+    drain()
+    assert mon.cusum_log.read().count() == 2
+    assert sorted(tuple(r) for r in mon.days.read().collect()) == days_before
