@@ -43,6 +43,7 @@ _PRIORITY = [
     "cbo_broadcast_enrichment",  # ANALYZE→CBO loop wired into a query
     "stream_ks_drift",  # streaming KS monitor (PSI twin, r9 task 6)
     "stream_cusum_drift",  # streaming CUSUM — the family's third leg
+    "alpha_mixture_resample",  # temperature-based data mixing (p_i^α)
     # (b) r4 cohort (latest green row r4):
     "asof_join_purchases",
     "boilerplate_ngram_share",

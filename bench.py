@@ -191,6 +191,9 @@ HEADLINE = [
     # round 10: ANALYZE→CBO loop inside a query path (auto-ANALYZE on
     # maintenance + catalog-stats broadcast of a derived dim)
     "cbo_broadcast_enrichment",
+    # round 10: α-temperature mixture resampling (deterministic
+    # data-mixing gate; two strata aggregates + one narrow filter)
+    "alpha_mixture_resample",
     "hybrid_search_rrf",
     "seasonal_residual_anomalies",
     "catalog_consistent_reads",

@@ -107,3 +107,72 @@ def deterministic_shuffle(
     parts = [num_partitions] if num_partitions is not None else []
     out = df.repartitionByRange(*parts, key, F.col(id_col))
     return out.sortWithinPartitions(key, F.col(id_col))
+
+
+def alpha_mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture resampling rates — the data-mixing
+    step of multilingual/multi-source LM training (the mT5/XLM-R
+    p_i^α schedule): given per-stratum mass p_i = n_i/N, the target
+    mixture is q_i = p_i^α / Σ p_j^α (α < 1 upweights low-resource
+    strata), and building a corpus of T = target_fraction·N rows
+    needs per-row keep rate r_i = min(1, T·q_i / n_i).
+
+    Returns one row per stratum: (stratum, n_rows, rate, gate_cut)
+    with gate_cut = floor(rate·GATE_BUCKETS + 0.5) ready for
+    :func:`affine_gate` filtering. Pure aggregates over strata — the
+    rates relation is |strata|-sized and broadcastable at any corpus
+    size; the sampling pass itself is one narrow filter."""
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").cast("double").alias("n_total"),
+        F.sum(F.pow(F.col("n_rows").cast("double"), F.lit(alpha))).alias(
+            "z"
+        ),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    # q_i = (n_i^alpha) / Z  (p_i^alpha / sum p_j^alpha — the N^alpha
+    # factors cancel, so integer n_i feed pow directly: fewer divisions
+    # before the transcendental keeps both engines on identical inputs)
+    q = F.pow(F.col("n_rows").cast("double"), F.lit(alpha)) / F.col("z")
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(target_fraction) * F.col("n_total") * q / F.col("n_rows"),
+    )
+    return j.select(
+        "stratum",
+        "n_rows",
+        rate.alias("rate"),
+        F.floor(rate * GATE_BUCKETS + F.lit(0.5))
+        .cast("bigint")
+        .alias("gate_cut"),
+    )
+
+
+def alpha_mixture_resample(
+    df: DataFrame,
+    strata_col: str,
+    gate: Column,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+) -> DataFrame:
+    """Deterministic α-temperature resample: keep rows whose portable
+    gate falls under their stratum's :func:`alpha_mixture_rates` cut.
+    Two aggregates over strata + one broadcast join + one narrow
+    filter — no RNG, no shuffle of the data rows, reproducible under
+    re-runs/repartitioning/growth like every gate-based sampler here."""
+    rates = alpha_mixture_rates(df, strata_col, alpha, target_fraction)
+    return (
+        df.join(
+            F.broadcast(rates.select("stratum", "gate_cut")),
+            df[strata_col] == F.col("stratum"),
+        )
+        .filter(gate < F.col("gate_cut"))
+        .drop("stratum", "gate_cut")
+    )

@@ -1961,3 +1961,59 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         release(prev)
     epoch_shuffle._last_base = base
     return out
+
+
+@query(
+    "alpha_mixture_resample",
+    """
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nt,
+             sum(pow(CAST(n AS DOUBLE), 0.5)) AS z
+      FROM c
+    ),
+    cut AS (
+      SELECT lang,
+             CAST(floor(
+               least(1.0,
+                     0.5 * nt * (pow(CAST(n AS DOUBLE), 0.5) / z) / n)
+               * 10000 + 0.5) AS BIGINT) AS gc
+      FROM c, t
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN cut ON d.lang = cut.lang
+    WHERE ((d.doc_id % 99991) * 2654435761 + 31) % 10000 < cut.gc
+    """,
+)
+def alpha_mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (r10) — the data-MIXING
+    step of multilingual/multi-source LM training (the mT5/XLM-R
+    p_i^α schedule, α = 0.5 here): per-language mass p_i is tempered
+    to q_i ∝ p_i^α (upweighting low-resource languages), and a corpus
+    of half the original size is drawn at per-row rate
+    min(1, 0.5·N·q_i/n_i) — deterministically, via the same portable
+    affine id gate as stratified_sample, so membership is a pure
+    function of doc_id (reproducible under re-runs, repartitioning,
+    and growth; no RNG). Unlike stratified_sample's FIXED fractions,
+    the rates here are COMPUTED FROM THE DATA — the oracle recomputes
+    counts → tempering → gate cuts → exact kept set, so the value
+    hash checks the whole mixture math, not just a sample size.
+
+    operators/sampling.py::alpha_mixture_resample. 100 TB: two
+    aggregates over |strata| rows, a broadcast rates join, one narrow
+    filter — the data rows never shuffle. pow feeds on exact integer
+    counts on BOTH engines (the N^α factors cancel algebraically), so
+    the transcendental sees identical inputs; a gate-cut boundary flip
+    would need rate·10⁴ within ~1e-12 of an integer."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = sampling.alpha_mixture_resample(
+        docs,
+        strata_col="lang",
+        gate=sampling.affine_gate("doc_id", salt=31),
+        alpha=0.5,
+        target_fraction=0.5,
+    )
+    return out.select("doc_id", "lang")

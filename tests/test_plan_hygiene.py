@@ -83,6 +83,9 @@ _GLOBAL_WINDOW_OK: dict[str, str] = {
     "tick relation (horizon-bounded survival curve grid)",
     "cusum_revenue_shift": "CUSUM running sums/mins over the per-DAY "
     "revenue aggregate (calendar-bounded)",
+    "stream_cusum_drift": "the same CUSUM recursion over the MAINTAINED "
+    "per-DAY state relation (calendar-bounded; streaming/drift.py "
+    "cusum_table)",
     "seasonal_decompose_daily": "centered 7-row MA over the per-DAY "
     "revenue aggregate (calendar-bounded)",
     "seasonal_residual_anomalies": "same per-DAY decomposition windows "

@@ -284,3 +284,125 @@ def test_cc_both_paths_match_brute_force(spark, edges):
         for r in components.connected_components(df, finish_threshold=0).collect()
     }
     assert got_dist == want
+
+
+# --- alpha-temperature mixture resampling (operators/sampling.py, r10)
+
+MIX_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),   # id (collisions fine — gate is a fn of id)
+        st.integers(0, 4),        # stratum: skew guaranteed by small domain
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@SET
+@given(rows=MIX_ROWS, alpha=st.sampled_from([0.0, 0.3, 0.5, 1.0]))
+def test_alpha_mixture_rates_invariants(spark, rows, alpha):
+    """For ANY corpus and temperature: rates live in (0, 1]; α = 1 is
+    plain uniform thinning (every stratum gets the target fraction);
+    expected sample size never exceeds the target above rounding; and
+    the resample keeps EXACTLY the rows under the gate cut
+    (determinism: running twice yields the identical set)."""
+    from data_mastery_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(int(i), f"s{g}") for i, g in rows], "id long, grp string"
+    )
+    rates = {
+        r["stratum"]: r
+        for r in sampling.alpha_mixture_rates(
+            df, "grp", alpha=alpha, target_fraction=0.5
+        ).collect()
+    }
+    n = len(rows)
+    assert all(0.0 < r["rate"] <= 1.0 for r in rates.values())
+    if alpha == 1.0:
+        for r in rates.values():
+            assert math.isclose(r["rate"], 0.5, rel_tol=1e-9)
+    expected = sum(r["rate"] * r["n_rows"] for r in rates.values())
+    assert expected <= 0.5 * n + 1e-6 + len(rates)  # min(1,·) caps only lower
+    gate = sampling.affine_gate("id", salt=31)
+    got1 = sorted(
+        tuple(r)
+        for r in sampling.alpha_mixture_resample(
+            df, "grp", gate, alpha=alpha, target_fraction=0.5
+        ).collect()
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in sampling.alpha_mixture_resample(
+            df, "grp", gate, alpha=alpha, target_fraction=0.5
+        ).collect()
+    )
+    assert got1 == got2  # pure function of ids — no RNG anywhere
+    kept = {(i, g) for i, g in got1}
+    assert kept <= {(int(i), f"s{g}") for i, g in rows}
+
+
+@SET
+@given(rows=MIX_ROWS)
+def test_alpha_tempering_upweights_low_resource(spark, rows):
+    """α < 1 must never give a lower keep-rate to a SMALLER stratum:
+    rate ∝ n^(α−1) is non-increasing in n."""
+    from data_mastery_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(int(i), f"s{g}") for i, g in rows], "id long, grp string"
+    )
+    rates = sampling.alpha_mixture_rates(
+        df, "grp", alpha=0.5, target_fraction=0.3
+    ).collect()
+    by_n = sorted(((r["n_rows"], r["rate"]) for r in rates))
+    for (n1, r1), (n2, r2) in zip(by_n, by_n[1:]):
+        if n1 < n2:
+            assert r1 >= r2 - 1e-12
+
+
+# --- LSH edit-distance join (dedup/editjoin.py, r10): precision is
+# STRUCTURAL — the verified output is a subset of the brute join for
+# ANY corpus (recall is probabilistic, subset-ness is not), and exact
+# duplicates (J = 1) are caught with probability exactly 1.
+
+
+@SET
+@given(
+    heads=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=40),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_edit_lsh_subset_and_exact_twin_guarantees(spark, heads):
+    from data_mastery_pipeline_spark.dedup import editjoin
+
+    rows = [(i, "en", h) for i, h in enumerate(heads)]
+    # one guaranteed exact twin when the corpus is non-empty
+    if heads:
+        rows.append((len(rows), "en", heads[0]))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, head string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in editjoin.edit_near_pairs_lsh(
+            df, k=4, q=3, id_col="doc_id", text_col="head", block_col="lang"
+        ).collect()
+    }
+    lev = {}
+    a = df.selectExpr("doc_id id_a", "head ha")
+    b = df.selectExpr("doc_id id_b", "head hb")
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("ha", "hb").alias("d"))
+        .filter(F.col("d") <= 4)
+        .collect()
+    )
+    for r in brute:
+        lev[(r["id_a"], r["id_b"])] = r["d"]
+    # subset with EXACT distances
+    for pair, d in got.items():
+        assert pair in lev and lev[pair] == d
+    # the J=1 twin always surfaces
+    if heads:
+        assert (0, len(rows) - 1) in got and got[(0, len(rows) - 1)] == 0
