@@ -44,6 +44,7 @@ _PRIORITY = [
     "stream_ks_drift",  # streaming KS monitor (PSI twin, r9 task 6)
     "stream_cusum_drift",  # streaming CUSUM — the family's third leg
     "alpha_mixture_resample",  # temperature-based data mixing (p_i^α)
+    "jsonl_quarantine_roundtrip",  # the LLM corpus interchange format
     # (b) r4 cohort (latest green row r4):
     "asof_join_purchases",
     "boilerplate_ngram_share",

@@ -74,6 +74,8 @@ HEADLINE = [
     # round 5 batch 4: format breadth + scan-reduction (late batch)
     "orc_roundtrip",
     "csv_quarantine_roundtrip",
+    # round 10: JSON-lines (.jsonl.gz) corpus round trip + quarantine
+    "jsonl_quarantine_roundtrip",
     "bloom_join_prune",
     "file_pruning_stats",
     # round 5 batch 5: tokenizer induction, ANN join, containment dedup

@@ -3044,3 +3044,69 @@ def cbo_broadcast_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "jsonl_quarantine_roundtrip",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT '__quarantined__', 3, NULL
+    """,
+)
+def jsonl_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LINES corpus round trip with parser-level quarantine — the
+    dominant LLM-corpus interchange format (documents metadata →
+    ``.jsonl.gz`` shards via ``to_json(struct(*))`` → splittable-text
+    machinery with gzip codec → PERMISSIVE ``from_json`` read with
+    full-row ``_corrupt_record`` capture). Three corrupt lines are
+    injected (truncated object, type-mismatched doc_id, non-JSON) and
+    must land in a '__quarantined__' bucket — counted, never dropped,
+    measures nulled (the csv_quarantine contract at the JSON
+    boundary; sources/formats.py::read_jsonl_quarantined documents why
+    text+from_json beats the JSON file source: the file source's
+    quarantine verdict is projection-relative).
+
+    Gzip leg honesty: each ``.jsonl.gz`` shard is a non-splittable
+    read unit — shard count = write parallelism must be sized to the
+    cluster; at 100 TB prefer zstd/uncompressed-parquet landing zones
+    and treat jsonl.gz as the INGEST boundary it is. Integer-only
+    measures (n_chars) make the round trip byte-exact with no float
+    parity caveats."""
+    from pyspark.sql import types as T
+
+    from .sources import formats
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = _fresh_dir("jsonlq", sf_dir)
+    formats.write_jsonl(docs, path, compression="gzip")
+    bad = spark.createDataFrame(
+        [
+            ('{"doc_id": 3, "lang"',),
+            ('{"doc_id":"not_a_long","lang":"de","source":"web","n_chars":5}',),
+            ("not json at all",),
+        ],
+        "value string",
+    )
+    bad.coalesce(1).write.mode("append").option("compression", "gzip").text(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    parsed = formats.read_jsonl_quarantined(spark, path, schema)
+    corrupt = F.col(formats.CORRUPT_COL).isNotNull()
+    label = F.when(corrupt, F.lit("__quarantined__")).otherwise(F.col("lang"))
+    trusted = F.when(~corrupt, F.col("n_chars"))
+    return parsed.groupBy(label.alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(trusted).cast("bigint").alias("sum_chars"),
+    )

@@ -101,3 +101,52 @@ def read_csv_quarantined(
         )
         .select("r.*")
     )
+
+
+def write_jsonl(
+    df: DataFrame, path: str, compression: str | None = None
+) -> None:
+    """JSON-lines corpus sink: one JSON object per line via
+    ``to_json(struct(*))`` over a splittable text write — the dominant
+    LLM-corpus interchange format. ``compression="gzip"`` produces
+    ``.jsonl.gz`` shards (each file is then a NON-splittable unit: one
+    read task per shard, so shard count = write parallelism should be
+    sized to the cluster; the fan_out guard covers low-shard reads
+    downstream)."""
+    lines = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    w = lines.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def read_jsonl_quarantined(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """PERMISSIVE JSON-lines read with FULL-ROW corruption capture:
+    lines that do not parse as a JSON object of ``schema`` carry the
+    raw line in ``_corrupt_record`` (clean rows carry null there).
+    Same design decision as :func:`read_csv_quarantined` — a text scan
+    + ``from_json`` rather than the JSON file source, so the
+    quarantine verdict is a property of the DATA, not of which columns
+    the query projected (the file source's Jackson parser skips
+    unprojected fields), and the scan stays splittable on plain text.
+
+    Record contract: one JSON object per LINE (JSONL); pretty-printed
+    multi-line objects belong to the multiLine file source, which is
+    non-splittable per file. Type-MISMATCHED fields (e.g. a string
+    where the schema says long) follow Spark's from_json PERMISSIVE
+    semantics: the row is marked corrupt and parseable sibling fields
+    are preserved — pinned by tests."""
+    full = csv_schema_with_quarantine(schema)
+    return (
+        spark.read.text(path)
+        .select(
+            F.from_json(
+                "value",
+                full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("r")
+        )
+        .select("r.*")
+    )

@@ -163,3 +163,48 @@ def test_csv_header_option_drops_header_line(spark, tmp_path):
     assert (
         sum(r["_corrupt_record"] is not None for r in no_header.collect()) == 2
     )
+
+
+def test_jsonl_quarantine_contract(spark, tmp_path):
+    """sources/formats.py JSONL reader engine contract: clean lines
+    parse with null _corrupt_record; a TYPE-MISMATCHED field marks the
+    row corrupt while preserving parseable siblings; malformed JSON and
+    non-JSON lines are corrupt with the raw line captured; extra fields
+    not in the schema are ignored (NOT corruption — schema drift is the
+    schema guard's job); round trip through gzip shards."""
+    from pyspark.sql import types as T
+
+    from data_mastery_pipeline_spark.sources import formats
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "fr", 20)], "doc_id long, lang string, n_chars long"
+    )
+    path = str(tmp_path / "jl")
+    formats.write_jsonl(df, path, compression="gzip")
+    spark.createDataFrame(
+        [
+            ('{"doc_id":"xx","lang":"de","n_chars":5}',),   # type mismatch
+            ('{"doc_id": 3, "lang"',),                      # truncated
+            ("plain text",),                                # not JSON
+            ('{"doc_id":4,"lang":"es","n_chars":7,"extra":1}',),  # extra field
+        ],
+        "value string",
+    ).coalesce(1).write.mode("append").option("compression", "gzip").text(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    out = formats.read_jsonl_quarantined(spark, path, schema)
+    rows = {tuple(r) for r in out.collect()}
+    assert (1, "en", 10, None) in rows and (2, "fr", 20, None) in rows
+    assert (4, "es", 7, None) in rows  # extra field ignored, row clean
+    corrupt = [r for r in rows if r[3] is not None]
+    assert len(corrupt) == 3
+    # type-mismatch preserves parseable siblings
+    assert any(r[1] == "de" and r[2] == 5 and r[0] is None for r in corrupt)
+    # raw lines captured verbatim
+    assert any(r[3] == "plain text" for r in corrupt)
