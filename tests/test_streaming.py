@@ -970,3 +970,56 @@ def test_cusum_drift_monitor_multibatch_exactly_once(spark, tmp_path):
     drain()
     assert mon.cusum_log.read().count() == 2
     assert sorted(tuple(r) for r in mon.days.read().collect()) == days_before
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_sessionize_tws_raises_clearly_without_protobuf(spark):
+    """transformWithState is ENV-BLOCKED here (no protobuf in the
+    container): the operator must fail at CONSTRUCTION with a clear
+    message, not let the stream die with 'driver worker exited
+    unexpectedly' at start."""
+    if _has_protobuf():
+        pytest.skip("protobuf present — the blocked-path contract is moot")
+    from data_mastery_pipeline_spark.streaming import stateful
+
+    ev = load_table(spark, "events", SF_SMOKE).select("ts", "user_id")
+    with pytest.raises(RuntimeError, match="protobuf"):
+        stateful.sessionize_users_tws(ev)
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(), reason="transformWithState needs protobuf (env-blocked here)"
+)
+def test_sessionize_tws_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """Where the environment allows it, both stateful-API generations
+    must produce the identical final per-user session totals."""
+    import os
+
+    from data_mastery_pipeline_spark.streaming import core, stateful
+
+    ev = load_table(spark, "events", SF_SMOKE).select("ts", "user_id")
+    d = os.path.join(str(tmp_path), "ev")
+    ev.write.parquet(d)
+    sdf = (
+        spark.readStream.schema("ts timestamp, user_id long").parquet(d)
+    )
+    old = core.run_available_now(
+        stateful.sessionize_users(sdf, state_ttl_ms=None),
+        output_mode="update",
+        shuffle_partitions=4,
+    )
+    with core.rocksdb_state(spark):
+        new = core.run_available_now(
+            stateful.sessionize_users_tws(sdf),
+            output_mode="update",
+            shuffle_partitions=4,
+        )
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
