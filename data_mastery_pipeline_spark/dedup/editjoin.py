@@ -61,6 +61,45 @@ def _grams(col, q: int):
     )
 
 
+def _short_blocked_pairs(b: DataFrame, short: DataFrame, k: int, min_long: int) -> DataFrame:
+    """Exact pairs with >= 1 SHORT side (< q*(k+1) chars — below the
+    prefix/LSH theorems' reach): blocked theta join with the short
+    side broadcast, bounded by the short population. Shared by the
+    exact (prefix-filtered) and approximate (LSH) join paths — both
+    filters are vacuous or unreliable exactly here, so both route
+    short strings through this brute leg. short x short pairs would
+    appear from both sides: keep a<b; short x long keeps every
+    orientation (the long side never re-emits it) then normalizes."""
+    dist = F.levenshtein(F.col("s_a"), F.col("s_b"), k)
+    sa = short.select(
+        F.col("id").alias("id_a"),
+        F.col("blk").alias("blk_a"),
+        F.col("s").alias("s_a"),
+        F.col("n").alias("n_a"),
+    )
+    ball = b.select(
+        F.col("id").alias("id_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("s").alias("s_b"),
+        F.col("n").alias("n_b"),
+    )
+    cond = (
+        (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("id_a") != F.col("id_b"))
+        & (F.abs(F.col("n_a") - F.col("n_b")) <= k)
+        & ((F.col("n_b") >= min_long) | (F.col("id_a") < F.col("id_b")))
+    )
+    return (
+        ball.join(F.broadcast(sa), cond)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist").between(0, k))
+    )
+
+
 def edit_near_pairs(
     base: DataFrame,
     k: int = 8,
@@ -123,42 +162,7 @@ def edit_near_pairs(
         )
         .filter(F.col("edit_dist").between(0, k))
     )
-    # pairs with >= 1 short side: blocked theta join, short side
-    # broadcast (bounded by the short population)
-    sa = short.select(
-        F.col("id").alias("id_a"),
-        F.col("blk").alias("blk_a"),
-        F.col("s").alias("s_a"),
-        F.col("n").alias("n_a"),
-    )
-    ball = b.select(
-        F.col("id").alias("id_b"),
-        F.col("blk").alias("blk_b"),
-        F.col("s").alias("s_b"),
-        F.col("n").alias("n_b"),
-    )
-    cond = (
-        (F.col("blk_a") == F.col("blk_b"))
-        & (F.col("id_a") != F.col("id_b"))
-        & (F.abs(F.col("n_a") - F.col("n_b")) <= k)
-        # short×short pairs would appear from both sides: keep a<b;
-        # short×long keeps every orientation (the long side never
-        # re-emits it) then normalizes
-        & (
-            (F.col("n_b") >= min_long)
-            | (F.col("id_a") < F.col("id_b"))
-        )
-    )
-    short_pairs = (
-        ball.join(F.broadcast(sa), cond)
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            dist.cast("int").alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist").between(0, k))
-    )
-    return long_pairs.unionByName(short_pairs)
+    return long_pairs.unionByName(_short_blocked_pairs(b, short, k, min_long))
 
 
 def edit_near_pairs_lsh(
@@ -224,12 +228,21 @@ def edit_near_pairs_lsh(
         F.col(text_col).alias("s"),
         F.length(text_col).alias("n"),
     )
+    # SHORT strings (< q*(k+1) chars) get the exact brute leg, same as
+    # the prefix-filtered path: k edits can destroy their whole gram
+    # set (J can reach 0), so the LSH recall argument is vacuous for
+    # them — without this split the approximate path could
+    # deterministically miss a short pair the exact oracle emits
+    # (review r10 finding)
+    min_long = q * (k + 1)
+    long = b.filter(F.col("n") >= min_long)
+    short = b.filter(F.col("n") < min_long)
     gram_hashes = F.transform(
         _grams(F.col("s"), q),
         lambda g: F.xxhash64(g).bitwiseAND(F.lit(minhash._MASK31)),
     )
     sig = minhash.signatures_and_sets(
-        b, id_col="id", num_hashes=num_hashes, shingle_col=gram_hashes
+        long, id_col="id", num_hashes=num_hashes, shingle_col=gram_hashes
     ).select("id", "minhash")
     cand = minhash.lsh_candidate_pairs(
         sig,
@@ -238,20 +251,20 @@ def edit_near_pairs_lsh(
         bands=bands,
         max_bucket=max_bucket,
     )
-    sa = b.select(
+    sa = long.select(
         F.col("id").alias("id_a"),
         F.col("blk").alias("blk_a"),
         F.col("s").alias("s_a"),
         F.col("n").alias("n_a"),
     )
-    sb = b.select(
+    sb = long.select(
         F.col("id").alias("id_b"),
         F.col("blk").alias("blk_b"),
         F.col("s").alias("s_b"),
         F.col("n").alias("n_b"),
     )
     dist = F.levenshtein(F.col("s_a"), F.col("s_b"), k)
-    return (
+    long_pairs = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(
@@ -261,3 +274,4 @@ def edit_near_pairs_lsh(
         .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
         .filter(F.col("edit_dist").between(0, k))
     )
+    return long_pairs.unionByName(_short_blocked_pairs(b, short, k, min_long))

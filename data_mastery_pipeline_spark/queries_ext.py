@@ -1555,7 +1555,11 @@ def edit_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     RECALL CERTIFICATE (the ANN-family pattern): the oracle is the
     EXACT brute join, so the driver's value-hash at sf0.01 certifies
-    recall 1.0 there, not just precision. Measured at sf0.1: all 79
+    recall 1.0 there, not just precision. Heads shorter than
+    q·(k+1) = 36 chars — where k edits can destroy the whole gram set
+    and the LSH argument is vacuous — take the exact brute leg
+    (dedup/editjoin.py::_short_blocked_pairs, shared with ED-Join), so
+    short-pair recall is STRUCTURAL, not probabilistic. Measured at sf0.1: all 79
     true pairs recovered (73 at d=0 ⇒ J=1 ⇒ caught with probability
     exactly 1; the 6 non-exact pairs all have gram Jaccard ≥ 0.92 ⇒
     per-pair miss probability (1−0.92⁴)¹⁶ ≈ 3e-9 at 16 bands × 4

@@ -1892,10 +1892,14 @@ class TxTable:
         stats are detectable. Returns the TableStats."""
         cat = self.stats_catalog()
         stats = cat.analyze(self._STATS_NAME, self.read(), exact=exact)
-        with open(
-            os.path.join(self.root, self._STATS_DIR, "version.json"), "w"
-        ) as fh:
+        # atomic stamp (same tmp+replace discipline as StatsCatalog.put):
+        # a crash mid-write must not leave a truncated version.json that
+        # breaks every later stats_version()/auto_maintain call
+        final = os.path.join(self.root, self._STATS_DIR, "version.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump({"version": self.version()}, fh)
+        os.replace(tmp, final)
         return stats
 
     def table_stats(self):

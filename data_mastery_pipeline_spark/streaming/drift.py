@@ -97,6 +97,29 @@ def delta_for_batch(
     )
 
 
+def _fold_merge(
+    tgt: TxTable,
+    delta: DataFrame,
+    key_col: str,
+    val_col: str,
+    app_id: str,
+    batch_id: int,
+) -> None:
+    """The signed-fold merge every monitor sink shares: read the
+    current state, add this batch's per-key delta, merge exactly-once
+    under the (app_id, batch_id) txn watermark. One definition so the
+    exactly-once/merge rules can never diverge across the PSI/KS/CUSUM
+    sinks (review r10)."""
+    cur = tgt.read().select(key_col, F.col(val_col).alias("__cur"))
+    merged = delta.join(cur, key_col, "left").select(
+        key_col,
+        (F.coalesce(F.col("__cur"), F.lit(0)) + F.col(val_col))
+        .cast("bigint")
+        .alias(val_col),
+    )
+    tgt.merge_upsert(merged, key_col, stream_txn=(app_id, batch_id))
+
+
 def psi_table(
     cur_bins: DataFrame,
     ref_bins: DataFrame,
@@ -163,18 +186,7 @@ def foreach_batch_drift_sink(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = delta_for_batch(batch_df, value_col, edges)
-        cur = bins_tgt.read().select(
-            "bin", F.col("n_rows").alias("__cur")
-        )
-        merged = delta.join(cur, "bin", "left").select(
-            "bin",
-            (F.coalesce(F.col("__cur"), F.lit(0)) + F.col("n_rows"))
-            .cast("bigint")
-            .alias("n_rows"),
-        )
-        bins_tgt.merge_upsert(
-            merged, "bin", stream_txn=(app_id + "_bins", batch_id)
-        )
+        _fold_merge(bins_tgt, delta, "bin", "n_rows", app_id + "_bins", batch_id)
         # PSI from the now-final bins state: ≤B rows — bounded by
         # construction, the monitoring statistic itself
         ref_df = spark.createDataFrame(
@@ -410,10 +422,16 @@ class KsDriftMonitor:
             spark.createDataFrame([], VALS_SCHEMA),
             stat_cols=["v"],
         )
+        ref_counts = value_counts(source.read(version=ref_version), value_col)
+        if ref_counts.limit(1).count() == 0:
+            raise ValueError(
+                "KS reference window has no non-NULL values at version "
+                f"{ref_version} — pick a ref_version with a real sample"
+            )
         self.ref_vals = TxTable.create(
             spark,
             os.path.join(root, "ref_vals"),
-            value_counts(source.read(version=ref_version), value_col),
+            ref_counts,
             stat_cols=["v"],
         )
         self.ks_log = TxTable.create(
@@ -430,19 +448,16 @@ class KsDriftMonitor:
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             spark = batch_df.sparkSession
             delta = delta_value_counts(batch_df, value_col)
-            cur = vals.read().select("v", F.col("n_rows").alias("__cur"))
-            merged = delta.join(cur, "v", "left").select(
-                "v",
-                (F.coalesce(F.col("__cur"), F.lit(0)) + F.col("n_rows"))
-                .cast("bigint")
-                .alias("n_rows"),
-            )
-            vals.merge_upsert(
-                merged, "v", stream_txn=(app_id + "_vals", batch_id)
-            )
+            _fold_merge(vals, delta, "v", "n_rows", app_id + "_vals", batch_id)
             row = ks_stats(
                 vals.read().filter(F.col("n_rows") != 0), ref.read()
             ).first()
+            if row is None or row["d_stat"] is None:
+                raise ValueError(
+                    "KS statistic relation is empty/undefined after batch "
+                    f"{batch_id} — is the monitored column all NULL, or did "
+                    "the state net to empty?"
+                )
             log.append_stream_batch(
                 spark.createDataFrame(
                     [
@@ -640,16 +655,7 @@ class CusumDriftMonitor:
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             spark = batch_df.sparkSession
             delta = delta_day_sums(batch_df, day_col, cents_col)
-            cur = days.read().select("day", F.col("x_cents").alias("__cur"))
-            merged = delta.join(cur, "day", "left").select(
-                "day",
-                (F.coalesce(F.col("__cur"), F.lit(0)) + F.col("x_cents"))
-                .cast("bigint")
-                .alias("x_cents"),
-            )
-            days.merge_upsert(
-                merged, "day", stream_txn=(app_id + "_days", batch_id)
-            )
+            _fold_merge(days, delta, "day", "x_cents", app_id + "_days", batch_id)
             c = cusum_table(
                 days.read().filter(F.col("x_cents") != 0), mu, sd
             )
@@ -659,6 +665,12 @@ class CusumDriftMonitor:
                 F.max(F.col("alarm").cast("int")).alias("alarm"),
                 F.count("*").cast("bigint").alias("n_days"),
             ).first()
+            if row is None or row["up"] is None:
+                raise ValueError(
+                    "CUSUM statistic relation is empty after batch "
+                    f"{batch_id} — is the day/cents state all NULL or "
+                    "netted to empty?"
+                )
             log.append_stream_batch(
                 spark.createDataFrame(
                     [
@@ -701,14 +713,24 @@ class CusumDriftMonitor:
             self.cusum_log.read().orderBy(F.desc("batch_id")).limit(1).first()
         )
         if log is not None:
-            want = (
-                self.current_cusum()
-                .agg(F.max("cusum_up_sigma").alias("up"))
-                .first()["up"]
-            )
-            if not math.isclose(
-                log["max_up"], want, rel_tol=1e-9, abs_tol=1e-12
+            want = self.current_cusum().agg(
+                F.max("cusum_up_sigma").alias("up"),
+                F.max("cusum_down_sigma").alias("down"),
+                F.max(F.col("alarm").cast("int")).alias("alarm"),
+                F.count("*").cast("bigint").alias("n_days"),
+            ).first()
+            for field, got_v, want_v in (
+                ("max_up", log["max_up"], want["up"]),
+                ("max_down", log["max_down"], want["down"]),
             ):
+                if not math.isclose(got_v, want_v, rel_tol=1e-9, abs_tol=1e-12):
+                    raise ValueError(
+                        f"last logged CUSUM {field} {got_v} != recomputed {want_v}"
+                    )
+            if bool(log["alarm"]) != bool(want["alarm"]) or int(
+                log["n_days"]
+            ) != int(want["n_days"]):
                 raise ValueError(
-                    f"last logged CUSUM {log['max_up']} != recomputed {want}"
+                    f"last logged CUSUM alarm/n_days {log['alarm']}/{log['n_days']} "
+                    f"!= recomputed {want['alarm']}/{want['n_days']}"
                 )

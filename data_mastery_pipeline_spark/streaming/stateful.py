@@ -183,11 +183,16 @@ def make_session_processor():
 
     class SessionProcessor(StatefulProcessor):
         """Per-user (last_ts_us, n_sessions, n_events) fold, one
-        ValueState per key. TTL is a per-STATE declaration here
-        (getValueState(ttlDurationMs=...)) rather than a per-key timer
-        call — idle-key state expires without the operator emitting
-        anything, so unlike the applyInPandasWithState variant the
-        availableNow drain terminates even WITH a TTL configured."""
+        ValueState per key. NO TTL is configured here: per-state TTL on
+        this API (getValueState(ttlDurationMs=...)) requires a
+        time-mode the operator runs without (timeMode="None" — the
+        finite-drain configuration), and the environment block means a
+        TTL'd configuration could not be exercised by any test in this
+        container. A production deployment on a continuous stream
+        should declare the TTL at getValueState AND run with
+        timeMode="ProcessingTime" — the API-level win over
+        applyInPandasWithState, where eviction needs explicit per-key
+        timer handling inside the fold."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(

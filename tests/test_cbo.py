@@ -204,3 +204,18 @@ def test_registered_query_broadcasts_from_catalog_stats(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_cbo_registered_query_plan_and_wiring(spark):
+    """Run the REGISTERED query itself (not a by-hand twin — review
+    r10): its plan must carry the stats-informed broadcast and no
+    cartesian, and its own lifecycle self-asserts (auto-ANALYZE ran,
+    stamp fresh, second cycle skipped) must hold end to end."""
+    import data_mastery_pipeline_spark.queries_src  # noqa: F401 — registers
+    from data_mastery_pipeline_spark.registry import QUERIES
+
+    df = QUERIES["cbo_broadcast_enrichment"](spark, SF_SMOKE)
+    assert inspect.broadcast_join_count(df) >= 1
+    assert inspect.cartesian_product_count(df) == 0
+    rows = df.collect()
+    assert len(rows) > 0 and all(r["n_events"] > 0 for r in rows)

@@ -195,3 +195,25 @@ def test_lsh_subset_of_brute_under_scattered_edits(spark):
     assert got <= want
     # the J=1 twin is caught with probability exactly 1
     assert (0, 1, 0) in got
+
+
+def test_lsh_short_string_fallback(spark):
+    """Heads below q*(k+1) chars can lose their whole gram set to k
+    edits (J can reach 0 — the LSH recall argument is vacuous), so the
+    approximate path must route them through the exact brute leg: a
+    short disjoint-gram pair within k is STRUCTURALLY guaranteed, not
+    probabilistically."""
+    rows = [
+        (1, "en", "abc"),                 # 1 clamped gram, J=0 vs 2
+        (2, "en", "xyz"),                 # d=3 <= 8, disjoint grams
+        (3, "en", "abcdefgh" + "q" * 20), # 28 chars, short at q=4,k=8
+        (4, "en", "abcdefgh" + "q" * 24), # d=4 from 3
+        (5, "en", "m" * 64),              # long, no partner
+        (6, "fr", "abc"),                 # other block
+    ]
+    got = _lsh(spark, rows, k=8, q=4)
+    want = _brute(spark, rows, k=8)
+    assert got == want
+    pairs = {(a, b) for a, b, _ in got}
+    assert (1, 2) in pairs and (3, 4) in pairs
+    assert not any(6 in p for p in pairs)

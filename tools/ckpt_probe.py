@@ -51,10 +51,18 @@ def main() -> None:
         def sample() -> None:
             while not stop.is_set():
                 try:
+                    # SUM concurrently-cached RDDs per tick, then max
+                    # over ticks: queries that hold several data-sized
+                    # frames at once (epoch_shuffle's base + prior-call
+                    # remnants, CC's per-round pair) would otherwise
+                    # under-report total cached heap (review r10)
+                    mem = disk = 0
                     for info in jsc.getRDDStorageInfo():
-                        hw["mem"] = max(hw["mem"], info.memSize())
-                        hw["disk"] = max(hw["disk"], info.diskSize())
+                        mem += info.memSize()
+                        disk += info.diskSize()
                         levels.add(info.storageLevel().description())
+                    hw["mem"] = max(hw["mem"], mem)
+                    hw["disk"] = max(hw["disk"], disk)
                 except Exception:
                     pass  # py4j race during block teardown — skip tick
                 time.sleep(0.2)
