@@ -71,7 +71,10 @@ def run_corpus_pipeline(
     the packed train split to ``out_dir``/train and return per-stage
     row counts. ``checkpoint_dir``: DFS path for the stage
     materializations on a real cluster (None = fast local blocks)."""
-    ckpt = lambda df: truncate_lineage(df, checkpoint_dir)  # noqa: E731
+    # every stage frame IS the (filtered) corpus — data-sized, so the
+    # blocks must be serialized + disk-spillable or heap scales with
+    # input (ADVICE r10: the footprint='data' rollout missed this site)
+    ckpt = lambda df: truncate_lineage(df, checkpoint_dir, footprint="data")  # noqa: E731
 
     # every stage below is CPU-heavy narrow work over this scan —
     # load_table's CPU_HEAVY_TABLES policy fans it out once if the

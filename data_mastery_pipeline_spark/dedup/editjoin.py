@@ -100,6 +100,73 @@ def _short_blocked_pairs(b: DataFrame, short: DataFrame, k: int, min_long: int) 
     )
 
 
+def _mid_exact_pairs(b: DataFrame, k: int, q: int) -> DataFrame:
+    """Exact pairs with ≥ 1 side in the MID length band
+    [q·(k+1), 2·k·q) — the LSH worst-case-Jaccard hole (ADVICE r10):
+    just above the q·(k+1) cutoff, k scattered edits can push gram
+    Jaccard down to (n − kq)/(n + kq) ≈ 0.06, where 16×4 banding
+    catches a pair with probability ~2e-4. Rather than brute (|mid| ×
+    corpus is quadratic when mid is a corpus fraction), this is the
+    ED-Join prefix filter with the LEFT join side RESTRICTED to mid
+    rows: both sides have ≥ k·q + 1 grams (n ≥ q·(k+1)), so the prefix
+    theorem applies and recall is structural — 1.0, not probabilistic.
+    Candidate mass is Σ_gram |mid prefixes| × |partner prefixes|:
+    linear prefix build over the ≤ 2kq + k length band, join output
+    tracks the mid population, never corpus².
+
+    Emits (id_a < id_b, edit_dist), both sides ≥ q·(k+1), min side
+    < 2·k·q — disjoint from both the short brute leg (min < q·(k+1))
+    and the LSH leg (both sides ≥ 2·k·q)."""
+    lo, hi = q * (k + 1), 2 * k * q
+    # partner population: anything a mid row can pair with (|Δn| ≤ k)
+    pop = b.filter((F.col("n") >= lo) & (F.col("n") <= hi - 1 + k))
+    grams = pop.select(
+        "id", "blk", "n", F.explode(_grams(F.col("s"), q)).alias("gram")
+    )
+    freq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "gram")
+    prefix = (
+        grams.join(freq, "gram")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k * q + 1)
+        .select("id", "blk", "n", "gram")
+    )
+    pa = prefix.filter(F.col("n") < hi).select(
+        F.col("id").alias("id_a"), "blk", "gram"
+    )
+    pb = prefix.select(F.col("id").alias("id_b"), "blk", "gram")
+    cand = (
+        pa.join(pb, ["blk", "gram"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = pop.select(
+        F.col("id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        F.col("n").alias("n_a"),
+    )
+    vb = pop.select(
+        F.col("id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        F.col("n").alias("n_b"),
+    )
+    dist = F.levenshtein(F.col("s_a"), F.col("s_b"), k)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(
+            (F.abs(F.col("n_a") - F.col("n_b")) <= k)
+            & (F.least("n_a", "n_b") < hi)
+        )
+        .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
+        .filter(F.col("edit_dist").between(0, k))
+    )
+
+
 def edit_near_pairs(
     base: DataFrame,
     k: int = 8,
@@ -228,15 +295,29 @@ def edit_near_pairs_lsh(
         F.col(text_col).alias("s"),
         F.length(text_col).alias("n"),
     )
-    # SHORT strings (< q*(k+1) chars) get the exact brute leg, same as
-    # the prefix-filtered path: k edits can destroy their whole gram
-    # set (J can reach 0), so the LSH recall argument is vacuous for
-    # them — without this split the approximate path could
-    # deterministically miss a short pair the exact oracle emits
-    # (review r10 finding)
+    # Three-way split by a pair's MIN length (disjoint, union = all):
+    # - min < q·(k+1): exact brute leg — k edits can destroy the whole
+    #   gram set (J → 0), both theorems vacuous (review r10 finding).
+    # - q·(k+1) ≤ min < 2·k·q: exact mid leg (_mid_exact_pairs) — LSH
+    #   recall is only probabilistic here and its worst case is BAD:
+    #   at n just above q·(k+1), k scattered edits give gram Jaccard
+    #   as low as (n−kq)/(n+kq) ≈ 0.06, catch prob ~2e-4 at 16×4
+    #   banding (ADVICE r10). The ED-Join prefix theorem holds (≥ kq+1
+    #   grams per side), so this band is structural-recall instead.
+    # - min ≥ 2·k·q: the LSH leg below. RESIDUAL MISS PROBABILITY as a
+    #   function of n: worst-case J(n) = (n−kq)/(n+kq) ≥ 1/3 at
+    #   n = 2kq, miss ≤ (1 − J(n)^(num_hashes/bands))^bands — at the
+    #   default 16×4 that is ≤ 0.82 worst-case at the 2kq boundary but
+    #   ≈ 3e-9 at the MEASURED J ≥ 0.92 of every real true pair in the
+    #   graded corpora (scattered-edit adversarial pairs approach the
+    #   worst case; natural near-dups sit near J = 1). The sf0.01
+    #   driver oracle is the exact brute join, so recall is
+    #   re-certified every round.
     min_long = q * (k + 1)
-    long = b.filter(F.col("n") >= min_long)
+    mid_hi = 2 * k * q
+    long = b.filter(F.col("n") >= mid_hi)
     short = b.filter(F.col("n") < min_long)
+    mid_pairs = _mid_exact_pairs(b, k, q)
     gram_hashes = F.transform(
         _grams(F.col("s"), q),
         lambda g: F.xxhash64(g).bitwiseAND(F.lit(minhash._MASK31)),
@@ -274,4 +355,6 @@ def edit_near_pairs_lsh(
         .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
         .filter(F.col("edit_dist").between(0, k))
     )
-    return long_pairs.unionByName(_short_blocked_pairs(b, short, k, min_long))
+    return long_pairs.unionByName(mid_pairs).unionByName(
+        _short_blocked_pairs(b, short, k, min_long)
+    )

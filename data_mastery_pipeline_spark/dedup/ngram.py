@@ -373,7 +373,11 @@ def jaccard_pairs_prefix(
     ~4-5× per call (review r6)."""
     from ..checkpointing import truncate_lineage
 
-    base = truncate_lineage(_hashed_token_base(df, text_col, id_col, block_cols))
+    # per-doc token-hash arrays: O(corpus) mass → serialized + spillable
+    # (ADVICE r10: the footprint='data' rollout missed this site)
+    base = truncate_lineage(
+        _hashed_token_base(df, text_col, id_col, block_cols), footprint="data"
+    )
     cand = prefix_candidates(
         df, text_col, id_col, block_cols, length_tolerance, threshold, base=base
     )

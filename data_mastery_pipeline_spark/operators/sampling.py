@@ -168,11 +168,18 @@ def alpha_mixture_resample(
     filter — no RNG, no shuffle of the data rows, reproducible under
     re-runs/repartitioning/growth like every gate-based sampler here."""
     rates = alpha_mixture_rates(df, strata_col, alpha, target_fraction)
+    # collision-proof internal names: a caller DataFrame that already
+    # carries a 'stratum' or 'gate_cut' column must neither make the
+    # join ambiguous nor lose its column to the drop (ADVICE r10)
+    keyed = rates.select(
+        F.col("stratum").alias("__amr_stratum"),
+        F.col("gate_cut").alias("__amr_gate_cut"),
+    )
     return (
         df.join(
-            F.broadcast(rates.select("stratum", "gate_cut")),
-            df[strata_col] == F.col("stratum"),
+            F.broadcast(keyed),
+            df[strata_col] == F.col("__amr_stratum"),
         )
-        .filter(gate < F.col("gate_cut"))
-        .drop("stratum", "gate_cut")
+        .filter(gate < F.col("__amr_gate_cut"))
+        .drop("__amr_stratum", "__amr_gate_cut")
     )

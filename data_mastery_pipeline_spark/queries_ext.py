@@ -1555,16 +1555,25 @@ def edit_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     RECALL CERTIFICATE (the ANN-family pattern): the oracle is the
     EXACT brute join, so the driver's value-hash at sf0.01 certifies
-    recall 1.0 there, not just precision. Heads shorter than
-    q·(k+1) = 36 chars — where k edits can destroy the whole gram set
-    and the LSH argument is vacuous — take the exact brute leg
-    (dedup/editjoin.py::_short_blocked_pairs, shared with ED-Join), so
-    short-pair recall is STRUCTURAL, not probabilistic. Measured at sf0.1: all 79
+    recall 1.0 there, not just precision. Recall is STRUCTURAL — not
+    probabilistic — for every pair whose shorter side is under
+    2·k·q = 64 chars (r11, ADVICE r10): min < q·(k+1) = 36 takes the
+    exact brute leg (k edits can destroy the whole gram set, J → 0);
+    36 ≤ min < 64 takes the exact ED-Join-prefix mid leg
+    (dedup/editjoin.py::_mid_exact_pairs — just above the 36-char
+    cutoff a scattered-edit pair's gram Jaccard can fall to
+    (n−kq)/(n+kq) ≈ 0.06, catch probability ~2e-4 at 16×4 banding, so
+    probabilistic recall is NOT acceptable there). Only pairs with
+    BOTH sides ≥ 64 chars ride LSH, where worst-case J(n) =
+    (n−kq)/(n+kq) ≥ 1/3 and the residual miss probability is
+    (1 − J(n)⁴)¹⁶ — ≤ 0.82 for a maximally scattered adversarial pair
+    at the n = 64 boundary, ≈ 3e-9 at the MEASURED J ≥ 0.92 of every
+    real true pair in the graded corpora. Measured at sf0.1: all 79
     true pairs recovered (73 at d=0 ⇒ J=1 ⇒ caught with probability
-    exactly 1; the 6 non-exact pairs all have gram Jaccard ≥ 0.92 ⇒
-    per-pair miss probability (1−0.92⁴)¹⁶ ≈ 3e-9 at 16 bands × 4
-    rows). tests/test_editjoin.py additionally pins LSH-equals-brute
-    on a synthetic mutation corpus with controlled d ≤ 8 structure.
+    exactly 1). tests/test_editjoin.py additionally pins
+    LSH-equals-brute on synthetic mutation corpora with controlled
+    d ≤ 8 structure, including a scattered-edit mid-band corpus at the
+    old worst case.
 
     Scale shape (vs the 34×-growth brute): signatures are a per-row
     fold (zero shuffle), banding shuffles 64-int signatures, bucket

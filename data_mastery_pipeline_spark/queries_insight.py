@@ -992,7 +992,7 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _txlog.TxTable.create(
         spark,
         os.path.join(base_dir, "src"),
-        ev.filter(F.col("event_id") % 6 < 2).repartition(4, "event_id"),
+        ev.filter((F.col("event_id") % 6).isin(0, 1)).repartition(4, "event_id"),
         stat_cols=["event_id", "value"],
     )
     mon = _drift.DriftMonitor(
@@ -1123,7 +1123,7 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _txlog.TxTable.create(
         spark,
         os.path.join(base_dir, "src"),
-        ev.filter(F.col("event_id") % 6 < 2).repartition(4, "event_id"),
+        ev.filter((F.col("event_id") % 6).isin(0, 1)).repartition(4, "event_id"),
         stat_cols=["event_id", "value"],
     )
     mon = _drift.KsDriftMonitor(
@@ -1259,7 +1259,7 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _txlog.TxTable.create(
         spark,
         os.path.join(base_dir, "src"),
-        orders.filter(F.col("o_orderkey") % 3 < 2).repartition(4, "o_orderkey"),
+        orders.filter((F.col("o_orderkey") % 3).isin(0, 1)).repartition(4, "o_orderkey"),
         stat_cols=["day", "cents"],
     )
     mon = _drift.CusumDriftMonitor(

@@ -1371,7 +1371,7 @@ def txlog_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _txlog.TxTable.create(
         spark,
         root,
-        ev.filter(F.col("event_id") % 5 < 2).repartition(4, "event_id"),
+        ev.filter((F.col("event_id") % 5).isin(0, 1)).repartition(4, "event_id"),
         stat_cols=["event_id", "user_id", "value"],
     )
     raw = t.read().count()
@@ -1541,7 +1541,7 @@ def txlog_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _txlog.TxTable.create(
         spark,
         root,
-        ev.filter(F.col("event_id") % 8 < 2).repartition(4, "event_id"),
+        ev.filter((F.col("event_id") % 8).isin(0, 1)).repartition(4, "event_id"),
         stat_cols=["event_id", "user_id", "value"],
     )
     t.update_where(
@@ -1723,7 +1723,7 @@ def txlog_ivm_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _txlog.TxTable.create(
         spark,
         src_root,
-        ev.filter(F.col("event_id") % 7 < 2).repartition(4, "event_id"),
+        ev.filter((F.col("event_id") % 7).isin(0, 1)).repartition(4, "event_id"),
         stat_cols=["event_id", "user_id", "value"],
     )
     src.update_where(

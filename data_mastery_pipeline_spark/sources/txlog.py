@@ -1487,7 +1487,9 @@ class TxTable:
             )
         from ..checkpointing import release, truncate_lineage
 
-        raw = truncate_lineage(raw)  # one evaluation feeds both branches
+        # one evaluation feeds both branches; matched-row positions are
+        # O(matched rows) = data-sized in the worst case → serialized
+        raw = truncate_lineage(raw, footprint="data")
         try:
             dv_entries = self._write_stage(
                 raw.select(
@@ -1656,7 +1658,8 @@ class TxTable:
         # rewrite union); without the cut each would re-execute it
         from ..checkpointing import release, truncate_lineage
 
-        updates = truncate_lineage(self._conform(updates, meta))
+        # the update relation is data-sized in general → serialized
+        updates = truncate_lineage(self._conform(updates, meta), footprint="data")
         try:
             bounds = updates.agg(
                 F.min(key).alias("lo"),

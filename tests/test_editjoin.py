@@ -217,3 +217,28 @@ def test_lsh_short_string_fallback(spark):
     pairs = {(a, b) for a, b, _ in got}
     assert (1, 2) in pairs and (3, 4) in pairs
     assert not any(6 in p for p in pairs)
+
+
+def test_lsh_mid_band_recall_is_structural(spark):
+    """Heads in [q*(k+1), 2*k*q) chars with SCATTERED k edits sit at
+    the LSH worst case (gram Jaccard ~(n-kq)/(n+kq) ~ 0.06 just above
+    the 36-char cutoff; catch probability ~2e-4 at 16x4 banding —
+    ADVICE r10). The mid band takes the exact ED-Join prefix leg, so
+    recall here must be EQUALITY to brute, not subset."""
+    rng = random.Random(7)
+    rows, i = [], 0
+    for ln in (36, 40, 50, 63):
+        t = "".join(rng.choice(string.ascii_lowercase) for _ in range(ln))
+        rows.append((i, "en", t)); i += 1
+        rows.append((i, "en", _mutate(rng, t, 8))); i += 1  # scattered d<=8
+    # boundary-crossing pair: the 62-char side is mid, the 68-char side
+    # is in the LSH population — only the mid leg can emit this pair
+    t = "".join(rng.choice(string.ascii_lowercase) for _ in range(62))
+    rows.append((i, "en", t)); i += 1
+    rows.append((i, "en", t + "qqqqqq")); i += 1
+    got = _lsh(spark, rows)
+    want = _brute(spark, rows)
+    assert got == want
+    assert any(d > 0 for (_, _, d) in want)  # non-exact pairs exist
+    ids = {(a, b) for (a, b, _) in want}
+    assert (8, 9) in ids  # the boundary-crossing pair was a true pair
