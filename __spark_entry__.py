@@ -31,66 +31,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's verify appears bounded at ~50 queries per round, so the
-# iteration order IS the verification budget. All 252 queries entering
-# round 10 hold a green driver row (CORRECTNESS_r01–r09: 0 red, 0
-# never-checked). Round 10's window (r9 verdict task 4 — rotate the r4
-# cohort, the largest stale one): (a) this round's additions/re-scopes,
-# then (b) the r4 cohort (43 queries whose LATEST green row is r4),
-# then (c) the 13 remaining r3-era anchors.
+# iteration order IS the verification budget. All 257 queries entering
+# round 11 hold a green driver row (CORRECTNESS_r01–r10: 0 red, 0
+# never-checked). Round 11's window (r10 verdict task 2 — finish the
+# rotation so no query's latest row predates r6): (a) this round's
+# additions/re-scopes, (b) the 12 remaining r3-era anchors, (c) the r5
+# cohort — 50 exactly.
 _PRIORITY = [
-    # (a) round-10 additions — verified first
-    "edit_near_dups_lsh",  # re-scoped off the quadratic path (r9 weak)
-    "cbo_broadcast_enrichment",  # ANALYZE→CBO loop wired into a query
-    "stream_ks_drift",  # streaming KS monitor (PSI twin, r9 task 6)
-    "stream_cusum_drift",  # streaming CUSUM — the family's third leg
-    "alpha_mixture_resample",  # temperature-based data mixing (p_i^α)
-    "jsonl_quarantine_roundtrip",  # the LLM corpus interchange format
-    # (b) r4 cohort (latest green row r4):
-    "asof_join_purchases",
-    "boilerplate_ngram_share",
-    "clicks_near_purchases",
-    "daily_agg",
-    "day_night_agg",
-    "dedup_latest",
-    "derived_columns",
-    "dominant_part_suppliers",
-    "dup_groups",
-    "event_path_trigrams",
-    "forecast_revenue_change",
-    "gap_fill_ffill",
-    "hourly_agg",
-    "incremental_daily_agg",
-    "incremental_minhash_dedup",
-    "kafka_roundtrip",
-    "kll_value_quantiles",
-    "lag_delta",
-    "late_order_priorities",
-    "latest_per_user",
-    "linear_attribution",
-    "local_supplier_volume",
-    "national_market_share",
-    "pagerank_event_types",
-    "partitioned_roundtrip",
-    "pivot_event_values",
-    "product_profit_by_nation",
-    "purchase_attribution",
-    "semantic_search_meta",
-    "snapshot_diff",
-    "stream_interval_join",
-    "stream_session_30m",
-    "stream_sliding_halfhour",
-    "stream_tumbling_hourly",
-    "stream_user_sessions",
-    "supplier_part_variety",
-    "temperature_resample",
-    "theta_audience_overlap",
-    "unpivot_daily_measures",
-    "user_sessions_batch",
-    "user_value_runs",
-    "weekday_forecast_backtest",
-    "weekly_rollup",
-    # (c) remaining r3-era anchors (latest green r3):
-    "retention_30d",
+    # (a) round-11 additions / re-scopes — verified first
+    "knn_graph",  # re-scoped: sign-LSH cell-blocked graph (r10 weak)
+    "knn_graph_recall",  # its measured recall certificate (new r11)
+    "edit_near_dups_lsh",  # exact mid-band leg added (ADVICE r10)
+    "cbo_star_urgent",  # CBO loop extended into the join library (new r11)
+    # (b) the 12 remaining r3-era anchors (latest green r3):
     "runlog_demo",
     "segment_rank_family",
     "sequence_packing",
@@ -103,7 +56,45 @@ _PRIORITY = [
     "train_test_split_test",
     "users_per_type",
     "weather_pipeline_daily",
-    # next rotation (r11): the r5 cohort
+    # (c) the r5 cohort (latest green row r5; pricing_summary is
+    # excluded — the entry() smoke re-checks it every round, and
+    # retired prefix_edit_near_dups is gone from the registry):
+    "ab_test_conversion",
+    "audience_overlap",
+    "autocorr_daily_revenue",
+    "cohort_retention",
+    "daily_revenue_anomalies",
+    "distinct_users_approx",
+    "distinct_users_hll_sketch",
+    "embedding_dim_correlations",
+    "ewma_user_value",
+    "funnel_conversion",
+    "linestatus_priority_counts",
+    "min_cost_supplier",
+    "modal_value_bucket",
+    "near_dup_cluster_sizes",
+    "part_cooccurrence",
+    "path_regex_funnel",
+    "profile_events",
+    "psi_value_drift",
+    "reservoir_per_source",
+    "returned_revenue_by_customer",
+    "revenue_trend_by_nation",
+    "rich_inactive_customers",
+    "rolling_7d_active_users",
+    "rolling_fingerprints",
+    "ship_priority",
+    "small_quantity_revenue",
+    "sole_blame_suppliers",
+    "source_unigram_drift",
+    "stream_enrich_static",
+    "string_suite",
+    "user_behavior_entropy",
+    "value_percentiles_approx",
+    "versioned_snapshot_diff",
+    "weighted_sample_per_source",
+    "winsorized_value_stats",
+    # next rotation (r12): the r6 cohort (21 queries)
 ]
 
 

@@ -81,6 +81,12 @@ HEADLINE = [
     # round 5 batch 5: tokenizer induction, ANN join, containment dedup
     "bpe_merge_candidates",
     "knn_graph",
+    # round 11: knn_graph re-scoped to the sign-LSH cell-blocked graph
+    # (linear mass); its bounded recall certificate benches with it
+    "knn_graph_recall",
+    # round 11: catalog-stats star join (orders promoted to broadcast
+    # from the selectivity estimate static planning misses)
+    "cbo_star_urgent",
     "containment_pairs",
     # round 5 batch 6: graph analytics, SCD2 temporal, join IVM
     "triangle_count",
@@ -353,6 +359,27 @@ def main() -> None:
     if skip:
         detail["skipped_entries"] = sorted(skip)
 
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c — restrict the run to named entries
+    # (r10 verdict task 3: the deep-amplification spot capture times
+    # only the heaviest/highest-growth entries at 30–50×; running the
+    # full surface there would burn an hour for no extra signal). The
+    # restriction is recorded in the JSON so a partial capture can
+    # never masquerade as a full one.
+    only = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if s.strip()
+    }
+    if only:
+        unknown_only = only - set(HEADLINE)
+        if unknown_only:
+            raise SystemExit(
+                f"bench: SPARK_GRAFT_BENCH_ONLY names non-headline "
+                f"entries: {sorted(unknown_only)}"
+            )
+        detail["only_entries"] = sorted(only)
+        skip = skip | (set(HEADLINE) - only)
+
     for name in HEADLINE:
         if name in skip:
             continue
@@ -406,6 +433,20 @@ def main() -> None:
     if serving:
         detail["serving"] = serving
 
+    # VERDICT r10 task 6: keyed-state footprint + per-batch latency per
+    # stateful family under the production RocksDB provider — measured
+    # state sizes ride every capture next to the clocks (growth bounds
+    # documented in streaming/stateprobe.py + SCALING.md)
+    from data_mastery_pipeline_spark.streaming import stateprobe
+
+    if not only:  # restricted spot captures time only their entries
+        try:
+            detail["streaming_state"] = stateprobe.probe_state_store(
+                spark, SF_DIR
+            )
+        except Exception as exc:  # a probe failure must not kill the capture
+            detail["streaming_state"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     # end-to-end corpus lifecycle (quality gate → dedups → decontam →
     # chunk → pack → write): the throughput number a training-data user
     # actually cares about, timed as one chained job
@@ -414,16 +455,17 @@ def main() -> None:
 
     from data_mastery_pipeline_spark.corpus_pipeline import run_corpus_pipeline
 
-    tmp = tempfile.mkdtemp(prefix="bench_corpus_")
-    try:
-        t = time.time()
-        res = run_corpus_pipeline(spark, SF_DIR, tmp)
-        detail["corpus_pipeline"] = {
-            "wall_sec": round(time.time() - t, 3),
-            **res.stage_rows,
-        }
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    if not only:
+        tmp = tempfile.mkdtemp(prefix="bench_corpus_")
+        try:
+            t = time.time()
+            res = run_corpus_pipeline(spark, SF_DIR, tmp)
+            detail["corpus_pipeline"] = {
+                "wall_sec": round(time.time() - t, 3),
+                **res.stage_rows,
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

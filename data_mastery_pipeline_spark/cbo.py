@@ -248,6 +248,28 @@ def _parse_bytes(raw: str) -> int:
     return int(raw) * mult
 
 
+def filtered_stats(
+    base: TableStats,
+    eq_filters: list[str] = (),
+    range_filters: list[str] = (),
+) -> TableStats:
+    """Estimated stats for the FILTERED relation — the selectivity leg
+    of the CBO loop (System-R defaults via :func:`estimate_rows`).
+    With ``spark.sql.cbo.enabled=false`` (the default), Catalyst keeps
+    the CHILD's sizeInBytes for a Filter node (measured: a 1/5
+    equality cut on orders leaves the static estimate untouched), so a
+    selective filter is invisible to static broadcast planning; the
+    catalog sees it. Feed the result to :func:`stats_informed_join` /
+    ``operators.joins.star_join(stats=...)``."""
+    rows = estimate_rows(base, eq_filters, range_filters)
+    return TableStats(
+        row_count=rows,
+        ndv={c: min(v, rows) for c, v in base.ndv.items()},
+        null_count=dict(base.null_count),
+        avg_col_bytes=dict(base.avg_col_bytes),
+    )
+
+
 def derived_stats_for_agg(
     base: TableStats,
     group_cols: list[str],

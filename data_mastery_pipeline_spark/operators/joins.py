@@ -148,15 +148,65 @@ def star_join(
     customer: DataFrame,
     nation: DataFrame,
     region: DataFrame,
+    stats: dict | None = None,
+    threshold_bytes: int | None = None,
 ) -> DataFrame:
     """The canonical star join lineitem⋈orders⋈customer⋈nation⋈region with
     dimensions broadcast (FIXTURES.md §4). Fact table never shuffles for
-    the dim joins; only the lineitem⋈orders join shuffles (both large)."""
+    the dim joins; by default only the lineitem⋈orders join shuffles
+    (both large).
+
+    ``stats`` (r10 verdict task 5 — the CBO loop extended from one
+    query into the join library): an optional mapping of
+    {"orders", "customer", "nation", "region"} → ``cbo.TableStats``
+    (from a ``StatsCatalog``; filtered/derived relations via
+    ``cbo.filtered_stats`` / ``cbo.derived_stats_for_agg``). With no
+    stats the behavior is EXACTLY the historical one. With stats:
+
+    - a DIM whose cataloged estimate exceeds ``threshold_bytes`` is
+      DEMOTED to a shuffle join — the 100 TB protection against
+      force-broadcasting a customer dimension that long outgrew the
+      executors (a static F.broadcast hint overrides Spark's own
+      threshold, so only the catalog can catch this);
+    - the ORDERS side is PROMOTED to broadcast when its cataloged
+      estimate fits — the filtered-fact case static planning misses
+      with spark.sql.cbo.enabled=false (a Filter keeps its child's
+      sizeInBytes), and AQE only converts after paying both shuffle
+      map stages. Plan pinned in tests/test_cbo.py.
+
+    ``threshold_bytes`` defaults to the session's
+    ``autoBroadcastJoinThreshold``."""
+    if stats:
+        from .. import cbo as _cbo
+
+        if threshold_bytes is None:
+            threshold_bytes = _cbo._parse_bytes(
+                lineitem.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "10485760"
+                )
+            )
+
+        def _dim(df, name):
+            s = stats.get(name)
+            if s is not None and s.estimated_bytes() > threshold_bytes:
+                return df  # cataloged too big to broadcast: demote
+            return F.broadcast(df)
+
+        s_orders = stats.get("orders")
+        o = (
+            F.broadcast(orders)
+            if s_orders is not None
+            and s_orders.estimated_bytes() <= threshold_bytes
+            else orders
+        )
+    else:
+        _dim = lambda df, name: F.broadcast(df)  # noqa: E731
+        o = orders
     return (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        lineitem.join(o, lineitem.l_orderkey == orders.o_orderkey)
+        .join(_dim(customer, "customer"), orders.o_custkey == customer.c_custkey)
+        .join(_dim(nation, "nation"), customer.c_nationkey == nation.n_nationkey)
+        .join(_dim(region, "region"), nation.n_regionkey == region.r_regionkey)
     )
 
 

@@ -1,0 +1,157 @@
+"""Sign-bit-blocked k-NN graph — the LINEAR-mass construction of the
+all-nodes nearest-neighbor graph (near-dup clustering, label
+propagation, diversity sampling all consume this shape).
+
+Why not exact, and why not trained IVF cells (r11 adjudication of the
+r10 verdict's prescription, MEASURED on the corpus):
+
+- An exact all-pairs k-NN graph over a corpus with probe side
+  proportional to the corpus is Θ(n²) dot products — no partitioning
+  saves it (the r10 ``knn_graph`` shipped exactly that as a
+  broadcast-NLJ with probes = vec_id % 50: n²/50 score mass).
+- Metric pruning cannot rescue exactness HERE: the embeddings table is
+  unit-norm and near-isotropic (measured at sf0.01: random-pair cosine
+  p5/p95 = ±0.21, best-neighbor cosine ≈ 0.33, trained k-means cell
+  radii ≈ 1.0 ≈ the whole sphere), so the triangle-inequality lower
+  bound ``d(q, μ_c) − r_c`` admits 16 of 16 cells for every probe —
+  exact cell pruning degenerates to brute force on data without
+  metric structure.
+- Trained IVF centroids also cannot back a DRIVER-CHECKED blocked
+  semantics: the oracle SQL is static and DuckDB cannot re-run the
+  k-means, so the blocking function must be a closed-form expression
+  both engines evaluate bit-identically.
+
+The construction that satisfies all three constraints: block on the
+first ``b`` SIGN BITS of the embedding (axis-aligned sign-LSH — each
+coordinate hyperplane is a random hyperplane in any rotated basis, and
+embedding bases are arbitrary), with ``b = clamp(ceil(log2(n /
+target_cell)), 3, max_bits)`` so the expected cell size stays ~
+``target_cell`` AT EVERY SCALE. Semantics: each node's top-k cosine
+neighbors WITHIN ITS CELL. Properties:
+
+- **Linear mass**: Σ|cell|² ≈ n · target_cell (measured sf0.01 → sf0.1:
+  32.0k → 126.8k pairs at 4× the rows; cells balance tightly — max 74
+  vs mean 62.5 at sf0.1 — because per-dim sign balance is 0.48–0.52).
+- **Deterministic + portable**: the cell id is integer arithmetic on
+  comparisons; DuckDB mirrors it exactly, so the driver value-hash
+  checks the WHOLE pipeline (blocking + scoring + ranking).
+- **Structural recall for exact duplicates**: identical vectors share
+  every sign bit, so the d=0 mass is always co-celled — the guarantee
+  embedding-dedup actually needs. Graded-similarity recall is
+  measured, not assumed (``knn_graph_recall``): on clustered real
+  embeddings sign-LSH concentrates near pairs (miss prob per bit is
+  θ/π → 0 as cos → 1); on THIS isotropic synthetic corpus it measures
+  ~0.10–0.23@3 — the honest floor for data whose "neighbors" sit at
+  cosine 0.33. The recall knob is ``target_cell`` (bigger cells =
+  higher recall = proportionally more mass).
+
+100 TB: one narrow pass stamps cells (no UDF, pure Catalyst), one
+shuffle co-locates cells, per-cell pair expansion is bounded by
+``target_cell``, and the per-node top-k is a window over ≤
+``target_cell`` rows. The one skew risk — a correlated dimension
+collapsing sign balance — is visible in ``cell`` histograms and
+AQE skew-join splits oversized cells at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..dedup.embedding import cosine
+
+# bits pooled from the leading dims; cells = 2^b ≤ 2^MAX_BITS
+POOL_BITS = 32
+MAX_BITS = 18
+MIN_BITS = 3
+
+
+def sign_bits_expr(vec_col):
+    """Integer in [0, 2^POOL_BITS): bit j set iff vec[j] > 0. Pure
+    comparisons + literal adds — bit-identical in any engine."""
+    return sum(
+        F.when(F.element_at(vec_col, j + 1) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        for j in range(POOL_BITS)
+    )
+
+
+def blocking_bits_expr(n_col, target_cell: int):
+    """b = clamp(ceil(log2(n / target_cell)), MIN_BITS, MAX_BITS) —
+    cell granularity GROWS with the corpus so expected cell size (and
+    with it per-node candidate work) stays constant at every scale."""
+    return F.least(
+        F.lit(MAX_BITS),
+        F.greatest(
+            F.lit(MIN_BITS),
+            F.ceil(F.log2(n_col / F.lit(float(target_cell)))).cast("int"),
+        ),
+    )
+
+
+def with_sign_cells(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell: int = 64,
+) -> DataFrame:
+    """(id, v: array<double>, cell: bigint) — the shared blocked base.
+    One count aggregate sizes ``b``; the 1-row result broadcasts onto
+    the scan (no data shuffle). floor(bits / 2^(32−b)) keeps the b
+    LEADING sign bits; all values < 2^32 so the double arithmetic is
+    exact and portable."""
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    nrow = base.agg(F.count("*").cast("double").alias("__n"))
+    b = blocking_bits_expr(F.col("__n"), target_cell)
+    return base.crossJoin(F.broadcast(nrow)).select(
+        "id",
+        "v",
+        F.floor(
+            sign_bits_expr(F.col("v"))
+            / F.pow(F.lit(2.0), (F.lit(POOL_BITS) - b).cast("double"))
+        )
+        .cast("bigint")
+        .alias("cell"),
+    )
+
+
+def blocked_knn_graph(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    target_cell: int = 64,
+) -> DataFrame:
+    """Top-k cosine neighbors per node WITHIN ITS SIGN-LSH CELL
+    (module docstring): (qid, nbr_id, rnk, cos[4dp]). A node alone in
+    its cell emits nothing (it has no in-cell neighbors — the blocked
+    contract, mirrored by the oracle)."""
+    celled = with_sign_cells(emb, id_col, vec_col, target_cell)
+    a = celled.select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), "cell"
+    )
+    c = celled.select(
+        F.col("id").alias("nbr_id"), F.col("v").alias("nv"), "cell"
+    )
+    scored = (
+        a.join(c, "cell")
+        .filter(F.col("qid") != F.col("nbr_id"))
+        .select(
+            "qid",
+            "nbr_id",
+            (
+                F.floor(cosine(F.col("nv"), F.col("qv")) * 10000 + F.lit(0.5))
+                / 10000.0
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "nbr_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "nbr_id", "rnk", "cos")
+    )

@@ -219,3 +219,97 @@ def test_cbo_registered_query_plan_and_wiring(spark):
     assert inspect.cartesian_product_count(df) == 0
     rows = df.collect()
     assert len(rows) > 0 and all(r["n_events"] > 0 for r in rows)
+
+
+def test_star_join_consults_catalog_stats(spark, orders, lineitem, tmp_path):
+    """r10 verdict task 5 'done' gate: the star-join BUILDER consults
+    present stats — the orders side is PROMOTED to broadcast when the
+    cataloged (selectivity-priced) estimate fits a threshold the
+    static plan size misses, and a cataloged over-threshold dimension
+    is DEMOTED from the historical unconditional broadcast hint. No
+    stats → the historical plan, unchanged."""
+    from data_mastery_pipeline_spark.operators import joins
+    from data_mastery_pipeline_spark.registry import QUERIES
+    from data_mastery_pipeline_spark.tables import load_table
+
+    li = load_table(spark, "lineitem", SF_SMOKE).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    op = load_table(spark, "orders", SF_SMOKE).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    customer = load_table(spark, "customer", SF_SMOKE).select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, "nation", SF_SMOKE).select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = load_table(spark, "region", SF_SMOKE).select(
+        "r_regionkey", "r_name"
+    )
+    urgent = op.filter(F.col("o_orderpriority") == "1-URGENT")
+    base_stats = cbo.analyze(op, exact=True)
+    urgent_stats = cbo.filtered_stats(base_stats, eq_filters=["o_orderpriority"])
+    assert urgent_stats.row_count == base_stats.row_count // 5
+    # a threshold between the catalog estimate and the static plan size
+    thresh = int(urgent_stats.estimated_bytes() * 1.5)
+    static_size = int(
+        urgent._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert urgent_stats.estimated_bytes() <= thresh < static_size
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thresh))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # no stats: the historical shape — 3 dim broadcasts, the
+        # lineitem⋈orders join sort-merges under this threshold
+        plain = joins.star_join(li, urgent, customer, nation, region)
+        p = inspect.formatted_plan(plain)
+        assert "SortMergeJoin" in p
+        assert inspect.broadcast_join_count(plain) == 3
+
+        # stats present: orders PROMOTED to broadcast — zero shuffles
+        informed = joins.star_join(
+            li, urgent, customer, nation, region,
+            stats={"orders": urgent_stats}, threshold_bytes=thresh,
+        )
+        p = inspect.formatted_plan(informed)
+        assert "SortMergeJoin" not in p
+        assert inspect.broadcast_join_count(informed) == 4
+
+        # a cataloged HUGE customer is DEMOTED from the broadcast hint
+        # (demotion removes the HINT — Catalyst's own threshold logic
+        # then applies, so pin it with the session threshold below
+        # every static size: without the hint, customer sort-merges)
+        big = cbo.TableStats(
+            row_count=10**9,
+            ndv={"c_custkey": 10**9},
+            null_count={"c_custkey": 0},
+            avg_col_bytes={"c_custkey": 8.0, "c_nationkey": 8.0},
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        guarded = joins.star_join(
+            li, urgent, customer, nation, region,
+            stats={"customer": big}, threshold_bytes=thresh,
+        )
+        p = inspect.formatted_plan(guarded)  # planned under -1
+        assert inspect.broadcast_join_count(guarded) == 2  # nation, region
+        assert p.count("SortMergeJoin") >= 2  # orders AND customer joins
+        gc = sorted(map(tuple, guarded.groupBy("r_name").count().collect()))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thresh))
+
+        # values identical under every decision
+        a = sorted(map(tuple, plain.groupBy("r_name").count().collect()))
+        b = sorted(map(tuple, informed.groupBy("r_name").count().collect()))
+        assert a == b == gc
+
+        # the REGISTERED query rides the promoted plan at this sf
+        reg = QUERIES["cbo_star_urgent"](spark, SF_SMOKE)
+        p = inspect.formatted_plan(reg)
+        assert "SortMergeJoin" not in p
+        assert inspect.broadcast_join_count(reg) == 4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

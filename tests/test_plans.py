@@ -343,13 +343,21 @@ def test_per_group_topk_uses_window_group_limit(spark):
 
 
 def test_knn_graph_topk_pushes_group_limit_no_cartesian(q):
-    """The ANN join's rank()<=k compiles to WindowGroupLimit (per-group
-    top-k cut below the sort) and the probe fan-out is a broadcast
-    nested loop over the TINY probe side, never a cartesian of two
-    corpus-sized relations."""
+    """The blocked kNN graph (r11 re-scope off the corpus-broadcast
+    NLJ): rank()<=k compiles to WindowGroupLimit (per-group top-k cut
+    below the sort), the pair expansion is an EQUI-join keyed on the
+    sign-LSH cell (never a cartesian of two corpus-sized relations),
+    and the only nested-loop joins are the two 1-row count attaches
+    that size the dynamic bit width."""
     df = q["knn_graph"]
-    assert "WindowGroupLimit" in plans.formatted_plan(df)
+    plan = plans.formatted_plan(df)
+    assert "WindowGroupLimit" in plan
     assert plans.cartesian_product_count(df) == 0
+    # the scoring join is keyed on cell (equi-join); the only cross
+    # joins are the two single-row broadcasts of the corpus count that
+    # size the dynamic bit width
+    assert plan.count("Join type: Cross") <= 2
+    assert "Left keys [1]: [cell#" in plan
 
 
 def test_containment_pairs_single_gram_build_no_cartesian(q, spark):

@@ -81,3 +81,45 @@ def test_total_growth_is_sublinear():
         f"total wall grew {tot_big / tot_small:.1f}x at {K:.0f}x data "
         "— the capture lost its sublinearity"
     )
+
+
+# --- deep spot capture (r10 verdict task 3): a SECOND scale point ---
+# The 13x@10x gate can be masked by constants at small n (the old
+# knn_graph's n²/50 mass measured 7.0x at 10x). The deep capture times
+# only the heaviest/highest-growth entries at a deeper amplification;
+# the fitted growth exponent between the 10x and deep captures
+# separates curvature from offset: exponent = log(t_deep/t_big) /
+# log(DEEP_K) must stay under EXP_MAX for every captured entry.
+DEEP = os.path.join(_TOOLS, "bench_r11_sfdeep.json")
+DEEP_K = 4.0  # the deep capture is 40x sf0.1 = 4x the BIG capture
+EXP_MAX = 1.3
+
+
+def test_deep_capture_exponents_subquadratic():
+    import math
+
+    big = _load(BIG)["queries"]
+    deep = _load(DEEP)["queries"]
+    flagged, fitted = [], {}
+    for name, t_deep in deep.items():
+        t_big = big.get(name)
+        if t_big is None or t_big < 2.0:
+            continue  # fixed-overhead noise band
+        exp = math.log(t_deep / t_big) / math.log(DEEP_K)
+        fitted[name] = round(exp, 2)
+        if exp > EXP_MAX:
+            flagged.append((name, t_big, t_deep, round(exp, 2)))
+    assert fitted, "deep capture shares no >=2s entries with the 10x capture"
+    assert not flagged, (
+        f"fitted growth exponent exceeds {EXP_MAX} between 10x and "
+        f"{DEEP_K * 10:.0f}x data: {flagged} (all: {fitted}) — the "
+        "entry is curving super-linearly; constants no longer mask it"
+    )
+
+
+def test_deep_capture_restriction_is_recorded():
+    deep = _load(DEEP)
+    assert deep.get("detail", {}).get("only_entries"), (
+        "the deep capture must record its SPARK_GRAFT_BENCH_ONLY "
+        "restriction — a partial capture may never look full"
+    )
