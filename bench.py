@@ -468,26 +468,57 @@ def main() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "session_startup_sec": round(session_sec, 3),
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
-                # host contention, sampled at emit (1/5/15-min averages;
-                # the 5-min window covers the run) — heavy dedup entries
-                # are superlinearly sensitive to it (measured 53 vs 68 s
-                # totals for identical code), so a reader can adjudicate
-                # variance instead of guessing
-                "loadavg": [round(x, 2) for x in os.getloadavg()],
-                **({"detail": detail} if detail else {}),
-            }
-        )
-    )
+    contract = {
+        "metric": "headline_query_wall_seconds_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "session_startup_sec": round(session_sec, 3),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+        # host contention, sampled at emit (1/5/15-min averages;
+        # the 5-min window covers the run) — heavy dedup entries
+        # are superlinearly sensitive to it (measured 53 vs 68 s
+        # totals for identical code), so a reader can adjudicate
+        # variance instead of guessing
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        **({"detail": detail} if detail else {}),
+    }
+    print(json.dumps(contract))
+    # Measurement-REPORTING fix (r11, documented in OPTIMIZATION_r11.md):
+    # the driver records only the last 2000 chars of stdout and parses
+    # the JSON line found inside that window (BENCH_r01–r05: parsed OK,
+    # line < 2000 chars). The full contract line above outgrew the
+    # window in round 6 when the headline surface passed ~55 entries, so
+    # BENCH_r06–r10 all carry parsed:null — five rounds of bench numbers
+    # the driver never saw. The full line stays (complete per-query map;
+    # nothing removed or renamed), and this SECOND, final line repeats
+    # the same metric/value/unit/sf with the slowest entries that fit
+    # the window, so the driver's tail parse works again. queries_total/
+    # queries_shown mark the truncation loudly.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    compact: dict[str, object] = {
+        "metric": contract["metric"],
+        "value": contract["value"],
+        "unit": "sec",
+        "sf": contract["sf"],
+        "queries": {},
+        "queries_total": len(timings),
+        "queries_shown": 0,
+        "session_startup_sec": contract["session_startup_sec"],
+        "cpus": contract["cpus"],
+        "loadavg": contract["loadavg"],
+    }
+    budget = 1900  # < 2000-char tail window, with margin for the newline
+    for name, sec in slowest:
+        compact["queries"][name] = sec
+        compact["queries_shown"] = len(compact["queries"])
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
+            del compact["queries"][name]
+            compact["queries_shown"] = len(compact["queries"])
+            break
+    print(json.dumps(compact, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -58,6 +58,7 @@ import posixpath
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .localrel import local_frame
 from .sources.txlog import TxTable
 from .streaming.ivm import cents as _cents
 from .streaming.ivm import signed_weight as _signed_weight
@@ -112,9 +113,8 @@ class SumCountView:
             f"{d} {t}"
             for d, t in cls._dim_types(spark, source, dims).items()
         )
-        empty = spark.createDataFrame(
-            [],
-            f"mv_key string, {dim_fields}, {cls.MEASURE_FIELDS}",
+        empty = local_frame(
+            spark, [], f"mv_key string, {dim_fields}, {cls.MEASURE_FIELDS}"
         )
         TxTable.create(spark, root, empty, stat_cols=["mv_key"])
         return cls(spark, source, root, name, dims, value_expr)
@@ -494,8 +494,8 @@ class JoinAggView(SumCountView):
             f"{f.name} {f.dataType.simpleString()}"
             for f in probe.schema.fields
         )
-        empty = spark.createDataFrame(
-            [], f"mv_key string, {dim_fields}, {cls.MEASURE_FIELDS}"
+        empty = local_frame(
+            spark, [], f"mv_key string, {dim_fields}, {cls.MEASURE_FIELDS}"
         )
         TxTable.create(spark, root, empty, stat_cols=["mv_key"])
         return cls(

@@ -26,6 +26,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .localrel import local_frame
+
 AUDIT_SCHEMA = (
     "pipeline string, stage string, status string, attempts int, "
     "rows_processed bigint, error string"
@@ -107,7 +109,10 @@ def _attempt(spark, s: Stage, results: dict, group: str):
         except BaseException as ex:  # noqa: BLE001 — re-raised below
             box["err"] = ex
         finally:
-            spark.sparkContext.clearJobGroup()
+            # Spark 4 removed SparkContext.clearJobGroup (SPARK-44321);
+            # the group is thread-local and this worker thread exits
+            # right after, so clearing the property directly suffices.
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
 
     t = threading.Thread(target=_run, daemon=True)
     t.start()
@@ -214,7 +219,7 @@ def run_dag(
                             f"{type(nex).__name__}: {nex}",
                         )
                     )
-    return results, spark.createDataFrame(rows_out, AUDIT_SCHEMA)
+    return results, local_frame(spark, rows_out, AUDIT_SCHEMA)
 
 
 # ------------------------------------------------- the reference's DAG
@@ -256,7 +261,14 @@ def weather_dag(
         return None, len(ok)
 
     def ingest(_ctx):
-        bronze = pipeline.ingest_bronze(spark, n_cycles=n_cycles)
+        from .checkpointing import truncate_lineage
+
+        # checkpoint the bronze frame HERE: the REST source is a Python
+        # datasource, so every downstream action would otherwise re-pay
+        # the whole Python read (the audit count + the silver checkpoint
+        # job each did — guide §4: cross the Python boundary once).
+        # Blocks are released by the caller with the silver frame.
+        bronze = truncate_lineage(pipeline.ingest_bronze(spark, n_cycles=n_cycles))
         return bronze, bronze.count()
 
     def silver(ctx):

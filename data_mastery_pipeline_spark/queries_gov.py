@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from . import privacy
 from .operators import spatial
 from .operators.features import point_in_time_features
+from .localrel import local_frame
 from .registry import query, quantize, sql_quantize
 from .tables import load_table
 
@@ -1289,7 +1290,8 @@ def mv_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if view.refresh() != 0 or view.is_stale():
         raise RuntimeError("initial MV refresh did not reach source v0")
-    extra = spark.createDataFrame(
+    extra = local_frame(
+        spark,
         [
             (900001, "2024-02-01 00:00:00", 1, "purchase", 10.0, "{}"),
             (900002, "2024-02-01 01:00:00", 2, "click", 5.5, "{}"),
@@ -1375,7 +1377,8 @@ def mv_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims={"event_type": "event_type"},
         value_expr="value",
     )
-    extra = spark.createDataFrame(
+    extra = local_frame(
+        spark,
         [
             (910001, "2024-02-01 00:00:00", 1, "purchase", 2000.0, "{}"),
             (910002, "2024-02-01 01:00:00", 2, "click", 0.001, "{}"),
@@ -1463,7 +1466,8 @@ def mv_navigator_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("both fresh: coarsest covering view must win")
     if nav.route(["event_type", "day"]) is not fine:
         raise RuntimeError("day grain: only the fine view covers")
-    extra = spark.createDataFrame(
+    extra = local_frame(
+        spark,
         [
             (920001, "2024-02-01 00:00:00", 1, "purchase", 42.0, "{}"),
             (920002, "2024-02-01 01:00:00", 2, "view", 7.0, "{}"),
@@ -1561,13 +1565,15 @@ def mv_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     if view.refresh() is None or view.is_stale():
         raise RuntimeError("initial join-view refresh did not catch up")
     a.append(
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [(900000001, "1-URGENT")],
             "o_orderkey long, o_orderpriority string",
         )
     )
     b.append(
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [(900000001, 1000.0, 0.1), (900000001, 500.0, 0.0)],
             "l_orderkey long, l_extendedprice double, l_discount double",
         )
@@ -1703,7 +1709,8 @@ def table_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in cols
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "col string, row_count bigint, ndv bigint, null_count bigint, "
         "est_eq_rows bigint",

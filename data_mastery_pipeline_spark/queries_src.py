@@ -17,6 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .localrel import local_frame
 from .registry import quantize, query, sql_quantize
 from .sources import rest, runlog, writers
 from .tables import load_table
@@ -454,7 +455,8 @@ def csv_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             tok(F.col("value")),
         ).alias("value")
     )
-    bad = spark.createDataFrame(
+    bad = local_frame(
+        spark,
         [("not_an_id,7,click,1.25",), ("42,seven,view,2.5",), ("9,9,purchase,xx",)],
         "value string",
     )
@@ -712,7 +714,7 @@ def kafka_wire_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 if got == expected:
                     break
-                _time.sleep(0.3)
+                _time.sleep(0.05)
             else:
                 raise TimeoutError(
                     f"kafka_wire_stream_hourly: sink saw {got}/{expected} rows"
@@ -725,17 +727,22 @@ def kafka_wire_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev_sp)
-    # materialize the final state off the sink table; the copy is a
-    # BOUNDED collect (|hours| x |event types| aggregate rows, never
-    # event-sized data) — then reclaim the sink table + checkpoint dir
-    # (review r6: they accumulated per invocation)
-    res = spark.table(name).select(
-        "window_start",
-        "event_type",
-        "n_events",
-        quantize(F.col("sum_value"), "sum_value"),
+    # materialize the final state off the sink table — JVM-side via
+    # eager localCheckpoint (bounded: |hours| x |event types| aggregate
+    # rows) — then reclaim the sink table + checkpoint dir (review r6:
+    # they accumulated per invocation). collect+createDataFrame here
+    # paid a Python round trip plus a parallelized-RDD re-evaluation on
+    # every downstream action (guide §4).
+    res = (
+        spark.table(name)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            quantize(F.col("sum_value"), "sum_value"),
+        )
+        .localCheckpoint(eager=True)
     )
-    res = spark.createDataFrame(res.collect(), res.schema)
     spark.catalog.dropTempView(name)
     shutil.rmtree(ckpt, ignore_errors=True)
     return res
@@ -1732,7 +1739,7 @@ def txlog_ivm_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = _txlog.TxTable.create(
         spark,
         tgt_root,
-        spark.createDataFrame([], _ivm.mv_schema("event_type", "string")),
+        local_frame(spark, [], _ivm.mv_schema("event_type", "string")),
     )
     _txlog.register(spark)
 
@@ -1851,12 +1858,14 @@ def weather_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     results, audit = _orch.run_dag(
         spark, _orch.weather_dag(spark), "weather_pipeline"
     )
-    # the silver stage localCheckpoints its frame for the 4 downstream
-    # consumers; both golds have counted by now, so free the blocks —
-    # bench re-runs this query min-of-3 in one driver and the blocks
-    # would otherwise accumulate per run (ADVICE r6)
-    if "silver" in results:
-        release(results["silver"])
+    # the ingest and silver stages localCheckpoint their frames (bronze:
+    # one Python-source read; silver: 4 downstream consumers); both
+    # golds have counted by now, so free the blocks — bench re-runs this
+    # query min-of-3 in one driver and the blocks would otherwise
+    # accumulate per run (ADVICE r6)
+    for stage in ("silver", "ingest_bronze"):
+        if stage in results:
+            release(results[stage])
     return audit.select(
         "stage", "status", "attempts", "rows_processed"
     ).orderBy("stage")
@@ -1914,7 +1923,8 @@ def txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _txlog.TxTable.create(spark, root, base)
     snap0 = t.read()
     t.append(
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [(8000001, 9, "error", 500.5), (8000002, 9, "error", 600.5)],
             "event_id long, user_id long, event_type string, value double",
         )
@@ -1932,7 +1942,8 @@ def txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     if t.restore(t.version()) != t.version():
         raise RuntimeError("restore at head must be a version no-op")
     t.append(
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [(9000001, 1, "click", 3.5), (9000002, 2, "view", 1.25)],
             "event_id long, user_id long, event_type string, value double",
         )
@@ -2006,7 +2017,8 @@ def txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     if {a["path"] for a in t.snapshot_adds()} != files_pre:
         raise RuntimeError("rename rewrote data files — not metadata-only")
     t.append(
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [
                 (9100001, 7, "click", 123.25),
                 (9100002, 8, "purchase", 777.5),
@@ -2446,7 +2458,8 @@ def txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(_fresh_dir("txlog_replace", sf_dir), "tbl")
     t = _txlog.TxTable.create(spark, root, base)
     t.delete_where("value", 0.0, 5.0, mode="dv")
-    load = spark.createDataFrame(
+    load = local_frame(
+        spark,
         [
             (9300001, 3, "click", 12.5),
             (9300002, 4, "purchase", 15.75),
@@ -2460,7 +2473,8 @@ def txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             10.0,
             20.0,
-            spark.createDataFrame(
+            local_frame(
+            spark,
                 [(9300009, 9, "error", 500.0)],
                 "event_id long, user_id long, event_type string, value double",
             ),
@@ -2560,7 +2574,8 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("user_id") % 6 == 0)
         .select("user_id", (F.col("score") + 1000.0).alias("score"))
         .unionByName(
-            spark.createDataFrame(
+            local_frame(
+            spark,
                 [(9000001, 11.5), (9000002, 22.25)],
                 "user_id long, score double",
             )
@@ -2574,7 +2589,7 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("first apply must reflect source v1")
     src.delete_where("user_id", 9000001, 9000001)  # v2 tombstone
     src.merge_upsert(
-        spark.createDataFrame([(9000001, 99.0)], "user_id long, score double"),
+        local_frame(spark, [(9000001, 99.0)], "user_id long, score double"),
         "user_id",
     )  # v3 rebirth
     if dim.apply() != 3:  # second window: incremental
@@ -2641,7 +2656,8 @@ def wap_publish_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     wap = WapBranch.open(src, os.path.join(root, "branch"))
     ddl = "event_id long, user_id long, event_type string, value double"
     wap.branch.append(
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [
                 (9500001, 1, "click", 50.5),
                 (9500002, 2, "view", 60.25),
@@ -2660,7 +2676,7 @@ def wap_publish_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     if wap.publish() is not None or src.version() != v:
         raise RuntimeError("replayed publish must be exactly-once")
     wap.branch.append(
-        spark.createDataFrame([(9600001, 3, "purchase", 70.0)], ddl)
+        local_frame(spark, [(9600001, 3, "purchase", 70.0)], ddl)
     )
     if wap.publish() is None:
         raise RuntimeError("incremental publish must commit")
@@ -3190,7 +3206,8 @@ def jsonl_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _fresh_dir("jsonlq", sf_dir)
     formats.write_jsonl(docs, path, compression="gzip")
-    bad = spark.createDataFrame(
+    bad = local_frame(
+        spark,
         [
             ('{"doc_id": 3, "lang"',),
             ('{"doc_id":"not_a_long","lang":"de","source":"web","n_chars":5}',),

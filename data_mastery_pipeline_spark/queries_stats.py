@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as textfn
+from .localrel import local_frame
 from .registry import quantize, query
 from .tables import load_table
 
@@ -1453,7 +1454,7 @@ def exact_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         grp, [("v", "asc")], "cnt", out="cum", inclusive=True
     )
     tot = grp.agg(F.sum("cnt").alias("n"))
-    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    ps = local_frame(spark, [(0.5,), (0.9,), (0.99,)], "p double")
     target = F.ceil(F.col("p") * F.col("n") - F.lit(1e-9))
     return (
         cum.crossJoin(F.broadcast(tot))

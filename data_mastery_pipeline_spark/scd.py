@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .localrel import local_frame
 from .sources.txlog import TxTable
 
 _ID_SEP = ":"
@@ -93,7 +94,8 @@ class Scd2Dimension:
         fields = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in src_schema.fields
         )
-        empty = spark.createDataFrame(
+        empty = local_frame(
+            spark,
             [],
             f"__scd_id string, {fields}, valid_from bigint, "
             "valid_to bigint, is_current boolean",

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import text as textfn
+from .localrel import local_frame
 from .sources.txlog import TxTable
 
 K1 = 1.2
@@ -94,21 +95,21 @@ class SearchIndex:
         TxTable.create(
             spark,
             root=os.path.join(root, "postings"),
-            df=spark.createDataFrame(
-                [], "term string, doc_id long, dl long, tf long, gen long"
+            df=local_frame(
+                spark, [], "term string, doc_id long, dl long, tf long, gen long"
             ),
             stat_cols=["term", "doc_id"],
         )
         TxTable.create(
             spark,
             root=os.path.join(root, "doclens"),
-            df=spark.createDataFrame([], "doc_id long, dl long, gen long"),
+            df=local_frame(spark, [], "doc_id long, dl long, gen long"),
             stat_cols=["doc_id"],
         )
         TxTable.create(
             spark,
             root=os.path.join(root, "tombstones"),
-            df=spark.createDataFrame([], "doc_id long, killed_upto long"),
+            df=local_frame(spark, [], "doc_id long, killed_upto long"),
             stat_cols=["doc_id"],
         )
         return cls(spark, source, root)

@@ -52,6 +52,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localrel import local_frame
 from ..sources.txlog import TxTable
 from . import ivm
 
@@ -189,8 +190,8 @@ def foreach_batch_drift_sink(
         _fold_merge(bins_tgt, delta, "bin", "n_rows", app_id + "_bins", batch_id)
         # PSI from the now-final bins state: ≤B rows — bounded by
         # construction, the monitoring statistic itself
-        ref_df = spark.createDataFrame(
-            [(int(b), int(n)) for b, n in spark_ref], BINS_SCHEMA
+        ref_df = local_frame(
+            spark, [(int(b), int(n)) for b, n in spark_ref], BINS_SCHEMA
         )
         row = (
             psi_table(bins_tgt.read(), ref_df, n_bins, threshold)
@@ -201,7 +202,8 @@ def foreach_batch_drift_sink(
             .first()
         )
         psi_log.append_stream_batch(
-            spark.createDataFrame(
+            local_frame(
+                spark,
                 [(int(batch_id), float(row["psi"]), int(row["n_rows"]))],
                 PSI_LOG_SCHEMA,
             ),
@@ -239,13 +241,13 @@ class DriftMonitor:
         self.bins = TxTable.create(
             spark,
             os.path.join(root, "bins"),
-            spark.createDataFrame([], BINS_SCHEMA),
+            local_frame(spark, [], BINS_SCHEMA),
             stat_cols=["bin"],
         )
         self.psi_log = TxTable.create(
             spark,
             os.path.join(root, "psi_log"),
-            spark.createDataFrame([], PSI_LOG_SCHEMA),
+            local_frame(spark, [], PSI_LOG_SCHEMA),
             stat_cols=["batch_id"],
         )
         self.ref_bins = {
@@ -271,8 +273,8 @@ class DriftMonitor:
         )
 
     def ref_bins_df(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            sorted(self.ref_bins.items()), BINS_SCHEMA
+        return local_frame(
+            self.spark, sorted(self.ref_bins.items()), BINS_SCHEMA
         )
 
     def current_psi(self) -> DataFrame:
@@ -419,7 +421,7 @@ class KsDriftMonitor:
         self.vals = TxTable.create(
             spark,
             os.path.join(root, "vals"),
-            spark.createDataFrame([], VALS_SCHEMA),
+            local_frame(spark, [], VALS_SCHEMA),
             stat_cols=["v"],
         )
         ref_counts = value_counts(source.read(version=ref_version), value_col)
@@ -437,7 +439,7 @@ class KsDriftMonitor:
         self.ks_log = TxTable.create(
             spark,
             os.path.join(root, "ks_log"),
-            spark.createDataFrame([], KS_LOG_SCHEMA),
+            local_frame(spark, [], KS_LOG_SCHEMA),
             stat_cols=["batch_id"],
         )
 
@@ -459,7 +461,8 @@ class KsDriftMonitor:
                     "the state net to empty?"
                 )
             log.append_stream_batch(
-                spark.createDataFrame(
+                local_frame(
+                    spark,
                     [
                         (
                             int(batch_id),
@@ -623,13 +626,13 @@ class CusumDriftMonitor:
         self.days = TxTable.create(
             spark,
             os.path.join(root, "days"),
-            spark.createDataFrame([], DAYS_SCHEMA),
+            local_frame(spark, [], DAYS_SCHEMA),
             stat_cols=["day"],
         )
         self.cusum_log = TxTable.create(
             spark,
             os.path.join(root, "cusum_log"),
-            spark.createDataFrame([], CUSUM_LOG_SCHEMA),
+            local_frame(spark, [], CUSUM_LOG_SCHEMA),
             stat_cols=["batch_id"],
         )
         ref = (
@@ -672,7 +675,8 @@ class CusumDriftMonitor:
                     "netted to empty?"
                 )
             log.append_stream_batch(
-                spark.createDataFrame(
+                local_frame(
+                    spark,
                     [
                         (
                             int(batch_id),

@@ -42,6 +42,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .localrel import local_frame
 from .sources.txlog import TxTable
 
 
@@ -540,7 +541,8 @@ class TxSqlSession:
                 )
                 for c in sorted(stats.ndv)
             ]
-            return self.spark.createDataFrame(
+            return local_frame(
+                self.spark,
                 rows,
                 "col string, row_count bigint, ndv bigint, "
                 "null_count bigint, avg_col_bytes double",
