@@ -100,19 +100,45 @@ def _short_blocked_pairs(b: DataFrame, short: DataFrame, k: int, min_long: int) 
     )
 
 
+# Bounded-work gate for the mid-band leg: when |mid rows| × |partner
+# rows| is at or under this product, the leg takes ONE broadcast theta
+# join + banded-Levenshtein verify (≤ this many O(|s|·k) evals — ~2 s
+# of single-core work at the bound, spread across the cluster) instead
+# of the 7-stage ED-Join prefix pipeline. Measured motivation (r11,
+# OPTIMIZATION_r11.md): on the sf0.1 corpus the gram vocabulary is 978
+# grams over 5 000 docs, so "rare-first" prefixes barely filter —
+# 152 242 candidate pairs survive vs 620 000 brute pairs, i.e. the
+# prefix machinery (explode → df aggregate → window → equi-join →
+# distinct) costs ~6 sequential stages to avoid ~0.06 s of extra
+# verify compute. Past the bound the prefix path runs unchanged, so
+# worst-case work stays linear in the mid population — the gate makes
+# the small-regime constant factor match the work, it never admits a
+# corpus-fraction quadratic (the brute leg is capped BY the gate).
+MID_BRUTE_MAX_PAIRS = 5_000_000
+
+
 def _mid_exact_pairs(b: DataFrame, k: int, q: int) -> DataFrame:
     """Exact pairs with ≥ 1 side in the MID length band
     [q·(k+1), 2·k·q) — the LSH worst-case-Jaccard hole (ADVICE r10):
     just above the q·(k+1) cutoff, k scattered edits can push gram
     Jaccard down to (n − kq)/(n + kq) ≈ 0.06, where 16×4 banding
-    catches a pair with probability ~2e-4. Rather than brute (|mid| ×
-    corpus is quadratic when mid is a corpus fraction), this is the
-    ED-Join prefix filter with the LEFT join side RESTRICTED to mid
-    rows: both sides have ≥ k·q + 1 grams (n ≥ q·(k+1)), so the prefix
-    theorem applies and recall is structural — 1.0, not probabilistic.
-    Candidate mass is Σ_gram |mid prefixes| × |partner prefixes|:
-    linear prefix build over the ≤ 2kq + k length band, join output
-    tracks the mid population, never corpus².
+    catches a pair with probability ~2e-4. Rather than unconditional
+    brute (|mid| × corpus is quadratic when mid is a corpus fraction),
+    this is the ED-Join prefix filter with the LEFT join side
+    RESTRICTED to mid rows: both sides have ≥ k·q + 1 grams
+    (n ≥ q·(k+1)), so the prefix theorem applies and recall is
+    structural — 1.0, not probabilistic. Candidate mass is
+    Σ_gram |mid prefixes| × |partner prefixes|: linear prefix build
+    over the ≤ 2kq + k length band, join output tracks the mid
+    population, never corpus².
+
+    SMALL-REGIME GATE (r11): when |mid| × |partners| ≤
+    :data:`MID_BRUTE_MAX_PAIRS`, the leg is the broadcast blocked
+    theta join instead (shared with the short leg) — verification is
+    identical (banded Levenshtein, exact), candidates are the full
+    band product (a superset of the prefix path's), so the emitted
+    pair set is bit-identical; only the candidate-generation cost
+    changes. The gate is ONE 2-column aggregate over the band.
 
     Emits (id_a < id_b, edit_dist), both sides ≥ q·(k+1), min side
     < 2·k·q — disjoint from both the short brute leg (min < q·(k+1))
@@ -120,6 +146,15 @@ def _mid_exact_pairs(b: DataFrame, k: int, q: int) -> DataFrame:
     lo, hi = q * (k + 1), 2 * k * q
     # partner population: anything a mid row can pair with (|Δn| ≤ k)
     pop = b.filter((F.col("n") >= lo) & (F.col("n") <= hi - 1 + k))
+    sizes = pop.agg(
+        F.count("*").alias("n_pop"),
+        F.count(F.when(F.col("n") < hi, F.lit(1))).alias("n_mid"),
+    ).collect()[0]
+    if sizes["n_mid"] * sizes["n_pop"] <= MID_BRUTE_MAX_PAIRS:
+        mid = pop.filter(F.col("n") < hi)
+        # min_long=hi: partner ≥ 2kq keeps every orientation (the LSH
+        # leg never re-emits a mid pair), both-mid pairs dedupe a<b
+        return _short_blocked_pairs(pop, mid, k, hi)
     grams = pop.select(
         "id", "blk", "n", F.explode(_grams(F.col("s"), q)).alias("gram")
     )

@@ -828,6 +828,16 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+    # The writer encodes in Python one task per partition; a small
+    # parquet input arrives as ONE scan split, serializing the whole
+    # encode (+ the read of the single output file) onto one core —
+    # measured 3.7 s write + 2.0 s read at sf0.1 (guide §2: the
+    # distributed algorithm first). Fan out to the session's
+    # parallelism when the scan is narrower; at real scale the input
+    # already has ≥ cores partitions and this is a no-op.
+    target = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < target:
+        ev = ev.repartition(target)
     path = _fresh_dir("avro", sf_dir)
     (
         ev.write.format("avro_py")

@@ -242,3 +242,29 @@ def test_lsh_mid_band_recall_is_structural(spark):
     assert any(d > 0 for (_, _, d) in want)  # non-exact pairs exist
     ids = {(a, b) for (a, b, _) in want}
     assert (8, 9) in ids  # the boundary-crossing pair was a true pair
+
+
+def test_mid_band_brute_gate_equals_prefix_path(spark, monkeypatch):
+    """The r11 small-regime gate (MID_BRUTE_MAX_PAIRS): under the
+    product bound the mid leg is the broadcast theta join, above it the
+    ED-Join prefix pipeline — both must emit the IDENTICAL pair set
+    (the gate may only change candidate-generation cost, never the
+    verified output). Run the same mid-band corpus through both paths
+    by pinning the gate fully open, then fully closed."""
+    rng = random.Random(11)
+    rows, i = [], 0
+    for ln in (36, 38, 44, 50, 58, 63):
+        t = "".join(rng.choice(string.ascii_lowercase) for _ in range(ln))
+        rows.append((i, "en", t)); i += 1
+        rows.append((i, "en", _mutate(rng, t, 8))); i += 1
+    # partner band edge: 63-char mid vs 71-char partner (|dn| = 8)
+    t = "".join(rng.choice(string.ascii_lowercase) for _ in range(63))
+    rows.append((i, "en", t)); i += 1
+    rows.append((i, "en", t + "zzzzzzzz")); i += 1
+
+    monkeypatch.setattr(editjoin, "MID_BRUTE_MAX_PAIRS", 10**12)
+    via_brute = _lsh(spark, rows)
+    monkeypatch.setattr(editjoin, "MID_BRUTE_MAX_PAIRS", 0)
+    via_prefix = _lsh(spark, rows)
+    assert via_brute == via_prefix == _brute(spark, rows)
+    assert any(d > 0 for (_, _, d) in via_brute)
