@@ -137,7 +137,14 @@ def connected_components(
         _t0 = time.time()
         labels = _driver_union_find([(r[0], r[1]) for r in cur_d.collect()])
         id_type = cur_d.schema.fields[0].dataType
-        lmap = cur_d.sparkSession.createDataFrame(
+        # JVM LocalRelation, not createDataFrame: the pointer map is
+        # driver-side literals, and re-parallelizing it as a Python RDD
+        # makes every downstream action pay a Python-worker round trip
+        # (localrel.py; bounded here by finish_threshold edges)
+        from ..localrel import local_frame
+
+        lmap = local_frame(
+            cur_d.sparkSession,
             list(labels.items()),
             T.StructType(
                 [T.StructField("f_id", id_type), T.StructField("f_lab", id_type)]

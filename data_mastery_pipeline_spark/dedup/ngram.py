@@ -235,17 +235,34 @@ def _small_vocab(
     from the mask), hence the confirm pass. Driver transfer is bounded
     at limit+1 rows in both phases; pass set_repr='array' upstream to
     skip probing entirely."""
-    probe = (
-        lambda frame: frame.select(
-            F.explode(F.array_distinct(tokens(text_col))).alias("t")
-        )
+    # Phase 1 — cheap bail-out: collect 200 raw texts (ONE CollectLimit
+    # job reading ~a partition at any scale) and count distinct tokens
+    # driver-side. Purely heuristic, so the Python whitespace split need
+    # not match tokens() exactly: an overcount bails to the array path
+    # (identical results, no bitmask), an undercount falls through to
+    # the authoritative confirm below. The previous shape — explode →
+    # distinct → limit stacked ABOVE a mid-plan limit(200) — paid a
+    # single-partition exchange plus CollectLimit's incremental job
+    # rounds and measured SLOWER than the full confirm pass itself
+    # (0.9 s vs 0.45 s warm at sf0.1 — r11, guide §1).
+    sample_rows = (
+        df.select(F.col(text_col).cast("string").alias("t"))
+        .limit(200)
+        .collect()
+    )
+    seen: set[str] = set()
+    for r in sample_rows:
+        seen.update((r["t"] or "").split())
+        if len(seen) > limit:
+            return None
+    # Phase 2 — full-corpus confirm (the dictionary must be COMPLETE):
+    # one pass, driver transfer bounded at limit+1 rows.
+    sample = (
+        df.select(F.explode(F.array_distinct(tokens(text_col))).alias("t"))
         .distinct()
         .limit(limit + 1)
         .collect()
     )
-    if len(probe(df.limit(200))) > limit:
-        return None
-    sample = probe(df)
     if len(sample) > limit:
         return None
     return sorted(r["t"] for r in sample)

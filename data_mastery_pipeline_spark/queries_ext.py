@@ -24,6 +24,7 @@ from .dedup import minhash as dedup_minhash
 from .dedup import ngram as dedup_ngram
 from .dedup import simhash as dedup_simhash
 from .functions import text as textfn
+from .functions import veclit
 from .multimodal import binarycol
 from .operators import sampling
 from .registry import quantize, query, sql_quantize
@@ -379,7 +380,7 @@ def _exact_cosine_topk(
         quantize(
             dedup_emb.cosine(
                 F.col("embedding").cast("array<double>"),
-                F.array(*[F.lit(x) for x in qv]),
+                veclit.double_array_lit(qv),
             ),
             "cos",
             4,

@@ -578,6 +578,23 @@ def _produce_events_topic(spark: SparkSession, sf_dir: str, tag: str):
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+    # The wire sink produces one connection per Spark partition; a
+    # small parquet input arrives as ONE scan split, so the JSON
+    # encode + TCP produce ran single-core (measured 1.7 s warm at
+    # sf0.1 — guide §2). Fan out a FEW ways so the per-task encode
+    # pipelines against the broker: the topic is single-partition by
+    # protocol (one append log), so the broker's per-topic lock — in
+    # one GIL-bound process here — is the serializing resource and
+    # producer parallelism past a handful only contends (measured:
+    # 1 task 1.8 s, 8 tasks 1.3 s, 32 tasks 3.0 s). The cap mirrors
+    # the real-Kafka rule that per-partition producer parallelism
+    # doesn't scale past the partition's append path; every wire
+    # consumer is offset-sliced and order-insensitive (identity set /
+    # aggregates), and delivery stays at-least-once per task exactly
+    # as before.
+    target = min(spark.sparkContext.defaultParallelism, 8)
+    if ev.rdd.getNumPartitions() < target:
+        ev = ev.repartition(target)
     fmt = {"timestampFormat": kafka.TS_FMT_MICROS}  # µs precision both ways
     pair = kafka.to_kafka_records(ev, key_col="user_id", json_options=fmt)
     (

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..dedup.embedding import cosine
+from ..functions.veclit import double_array_lit
 
 
 def cosine_topk(
@@ -26,7 +27,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine similarity to ``query_vec`` (deterministic
     tie-break on id). Returns (id, cos) ordered desc."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = double_array_lit(query_vec)
     scored = df.select(
         F.col(id_col),
         cosine(F.col(vec_col).cast("array<double>"), q).alias("cos"),

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
 from ..dedup.embedding import cosine
+from ..functions.veclit import double_array_lit
 
 
 def _kmeans_fit(X, k: int, seed: int, max_iter: int = 25):
@@ -132,7 +133,9 @@ def train_centroids(
 
 
 def _l2sq_to(vec: Column, centroid: Sequence[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    # one-call literal: per-element F.lit chains are pure driver cost
+    # at plan-construction time (functions/veclit.py, r11)
+    c = double_array_lit(centroid)
     return F.aggregate(
         F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -178,7 +181,7 @@ def ivf_topk(
     and the filter prunes the materialized layout instead of
     re-deriving cells per query."""
     probes = _probe_cells(list(query_vec), centroids, n_probes)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = double_array_lit(query_vec)
     src = (
         df
         if "cell" in df.columns

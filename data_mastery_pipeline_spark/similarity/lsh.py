@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
 from ..dedup.embedding import cosine
+from ..functions.veclit import double_array_lit
 
 
 def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
@@ -73,7 +74,7 @@ def lsh_cosine_topk(
     k boundary (raw tie-break vs quantized tie-break).
     """
     probes = _probe_buckets(list(query_vec), n_bits, n_probes)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = double_array_lit(query_vec)
     score = cosine(F.col(vec_col).cast("array<double>"), q)
     if quantize_decimals is not None:
         m = 10**quantize_decimals

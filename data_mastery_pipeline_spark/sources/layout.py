@@ -42,6 +42,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.veclit import double_array_lit
 from .writers import write_clustered
 
 Z_COL = "__zvalue__"  # dunder-fenced (bloomjoin precedent): collision-proof
@@ -52,7 +53,7 @@ def _bucket_expr(col: str, bounds: Sequence[float]) -> Column:
     boundary array: the count of boundaries <= value — a Catalyst
     higher-order FILTER over a (2**bits - 1)-element literal, no UDF.
     Nulls sort into bucket 0 (the comparison is null-safe false)."""
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    arr = double_array_lit(bounds)
     v = F.col(col).cast("double")
     return F.size(F.filter(arr, lambda b: (b <= v) & v.isNotNull())).cast("bigint")
 
