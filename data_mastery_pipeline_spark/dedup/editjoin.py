@@ -166,12 +166,32 @@ def _mid_exact_pairs(b: DataFrame, k: int, q: int) -> DataFrame:
         .filter(F.col("__r") <= k * q + 1)
         .select("id", "blk", "n", "gram")
     )
-    pa = prefix.filter(F.col("n") < hi).select(
-        F.col("id").alias("id_a"), "blk", "gram"
+    # Length-keyed candidate join (r11, measured at the 40× deep
+    # capture): joining on (blk, gram) alone meets every
+    # length-incompatible partner and filters |Δn| ≤ k only AFTER the
+    # match — on a dense-vocabulary corpus that candidate mass is
+    # quadratic (ednl fitted exponent 1.63 between 10× and 40×).
+    # Exploding the SMALL mid side over its 2k+1 admissible partner
+    # lengths turns the length bound into part of the equi-join key:
+    # candidates_new = candidates_old ∩ {|Δn| ≤ k}, and the verify
+    # phase already applied that filter, so the emitted pair set is
+    # bit-identical — only candidate generation shrinks.
+    pa = (
+        prefix.filter(F.col("n") < hi)
+        .select(
+            F.col("id").alias("id_a"),
+            "blk",
+            "gram",
+            F.explode(
+                F.sequence(F.col("n") - k, F.col("n") + k)
+            ).alias("n_b"),
+        )
     )
-    pb = prefix.select(F.col("id").alias("id_b"), "blk", "gram")
+    pb = prefix.select(
+        F.col("id").alias("id_b"), "blk", "gram", F.col("n").alias("n_b")
+    )
     cand = (
-        pa.join(pb, ["blk", "gram"])
+        pa.join(pb, ["blk", "gram", "n_b"])
         .filter(F.col("id_a") != F.col("id_b"))
         .select(
             F.least("id_a", "id_b").alias("id_a"),

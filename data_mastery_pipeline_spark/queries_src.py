@@ -1597,10 +1597,16 @@ def txlog_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
         ).alias("n")
     )
-    if net.filter(~F.col("n").isin(0, 1)).limit(1).count():
+    # both replay invariants in ONE aggregate job (was two sequential
+    # actions over the same relation — r11, guide §1.2)
+    stats = net.agg(
+        F.count(F.when(~F.col("n").isin(0, 1), F.lit(1))).alias("bad"),
+        F.count(F.when(F.col("n") == 1, F.lit(1))).alias("recon"),
+    ).collect()[0]
+    if stats["bad"]:
         raise ValueError("streamed CDC replay produced a net count ∉ {0,1}")
     recon = net.filter(F.col("n") == 1).drop("n")
-    if recon.count() != t.read().count():
+    if stats["recon"] != t.read().count():
         raise ValueError("streamed CDC replay diverged from the snapshot")
     return (
         recon.groupBy("event_type")
@@ -2624,11 +2630,18 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dim.apply() is not None:
         raise RuntimeError("replayed apply must be exactly-once (None)")
     cur = dim.current().select("user_id", "score")
-    live = src.read()
-    if (
-        cur.exceptAll(live).limit(1).count()
-        or live.exceptAll(cur).limit(1).count()
-    ):
+    live = src.read().select("user_id", "score")
+    # multiset equality in ONE action (two exceptAll probes paid two
+    # sequential shuffle jobs for the same answer — r11, guide §1.2):
+    # signed per-row counts sum to 0 everywhere iff cur ≡ live
+    diff = (
+        cur.withColumn("__s", F.lit(1))
+        .unionByName(live.withColumn("__s", F.lit(-1)))
+        .groupBy("user_id", "score")
+        .agg(F.sum("__s").alias("__d"))
+        .filter(F.col("__d") != 0)
+    )
+    if diff.limit(1).count():
         raise RuntimeError("current() != source live rows")
     return dim.read().orderBy("user_id", "valid_from")
 
