@@ -110,11 +110,42 @@ DEEP_KNOWN_SUPERLINEAR = {
         "block size; the recursive-CTE oracle demands exact recall, "
         "and on this corpus's ~31-token vocabulary no exact filter "
         "(PPJoin prefix, length bound) prunes a dense similarity "
-        "graph. Flagged by this gate in r11 (the 13x@10x gate was "
-        "masked by the small constant); re-scope queued for "
-        "optimization round 2 — the knn_graph playbook: LSH-blocked "
-        "edge definition with the oracle mirroring the blocking "
-        "bit-for-bit, certified by the same value-hash discipline."
+        "graph. Flagged by this gate in r11: at 40x the entry COULD "
+        "NOT COMPLETE on this box (first attempt OOM'd execution "
+        "memory in the pair HashAggregate at the default 32 shuffle "
+        "partitions; a retry at initialPartitionNum=256 ran >40 min "
+        "without finishing the pair stage), so it is recorded in the "
+        "deep capture's skipped_entries rather than fitted. Two "
+        "compounding causes, diagnosed in OPTIMIZATION_r11.md: the "
+        "operator's candidate mass is quadratic-by-construction on a "
+        "dense graph, AND at 40x the amplification itself turns "
+        "artifactual — the replica-marker vocabulary (31+39 tokens) "
+        "overflows the 63-token bitmask dictionary so scoring falls "
+        "to per-pair array_intersect, and cross-replica token-set "
+        "pairs grow k^2 (the marker trick protects 3-shingles, not "
+        "unigram token sets). Re-scope queued for optimization round "
+        "2 — the knn_graph playbook: LSH-blocked edge definition with "
+        "the oracle mirroring the blocking bit-for-bit, certified by "
+        "the same value-hash discipline."
+    ),
+    "containment_pairs": (
+        "fitted exponent 1.66 in the committed pair — found by this "
+        "gate in r11 and root-caused by direct candidate counts: gram "
+        "rows grow 4.08x at 4x data (linear) but prefix-candidate "
+        "join rows grow 8.04x (28.7M at 10x -> 230M at 40x). The "
+        "mass is the PRE-CAP transient of sum(df^2): the "
+        "amplification's marker-free shared word-3-grams (1 in ~6 "
+        "grams survives the every-3-tokens marker interleave "
+        "identically in every replica) have df growing with k, and "
+        "sum over kept grams of df^2 rises ~k^2 until df crosses "
+        "CONTAINMENT_MAX_GRAM_DF=1000, after which the per-gram "
+        "contribution saturates and total candidate mass is bounded "
+        "by cap * |gram rows| — LINEAR in corpus size. So the entry "
+        "is asymptotically linear with a large constant, and the "
+        "exponent window [10x, 40x] catches the transient. Queued "
+        "for optimization round 2: shrink the constant (df-aware "
+        "prefix width / candidate generation that joins rare-side "
+        "occurrence lists instead of the full kept relation)."
     ),
 }
 
@@ -146,14 +177,33 @@ def test_deep_capture_exponents_subquadratic():
 def test_deep_superlinear_adjudications_are_real():
     """An allowlisted entry must actually BE super-linear in the
     committed pair — a stale adjudication (entry fixed, allowlist
-    kept) would let a FUTURE regression of that entry hide behind it."""
+    kept) would let a FUTURE regression of that entry hide behind it.
+    Two admissible forms of evidence, strongest first: the entry is
+    RECORDED as skipped from the deep capture (it could not complete
+    the deep amplification at all — definitionally super-linear), or
+    it completed and its fitted exponent exceeds EXP_MAX. If a future
+    round fixes the entry, the skip record disappears, the exponent
+    branch fails, and the stale allowlist row is caught."""
     import math
 
     spot = _load(SPOT)["queries"]
-    deep = _load(DEEP)["queries"]
+    deep_cap = _load(DEEP)
+    deep = deep_cap["queries"]
+    deep_skipped = set(deep_cap.get("detail", {}).get("skipped_entries", []))
     for name in DEEP_KNOWN_SUPERLINEAR:
-        t_spot, t_deep = spot.get(name), deep.get(name)
-        assert t_spot and t_deep, f"adjudicated {name} missing from pair"
+        t_spot = spot.get(name)
+        assert t_spot, f"adjudicated {name} missing from the spot capture"
+        if name in deep_skipped:
+            # could-not-complete is recorded loudly in the artifact
+            assert name not in deep, (
+                f"{name} is both skipped and timed in the deep capture"
+            )
+            continue
+        t_deep = deep.get(name)
+        assert t_deep, (
+            f"adjudicated {name} absent from the deep capture without "
+            "a skipped_entries record — silent shrinkage"
+        )
         exp = math.log(t_deep / t_spot) / math.log(DEEP_K)
         assert exp > EXP_MAX, (
             f"{name} fits exponent {exp:.2f} <= {EXP_MAX} — the "

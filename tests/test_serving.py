@@ -30,7 +30,7 @@ import pytest
 _TOOLS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
 )
-CAPTURE = os.path.join(_TOOLS, "bench_r11_quiet.json")
+CAPTURE = os.path.join(_TOOLS, "bench_r11_final.json")
 
 # warm-latency bands (seconds) from the committed capture: generous
 # enough for box noise (2.5x the committed warm + headroom), tight
