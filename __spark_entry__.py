@@ -31,70 +31,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's verify appears bounded at ~50 queries per round, so the
-# iteration order IS the verification budget. All 257 queries entering
-# round 11 hold a green driver row (CORRECTNESS_r01–r10: 0 red, 0
-# never-checked). Round 11's window (r10 verdict task 2 — finish the
-# rotation so no query's latest row predates r6): (a) this round's
-# additions/re-scopes, (b) the 12 remaining r3-era anchors, (c) the r5
-# cohort — 50 exactly.
+# iteration order IS the verification budget. Round 12's window:
+# (a) this round's re-scopes and additions — the near-dup family whose
+# edge definition moved to simhash-cell blocking (oracles re-authored),
+# its new recall certificate, the narrowed containment candidates, and
+# the touched knn pair; (b) the r6 cohort (latest green row r6 — it
+# happens to contain the avro/kafka-wire codecs this round Arrow-batched
+# and containment_pairs itself); (c) winsorized_value_stats (r5 — listed
+# in the r11 window but cut by the 50-row budget); (d) the r7 cohort,
+# alphabetical, to fill 50 — the 15 r7 remainers head the r13 window.
 _PRIORITY = [
-    # (a) round-11 additions / re-scopes — verified first
-    "knn_graph",  # re-scoped: sign-LSH cell-blocked graph (r10 weak)
-    "knn_graph_recall",  # its measured recall certificate (new r11)
-    "edit_near_dups_lsh",  # exact mid-band leg added (ADVICE r10)
-    "cbo_star_urgent",  # CBO loop extended into the join library (new r11)
-    # (b) the 12 remaining r3-era anchors (latest green r3):
-    "runlog_demo",
-    "segment_rank_family",
-    "sequence_packing",
-    "stat_moments",
-    "stratified_sample",
-    "stream_dedup_keys",
-    "text_normalize",
-    "text_repetition",
-    "top_tokens",
-    "train_test_split_test",
-    "users_per_type",
-    "weather_pipeline_daily",
-    # (c) the r5 cohort (latest green row r5; pricing_summary is
-    # excluded — the entry() smoke re-checks it every round, and
-    # retired prefix_edit_near_dups is gone from the registry):
-    "ab_test_conversion",
-    "audience_overlap",
-    "autocorr_daily_revenue",
-    "cohort_retention",
-    "daily_revenue_anomalies",
-    "distinct_users_approx",
-    "distinct_users_hll_sketch",
-    "embedding_dim_correlations",
-    "ewma_user_value",
-    "funnel_conversion",
-    "linestatus_priority_counts",
-    "min_cost_supplier",
-    "modal_value_bucket",
-    "near_dup_cluster_sizes",
-    "part_cooccurrence",
-    "path_regex_funnel",
-    "profile_events",
-    "psi_value_drift",
-    "reservoir_per_source",
-    "returned_revenue_by_customer",
-    "revenue_trend_by_nation",
-    "rich_inactive_customers",
-    "rolling_7d_active_users",
-    "rolling_fingerprints",
-    "ship_priority",
-    "small_quantity_revenue",
-    "sole_blame_suppliers",
-    "source_unigram_drift",
-    "stream_enrich_static",
-    "string_suite",
-    "user_behavior_entropy",
-    "value_percentiles_approx",
-    "versioned_snapshot_diff",
-    "weighted_sample_per_source",
+    # (a) round-12 re-scopes / touched queries — verified first
+    "near_dup_clusters",  # re-scoped: simhash-cell blocked edges (r11 task 1)
+    "near_dup_canonical",  # same member relation
+    "near_dup_cluster_sizes",  # same member relation
+    "leakage_safe_splits",  # same member relation
+    "near_dup_blocking_recall",  # new: measured recall certificate
+    "containment_pairs",  # bucketed B-side prefix (r11 task 3)
+    "knn_graph",  # celled subtree deduplicated (r11 task 4)
+    "knn_graph_recall",
+    # (b) the r6 cohort
+    "array_hof_suite",
+    "avro_roundtrip",  # Arrow-batched datasource boundary (r11 task 5)
+    "bloom_join_prune",
+    "bpe_merge_candidates",
+    "csv_quarantine_roundtrip",
+    "embedding_norms",
+    "epoch_shuffle",
+    "file_pruning_stats",
+    "incremental_join_maintenance",
+    "kafka_wire_lake_daily",  # Arrow-batched
+    "kafka_wire_roundtrip",  # Arrow-batched
+    "kafka_wire_stream_hourly",
+    "orc_roundtrip",
+    "safe_cast_suite",
+    "scd2_user_values",
+    "triangle_count",
+    "wire_to_serving_daily",  # Arrow-batched
+    "zorder_pruning_stats",
+    # (c) the r5 straggler the r11 window cut
     "winsorized_value_stats",
-    # next rotation (r12): the r6 cohort (21 queries)
+    # (d) r7 cohort, alphabetical prefix (23 of 38; 15 remain for r13)
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "contamination_check",
+    "cuped_ab_test",
+    "doc_fingerprints",
+    "dp_noisy_counts",
+    "embedding_centroids",
+    "embedding_near_dup",
+    "exact_dedup",
+    "feature_store_pit",
+    "k_anonymity_audit",
+    "kaplan_meier_retention",
+    "kmeans_embeddings",
+    "l_diversity_audit",
+    "lang_id",
+    "lm_bigram_quality",
+    "masked_serving_view",
+    "minhash_near_dup",
+    "ngram_jaccard_pairs",
+    "ohlc_hourly",
+    "pseudonymize_users",
+    "rls_scoped_export",
+    "shared_substring_spans",
+    # next rotation (r13): the 15 r7 remainers (simhash_near_dup,
+    # spatial_*, text_*, tfidf, time_weighted_avg, txlog_constraints_asof,
+    # txlog_ivm_cdc, txlog_stream_cdf, user_erasure_roundtrip,
+    # weather_dag_run, ...), then the r8 cohort
 ]
 
 

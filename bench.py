@@ -87,6 +87,9 @@ HEADLINE = [
     # round 11: catalog-stats star join (orders promoted to broadcast
     # from the selectivity estimate static planning misses)
     "cbo_star_urgent",
+    # round 12: near_dup_clusters re-scoped to simhash-cell blocked
+    # edges (linear mass); its measured recall certificate benches too
+    "near_dup_blocking_recall",
     "containment_pairs",
     # round 5 batch 6: graph analytics, SCD2 temporal, join IVM
     "triangle_count",
@@ -341,15 +344,22 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.time() - t, 3)
 
-    # SPARK_GRAFT_BENCH_SKIP=a,b,c — drop named entries from this run,
-    # LOUDLY (recorded in the output JSON, never silent). For scale
-    # captures on amplified data where a fixed-machinery entry (e.g.
-    # the single-socket kafka wire transport) can't take k× volume.
-    skip = {
-        s
-        for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")
-        if s.strip()
-    }
+    # SPARK_GRAFT_BENCH_SKIP=a,b,c or a=reason,b=reason — drop named
+    # entries from this run, LOUDLY (recorded in the output JSON with
+    # the REASON, never silent — ADVICE r11: a bare skip record cannot
+    # distinguish "could not complete at this amplification" from "not
+    # run to save time", and only the former is adjudication evidence
+    # for tests/test_scale_growth.py). For scale captures on amplified
+    # data where a fixed-machinery entry (e.g. the single-socket kafka
+    # wire transport) can't take k× volume.
+    skip_reasons: dict[str, str] = {}
+    for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(","):
+        s = s.strip()
+        if not s:
+            continue
+        name, _, reason = s.partition("=")
+        skip_reasons[name] = reason or "unspecified"
+    skip = set(skip_reasons)
     unknown_skip = skip - set(HEADLINE)
     if unknown_skip:
         raise SystemExit(
@@ -357,7 +367,7 @@ def main() -> None:
             f"{sorted(unknown_skip)}"
         )
     if skip:
-        detail["skipped_entries"] = sorted(skip)
+        detail["skipped_entries"] = dict(sorted(skip_reasons.items()))
 
     # SPARK_GRAFT_BENCH_ONLY=a,b,c — restrict the run to named entries
     # (r10 verdict task 3: the deep-amplification spot capture times

@@ -90,55 +90,11 @@ def jaccard_pairs_blocked(
                 "set_repr='bitmask' requires a ≤63-token corpus vocabulary"
             )
     if vocab is not None:
-        vlit = F.array(*[F.lit(v) for v in vocab])
-        # bit = 2^(dict position): pow(2, k) is a power of two, exactly
-        # representable in double for k ≤ 62, so the long cast is exact
-        # (shiftleft would be the obvious tool but only takes a literal
-        # shift amount)
-        # Out-of-dictionary tokens fail LOUDLY: array_position returns 0
-        # for a miss, and without the guard pow(2,-1)=0.5 casts to 0 —
-        # the token would silently encode to NO bit and corrupt every
-        # Jaccard it touches. A miss is only possible if the data drifts
-        # between the plan-time _small_vocab collect and execution
-        # (nondeterministic source, re-executed lineage) — exactly the
-        # case that must not pass silently (ADVICE r04).
-        def _bit(acc, t):
-            # bind array_position's result to a lambda variable so the
-            # O(|vocab|) scan runs ONCE per token — referencing the
-            # expression twice (guard + value) would evaluate it twice,
-            # since subexpression elimination doesn't reach inside
-            # higher-order-function lambdas
-            bit_of = lambda p: F.when(  # noqa: E731
-                p == 0,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "bitmask set_repr: token absent from the "
-                            "probed vocabulary (data changed between "
-                            "planning and execution): "
-                        ),
-                        t,
-                    )
-                ).cast("long"),
-            ).otherwise(
-                F.pow(F.lit(2.0), (p - 1).cast("double")).cast("long")
-            )
-            return acc.bitwiseOR(
-                F.element_at(
-                    F.transform(F.array(F.array_position(vlit, t)), bit_of), 1
-                )
-            )
-
-        mask = F.aggregate(
-            F.array_distinct(tokens(text_col)),
-            F.lit(0).cast("long"),
-            _bit,
-        )
-        toks_repr = mask.alias("toks")
+        mask = _bitmask_repr(vocab, text_col)
         base = df.select(
             F.col(id_col).alias("id"),
             *[F.col(c) for c in block_cols],
-            toks_repr,
+            mask.alias("toks"),
         ).withColumn("n_toks", F.bit_count("toks").cast("int"))
     else:
         # the one canonical token-set representation — shared with the
@@ -220,6 +176,56 @@ def jaccard_pairs_blocked(
     )
 
 
+def _bitmask_repr(vocab: list[str], text_col: str):
+    """(mask_expr, n_toks_expr) for the ≤63-token dictionary encoding —
+    shared by the blocked and celled pair builders so the two cannot
+    drift. bit = 2^(dict position): pow(2, k) is a power of two, exactly
+    representable in double for k ≤ 62, so the long cast is exact
+    (shiftleft would be the obvious tool but only takes a literal shift
+    amount). Out-of-dictionary tokens fail LOUDLY: array_position
+    returns 0 for a miss, and without the guard pow(2,-1)=0.5 casts to
+    0 — the token would silently encode to NO bit and corrupt every
+    Jaccard it touches. A miss is only possible if the data drifts
+    between the plan-time _small_vocab collect and execution
+    (nondeterministic source, re-executed lineage) — exactly the case
+    that must not pass silently (ADVICE r04)."""
+    vlit = F.array(*[F.lit(v) for v in vocab])
+
+    def _bit(acc, t):
+        # bind array_position's result to a lambda variable so the
+        # O(|vocab|) scan runs ONCE per token — referencing the
+        # expression twice (guard + value) would evaluate it twice,
+        # since subexpression elimination doesn't reach inside
+        # higher-order-function lambdas
+        bit_of = lambda p: F.when(  # noqa: E731
+            p == 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bitmask set_repr: token absent from the "
+                        "probed vocabulary (data changed between "
+                        "planning and execution): "
+                    ),
+                    t,
+                )
+            ).cast("long"),
+        ).otherwise(
+            F.pow(F.lit(2.0), (p - 1).cast("double")).cast("long")
+        )
+        return acc.bitwiseOR(
+            F.element_at(
+                F.transform(F.array(F.array_position(vlit, t)), bit_of), 1
+            )
+        )
+
+    mask = F.aggregate(
+        F.array_distinct(tokens(text_col)),
+        F.lit(0).cast("long"),
+        _bit,
+    )
+    return mask
+
+
 def _small_vocab(
     df: DataFrame, text_col: str, limit: int = 63
 ) -> list[str] | None:
@@ -277,6 +283,157 @@ def _hashed_token_base(df: DataFrame, text_col: str, id_col: str, block_cols):
         *[F.col(c) for c in block_cols],
         toks_hashed.alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
+
+
+# --- simhash-cell blocking (near_dup_clusters family, r12 re-scope) -------
+#
+# The exact within-(lang, length) pair join is quadratic BY DEFINITION on a
+# dense corpus: at sf0.1 the median within-block Jaccard is 0.78, so the
+# TRUE edge set itself is Θ(|block|²) (1.53 M pairs over 5 000 docs) and the
+# 40× deep capture OOM'd the pair aggregate (r11 adjudication). The fix is
+# the knn_graph playbook: a closed-form cell both engines evaluate bounds
+# the scored-pair mass at Σ|cell|² ≈ n · target_cell — LINEAR — and the
+# oracle mirrors the blocking bit-for-bit. The cell is the leading ``b``
+# bits of a SET-simhash (majority vote over the DISTINCT token hashes, so
+# identical token sets ⇒ identical fingerprint ⇒ same cell: J = 1 pairs are
+# co-celled with probability 1, the structural guarantee dedup needs).
+# Graded recall decays with J and is MEASURED, not assumed
+# (near_dup_blocking_recall) — the honest-floor policy knn_graph set.
+CELL_TARGET = 64
+CELL_MIN_BITS = 3
+CELL_MAX_BITS = 18
+_FP_BITS = 60  # md5-prefix width shared with simhash.BITS_MD5
+
+
+def _cell_fp_col(text_col: str):
+    """60-bit SET-simhash over md5-prefix token hashes — byte-portable
+    to DuckDB (same hash as simhash.md5_60, but votes are per DISTINCT
+    token so the fingerprint is a function of the token SET, matching
+    the Jaccard the cells block for)."""
+    hashes = F.transform(
+        F.array_distinct(tokens(text_col)),
+        lambda t: F.conv(
+            F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10
+        ).cast("bigint"),
+    )
+    fold = (
+        f"aggregate(sequence(0, {_FP_BITS - 1}), 0L, "
+        "(acc, i) -> acc | IF("
+        "2 * size(filter(__h, h -> (h >> i) & 1 = 1)) > size(__h), "
+        "shiftleft(1L, i), 0L))"
+    )
+    return hashes, fold
+
+
+def cell_bits(n: int, target_cell: int = CELL_TARGET) -> int:
+    """b = clamp(ceil(log2(n / target_cell)), 3, 18) — cell granularity
+    grows with the corpus so expected cell size stays ~constant at every
+    scale (knngraph.blocking_bits_expr, set flavor). Computed driver-side
+    from ONE count so the fingerprint pass carries a literal shift."""
+    return min(
+        CELL_MAX_BITS,
+        max(CELL_MIN_BITS, math.ceil(math.log2(max(n, 1) / float(target_cell)))),
+    )
+
+
+def jaccard_pairs_celled(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    length_tolerance: float | None = 0.2,
+    threshold: float = 0.35,
+    target_cell: int = CELL_TARGET,
+    set_repr: str = "auto",
+) -> DataFrame:
+    """Exact token-set Jaccard restricted to SIMHASH CELLS — the
+    bounded-mass near-dup edge definition (module comment above).
+
+    Same verification as ``jaccard_pairs_blocked`` (same set_repr probe,
+    same length tolerance, same threshold), but a pair additionally
+    requires ``cell_a == cell_b`` where cell = the leading b bits of the
+    portable set-simhash and b adapts to the corpus size. Scored mass is
+    Σ|cell|² ≈ n · target_cell; the join is a plain (blocks…, cell)
+    equi-join — key cardinality 2^b restores shuffle parallelism that
+    lang-only blocks never had, and AQE skew-join splits an oversized
+    cell. NULL-text docs carry no fingerprint and emit no pair (the
+    simhash rule)."""
+    if set_repr == "array":
+        vocab = None
+    else:
+        vocab = _small_vocab(df, text_col, limit=63)
+        if set_repr == "bitmask" and vocab is None:
+            raise ValueError(
+                "set_repr='bitmask' requires a ≤63-token corpus vocabulary"
+            )
+
+    nn = df.filter(F.col(text_col).isNotNull())
+    b = cell_bits(nn.count(), target_cell)
+
+    from ..parallelism import fan_out
+
+    nn = fan_out(nn)  # the md5+fold fingerprint pass is CPU-dominant
+    hashes, fold = _cell_fp_col(text_col)
+    if vocab is not None:
+        toks_repr = _bitmask_repr(vocab, text_col)
+        n_expr = F.bit_count("toks")
+    else:
+        toks_repr = F.transform(
+            F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)
+        )
+        n_expr = F.size("toks")
+    base = (
+        nn.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in block_cols],
+            toks_repr.alias("toks"),
+            hashes.alias("__h"),
+        )
+        .withColumn("n_toks", n_expr.cast("int"))
+        .withColumn(
+            "cell",
+            F.shiftrightunsigned(F.expr(fold), _FP_BITS - b).cast("bigint"),
+        )
+        .drop("__h")
+    )
+
+    if length_tolerance is None:
+        lo, hi = threshold, 1.0 / threshold
+    else:
+        lo, hi = 1.0 - length_tolerance, 1.0 + length_tolerance
+
+    a = base.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("toks").alias("toks_a"),
+        F.col("n_toks").alias("n_a"),
+        F.col("cell").alias("cell_a"),
+    )
+    bs = base.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("toks").alias("toks_b"),
+        F.col("n_toks").alias("n_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    cond = (F.col("id_a") < F.col("id_b")) & (F.col("cell_a") == F.col("cell_b"))
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    cond = cond & F.col("n_b").between(F.col("n_a") * lo, F.col("n_a") * hi)
+    joined = a.join(bs, cond)
+
+    if vocab is not None:
+        inter = F.bit_count(
+            F.col("toks_a").bitwiseAND(F.col("toks_b"))
+        ).cast("double")
+    else:
+        inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.col("n_a") + F.col("n_b") - inter
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def prefix_candidates(

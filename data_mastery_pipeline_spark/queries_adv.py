@@ -1453,14 +1453,69 @@ def containment_pairs_df(
     kn = kdf.withColumn("n", F.count("*").over(w_doc)).withColumn(
         "__r", F.row_number().over(w_doc.orderBy("df", "g"))
     )
+    # BOTH-SIDE prefix filtering (r12 — the r11 40× capture fitted this
+    # entry at exponent 1.66: A-prefix × B-FULL-LIST join rows grew
+    # 28.7 M → 230 M at 4× data, the pre-cap Σdf² transient). The
+    # symmetric prefix theorem (Chaudhuri et al. / Xiao et al. WWW'08):
+    # if |A∩B| ≥ α, the canonically-SMALLEST shared gram g_min has
+    # rank ≤ n_a−α+1 in A AND rank ≤ n_b−α+1 in B (its α−1 shared
+    # successors are in both docs), so B's join side may be pruned to
+    # its own prefix — IF it knows α = ⌈t·n_a⌉ before seeing A. It
+    # can't, so A's size enters the JOIN KEY as a log2 bucket: A tags
+    # j = floor(log2(n_a)) (⇒ 2^j ≤ n_a ⇒ α_j = ⌈t·2^j⌉ ≤ α), and B
+    # fans out one prefix row per admissible j (j ≤ log2(n_b/t), the
+    # partner-size bound n_b ≥ t·n_a) keeping rank ≤ n_b − α_j + 1.
+    # Candidates stay a provable SUPERSET of qualifying pairs — the
+    # exact verification below is unchanged, so the pair set is
+    # bit-identical — while the quadratic term dies: a gram enters the
+    # join only via BOTH docs' rarest slots, so hot shared grams (df
+    # growing with the corpus) drop out of B's side exactly when they
+    # stop being discriminative. B's fan-out is a measured ~3–4×
+    # constant on gram ROWS (8 B hashes) — traded against join OUTPUT
+    # mass, which the transient grew ~8× per 4× data. The residual
+    # positional filter with the TRUE α (a per-row comparison, applied
+    # post-join) prunes the distinct's input further; same theorem,
+    # g_min satisfies it.
     prefix = kn.filter(
         F.col("__r")
         <= F.floor((1.0 - threshold) * F.col("n")) + F.lit(1)
-    ).select("doc_id", "g")
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        "g",
+        F.col("n").alias("n_a"),
+        F.floor(F.log2("n")).cast("int").alias("j"),
+    )
+    b_pref = (
+        kn.select(
+            F.col("doc_id").alias("id_b"),
+            "g",
+            F.col("n").alias("n_b"),
+            F.col("__r").alias("r_b"),
+        )
+        .withColumn(
+            "j",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(F.log2(F.col("n_b") / F.lit(threshold))).cast("int"),
+                )
+            ),
+        )
+        .filter(
+            F.col("r_b")
+            <= F.col("n_b")
+            - F.ceil(F.lit(threshold) * F.pow(F.lit(2.0), F.col("j")))
+            + F.lit(1)
+        )
+    )
+    alpha_true = F.ceil(F.lit(threshold) * F.col("n_a"))
     cand = (
-        prefix.select(F.col("doc_id").alias("id_a"), "g")
-        .join(kept.select(F.col("doc_id").alias("id_b"), "g"), "g")
-        .filter(F.col("id_a") != F.col("id_b"))
+        prefix.join(b_pref, ["g", "j"])
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("n_b") >= alpha_true)
+            & (F.col("r_b") <= F.col("n_b") - alpha_true + F.lit(1))
+        )
         .select("id_a", "id_b")
         .distinct()
     )

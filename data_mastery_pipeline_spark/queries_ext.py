@@ -896,15 +896,54 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Simhash-cell blocked near-dup member relation (r12 re-scope, VERDICT
+# r11 task 1 — the knn_graph playbook). The previous edge definition —
+# exact Jaccard over ALL within-(lang, length-tolerance) pairs — is
+# quadratic BY DEFINITION on a dense corpus (median within-block Jaccard
+# here is 0.78 ⇒ the TRUE edge set is Θ(|block|²)); the r11 40× deep
+# capture OOM'd its pair aggregate and was adjudicated as the engine's
+# one remaining scale-killer. The blocked definition bounds the scored
+# mass at Σ|cell|² ≈ n · CELL_TARGET (linear) via a closed-form cell
+# both engines evaluate bit-identically: the leading b bits of the
+# md5-portable SET-simhash (majority vote over DISTINCT token hashes —
+# identical token sets ⇒ identical fingerprints ⇒ co-celled with
+# probability 1, the structural exact-duplicate guarantee), with
+# b = clamp(ceil(log2(n / CELL_TARGET)), 3, 18) so expected cell size is
+# constant at every scale. Graded recall decays with J and is MEASURED
+# (near_dup_blocking_recall), mirroring knn_graph/knn_graph_recall.
+_SQL_CELL_CSUM = ",\n               ".join(
+    f"sum((h >> {i}) & 1) AS c{i}" for i in range(60)
+)
+_SQL_CELL_FP = " + ".join(
+    f"(CASE WHEN c{i}*2 > n THEN {1 << i} ELSE 0 END)" for i in range(60)
+)
+_SQL_CELLED_BASE = f"""tok AS (
+        SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ), h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+    ), cnt AS (
+        SELECT doc_id, count(*) AS n,
+               {_SQL_CELL_CSUM}
+        FROM h GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, ({_SQL_CELL_FP})::BIGINT AS fp FROM cnt
+    ), nb AS (
+        SELECT LEAST(18, GREATEST(3,
+                 CAST(ceil(log2(count(*) / {dedup_ngram.CELL_TARGET}.0)) AS INT))) AS b
+        FROM fp
+    ), base AS (
+        SELECT d.doc_id, d.lang, list_distinct({_SQL_TOKS}) AS toks,
+               len(list_distinct({_SQL_TOKS})) AS n_toks,
+               fp.fp >> (60 - nb.b) AS cell
+        FROM documents d JOIN fp ON d.doc_id = fp.doc_id CROSS JOIN nb
+    )"""
+
 _SQL_NEAR_DUP_CLUSTERS = f"""
-    WITH RECURSIVE base AS (
-        SELECT doc_id, lang, list_distinct({_SQL_TOKS}) AS toks,
-               len(list_distinct({_SQL_TOKS})) AS n_toks
-        FROM documents
-    ), pairs AS (
+    WITH RECURSIVE {_SQL_CELLED_BASE}, pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM base a JOIN base b
-          ON a.lang = b.lang AND a.doc_id < b.doc_id
+          ON a.lang = b.lang AND a.cell = b.cell AND a.doc_id < b.doc_id
          AND b.n_toks BETWEEN a.n_toks * 0.8 AND a.n_toks * 1.2
         WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
               / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= 0.35
@@ -923,7 +962,7 @@ _SQL_NEAR_DUP_CLUSTERS = f"""
 
 def _near_dup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    pairs = dedup_ngram.jaccard_pairs_blocked(
+    pairs = dedup_ngram.jaccard_pairs_celled(
         docs, block_cols=("lang",), length_tolerance=0.2, threshold=0.35
     ).select("id_a", "id_b")
     return dedup_components.connected_components(
@@ -934,11 +973,117 @@ def _near_dup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("near_dup_clusters", _SQL_NEAR_DUP_CLUSTERS)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> dedup GROUPS: iterative min-label propagation
-    (dedup/components.py) over the exact-Jaccard pair graph. The oracle
-    is a DuckDB recursive CTE computing the same transitive closure, so
-    the ITERATIVE DataFrame algorithm itself is value-checked — not just
-    rows-counted."""
+    (dedup/components.py) over the simhash-cell-blocked exact-Jaccard
+    pair graph (see the module comment above _SQL_CELLED_BASE for the
+    blocked edge definition and why). The oracle is a DuckDB recursive
+    CTE recomputing the identical blocking + scoring + transitive
+    closure, so the ITERATIVE DataFrame algorithm AND the blocking are
+    value-checked — not just rows-counted."""
     return _near_dup_members(spark, sf_dir)
+
+
+@query(
+    "near_dup_blocking_recall",
+    f"""
+    WITH {_SQL_CELLED_BASE}, probes AS (
+        SELECT * FROM base WHERE doc_id < 1000
+    ), truep AS (
+        SELECT (a.cell = b.cell) AS comatch
+        FROM probes a JOIN probes b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND b.n_toks BETWEEN a.n_toks * 0.8 AND a.n_toks * 1.2
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE >= 0.35
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           CAST(coalesce(sum(CASE WHEN comatch THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS hits,
+           floor(coalesce(sum(CASE WHEN comatch THEN 1 ELSE 0 END), 0) * 10000.0
+                 / greatest(count(*), 1) + 0.5) / 10000.0 AS pair_recall
+    FROM truep
+    """,
+)
+def near_dup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL CERTIFICATE for the near_dup_clusters blocking (the
+    measured-not-assumed rule every approximate entry follows, the
+    knn_graph_recall shape): over a FIXED probe set (doc_id < 1000 —
+    bounded at any scale, and amplified replicas sit at doc_id ≥ 10M so
+    the probe set never grows), compare the UNBLOCKED exact edge set
+    (every within-(lang, length-tolerance) pair with Jaccard ≥ 0.35 —
+    the pre-r12 definition) against cell co-membership and emit ONE row
+    (n_true, hits, pair_recall). Both sides are recomputed by the
+    oracle, so the measured recall itself is value-checked cross-engine
+    every round.
+
+    Context for the number: this synthetic corpus is dedup-degenerate —
+    the median within-block pair ALREADY has Jaccard 0.78, so 12% of all
+    pairs are "true" near-dups at t = 0.35 and any bounded-mass blocking
+    keeps roughly cell_size/block_size of them (measured ~0.02–0.17
+    depending on SF). Recall is monotone in J — exact-duplicate pairs
+    (J = 1) are co-celled with probability 1 by construction — which is
+    the regime real dedup blocking operates in; the knob is
+    dedup_ngram.CELL_TARGET (bigger cells = more recall = proportionally
+    more mass)."""
+    docs = load_table(spark, "documents", sf_dir)
+    nn = docs.filter(F.col("text").isNotNull())
+    b = dedup_ngram.cell_bits(nn.count())
+    hashes, fold = dedup_ngram._cell_fp_col("text")
+    base = (
+        nn.select(
+            "doc_id",
+            "lang",
+            F.array_distinct(textfn.tokens("text")).alias("toks"),
+            hashes.alias("__h"),
+        )
+        .withColumn("n_toks", F.size("toks"))
+        .withColumn(
+            "cell",
+            F.shiftrightunsigned(F.expr(fold), dedup_ngram._FP_BITS - b).cast(
+                "bigint"
+            ),
+        )
+        .drop("__h")
+    )
+    probes = base.filter(F.col("doc_id") < 1000)
+    a = probes.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_toks").alias("n_a"),
+        F.col("cell").alias("cell_a"),
+    )
+    bs = probes.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_toks").alias("n_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
+    truep = (
+        a.join(
+            F.broadcast(bs),
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & F.col("n_b").between(F.col("n_a") * 0.8, F.col("n_a") * 1.2),
+        )
+        .filter((inter / union) >= 0.35)
+        .select((F.col("cell_a") == F.col("cell_b")).alias("comatch"))
+    )
+    hits = F.coalesce(
+        F.sum(F.when(F.col("comatch"), 1).otherwise(0)), F.lit(0)
+    ).cast("long")
+    return truep.agg(
+        F.count("*").cast("long").alias("n_true"),
+        hits.alias("hits"),
+        (
+            F.floor(
+                hits * 10000.0 / F.greatest(F.count("*"), F.lit(1)) + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("pair_recall"),
+    )
 
 
 @query(

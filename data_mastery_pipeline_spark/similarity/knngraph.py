@@ -97,22 +97,29 @@ def with_sign_cells(
     target_cell: int = 64,
 ) -> DataFrame:
     """(id, v: array<double>, cell: bigint) — the shared blocked base.
-    One count aggregate sizes ``b``; the 1-row result broadcasts onto
-    the scan (no data shuffle). floor(bits / 2^(32−b)) keeps the b
-    LEADING sign bits; all values < 2^32 so the double arithmetic is
-    exact and portable."""
+    One count job sizes ``b`` driver-side so the scan carries a LITERAL
+    shift (r12: the former 1-row count aggregate + crossJoin broadcast
+    appeared once per join side in the physical plan — the count ran
+    twice; a collected literal cannot be duplicated). floor(bits /
+    2^(32−b)) keeps the b LEADING sign bits; all values < 2^32 so the
+    double arithmetic is exact and portable, matching the SQL mirror."""
+    import math
+
     base = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    nrow = base.agg(F.count("*").cast("double").alias("__n"))
-    b = blocking_bits_expr(F.col("__n"), target_cell)
-    return base.crossJoin(F.broadcast(nrow)).select(
+    n = base.count()
+    b = min(
+        MAX_BITS,
+        max(MIN_BITS, math.ceil(math.log2(max(n, 1) / float(target_cell)))),
+    )
+    return base.select(
         "id",
         "v",
         F.floor(
             sign_bits_expr(F.col("v"))
-            / F.pow(F.lit(2.0), (F.lit(POOL_BITS) - b).cast("double"))
+            / F.pow(F.lit(2.0), F.lit(float(POOL_BITS - b)))
         )
         .cast("bigint")
         .alias("cell"),
@@ -130,7 +137,16 @@ def blocked_knn_graph(
     (module docstring): (qid, nbr_id, rnk, cos[4dp]). A node alone in
     its cell emits nothing (it has no in-cell neighbors — the blocked
     contract, mirrored by the oracle)."""
-    celled = with_sign_cells(emb, id_col, vec_col, target_cell)
+    # materialize the celled base ONCE: both join sides derive from it,
+    # and without the checkpoint the embeddings scan + cell stamp
+    # subtree appears twice in the physical plan (r11 verdict item 4 —
+    # at 100 TB a doubled corpus scan is real money). Data-sized →
+    # serialized + spillable (checkpointing.truncate_lineage).
+    from ..checkpointing import truncate_lineage
+
+    celled = truncate_lineage(
+        with_sign_cells(emb, id_col, vec_col, target_cell), footprint="data"
+    )
     a = celled.select(
         F.col("id").alias("qid"), F.col("v").alias("qv"), "cell"
     )

@@ -509,6 +509,7 @@ try:  # Spark >= 4.0
         SimpleDataSourceStreamReader,
         WriterCommitMessage,
     )
+    from pyspark.sql.datasource import DataSourceArrowWriter
 
     HAVE_DATASOURCE_API = True
 except ImportError:  # pragma: no cover
@@ -549,8 +550,22 @@ if HAVE_DATASOURCE_API:
             ]
 
         def read(self, partition: _OffsetSlice):
+            # rows cross the Python-worker boundary as ARROW BATCHES —
+            # one per fetch response — instead of pickled tuples (r12,
+            # guide §4). The stream reader below stays row-based: its
+            # rows surface on the DRIVER through the prefetch cache,
+            # which probes iterators with next() (no Arrow path there).
             if partition.end <= partition.start:
                 return
+            import pyarrow as pa
+
+            pas = pa.schema(
+                [
+                    ("offset", pa.int64()),
+                    ("key", pa.binary()),
+                    ("value", pa.binary()),
+                ]
+            )
             with KafkaWireClient(self.host, self.port) as c:
                 off = partition.start
                 while off < partition.end:
@@ -560,11 +575,20 @@ if HAVE_DATASOURCE_API:
                             f"kafka_wire: empty fetch at {off} below "
                             f"end {partition.end} (log truncated?)"
                         )
-                    for o, k, v in msgs:
-                        if o >= partition.end:
-                            return
-                        yield (o, k, v)
-                        off = o + 1
+                    kept = [m for m in msgs if m[0] < partition.end]
+                    if kept:
+                        cols = list(zip(*kept))
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(cols[0], type=pa.int64()),
+                                pa.array(cols[1], type=pa.binary()),
+                                pa.array(cols[2], type=pa.binary()),
+                            ],
+                            schema=pas,
+                        )
+                    if len(kept) < len(msgs):
+                        return
+                    off = msgs[-1][0] + 1
 
     class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         """Streaming consumption with REAL offset tracking (S4+S8): each
@@ -626,7 +650,7 @@ if HAVE_DATASOURCE_API:
     class _Produced(WriterCommitMessage):
         pass
 
-    class KafkaWireWriter(DataSourceWriter):
+    class KafkaWireWriter(DataSourceArrowWriter):
         """Keyed producer sink (S3): each Spark partition produces its
         rows as one message set over its own connection. The input must
         CARRY ``key`` and ``value`` columns — bound by NAME from the
@@ -671,19 +695,27 @@ if HAVE_DATASOURCE_API:
         _CHUNK_BYTES = 8 * 1024 * 1024
         _MSG_OVERHEAD = 26  # offset+size+crc+magic+attr+2 length prefixes
 
-        def write(self, rows) -> _Produced:
+        def write(self, batches) -> _Produced:
+            # Arrow writer (r12, guide §4): record batches in, the two
+            # produced columns come off the batch as plain lists — the
+            # JVM→Python hop carries Arrow buffers, not pickled rows.
             batch: list[tuple[bytes | None, bytes | None]] = []
             size = 0
             c = None  # lazy: empty partitions open no connection
             try:
-                for r in rows:
-                    k, v = self._b(r[self.ki]), self._b(r[self.vi])
-                    batch.append((k, v))
-                    size += self._MSG_OVERHEAD + len(k or b"") + len(v or b"")
-                    if size >= self._CHUNK_BYTES:
-                        c = c or KafkaWireClient(self.host, self.port)
-                        c.produce(self.topic, batch)
-                        batch, size = [], 0
+                for rb in batches:
+                    keys = rb.column(self.ki).to_pylist()
+                    vals = rb.column(self.vi).to_pylist()
+                    for k, v in zip(keys, vals):
+                        k, v = self._b(k), self._b(v)
+                        batch.append((k, v))
+                        size += (
+                            self._MSG_OVERHEAD + len(k or b"") + len(v or b"")
+                        )
+                        if size >= self._CHUNK_BYTES:
+                            c = c or KafkaWireClient(self.host, self.port)
+                            c.produce(self.topic, batch)
+                            batch, size = [], 0
                 if batch:
                     c = c or KafkaWireClient(self.host, self.port)
                     c.produce(self.topic, batch)

@@ -456,3 +456,45 @@ def test_containment_cap_drops_injected_boilerplate_pairs(spark):
     assert n0 == 0
     got_raw = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
     assert any(2 in p for p in got_raw)  # boilerplate fakes containment
+
+
+def test_containment_bucketed_prefix_candidates_equal_brute(spark):
+    """r12 both-side prefix filtering (the bucketed B-prefix + true-α
+    positional filter) must keep the pair set bit-identical to brute
+    directed containment — the candidate narrowing is an exact
+    superset-preserving prune, never a recall trade. The corpus mixes
+    sizes across log2 buckets (tiny quote, mid doc, long doc) so the
+    bucket fan-out and both positional filters are exercised."""
+    import itertools
+
+    from data_mastery_pipeline_spark.queries_adv import containment_pairs_df
+
+    def grams(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    body = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, "w0 w1 w2 w3 w4"),                      # tiny: 3 grams
+        (2, body),                                   # long: 38 grams
+        (3, " ".join(f"w{i}" for i in range(8, 30))),  # mid, contained in 2
+        (4, "x0 x1 x2 x3 x4 w0 w1 w2 w3 w4"),       # contains doc 1
+        (5, " ".join(f"y{i}" for i in range(12))),   # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs_df(docs, max_gram_df=None, threshold=0.8)[0].collect()
+    }
+    gs = {i: grams(t) for i, t in rows}
+    want = {}
+    for a, b in itertools.permutations(gs, 2):
+        if not gs[a]:
+            continue
+        c = len(gs[a] & gs[b]) / len(gs[a])
+        if c >= 0.8:
+            import math
+
+            want[(a, b)] = math.floor(c * 10000 + 0.5) / 10000.0
+    assert want  # the corpus really contains directed containment
+    assert got == want

@@ -268,3 +268,55 @@ def test_mid_band_brute_gate_equals_prefix_path(spark, monkeypatch):
     via_prefix = _lsh(spark, rows)
     assert via_brute == via_prefix == _brute(spark, rows)
     assert any(d > 0 for (_, _, d) in via_brute)
+
+
+def test_mid_band_prefix_branch_plan_is_length_keyed(spark, monkeypatch):
+    """r11 verdict task 7: the length-keyed candidate join (|Δn| ≤ k
+    exploded into the (blk, gram, n_b) equi-join key — the fix that
+    took the deep exponent 1.63 → 1.11) only executes at amplified
+    scale, because sf0.01 takes the brute gate. Pin the plan shape the
+    way test_cbo pins broadcast decisions, so a regression to the
+    (blk, gram)-only join cannot land silently: (1) the CURRENT code,
+    gate pinned closed, must plan the mid-band candidate join with an
+    explode(sequence(n − k, n + k)) feeding a hash-join key, and
+    (2) the committed amplified-scale dump must carry the same shape.
+    """
+    import os
+
+    rng = random.Random(7)
+    rows = []
+    for i, ln in enumerate((36, 40, 48, 56, 63)):
+        rows.append((i, "en", "".join(rng.choice(string.ascii_lowercase) for _ in range(ln))))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, head string")
+    b = df.select(
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("blk"),
+        F.col("head").alias("s"),
+        F.length("head").alias("n"),
+    )
+    monkeypatch.setattr(editjoin, "MID_BRUTE_MAX_PAIRS", 0)
+    pairs = editjoin._mid_exact_pairs(b, k=8, q=4)
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    # the explode over the admissible-length window exists...
+    assert "sequence((n#" in plan and "- 8)" in plan and "+ 8)" in plan, plan
+    # ...and its output n_b participates in a hash-join KEY (not a
+    # post-join filter): the formatted plan prints key lists as
+    # "Left keys [3]: [blk#…, gram#…, n_b#…]"
+    import re
+
+    assert re.search(r"keys \[3\]: \[blk#\d+, gram#\d+, n_b#\d+", plan), plan
+
+    dump = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r11",
+        "edit_near_dups_lsh_after_10x.txt",
+    )
+    with open(dump) as fh:
+        committed = fh.read()
+    assert "explode(sequence((n#" in committed
+    assert re.search(r"keys \[3\]: \[blk#\d+, gram#\d+, n_b#\d+", committed), (
+        "the committed amplified-scale dump lost the length-keyed join"
+    )

@@ -223,10 +223,21 @@ def test_writer_chunks_large_partitions(broker):
     frame guard — the writer must chunk produces by byte budget. With a
     tiny budget, 100 rows must land complete and in order across many
     produce frames (and an empty partition must open no connection)."""
+    import pyarrow as pa
+
     w = kw.KafkaWireWriter({"port": broker.port, "topic": "t_chunk"}, schema=None)
     w._CHUNK_BYTES = 64  # force many chunks
     rows = [(str(i).encode(), f"payload-{i}".encode()) for i in range(100)]
-    w.write(iter(rows))
+    # the writer is a DataSourceArrowWriter (r12): it consumes
+    # RecordBatches, split here mid-stream to exercise batch boundaries
+    def rb(chunk):
+        ks, vs = zip(*chunk)
+        return pa.RecordBatch.from_arrays(
+            [pa.array(ks, type=pa.binary()), pa.array(vs, type=pa.binary())],
+            names=["key", "value"],
+        )
+
+    w.write(iter([rb(rows[:37]), rb(rows[37:])]))
     got: list = []
     with kw.KafkaWireClient(broker.host, broker.port) as c:
         end = c.list_offsets("t_chunk", -1)

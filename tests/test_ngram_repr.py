@@ -114,3 +114,62 @@ def test_lossless_length_bound_finds_containment_pairs(spark):
         docs, threshold=t, length_tolerance=None
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in loose_p] == [(1, 2)]
+
+
+# --- simhash-cell blocked pairs (r12 near_dup_clusters re-scope) ----------
+
+
+def _run_celled(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = ngram.jaccard_pairs_celled(
+        df, length_tolerance=0.5, threshold=0.5, **kw
+    ).collect()
+    return {(r["id_a"], r["id_b"]): round(r["jaccard"], 6) for r in got}
+
+
+def test_celled_pairs_are_blocked_pairs_restricted_to_cells(spark):
+    """The celled edge definition = the blocked definition ∩ cell
+    co-membership: every celled pair is a blocked pair with the SAME
+    jaccard value (the verification layer is shared), and every
+    IDENTICAL-set pair (J = 1) survives the blocking — identical token
+    sets have identical set-simhash fingerprints, so co-celling is
+    structural, not probabilistic."""
+    vocab = [f"tok{i}" for i in range(24)]
+    rows = _corpus(vocab)
+    # two exact-duplicate token-set pairs (shuffled order, same set)
+    rows.append((100, rows[0][1], "en"))
+    rows.append((101, " ".join(reversed(rows[2][1].split())), "en"))
+    blocked = _run(spark, rows)
+    celled = _run_celled(spark, rows)
+    assert set(celled) <= set(blocked)
+    for pair, j in celled.items():
+        assert j == blocked[pair]
+    exact_pairs = {p for p, j in blocked.items() if j == 1.0}
+    assert exact_pairs  # the corpus really contains J=1 pairs
+    assert exact_pairs <= set(celled)
+
+
+def test_celled_repr_parity_bitmask_vs_array(spark):
+    """Both set representations produce identical celled pairs (the
+    blocked-path guarantee extended to the celled path)."""
+    vocab = [f"t{i}" for i in range(20)]  # ≤63 → auto picks bitmask
+    rows = _corpus(vocab)
+    auto = _run_celled(spark, rows)
+    arr = _run_celled(spark, rows, set_repr="array")
+    assert auto == arr and auto
+
+
+def test_cell_bits_clamp_and_growth():
+    """b = clamp(ceil(log2(n/target)), 3, 18): constant expected cell
+    size at every scale, clamped at both ends; power-of-two boundaries
+    land exactly (log2 is exact there in IEEE double — the property the
+    DuckDB mirror relies on)."""
+    assert ngram.cell_bits(0) == 3
+    assert ngram.cell_bits(64) == 3
+    assert ngram.cell_bits(512) == 3
+    assert ngram.cell_bits(513) == 4
+    assert ngram.cell_bits(5000) == 7
+    assert ngram.cell_bits(64 * (1 << 18)) == 18
+    assert ngram.cell_bits(10**12) == 18
+    assert ngram.cell_bits(200, target_cell=64) == 3
+    assert ngram.cell_bits(200000) == 12

@@ -9,10 +9,11 @@ than the work a serving regression would silently re-pay:
   cache-miss), so a serve path that regressed to rebuilding shows up
   as warm ≈ cold.
 - ``ann_ivfpq_serve``: its headline run is ALSO serve-only (the index
-  is built once per process), so cold is no comparator (the committed
-  capture itself has warm 1.65 s > cold 1.28 s — pure noise). The
-  regression signal is the BUILD entry: warm must stay under the full
-  ``ann_ivfpq_topk`` build+search lifecycle.
+  is built once per process), so cold is no comparator (warm has
+  measured ABOVE cold in committed captures — pure noise; ADVICE r11:
+  keep this observation qualitative, the concrete pair drifts with
+  every re-capture). The regression signal is the BUILD entry: warm
+  must stay under the full ``ann_ivfpq_topk`` build+search lifecycle.
 
 When a round re-captures, point CAPTURE at the new artifact and
 refresh the bands from it; the test is pure JSON so it runs in every
